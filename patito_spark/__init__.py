@@ -1,0 +1,52 @@
+"""patito_spark — data modeling, validation, and large-scale data-pipeline
+operators for PySpark.
+
+A Spark-native re-expression of the capabilities of the reference library
+(`patito`: Polars + pydantic v1 + DuckDB): pydantic v2 models describe table
+schemas, validation compiles to a single Spark aggregation job, and a
+Relation/Database layer provides the reference's SQL-string query API on top
+of Spark SQL / Catalyst.
+"""
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import col, lit
+
+from patito_spark import exceptions, sql
+from patito_spark.dataframe import DataFrame
+from patito_spark.database import Database, Relation
+from patito_spark.exceptions import DataFrameValidationError, ValidationError
+from patito_spark.model import Field, Model
+from patito_spark.session import active_session, get_session
+
+# Self-reference alias usable inside Field(constraints=...), like the
+# reference's `pt.field` (ref src/patito/__init__.py:11). Resolved lazily via
+# __getattr__ because classic PySpark cannot build a Column before a
+# SparkContext exists; prefer the SQL-string form "_ > 0" which needs no
+# session at class-definition time.
+
+
+def __getattr__(name: str):
+    if name == "field":
+        return col("_")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Column",
+    "DataFrame",
+    "Database",
+    "DataFrameValidationError",
+    "F",
+    "Field",
+    "Model",
+    "Relation",
+    "ValidationError",
+    "active_session",
+    "col",
+    "exceptions",
+    "field",
+    "get_session",
+    "lit",
+    "sql",
+]

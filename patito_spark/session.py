@@ -1,0 +1,42 @@
+"""SparkSession helpers tuned for the patito_spark workload."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def active_session() -> SparkSession:
+    """Return the active SparkSession, creating a tuned local one if needed."""
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return spark
+    return get_session()
+
+
+def get_session(app_name: str = "patito_spark") -> SparkSession:
+    """Create (or get) a SparkSession with scale-sane defaults.
+
+    On a real cluster users bring their own session; these settings only
+    apply when patito_spark has to bootstrap one (tests, bench, local use):
+
+    * AQE on — runtime coalescing + skew-join handling,
+    * shuffle partitions sized to cores locally (cluster default 200 stands
+      when a session already exists),
+    * Arrow enabled for the pandas-UDF operators.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

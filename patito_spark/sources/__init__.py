@@ -1,0 +1,10 @@
+"""Model-aware sources and sinks."""
+
+from patito_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_parquet,
+)
+
+__all__ = ["read_csv", "read_json", "read_parquet", "write_parquet"]

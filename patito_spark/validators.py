@@ -1,0 +1,374 @@
+"""Validation compiler: Spark DataFrame vs model schema in ONE distributed job.
+
+Covers the reference's validation surface (reference: src/patito/validators.py,
+318 LOC) but re-architected for scale: the reference runs several full polars
+passes per column (null count, enum scan, uniqueness, bounds filter, custom
+constraints — each its own traversal). At 100 TB every extra pass is a full
+table scan, so here every row-level check is compiled into a single
+``df.agg(...)`` with conditional sums / count-distincts and evaluated in one
+Spark job. Schema-level checks (missing/superfluous columns, dtypes) read only
+driver-side metadata and cost nothing.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
+from pyspark.sql import types as T
+
+from patito_spark.exceptions import (
+    ColumnDTypeError,
+    DataFrameValidationError,
+    ErrorWrapper,
+    MissingColumnsError,
+    MissingValuesError,
+    RowValueError,
+    SuperflousColumnsError,
+)
+
+if TYPE_CHECKING:
+    from patito_spark.model import ColumnSpec, Model
+
+# Matches a bare `_` identifier in SQL-string constraints (the reference's
+# ``pt.field`` self-reference, ref validators.py:269-293).
+_UNDERSCORE_RE = re.compile(r"(?<![\w`])_(?![\w`])")
+
+
+def _types_compatible(actual: T.DataType, expected: T.DataType) -> bool:
+    if isinstance(expected, T.DecimalType) and isinstance(actual, T.DecimalType):
+        return True
+    if isinstance(expected, T.ArrayType) and isinstance(actual, T.ArrayType):
+        return _types_compatible(actual.elementType, expected.elementType)
+    if isinstance(expected, T.MapType) and isinstance(actual, T.MapType):
+        return _types_compatible(actual.keyType, expected.keyType) and (
+            _types_compatible(actual.valueType, expected.valueType)
+        )
+    if isinstance(expected, T.StructType) and isinstance(actual, T.StructType):
+        if [f.name for f in expected.fields] != [f.name for f in actual.fields]:
+            return False
+        return all(
+            _types_compatible(a.dataType, e.dataType)
+            for a, e in zip(actual.fields, expected.fields)
+        )
+    return actual == expected
+
+
+def _dtype_ok(actual: T.DataType, valid: list[T.DataType]) -> bool:
+    return any(_types_compatible(actual, v) for v in valid)
+
+
+def _bound_checks(spec: "ColumnSpec", col: Column) -> list[Column]:
+    """Boolean 'is valid' expressions for every declared bound-ish check."""
+    checks: list[Column] = []
+    if spec.ge is not None:
+        checks.append(col >= spec.ge)
+    if spec.gt is not None:
+        checks.append(col > spec.gt)
+    if spec.le is not None:
+        checks.append(col <= spec.le)
+    if spec.lt is not None:
+        checks.append(col < spec.lt)
+    if spec.multiple_of is not None:
+        checks.append((col == 0) | (col % spec.multiple_of == 0))
+    if spec.const and spec.has_default:
+        checks.append(col == F.lit(spec.default))
+    if spec.pattern is not None:
+        checks.append(col.rlike(spec.pattern))
+    if spec.min_length is not None:
+        checks.append(F.length(col) >= spec.min_length)
+    if spec.max_length is not None:
+        checks.append(F.length(col) <= spec.max_length)
+    return checks
+
+
+def _constraint_columns(spec: "ColumnSpec") -> tuple[list[Column], bool]:
+    """Compile ``Field(constraints=...)`` into boolean Columns.
+
+    Returns (checks, needs_self_alias): SQL strings may refer to the field's
+    own column as ``_``; Column constraints may reference ``F.col("_")``
+    (exported as ``patito_spark.field``). Either way we bind ``_`` to the
+    field's column via a projection before aggregating — still one job.
+    """
+    checks: list[Column] = []
+    needs_alias = False
+    for constraint in spec.constraints:
+        if isinstance(constraint, str):
+            if _UNDERSCORE_RE.search(constraint):
+                needs_alias = True
+            checks.append(F.expr(constraint))
+        elif isinstance(constraint, Column):
+            if "_" in str(constraint):
+                needs_alias = True
+            checks.append(constraint)
+        else:
+            raise TypeError(
+                f"Invalid constraint type {type(constraint)} for column "
+                f"{spec.name!r}; expected Spark Column or SQL string."
+            )
+    return checks, needs_alias
+
+
+def validate(
+    dataframe,
+    schema: type["Model"],
+    *,
+    allow_superfluous_columns: bool = False,
+    approximate_unique: bool = False,
+) -> None:
+    """Validate ``dataframe`` against ``schema``; raise on any failure.
+
+    Args:
+        dataframe: A ``pyspark.sql.DataFrame`` or ``patito_spark.DataFrame``.
+        schema: The ``patito_spark.Model`` subclass to validate against.
+        allow_superfluous_columns: Skip the extra-columns check.
+        approximate_unique: Use ``approx_count_distinct`` for uniqueness —
+            at 100 TB exact multi-column count-distinct forces an Expand of
+            the input; HLL keeps it one cheap pass (±2% default error).
+
+    Raises:
+        DataFrameValidationError: aggregating every failed check.
+    """
+    from patito_spark.dataframe import DataFrame as PatitoDataFrame
+
+    if isinstance(dataframe, PatitoDataFrame):
+        df: SparkDataFrame = dataframe.inner
+    else:
+        df = dataframe
+
+    errors = _find_errors(
+        df,
+        schema,
+        allow_superfluous_columns=allow_superfluous_columns,
+        approximate_unique=approximate_unique,
+    )
+    if errors:
+        raise DataFrameValidationError(errors=errors, model=schema)
+
+
+def _find_errors(
+    df: SparkDataFrame,
+    schema: type["Model"],
+    *,
+    allow_superfluous_columns: bool = False,
+    approximate_unique: bool = False,
+) -> list[ErrorWrapper]:
+    errors: list[ErrorWrapper] = []
+    specs = schema.column_specs
+    df_types = {f.name: f.dataType for f in df.schema.fields}
+
+    # --- schema-level checks: metadata only, no Spark job ---------------- #
+    for missing in [c for c in specs if c not in df_types]:
+        errors.append(ErrorWrapper(MissingColumnsError("Missing column"), missing))
+    if not allow_superfluous_columns:
+        for extra in [c for c in df_types if c not in specs]:
+            errors.append(
+                ErrorWrapper(SuperflousColumnsError("Superflous column"), extra)
+            )
+
+    valid_dtypes = schema.valid_dtypes
+    for name, spec in specs.items():
+        if name in df_types and not _dtype_ok(df_types[name], valid_dtypes[name]):
+            errors.append(
+                ErrorWrapper(
+                    ColumnDTypeError(
+                        f"Spark dtype {df_types[name].simpleString()} does not "
+                        "match model field type."
+                    ),
+                    name,
+                )
+            )
+
+    # --- row-level checks: compile to one aggregation --------------------- #
+    agg_exprs: list[Column] = []
+    # slots: (result_key, kind, column_name, detail) consumed after collect
+    slots: list[tuple[str, str, str, object]] = []
+    work = df
+    n = 0
+
+    def add(expr: Column, kind: str, column: str, detail: object = None) -> None:
+        nonlocal n
+        key = f"__pt_{n}"
+        n += 1
+        agg_exprs.append(expr.alias(key))
+        slots.append((key, kind, column, detail))
+
+    for name, spec in specs.items():
+        if name not in df_types:
+            continue
+        # Skip value checks when the physical dtype is wrong — expressions
+        # would fail analysis; the dtype error is already recorded.
+        if not _dtype_ok(df_types[name], valid_dtypes[name]):
+            continue
+        col = F.col(name)
+
+        if not spec.nullable:
+            add(F.count(F.when(col.isNull(), 1)), "nulls", name)
+
+        if isinstance(df_types[name], T.ArrayType) and not df_types[
+            name
+        ].containsNull:
+            pass  # schema guarantees no null items
+        elif isinstance(spec.spark_type, T.ArrayType) and not (
+            spec.spark_type.containsNull
+        ):
+            add(
+                F.sum(
+                    F.coalesce(
+                        F.size(F.filter(col, lambda x: x.isNull())), F.lit(0)
+                    )
+                ),
+                "list_nulls",
+                name,
+            )
+
+        if spec.enum_values is not None:
+            add(
+                F.count(F.when(~col.isin(spec.enum_values) & col.isNotNull(), 1)),
+                "enum",
+                name,
+                spec.enum_values,
+            )
+            # Collect a small sample of the offending values for the message.
+            add(
+                F.slice(
+                    F.collect_set(
+                        F.when(~col.isin(spec.enum_values), col)
+                    ),
+                    1,
+                    5,
+                ),
+                "enum_sample",
+                name,
+            )
+
+        bound_checks = _bound_checks(spec, col)
+        if bound_checks:
+            valid = bound_checks[0]
+            for check in bound_checks[1:]:
+                valid = valid & check
+            # Null rows are handled by the null check; don't double-count.
+            add(
+                F.count(F.when(col.isNotNull() & ~valid, 1)),
+                "bounds",
+                name,
+            )
+
+        if spec.unique:
+            if approximate_unique:
+                # HLL sketch (rsd 1%): only flag when duplicates exceed the
+                # sketch's error band, so small overestimates don't produce
+                # false positives. Exact mode is the default.
+                approx = F.approx_count_distinct(col, rsd=0.01)
+                add(
+                    F.when(
+                        F.count(col) - approx
+                        > F.greatest(
+                            (F.count(col) * F.lit(0.02)).cast("long"), F.lit(1)
+                        ),
+                        F.count(col) - approx,
+                    ).otherwise(F.lit(0)),
+                    "unique",
+                    name,
+                )
+            else:
+                add(F.count(col) - F.count_distinct(col), "unique", name)
+
+        constraint_checks, needs_alias = _constraint_columns(spec)
+        if constraint_checks:
+            if needs_alias:
+                # Bind `_` to this field's column. Chained projections are
+                # collapsed by Catalyst; resolution happens at analysis time
+                # per projection, so several fields can each get their own
+                # `_` binding while remaining a single job.
+                work = work.withColumn("_", F.col(name))
+                combined = constraint_checks[0]
+                for check in constraint_checks[1:]:
+                    combined = combined & check
+                work = work.withColumn(
+                    f"__pt_constraint_{name}", F.coalesce(~combined, F.lit(False))
+                )
+                add(
+                    F.count(F.when(F.col(f"__pt_constraint_{name}"), 1)),
+                    "constraints",
+                    name,
+                )
+            else:
+                combined = constraint_checks[0]
+                for check in constraint_checks[1:]:
+                    combined = combined & check
+                add(
+                    F.count(F.when(F.coalesce(~combined, F.lit(False)), 1)),
+                    "constraints",
+                    name,
+                )
+
+    if agg_exprs:
+        result = work.agg(*agg_exprs).first().asDict()
+        enum_samples = {
+            column: result[key]
+            for key, kind, column, _ in slots
+            if kind == "enum_sample"
+        }
+        for key, kind, column, detail in slots:
+            count = result[key]
+            if kind == "enum_sample" or not count:
+                continue
+            plural = "" if count == 1 else "s"
+            if kind == "nulls":
+                errors.append(
+                    ErrorWrapper(
+                        MissingValuesError(
+                            f"{count} missing value{plural}"
+                        ),
+                        column,
+                    )
+                )
+            elif kind == "list_nulls":
+                errors.append(
+                    ErrorWrapper(
+                        MissingValuesError(
+                            f"{count} missing value{plural} in lists"
+                        ),
+                        column,
+                    )
+                )
+            elif kind == "enum":
+                sample = set(enum_samples.get(column) or [])
+                errors.append(
+                    ErrorWrapper(
+                        RowValueError(f"Rows with invalid values: {sample}."),
+                        column,
+                    )
+                )
+            elif kind == "bounds":
+                errors.append(
+                    ErrorWrapper(
+                        RowValueError(
+                            f"{count} row{plural} with out of bound values."
+                        ),
+                        column,
+                    )
+                )
+            elif kind == "unique":
+                errors.append(
+                    ErrorWrapper(
+                        RowValueError(
+                            f"{count} duplicated row{plural}."
+                        ),
+                        column,
+                    )
+                )
+            elif kind == "constraints":
+                errors.append(
+                    ErrorWrapper(
+                        RowValueError(
+                            f"{count} row{plural} does not match custom "
+                            "constraints."
+                        ),
+                        column,
+                    )
+                )
+
+    return errors
