@@ -214,17 +214,22 @@ class Relation:
 
     def order(self, by: Union[str, Iterable[str]]) -> "Relation":
         """Sort by SQL order expressions, e.g. ``"price desc"``."""
+        import re as _re
+
         by = [by] if isinstance(by, str) else list(by)
         sort_cols = []
+        suffix_re = _re.compile(
+            r"^(?P<expr>.*?)(?:\s+(?P<dir>asc|desc))?"
+            r"(?:\s+nulls\s+(?P<nulls>first|last))?\s*$",
+            _re.IGNORECASE | _re.DOTALL,
+        )
         for item in by:
-            parts = item.rsplit(None, 1)
-            if len(parts) == 2 and parts[1].lower() in ("asc", "desc"):
-                expr = F.expr(parts[0])
-                sort_cols.append(
-                    expr.desc() if parts[1].lower() == "desc" else expr.asc()
-                )
-            else:
-                sort_cols.append(F.expr(item))
+            match = suffix_re.match(item)
+            expr = F.expr(match.group("expr"))
+            direction = (match.group("dir") or "asc").lower()
+            nulls = (match.group("nulls") or "").lower()
+            method = direction + (f"_nulls_{nulls}" if nulls else "")
+            sort_cols.append(getattr(expr, method)())
         return self._wrap(self._df.orderBy(*sort_cols))
 
     def limit(self, n: int, *, offset: int = 0) -> "Relation":
