@@ -1,38 +1,704 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry routes through patito_spark (Relation layer, model validation,
+or pipeline operators) — the queries ARE the engine's integration tests.
+Each `queries()` entry has a matching `oracle_sql()` DuckDB statement unless
+the operator is inherently non-SQL (MinHash/SimHash/LSH signatures use
+Spark's xxhash64, which no other engine reproduces — those get rows-only
+checks).
+
+Determinism notes:
+* aggregates over doubles are rounded (2-6 decimals) in BOTH engines; raw
+  column values pass through untouched (bit-identical from parquet),
+* every ranking has a unique-id tie-break,
+* timestamps are TIMESTAMP_NTZ on the Spark side — no timezone skew vs
+  DuckDB's naive timestamps.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
+from typing import Literal, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), unreadable as a Spark
+        # timestamp; read as epoch-nanos long and do numeric time math
+        # (exact, and immune to session-timezone differences).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _rel(spark: SparkSession, sf_dir: str, name: str):
+    import patito_spark as pt
+
+    return pt.Database(spark).to_relation(_t(spark, sf_dir, name)).set_alias(name)
+
+
+# ---------------------------------------------------------------------- #
+# Models used by the validated-load query                                 #
+# ---------------------------------------------------------------------- #
+
+
+def _lineitem_model():
+    import patito_spark as pt
+
+    class LineItem(pt.Model):
+        l_orderkey: int
+        l_partkey: int
+        l_suppkey: int
+        l_linenumber: int = pt.Field(ge=1)
+        l_quantity: float = pt.Field(gt=0)
+        l_extendedprice: float = pt.Field(ge=0)
+        l_discount: float = pt.Field(ge=0, le=1)
+        l_tax: float = pt.Field(ge=0)
+        l_returnflag: Literal["A", "N", "R"]
+        l_linestatus: Literal["O", "F"]
+        l_shipdate: dt.datetime
+
+    return LineItem
+
+
+# ---------------------------------------------------------------------- #
+# Headline analytical queries                                             #
+# ---------------------------------------------------------------------- #
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape via the Relation layer (scan → filter → hash agg)."""
+    lineitem = _rel(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter("l_shipdate <= timestamp '1998-09-02 00:00:00'")
+        .aggregate(
+            sum_qty="round(sum(l_quantity), 2)",
+            sum_base_price="round(sum(l_extendedprice), 2)",
+            sum_disc_price="round(sum(l_extendedprice * (1 - l_discount)), 2)",
+            sum_charge=(
+                "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)"
+            ),
+            avg_qty="round(avg(l_quantity), 4)",
+            avg_price="round(avg(l_extendedprice), 4)",
+            avg_disc="round(avg(l_discount), 6)",
+            count_order="count(*)",
+            group_by=["l_returnflag", "l_linestatus"],
+        )
+        .order(by=["l_returnflag", "l_linestatus"])
+        .dataframe
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with deterministic top-10."""
+    customer = _rel(spark, sf_dir, "customer").filter(c_mktsegment="BUILDING")
+    orders = _rel(spark, sf_dir, "orders").filter(
+        "o_orderdate < timestamp '1998-01-01 00:00:00'"
+    )
+    lineitem = _rel(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > timestamp '1998-01-01 00:00:00'"
+    )
+    return (
+        customer.join(orders, on="c_custkey = o_custkey")
+        .join(lineitem, on="l_orderkey = o_orderkey")
+        .aggregate(
+            revenue="round(sum(l_extendedprice * (1 - l_discount)), 2)",
+            group_by=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        .order(by=["revenue desc", "l_orderkey"])
+        .limit(10)
+        .dataframe
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join; dims are explicitly broadcast (no shuffle for them)."""
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    joined = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy filter + global agg; predicates push to the parquet scan."""
+    lineitem = _rel(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            "l_shipdate >= timestamp '1996-01-01 00:00:00'",
+            "l_shipdate < timestamp '1997-01-01 00:00:00'",
+            "l_discount >= 0.05 and l_discount <= 0.07",
+            "l_quantity < 24",
+        )
+        .aggregate(
+            revenue="round(sum(l_extendedprice * l_discount), 2)",
+            n_items="count(*)",
+            group_by=(),
+        )
+        .dataframe
+    )
+
+
+def q_top_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value (window, deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_ns = 30 * 60 * 1_000_000_000  # 30 min in epoch-nanos
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.lit(gap_ns)),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Relation-layer demonstrations                                           #
+# ---------------------------------------------------------------------- #
+
+
+def rel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _rel(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            "l_discount >= 0.05 and l_discount <= 0.07", l_returnflag="R"
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+        .dataframe
+    )
+
+
+def rel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _rel(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "upper(p_brand) as brand_upper",
+        adjusted_price="round(p_retailprice * 1.1, 2)",
+        name_len="length(p_name)",
+    ).dataframe
+
+
+def rel_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _rel(spark, sf_dir, "supplier")
+    return supplier.aggregate(
+        n_suppliers="count(*)",
+        avg_acctbal="round(avg(s_acctbal), 2)",
+        min_acctbal="round(min(s_acctbal), 2)",
+        max_acctbal="round(max(s_acctbal), 2)",
+        group_by="s_nationkey",
+    ).dataframe
+
+
+SEGMENT_CODES = {
+    "AUTOMOBILE": 1,
+    "BUILDING": 2,
+    "FURNITURE": 3,
+    "HOUSEHOLD": 4,
+    "MACHINERY": 5,
+}
+
+
+def rel_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _rel(spark, sf_dir, "customer")
+    return (
+        customer.case(
+            from_column="c_mktsegment",
+            to_column="segment_code",
+            mapping=SEGMENT_CODES,
+            default=0,
+        )
+        .aggregate(
+            n_customers="count(*)",
+            total_acctbal="round(sum(c_acctbal), 2)",
+            group_by="segment_code",
+        )
+        .dataframe
+    )
+
+
+def rel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _rel(spark, sf_dir, "supplier").set_alias("s")
+    nation = _rel(spark, sf_dir, "nation").set_alias("n")
+    region = _rel(spark, sf_dir, "region").set_alias("r")
+    return (
+        supplier.join(nation, on="s.s_nationkey = n.n_nationkey", broadcast_other=True)
+        .join(region, on="n_regionkey = r.r_regionkey", broadcast_other=True)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .dataframe
+    )
+
+
+def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _rel(spark, sf_dir, "customer")
+    supplier = _rel(spark, sf_dir, "supplier")
+    nation = _rel(spark, sf_dir, "nation")
+    customer_nations = customer.select("c_nationkey as nationkey")
+    supplier_nations = supplier.select("s_nationkey as nationkey")
+    africa_nations = nation.filter("n_regionkey = 0").select(
+        "n_nationkey as nationkey"
+    )
+    return (
+        customer_nations.intersect(supplier_nations)
+        .except_(africa_nations)
+        .dataframe
+    )
+
+
+def validated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-validated load: schema+constraint checks (one agg job), then agg.
+
+    Raises DataFrameValidationError if the table violates the LineItem model,
+    so a passing run certifies validation ran clean.
+    """
+    from patito_spark.sources.readers import read_parquet
+
+    LineItem = _lineitem_model()
+    df = read_parquet(f"{sf_dir}/lineitem.parquet", model=LineItem, spark=spark)
+    df.validate()
+    return (
+        df.inner.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Pipeline operators: dedup / similarity / text                           #
+# ---------------------------------------------------------------------- #
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.dedup import exact_dedup_keys
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_keys(docs, subset=["lang", "source"], id_col="doc_id")
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs,
+        threshold=0.82,
+        ngram=1,
+        scope=F.col("doc_id") < 150,
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.dedup import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, threshold=0.9)
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only check: xxhash64 signatures
+    are Spark-specific and not reproducible in DuckDB)."""
+    from patito_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.6, num_hashes=64, bands=16)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check, Spark-specific hashing)."""
+    from patito_spark.operators.dedup import simhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, max_hamming=8)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=10)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: bucketing is
+    seed-dependent and approximate by design)."""
+    from patito_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_lsh_topk(emb, queries, k=10, n_planes=6)
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count("text").alias("n_tokens"), "n_chars"
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language("text").alias("lang_pred"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patito_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------- #
+# Driver contract                                                         #
+# ---------------------------------------------------------------------- #
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q_top_events_window": q_top_events_window,
+        "q_events_sessionize": q_events_sessionize,
+        "rel_filter": rel_filter,
+        "rel_select": rel_select,
+        "rel_aggregate": rel_aggregate,
+        "rel_case": rel_case,
+        "rel_join": rel_join,
+        "rel_setops": rel_setops,
+        "validated_lineitem": validated_lineitem,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_embedding": dedup_embedding,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_LANG_MARKER_SQL = {
+    "en": "('the','a','value','fast')",
+    "de": "('der','und','table','merge')",
+    "fr": "('le','et','query','window')",
+    "es": "('el','y','data','row')",
+    "zh": "('de5','shi4','join','batch')",
+}
+
+
+def _lang_scores_sql() -> str:
+    return ", ".join(
+        "len(list_filter(string_split(text, ' '), x -> x in "
+        f"{markers})) as s_{lang}"
+        for lang, markers in _LANG_MARKER_SQL.items()
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    segment_case = " ".join(
+        f"when '{seg}' then {code}" for seg, code in SEGMENT_CODES.items()
+    )
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_top_events_window": """
+            SELECT user_id, event_id, value, rank FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC
+                       ) AS rank
+                FROM events
+            ) WHERE rank <= 3
+        """,
+        "q_events_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT user_id,
+                   sum(new_session) AS n_sessions,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM flagged GROUP BY user_id
+        """,
+        "rel_filter": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_returnflag = 'R'
+        """,
+        "rel_select": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_upper,
+                   round(p_retailprice * 1.1, 2) AS adjusted_price,
+                   length(p_name) AS name_len
+            FROM part
+        """,
+        "rel_aggregate": """
+            SELECT s_nationkey,
+                   count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 2) AS avg_acctbal,
+                   round(min(s_acctbal), 2) AS min_acctbal,
+                   round(max(s_acctbal), 2) AS max_acctbal
+            FROM supplier GROUP BY s_nationkey
+        """,
+        "rel_case": f"""
+            SELECT case c_mktsegment {segment_case} else 0 end AS segment_code,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer GROUP BY 1
+        """,
+        "rel_join": """
+            SELECT s_suppkey, s_name, n_name, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "rel_setops": """
+            SELECT * FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+            EXCEPT
+            SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+        """,
+        "validated_lineitem": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedup_exact_docs": """
+            SELECT lang, source, min(doc_id) AS keep_id
+            FROM documents GROUP BY lang, source
+        """,
+        "dedup_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(string_split(text, ' ')) AS grams
+                FROM documents WHERE doc_id < 150
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(
+                       len(list_intersect(a.grams, b.grams))::DOUBLE
+                       / (len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams))),
+                       4
+                   ) AS jaccard
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE round(
+                       len(list_intersect(a.grams, b.grams))::DOUBLE
+                       / (len(a.grams) + len(b.grams)
+                          - len(list_intersect(a.grams, b.grams))),
+                       4
+                   ) >= 0.82
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]
+                  ), 6) >= 0.9
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]
+                       ) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]
+                           ) DESC, c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 8
+            ) WHERE rank <= 10
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "text_quality": """
+            WITH feats AS (
+                SELECT doc_id,
+                       len(string_split(text, ' '))::DOUBLE AS n,
+                       list_sum(list_transform(
+                           string_split(text, ' '), x -> length(x)
+                       ))::DOUBLE AS total_len,
+                       length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+                           / length(text)::DOUBLE AS punct
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                       least(n / 100.0, 1.0) * 0.5
+                       + (1.0 - least(abs(total_len / n - 5.0) / 5.0, 1.0)) * 0.5
+                       - least(punct * 4.0, 1.0) * 0.25,
+                       4
+                   ) AS quality
+            FROM feats
+        """,
+        "text_langid": f"""
+            WITH scores AS (
+                SELECT doc_id, {_lang_scores_sql()}
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                       WHEN s_en >= s_de AND s_en >= s_fr
+                            AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                       WHEN s_de >= s_fr AND s_de >= s_es
+                            AND s_de >= s_zh THEN 'de'
+                       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                       WHEN s_es >= s_zh THEN 'es'
+                       ELSE 'zh'
+                   END AS lang_pred
+            FROM scores
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        """,
+    }

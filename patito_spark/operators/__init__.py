@@ -1,0 +1,10 @@
+"""Large-scale training-data-pipeline operators.
+
+Everything here is expressed with built-in DataFrame operations (JVM-side,
+Catalyst-optimized); Python/Arrow paths are used only where Spark genuinely
+lacks the primitive (multimodal decode stubs).
+"""
+
+from patito_spark.operators import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

@@ -1,0 +1,383 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB / 1000 executors):
+
+* exact: one hash-aggregate shuffle on the dedup key; map-side partial
+  aggregation reduces each partition to one row per key before the shuffle.
+* MinHash LSH: O(n) signature computation fused into the scan (pure
+  expressions, no UDF), then a *band-bucket* self-join — candidates only
+  meet inside (band, band_hash) buckets, never the O(n²) cross product.
+  Oversized buckets (degenerate content) are capped to bound skew.
+* SimHash: 64-bit signature per doc as expressions; candidate pairs by
+  pigeonhole on 16-bit chunks (hamming ≤ 3 guarantees one equal chunk),
+  verified with bit_count(xor).
+* Jaccard / cosine verification only ever runs on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from patito_spark.functions.vector import cosine_similarity
+
+# ---------------------------------------------------------------------- #
+# Exact dedup                                                             #
+# ---------------------------------------------------------------------- #
+
+
+def exact_dedup_keys(
+    df: DataFrame,
+    subset: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """One hash-agg pass: for every distinct key, the minimum id to keep.
+
+    Returns columns ``<subset...>, keep_id``.
+    """
+    return df.groupBy(*subset).agg(F.min(id_col).alias("keep_id"))
+
+
+def dedup_exact(
+    df: DataFrame,
+    subset: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Keep exactly one row (minimum ``id_col``) per distinct ``subset`` key.
+
+    Window `row_number` over the key: one shuffle, no join-back, and AQE
+    handles key skew. Deterministic keep-first semantics (unlike
+    ``dropDuplicates`` which keeps an arbitrary row).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*subset).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__pt_rn", F.row_number().over(w))
+        .filter(F.col("__pt_rn") == 1)
+        .drop("__pt_rn")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Shingling + MinHash LSH                                                 #
+# ---------------------------------------------------------------------- #
+
+
+def shingles(text: Union[str, Column], n: int = 3) -> Column:
+    """Distinct word n-grams of a text column (pure expressions)."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(text, " ")
+    k = F.size(toks) - F.lit(n - 1)
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(
+    shingle_col: Column,
+    num_hashes: int = 64,
+) -> Column:
+    """MinHash signature: per hash function, min over shingles of a seeded
+    xxhash64. Seeding by concatenating the function index keeps everything
+    inside codegen (xxhash64 has a fixed seed in the function API)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate duplicate pairs via banded MinHash LSH.
+
+    Returns ``id_a < id_b`` pairs that share at least one band bucket.
+    ``max_bucket_size`` drops degenerate buckets (e.g. empty documents) to
+    bound the quadratic blow-up inside a single bucket at scale.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_signature(shingles(text_col, n=shingle_size), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    # Skew guard: drop buckets larger than max_bucket_size.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("__sz", F.count("*").over(w)).filter(
+        (F.col("__sz") > 1) & (F.col("__sz") <= max_bucket_size)
+    )
+
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
+    )
+    right = banded.select(
+        F.col("band").alias("band_r"),
+        F.col("bucket").alias("bucket_r"),
+        F.col("__id").alias("id_b"),
+    )
+    pairs = left.join(
+        right,
+        on=[
+            left.band == right.band_r,
+            left.bucket == right.bucket_r,
+            left.id_a < right.id_b,
+        ],
+    ).select("id_a", "id_b")
+    return pairs.distinct()
+
+
+def jaccard(tokens_a: Column, tokens_b: Column) -> Column:
+    """Jaccard similarity of two (deduplicated) token-array columns."""
+    intersection = F.size(F.array_intersect(tokens_a, tokens_b)).cast("double")
+    union = (
+        F.size(tokens_a) + F.size(tokens_b)
+    ).cast("double") - intersection
+    return F.when(union == 0, F.lit(1.0)).otherwise(intersection / union)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Verified duplicate pairs: LSH candidates filtered by true Jaccard.
+
+    The expensive Jaccard computation only touches candidate pairs, so the
+    cost is proportional to the number of near-duplicates, not n².
+    """
+    candidates = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, **lsh_kwargs
+    )
+    toks = df.select(
+        F.col(id_col).alias("__jid"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__jtokens"),
+    )
+    verified = (
+        candidates.join(
+            toks.withColumnsRenamed({"__jid": "id_a", "__jtokens": "tokens_a"}),
+            on="id_a",
+        )
+        .join(
+            toks.withColumnsRenamed({"__jid": "id_b", "__jtokens": "tokens_b"}),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard", F.round(jaccard(F.col("tokens_a"), F.col("tokens_b")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    ngram: int = 1,
+    scope: Optional[Column] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all in-scope pairs.
+
+    This is the brute-force verifier (O(n²) in scope size): restrict with
+    ``scope`` or use :func:`minhash_dedup_pairs` at scale.
+    """
+    base = df.filter(scope) if scope is not None else df
+    feats = base.select(
+        F.col(id_col),
+        (
+            F.array_distinct(F.split(F.col(text_col), " "))
+            if ngram == 1
+            else shingles(text_col, n=ngram)
+        ).alias("__grams"),
+    )
+    a = feats.select(
+        F.col(id_col).alias("id_a"), F.col("__grams").alias("grams_a")
+    )
+    b = feats.select(
+        F.col(id_col).alias("id_b"), F.col("__grams").alias("grams_b")
+    )
+    return (
+        a.join(b, on=[a.id_a < b.id_b])
+        .withColumn(
+            "jaccard", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# SimHash                                                                 #
+# ---------------------------------------------------------------------- #
+
+
+def simhash(text_col: str, bits: int = 64) -> Column:
+    """SimHash signature as a ``bigint`` — pure expressions, no UDF.
+
+    One pass over the token array: each token's xxhash64 votes +1/-1 on all
+    64 bits (``zip_with`` on a per-bit counter array), then the sign vector
+    is packed into a bigint. Entirely SQL higher-order functions, so it
+    fuses into the scan projection at any scale.
+
+    Args:
+        text_col: Column *name* holding the text (SQL-expression based).
+        bits: Signature width, at most 64.
+    """
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), t -> xxhash64(t)), "
+        f"array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), "
+        f"i -> if(((h >> i) & 1L) = 1L, 1, -1)), (a, b) -> a + b))"
+    )
+    # zip_with evaluates the votes array once; packing is a fold over it.
+    packed = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, i) -> if(v > 0, shiftleft(1L, i), 0L)), 0L, (s, x) -> s | x)"
+    )
+    return F.expr(packed)
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Pigeonhole: with 64 bits in ``chunks`` chunks, any pair within
+    ``max_hamming < chunks`` differing bits must agree on at least one
+    chunk — so candidates meet in an equi-join on (chunk_id, chunk_value),
+    never a cross join. Verified with ``bit_count(a XOR b)``.
+    """
+    bits_per_chunk = 64 // chunks
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col).alias("__sig")
+    )
+    chunked = sigs.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sig"), c * bits_per_chunk).bitwiseAND(
+                        F.lit((1 << bits_per_chunk) - 1).cast("long")
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    left = chunked.select(
+        "chunk_id", "chunk_val",
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+    )
+    right = chunked.select(
+        F.col("chunk_id").alias("chunk_id_r"),
+        F.col("chunk_val").alias("chunk_val_r"),
+        F.col("__id").alias("id_b"),
+        F.col("__sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(
+            right,
+            on=[
+                left.chunk_id == right.chunk_id_r,
+                left.chunk_val == right.chunk_val_r,
+                left.id_a < right.id_b,
+            ],
+        )
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------- #
+# Embedding near-dup                                                      #
+# ---------------------------------------------------------------------- #
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scope: Optional[Column] = None,
+) -> DataFrame:
+    """Pairs of near-identical embeddings by cosine ≥ threshold.
+
+    Brute-force within ``scope`` (exact); at 100 TB bucket first with
+    :func:`patito_spark.operators.similarity.hyperplane_lsh_buckets` and run
+    this verifier per bucket.
+    """
+    base = df.filter(scope) if scope is not None else df
+    feats = base.select(F.col(id_col), F.col(vec_col))
+    a = feats.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = feats.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, on=[a.id_a < b.id_b])
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_topk` — exact brute-force baseline. The scored cross join is
+  query-broadcast (queries are small by definition), scoring is pure
+  expressions fused into the corpus scan, and only the ranking shuffle moves
+  ``|queries| × |corpus|`` score rows.
+* :func:`hyperplane_lsh_buckets` / :func:`ann_lsh_topk` — the scale path:
+  sign-random-projection buckets shrink each query's candidate set to its
+  own bucket before exact scoring. Hyperplanes are derived deterministically
+  from a seed so results are reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from patito_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns ``query_id, neighbor_id, cosine, rank``; ties broken by
+    neighbor id so results are deterministic across engines.
+    """
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _deterministic_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Seeded pseudo-random unit hyperplanes (no RNG state, reproducible)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    planes /= np.linalg.norm(planes, axis=1, keepdims=True)
+    return planes.tolist()
+
+
+def hyperplane_bucket(
+    vec: Column, planes: Sequence[Sequence[float]]
+) -> Column:
+    """Sign-random-projection bucket id (bigint) for a vector column."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign each vector to a sign-random-projection bucket."""
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
+    return df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* each query's bucket.
+
+    The corpus-side bucket assignment is a map-only projection; the join on
+    ``bucket`` replaces the cross join, cutting scored candidates by
+    ~2^n_planes. Recall degrades gracefully (vectors straddling a
+    hyperplane); multi-probe or more tables would raise it — this is the
+    canonical speed/recall trade.
+    """
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("bucket", hyperplane_bucket(F.col("__cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("bucket", hyperplane_bucket(F.col("__qvec"), planes))
+    scored = c.join(F.broadcast(q), on="bucket").withColumn(
+        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "rank",
+        )
+    )

