@@ -82,23 +82,40 @@ def shingles(text: Union[str, Column], n: int = 3) -> Column:
     )
 
 
-def minhash_signature(
-    shingle_col: Column,
-    num_hashes: int = 64,
-) -> Column:
-    """MinHash signature: per hash function, min over shingles of a seeded
-    xxhash64. Seeding by concatenating the function index keeps everything
-    inside codegen (xxhash64 has a fixed seed in the function API)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}:"), s)),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+def _minhash_seeds(num_hashes: int, seed: int = 42) -> list[int]:
+    """Deterministic 63-bit xor constants for the permutation family."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.getrandbits(63) for _ in range(num_hashes)]
+
+
+def minhash_perms_expr(num_hashes: int = 64, seed: int = 42) -> Column:
+    """Literal array of (rotation, xor-constant) permutation params.
+
+    Materialized as its own column so the 64-element literal is built once
+    per row, not once per (hash, shingle) evaluation.
+    """
+    seeds = _minhash_seeds(num_hashes, seed)
+    entries = ", ".join(
+        f"named_struct('r', {(i * 7) % 63 + 1}, 'c', {c}L)"
+        for i, c in enumerate(seeds)
+    )
+    return F.expr(f"array({entries})")
+
+
+def minhash_signature_expr(base_col: str, perms_col: str = "__perms") -> Column:
+    """MinHash signature from a column of base hashes (``array<bigint>``).
+
+    Hash family: bijective rotate-then-xor permutations of the base
+    xxhash64 — one real hash evaluation per shingle total, then cheap
+    bit-op permutations (no multiply, so no ANSI overflow). One
+    higher-order expression; cost is |perms| × |shingles| bit-ops per row.
+    """
+    return F.expr(
+        f"transform({perms_col}, p -> array_min(transform("
+        f"{base_col}, h -> (shiftleft(h, p.r) | "
+        f"shiftrightunsigned(h, 64 - p.r)) ^ p.c)))"
     )
 
 
@@ -120,25 +137,44 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
 
-    sig = minhash_signature(shingles(text_col, n=shingle_size), num_hashes)
-    banded = df.select(
+    # One-permutation hashing (Li/Owen/Zhang 2012): instead of k permutation
+    # passes per shingle (O(k·|shingles|) interpreted higher-order-function
+    # evals — the slow path), hash each shingle ONCE, route it to bin
+    # h mod k, and take the per-bin min via a codegen hash aggregate.
+    # Map-side combine reduces each partition to ≤ k rows per doc before the
+    # shuffle, so at 100 TB the exchanged data is ~k·n_docs longs, not the
+    # shingle stream.
+    exploded = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    )
-                    for b in range(bands)
-                ]
+        F.explode(
+            F.transform(shingles(text_col, n=shingle_size), lambda s: F.xxhash64(s))
+        ).alias("__h"),
+    )
+    bin_mins = (
+        exploded.withColumn("__bin", F.pmod(F.col("__h"), F.lit(num_hashes)))
+        .groupBy("__id", "__bin")
+        .agg(F.min("__h").alias("__min"))
+    )
+    banded = (
+        bin_mins.withColumn(
+            "band", (F.col("__bin") / F.lit(rows_per_band)).cast("int")
+        )
+        .groupBy("__id", "band")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__bin", "__min"))).alias(
+                "__pairs"
             )
-        ).alias("band", "bucket"),
+        )
+        .select(
+            "__id",
+            "band",
+            F.xxhash64(
+                F.expr(
+                    "array_join(transform(__pairs, "
+                    "p -> concat(p.__bin, ':', p.__min)), ',')"
+                )
+            ).alias("bucket"),
+        )
     )
     # Skew guard: drop buckets larger than max_bucket_size.
     from pyspark.sql import Window
