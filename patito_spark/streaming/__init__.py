@@ -1,0 +1,9 @@
+"""Structured Streaming integration."""
+
+from patito_spark.streaming.validate import (
+    read_stream,
+    stateful_dedup_stream,
+    windowed_aggregate,
+)
+
+__all__ = ["read_stream", "stateful_dedup_stream", "windowed_aggregate"]

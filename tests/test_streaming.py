@@ -1,0 +1,125 @@
+"""Structured Streaming helper tests (memory/rate sources, availableNow)."""
+
+import time
+from typing import Literal, Optional
+
+import pytest
+from pyspark.sql import functions as F
+
+import patito_spark as pt
+from patito_spark.streaming import (
+    read_stream,
+    stateful_dedup_stream,
+    windowed_aggregate,
+)
+from patito_spark.streaming.validate import row_validity_column
+
+
+class Event(pt.Model):
+    event_id: int
+    kind: Literal["click", "view"]
+    amount: float = pt.Field(ge=0)
+    note: Optional[str] = None
+
+
+@pytest.fixture()
+def event_parquet(spark, tmp_path):
+    path = str(tmp_path / "events_stream")
+    spark.createDataFrame(
+        [
+            (1, "click", 1.0, None),
+            (2, "view", 2.0, "ok"),
+            (3, "oven", 3.0, None),   # invalid kind
+            (4, "click", -1.0, None), # invalid amount
+        ],
+        schema=Event.spark_schema,
+    ).write.parquet(path)
+    return path
+
+
+def _run_available_now(stream_df, name, output_mode="append"):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(60)
+    return query
+
+
+def test_row_validity_column(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "click", 1.0, None),
+            (3, "oven", 3.0, None),
+            (4, "click", -1.0, None),
+        ],
+        schema=Event.spark_schema,
+    )
+    out = df.withColumn("ok", row_validity_column(Event)).collect()
+    validity = {r.event_id: r.ok for r in out}
+    assert validity == {1: True, 3: False, 4: False}
+
+
+def test_read_stream_drop_invalid(spark, event_parquet):
+    stream = read_stream(event_parquet, Event, spark=spark, drop_invalid=True)
+    assert stream.isStreaming
+    _run_available_now(stream, "t_valid_events")
+    rows = spark.sql("select * from t_valid_events").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_read_stream_annotates(spark, event_parquet):
+    stream = read_stream(event_parquet, Event, spark=spark)
+    _run_available_now(stream, "t_flagged_events")
+    rows = spark.sql("select * from t_flagged_events").collect()
+    flags = {r.event_id: r["__pt_valid"] for r in rows}
+    assert flags == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_windowed_aggregate(spark, tmp_path):
+    path = str(tmp_path / "ts_stream")
+    spark.sql(
+        """
+        select id as user_id,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0) as ts,
+               cast(id as double) as value
+        from range(10)
+        """
+    ).write.parquet(path)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(path)
+    )
+    agg = windowed_aggregate(
+        stream,
+        "ts",
+        "5 minutes",
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        watermark="1 minute",
+    )
+    # complete mode emits all windows, including ones the final watermark
+    # hasn't closed yet (append mode would hold the last window back).
+    _run_available_now(agg, "t_windows", output_mode="complete")
+    rows = spark.sql("select * from t_windows").collect()
+    assert sum(r.n for r in rows) == 10
+    assert len(rows) == 2  # 10 minutes of data in 5-minute windows
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    path = str(tmp_path / "dup_stream")
+    spark.sql(
+        """
+        select id % 3 as k,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts
+        from range(9)
+        """
+    ).write.parquet(path)
+    stream = spark.readStream.schema("k long, ts timestamp").parquet(path)
+    deduped = stateful_dedup_stream(stream, ["k"], "ts", watermark="1 hour")
+    _run_available_now(deduped, "t_dedup")
+    rows = spark.sql("select * from t_dedup").collect()
+    assert sorted(r.k for r in rows) == [0, 1, 2]
