@@ -305,6 +305,45 @@ def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + post-aggregation null coalescing via the Relation layer."""
+    customer = _rel(spark, sf_dir, "customer").set_alias("c")
+    orders = _rel(spark, sf_dir, "orders").set_alias("o")
+    return (
+        customer.left_join(orders, on="c.c_custkey = o.o_custkey")
+        .aggregate(
+            total_spent="coalesce(round(sum(o_totalprice), 2), 0.0)",
+            n_orders="count(o_orderkey)",
+            group_by="c_custkey",
+        )
+        .dataframe
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts. Explicit pivot values skip the
+    extra distinct-values pass over the data."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over order priority/status hierarchies."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def validated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-validated load: schema+constraint checks (one agg job), then agg.
 
@@ -459,6 +498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_case": rel_case,
         "rel_join": rel_join,
         "rel_setops": rel_setops,
+        "rel_left_join_coalesce": rel_left_join_coalesce,
+        "q_pivot_events": q_pivot_events,
+        "q_rollup_orders": q_rollup_orders,
         "validated_lineitem": validated_lineitem,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -611,6 +653,28 @@ def oracle_sql() -> dict[str, str]:
             )
             EXCEPT
             SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+        """,
+        "rel_left_join_coalesce": """
+            SELECT c_custkey,
+                   coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spent,
+                   count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "q_pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id
+        """,
+        "q_rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "validated_lineitem": """
             SELECT l_returnflag,
