@@ -407,19 +407,33 @@ def embedding_dedup_pairs(
     :func:`patito_spark.operators.similarity.hyperplane_lsh_buckets` and run
     this verifier per bucket.
     """
+    from patito_spark.functions.vector import dot_product, l2_norm
+
     base = df.filter(scope) if scope is not None else df
-    feats = base.select(F.col(id_col), F.col(vec_col))
+    # Norms are computed once per row (O(n)), so each of the O(n²) pairs
+    # only pays for a dot product — 3× less per-pair expression work.
+    feats = base.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__norm")
+    )
     a = feats.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("__norm").alias("norm_a"),
     )
     b = feats.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("__norm").alias("norm_b"),
     )
     return (
         a.join(b, on=[a.id_a < b.id_b])
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6),
+            F.round(
+                dot_product(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -17,8 +17,6 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from patito_spark.functions.vector import cosine_similarity
-
 
 def cosine_topk(
     corpus: DataFrame,
@@ -34,17 +32,25 @@ def cosine_topk(
     Returns ``query_id, neighbor_id, cosine, rank``; ties broken by
     neighbor id so results are deterministic across engines.
     """
+    from patito_spark.functions.vector import dot_product, l2_norm
+
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
+    # Norms computed once per side; each scored pair pays one dot product.
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("__qvec"),
+        l2_norm(F.col(query_vec_col)).alias("__qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        "cosine",
+        dot_product(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -125,15 +131,23 @@ def ann_lsh_topk(
     hyperplane); multi-probe or more tables would raise it — this is the
     canonical speed/recall trade.
     """
+    from patito_spark.functions.vector import dot_product, l2_norm
+
     planes = _deterministic_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
     ).withColumn("bucket", hyperplane_bucket(F.col("__cvec"), planes))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
     ).withColumn("bucket", hyperplane_bucket(F.col("__qvec"), planes))
     scored = c.join(F.broadcast(q), on="bucket").withColumn(
-        "cosine", cosine_similarity(F.col("__qvec"), F.col("__cvec"))
+        "cosine",
+        dot_product(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
