@@ -213,6 +213,48 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: hourly per-type event rollup.
+
+    Reads events as a stream (availableNow), aggregates in complete mode to
+    a memory sink, and returns the batch view — so the streaming pipeline
+    itself is under the DuckDB oracle. Time buckets are integer epoch-nanos
+    arithmetic: no timestamp/timezone semantics anywhere.
+    """
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # streaming file source requires a directory; glob-filter to the table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    hour_ns = 3_600_000_000_000
+    agg = (
+        stream.withColumn("hour_bucket", F.expr(f"ts div {hour_ns}"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = f"pt_stream_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------- #
 # Relation-layer demonstrations                                           #
 # ---------------------------------------------------------------------- #
@@ -492,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q_top_events_window": q_top_events_window,
         "q_events_sessionize": q_events_sessionize,
+        "q_stream_hourly_counts": q_stream_hourly_counts,
         "rel_filter": rel_filter,
         "rel_select": rel_select,
         "rel_aggregate": rel_aggregate,
@@ -611,6 +654,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM flagged GROUP BY user_id
+        """,
+        "q_stream_hourly_counts": """
+            SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "rel_filter": """
             SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
