@@ -4,7 +4,14 @@ from patito_spark.sources.readers import (
     read_csv,
     read_json,
     read_parquet,
+    write_bucketed,
     write_parquet,
 )
 
-__all__ = ["read_csv", "read_json", "read_parquet", "write_parquet"]
+__all__ = [
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "write_bucketed",
+    "write_parquet",
+]
