@@ -183,7 +183,7 @@ def q_top_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").desc(), F.col("event_id").asc()
     )
     return (
-        events.withColumn("rank", F.row_number().over(w))
+        events.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("user_id", "event_id", "value", "rank")
     )
@@ -207,7 +207,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0),
     )
     return flagged.groupBy("user_id").agg(
-        F.sum("new_session").alias("n_sessions"),
+        F.count(F.when(F.col("new_session") == 1, 1)).alias("n_sessions"),
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
@@ -277,7 +277,7 @@ def rel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "upper(p_brand) as brand_upper",
         adjusted_price="round(p_retailprice * 1.1, 2)",
-        name_len="length(p_name)",
+        name_len="cast(length(p_name) as bigint)",
     ).dataframe
 
 
@@ -473,7 +473,8 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk(emb, queries, k=10)
+    out = cosine_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,7 +492,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", token_count("text").alias("n_tokens"), "n_chars"
+        "doc_id", token_count("text").cast("long").alias("n_tokens"), "n_chars"
     )
 
 
@@ -650,7 +651,7 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             )
             SELECT user_id,
-                   sum(new_session) AS n_sessions,
+                   count(*) FILTER (new_session = 1) AS n_sessions,
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM flagged GROUP BY user_id
