@@ -347,6 +347,27 @@ def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with column-name reconciliation via the Relation layer."""
+    nation = _rel(spark, sf_dir, "nation").select("n_name as name")
+    region = _rel(spark, sf_dir, "region").select("r_name as name")
+    return (nation + region).dataframe
+
+
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _rel(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct().dataframe
+
+
+def rel_from_parquet_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation constructed straight from a parquet path (RelationSource)."""
+    import patito_spark as pt
+
+    db = pt.Database(spark)
+    rel = db.to_relation(f"{sf_dir}/region.parquet")
+    return rel.order(by="r_regionkey").dataframe
+
+
 def rel_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + post-aggregation null coalescing via the Relation layer."""
     customer = _rel(spark, sf_dir, "customer").set_alias("c")
@@ -542,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_case": rel_case,
         "rel_join": rel_join,
         "rel_setops": rel_setops,
+        "rel_union": rel_union,
+        "rel_distinct": rel_distinct,
+        "rel_from_parquet_path": rel_from_parquet_path,
         "rel_left_join_coalesce": rel_left_join_coalesce,
         "q_pivot_events": q_pivot_events,
         "q_rollup_orders": q_rollup_orders,
@@ -704,6 +728,17 @@ def oracle_sql() -> dict[str, str]:
             )
             EXCEPT
             SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+        """,
+        "rel_union": """
+            SELECT n_name AS name FROM nation
+            UNION ALL
+            SELECT r_name AS name FROM region
+        """,
+        "rel_distinct": """
+            SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        """,
+        "rel_from_parquet_path": """
+            SELECT * FROM region ORDER BY r_regionkey
         """,
         "rel_left_join_coalesce": """
             SELECT c_custkey,

@@ -53,6 +53,13 @@ class Relation:
             database = Database.default()
         self.database = database
 
+        import pathlib
+
+        try:
+            import pandas as pd
+        except ImportError:  # pragma: no cover
+            pd = None
+
         if isinstance(derived_from, Relation):
             df = derived_from._df
             model = model or derived_from.model
@@ -61,10 +68,16 @@ class Relation:
             df = derived_from.inner
         elif isinstance(derived_from, SparkDataFrame):
             df = derived_from
+        elif pd is not None and isinstance(derived_from, pd.DataFrame):
+            df = database.spark.createDataFrame(derived_from)
+        elif isinstance(derived_from, pathlib.Path):
+            df = database._read_path(str(derived_from))
         elif isinstance(derived_from, str):
             stripped = derived_from.lstrip().lower()
             if stripped.startswith(("select", "with", "values", "from")):
                 df = database.spark.sql(derived_from)
+            elif stripped.endswith((".parquet", ".csv", ".json")):
+                df = database._read_path(derived_from)
             else:
                 df = database.spark.table(derived_from)
         else:
@@ -602,8 +615,19 @@ class Database:
             cls._default = cls()
         return cls._default
 
+    def _read_path(self, path: str) -> SparkDataFrame:
+        lower = path.lower()
+        if lower.endswith(".parquet"):
+            return self.spark.read.parquet(path)
+        if lower.endswith(".csv"):
+            return self.spark.read.csv(path, header=True, inferSchema=True)
+        if lower.endswith(".json"):
+            return self.spark.read.json(path)
+        raise TypeError(f"Unsupported file type for Relation source: {path}")
+
     def to_relation(self, derived_from: RelationSource) -> Relation:
-        """Cast a DataFrame / SQL string / table name to a Relation."""
+        """Cast a DataFrame / pandas DataFrame / SQL string / table name /
+        data-file path to a Relation (ref duckdb.py:2444)."""
         if isinstance(derived_from, Relation):
             return derived_from
         return Relation(derived_from, database=self)
