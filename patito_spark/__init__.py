@@ -18,6 +18,9 @@ from patito_spark.exceptions import DataFrameValidationError, ValidationError
 from patito_spark.model import Field, Model
 from patito_spark.session import active_session, get_session
 
+# Subpackages re-exported for discoverability (pt.operators.dedup, ...).
+from patito_spark import functions, operators, plans, sources, streaming  # noqa: E402
+
 # Self-reference alias usable inside Field(constraints=...), like the
 # reference's `pt.field` (ref src/patito/__init__.py:11). Resolved lazily via
 # __getattr__ because classic PySpark cannot build a Column before a
@@ -46,7 +49,12 @@ __all__ = [
     "col",
     "exceptions",
     "field",
+    "functions",
     "get_session",
     "lit",
+    "operators",
+    "plans",
+    "sources",
     "sql",
+    "streaming",
 ]

@@ -131,6 +131,15 @@ class DataFrame:
     def __dir__(self):
         return sorted(set(list(super().__dir__()) + dir(self._df)))
 
+    def lazy(self) -> "DataFrame":
+        """No-op for porting convenience: Spark DataFrames are already lazy.
+
+        The reference splits eager DataFrame / lazy LazyFrame (ref
+        polars.py:35-100); in Spark every transformation is lazy until an
+        action, so ``lazy()``/``collect()`` round-trips are free.
+        """
+        return self
+
     # ------------------------------------------------------------------ #
     # Model-aware API (ref polars.py:175-679)                             #
     # ------------------------------------------------------------------ #

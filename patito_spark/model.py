@@ -451,6 +451,12 @@ class ModelMetaclass(PydanticModelMetaclass):
             cls.__patito_df_class__ = cached
         return cached
 
+    @property
+    def LazyFrame(cls):
+        """Alias of :attr:`DataFrame` — Spark plans are always lazy (the
+        reference's eager/lazy split collapses, ref polars.py:35-100)."""
+        return cls.DataFrame
+
 
 class Model(BaseModel, metaclass=ModelMetaclass):
     """Pydantic model representing a Spark table schema and a single row."""
