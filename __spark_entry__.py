@@ -525,10 +525,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from patito_spark.operators.text import detect_language
+    from patito_spark.operators.text import detect_language_agg
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", detect_language("text").alias("lang_pred"))
+    return detect_language_agg(docs)
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

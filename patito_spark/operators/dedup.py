@@ -120,6 +120,45 @@ def minhash_signature_expr(base_col: str, perms_col: str = "__perms") -> Column:
     )
 
 
+def shingle_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(``__id``, ``__h``) rows: xxhash64 of each distinct word n-gram.
+
+    Codegen formulation: tokens are exploded to rows and n-grams built with
+    ``lead()`` windows — no interpreted array lambdas anywhere. The window
+    partitions by document, so it parallelizes across docs and never holds
+    more than one document's tokens per group.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    gram_cols = [F.col("__tok")] + [
+        F.lead("__tok", i).over(w) for i in range(1, n)
+    ]
+    is_full_gram = gram_cols[-1].isNotNull() if n > 1 else F.lit(True)
+    is_short_doc = (F.col("__pos") == 0) & (
+        F.size(F.split(F.col("__text"), " ")) < n
+    )
+    grams = toks.select(
+        "__id",
+        # documents shorter than n tokens contribute their whole text as
+        # the single shingle (otherwise they could never be candidates)
+        F.when(is_full_gram, F.concat_ws(" ", *gram_cols))
+        .when(is_short_doc, F.col("__text"))
+        .alias("__gram"),
+    ).filter(F.col("__gram").isNotNull())
+    return grams.select("__id", F.xxhash64("__gram").alias("__h")).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -145,11 +184,8 @@ def minhash_lsh_candidates(
     # Map-side combine reduces each partition to ≤ k rows per doc before the
     # shuffle, so at 100 TB the exchanged data is ~k·n_docs longs, not the
     # shingle stream.
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(shingles(text_col, n=shingle_size), lambda s: F.xxhash64(s))
-        ).alias("__h"),
+    exploded = shingle_hash_rows(
+        df, id_col=id_col, text_col=text_col, n=shingle_size
     )
     bin_mins = (
         exploded.withColumn("__bin", F.pmod(F.col("__h"), F.lit(num_hashes)))
