@@ -472,6 +472,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs_lsh(emb, threshold=0.9, n_planes=8)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified Jaccard near-dup pairs.
+
+    Iterative min-label propagation on Spark; the DuckDB oracle computes
+    the same transitive closure with a recursive CTE over the same edges.
+    """
+    from patito_spark.operators.dedup import ngram_jaccard_pairs
+    from patito_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.82, ngram=1, scope=F.col("doc_id") < 150
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only check: xxhash64 signatures
     are Spark-specific and not reproducible in DuckDB)."""
@@ -572,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validated_lineitem": validated_lineitem,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_clusters": dedup_clusters,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_minhash": dedup_minhash,
@@ -792,6 +811,35 @@ def oracle_sql() -> dict[str, str]:
                           - len(list_intersect(a.grams, b.grams))),
                        4
                    ) >= 0.82
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       list_distinct(string_split(text, ' ')) AS grams
+                FROM documents WHERE doc_id < 150
+            ),
+            raw_pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+                WHERE round(
+                          len(list_intersect(a.grams, b.grams))::DOUBLE
+                          / (len(a.grams) + len(b.grams)
+                             - len(list_intersect(a.grams, b.grams))),
+                          4
+                      ) >= 0.82
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM raw_pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM raw_pairs
+            ),
+            reach(src, dst) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, min(dst) AS component
+            FROM reach GROUP BY src
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

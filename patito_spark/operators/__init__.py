@@ -5,6 +5,13 @@ Catalyst-optimized); Python/Arrow paths are used only where Spark genuinely
 lacks the primitive (multimodal decode stubs).
 """
 
-from patito_spark.operators import dedup, multimodal, similarity, text
+from patito_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "graph", "multimodal", "similarity", "skew", "text"]

@@ -1,0 +1,45 @@
+"""Connected-components correctness on known graph shapes."""
+
+import pytest
+
+from patito_spark.operators.graph import connected_components
+
+
+def components_map(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_simple_chain(spark):
+    # 1-2-3 chain plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema="id_a long, id_b long"
+    )
+    got = components_map(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # path 0-1-2-...-19: diameter 19, needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], schema="id_a long, id_b long"
+    )
+    got = components_map(connected_components(pairs))
+    assert set(got.values()) == {0}
+    assert len(got) == 20
+
+
+def test_cycle_and_star(spark):
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (7, 5), (100, 101), (100, 102), (100, 103)],
+        schema="id_a long, id_b long",
+    )
+    got = components_map(connected_components(pairs))
+    assert {got[5], got[6], got[7]} == {5}
+    assert {got[100], got[101], got[102], got[103]} == {100}
+
+
+def test_reversed_edge_direction(spark):
+    # min id on the right side of the pair must still win
+    pairs = spark.createDataFrame([(9, 1)], schema="id_a long, id_b long")
+    got = components_map(connected_components(pairs))
+    assert got == {9: 1, 1: 1}
