@@ -2,8 +2,14 @@
 
 from patito_spark.streaming.validate import (
     read_stream,
+    sessionize_stream,
     stateful_dedup_stream,
     windowed_aggregate,
 )
 
-__all__ = ["read_stream", "stateful_dedup_stream", "windowed_aggregate"]
+__all__ = [
+    "read_stream",
+    "sessionize_stream",
+    "stateful_dedup_stream",
+    "windowed_aggregate",
+]

@@ -102,6 +102,129 @@ def windowed_aggregate(
     return stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per user.
+
+    Built on ``applyInPandasWithState`` — the escape hatch for stateful
+    logic Spark's built-ins can't express. State per user holds only
+    (open-session start, last event ts, count): O(users) memory, evicted
+    via state timeout once the gap passes. Emits one row per *closed*
+    session; the session still open when state times out is flushed then.
+
+    Output: ``user_id, session_start, session_end, n_events``.
+    """
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_value, gap_unit = gap.split()
+    seconds_per = {
+        "second": 1, "seconds": 1,
+        "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600,
+    }[gap_unit]
+    gap_seconds = int(gap_value) * seconds_per
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("session_start", TimestampType(), False),
+            StructField("session_end", TimestampType(), False),
+            StructField("n_events", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_s", LongType(), True),
+            StructField("last_s", LongType(), True),
+            StructField("count", LongType(), True),
+        ]
+    )
+
+    def close_sessions(key, batches, state: GroupState):
+        (user_id,) = key
+        sessions = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_s, last_s, count = state.get
+                sessions.append((user_id, start_s, last_s, count))
+                state.remove()
+            yield pd.DataFrame(
+                sessions,
+                columns=["user_id", "start_s", "last_s", "count"],
+            ).assign(
+                session_start=lambda d: pd.to_datetime(d["start_s"], unit="s"),
+                session_end=lambda d: pd.to_datetime(d["last_s"], unit="s"),
+                n_events=lambda d: d["count"],
+            )[["user_id", "session_start", "session_end", "n_events"]]
+            return
+
+        timestamps = []
+        for pdf in batches:
+            timestamps.extend(
+                int(t.timestamp()) for t in pdf[ts_col]
+            )
+        timestamps.sort()
+
+        if state.exists:
+            start_s, last_s, count = state.get
+        else:
+            start_s = last_s = None
+            count = 0
+
+        for t in timestamps:
+            if start_s is None:
+                start_s, last_s, count = t, t, 1
+            elif t - last_s > gap_seconds:
+                sessions.append((user_id, start_s, last_s, count))
+                start_s, last_s, count = t, t, 1
+            else:
+                last_s, count = t, count + 1
+
+        if start_s is not None:
+            state.update((start_s, last_s, count))
+            state.setTimeoutDuration(gap_seconds * 1000)
+
+        yield pd.DataFrame(
+            [
+                (
+                    u,
+                    dt.datetime.utcfromtimestamp(s),
+                    dt.datetime.utcfromtimestamp(e),
+                    n,
+                )
+                for (u, s, e, n) in sessions
+            ],
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            close_sessions,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def stateful_dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -123,3 +123,30 @@ def test_stateful_dedup_stream(spark, tmp_path):
     _run_available_now(deduped, "t_dedup")
     rows = spark.sql("select * from t_dedup").collect()
     assert sorted(r.k for r in rows) == [0, 1, 2]
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from patito_spark.streaming import sessionize_stream
+
+    path = str(tmp_path / "sess_stream")
+    # user 1: two sessions separated by a 2-hour gap; user 2: one session
+    spark.sql(
+        """
+        select * from values
+          (1, timestamp'2024-01-01 00:00:00'),
+          (1, timestamp'2024-01-01 00:05:00'),
+          (1, timestamp'2024-01-01 02:30:00'),
+          (2, timestamp'2024-01-01 01:00:00')
+        as t(user_id, ts)
+        """
+    ).write.parquet(path)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(path)
+    sessions = sessionize_stream(stream, gap="30 minutes", watermark="10 hours")
+    _run_available_now(sessions, "t_sessions", output_mode="append")
+    rows = spark.sql("select * from t_sessions").collect()
+    # closed sessions emitted within the batch: user 1's first session
+    # (closed by the 2h gap); open sessions are held in state
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.n_events)
+    assert by_user.get(1) == [2]
