@@ -526,6 +526,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, k=10, n_planes=6)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: KMeans cells are seed-dependent
+    and the search is approximate by design)."""
+    from patito_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=3)
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.text import token_count
 
@@ -597,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_langid": text_langid,

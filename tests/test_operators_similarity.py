@@ -79,3 +79,20 @@ def test_bucket_determinism(emb):
     assert {(r.vec_id, r.bucket) for r in b1.collect()} == {
         (r.vec_id, r.bucket) for r in b2.collect()
     }
+
+
+def test_ann_ivf_recall(emb):
+    df, _ = emb
+    from pyspark.sql import functions as F2
+
+    queries = df.filter(F2.col("vec_id") < 10)
+    exact = similarity.cosine_topk(df, queries, k=5)
+    ivf = similarity.ann_ivf_topk(
+        df, queries, k=5, n_centroids=8, n_probe=3
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.4
+    for q in range(10):
+        assert (q, q) in ivf_set  # self always lands in own probed cell
