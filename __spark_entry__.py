@@ -439,6 +439,16 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keys(docs, subset=["lang", "source"], id_col="doc_id")
 
 
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row keep-first dedup (window row_number, deterministic)."""
+    from patito_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, subset=["lang", "source"], id_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -599,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_orders": q_rollup_orders,
         "validated_lineitem": validated_lineitem,
         "dedup_exact_docs": dedup_exact_docs,
+        "dedup_exact_rows": dedup_exact_rows,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_clusters": dedup_clusters,
         "dedup_embedding": dedup_embedding,
@@ -801,6 +812,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT lang, source, min(doc_id) AS keep_id
             FROM documents GROUP BY lang, source
+        """,
+        "dedup_exact_rows": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang, source ORDER BY doc_id ASC
+            ) = 1
         """,
         "dedup_jaccard_pairs": """
             WITH toks AS (

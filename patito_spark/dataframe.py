@@ -309,3 +309,23 @@ class DataFrame:
         if model is None:
             raise TypeError("read_parquet requires a model-bound DataFrame class.")
         return _read_parquet(path, model=model, spark=spark, **options)
+
+    def write_parquet(
+        self,
+        path: str,
+        partition_by: Optional[list] = None,
+        mode: str = "error",
+        validate: bool = False,
+        **options: Any,
+    ) -> None:
+        """Write to parquet, optionally validating against the model first."""
+        from patito_spark.sources.readers import write_parquet as _write_parquet
+
+        _write_parquet(
+            self,
+            path,
+            partition_by=partition_by,
+            mode=mode,
+            validate=validate,
+            **options,
+        )

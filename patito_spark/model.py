@@ -504,6 +504,23 @@ class Model(BaseModel, metaclass=ModelMetaclass):
 
         from patito_spark.dataframe import DataFrame as PatitoDataFrame
 
+        try:
+            import pandas as pd
+        except ImportError:  # pragma: no cover
+            pd = None
+
+        if pd is not None and isinstance(row, pd.Series):
+            return cls(**dict(row.items())) if validate else cls.model_construct(
+                **dict(row.items())
+            )
+        if pd is not None and isinstance(row, pd.DataFrame):
+            if len(row) != 1:
+                raise ValueError(
+                    f"{cls.__name__}.from_row() can only be invoked with "
+                    f"exactly 1 row, got {len(row)}."
+                )
+            data = row.iloc[0].to_dict()
+            return cls(**data) if validate else cls.model_construct(**data)
         if isinstance(row, PatitoDataFrame):
             row = row.inner
         if isinstance(row, SparkDataFrame):

@@ -167,3 +167,15 @@ def test_read_parquet_prunes_to_model(spark, tmp_path, sf_dir):
     # Column pruning must reach the parquet scan.
     plan = df.inner._jdf.queryExecution().executedPlan().toString()
     assert "n_regionkey" not in plan
+
+
+def test_write_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out.parquet")
+    df = Product.DataFrame({"product_id": [1, 2], "price": [1.0, 2.0]})
+    df.write_parquet(path, validate=True)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+
+    bad = Product.DataFrame({"product_id": [1, 1], "price": [1.0, 2.0]})
+    with pytest.raises(DataFrameValidationError):
+        bad.write_parquet(str(tmp_path / "bad.parquet"), validate=True)

@@ -208,3 +208,22 @@ def test_mixed_literal_types_rejected():
 
     with pytest.raises(TypeError):
         M.dtypes
+
+
+def test_from_pandas_row():
+    import pandas as pd
+
+    row = pd.DataFrame(
+        {
+            "product_id": [1],
+            "name": ["apple"],
+            "temperature_zone": ["dry"],
+            "price": [1.0],
+        }
+    )
+    product = Product.from_row(row)
+    assert product.product_id == 1
+    series = row.iloc[0]
+    assert Product.from_row(series).name == "apple"
+    with pytest.raises(ValueError):
+        Product.from_row(pd.concat([row, row]))
