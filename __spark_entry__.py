@@ -546,6 +546,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=3)
 
 
+def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed train/test split summary (rows-only: xxhash64
+    membership is Spark-specific). Split must be disjoint and complete."""
+    from patito_spark.operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    train, test = train_test_split(docs, key_col="doc_id", test_fraction=0.2)
+    return (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.text import token_count
 
@@ -619,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "sample_split_documents": sample_split_documents,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_langid": text_langid,

@@ -9,9 +9,18 @@ from patito_spark.operators import (
     dedup,
     graph,
     multimodal,
+    sampling,
     similarity,
     skew,
     text,
 )
 
-__all__ = ["dedup", "graph", "multimodal", "similarity", "skew", "text"]
+__all__ = [
+    "dedup",
+    "graph",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "skew",
+    "text",
+]

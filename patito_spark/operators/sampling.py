@@ -1,0 +1,114 @@
+"""Deterministic sampling and shuffling for training-data pipelines.
+
+Everything here is hash-based, never ``rand()``: a retried task, a
+re-planned AQE stage, or a second run over the same data produces the same
+sample. At 100 TB, non-reproducible samples poison train/eval separation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_fraction(key: Column, seed: int) -> Column:
+    """Uniform [0, 1) value derived from a key column (deterministic)."""
+    return (
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS)) / F.lit(_BUCKETS)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash of ``key_col``.
+
+    Unlike ``df.sample()``, membership depends only on the key and seed —
+    stable across runs, partitionings, and Spark versions, and co-sampled
+    tables stay aligned (same key ⇒ same decision everywhere).
+    """
+    return df.filter(_hash_fraction(F.col(key_col), seed) < fraction)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) split on a key hash — one pass each, no shuffle.
+
+    Keyed splitting guarantees a key never straddles the boundary (the
+    leakage guarantee random row splits cannot give when keys repeat).
+    """
+    h = _hash_fraction(F.col(key_col), seed)
+    return df.filter(h >= test_fraction), df.filter(h < test_fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum hash sampling (deterministic ``sampleBy``)."""
+    frac_expr = None
+    for value, fraction in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        frac_expr = (
+            F.when(cond, F.lit(float(fraction)))
+            if frac_expr is None
+            else frac_expr.when(cond, F.lit(float(fraction)))
+        )
+    frac_expr = frac_expr.otherwise(F.lit(0.0))
+    return df.filter(_hash_fraction(F.col(key_col), seed) < frac_expr)
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample every class to ~the size of the rarest class.
+
+    One count pass computes class sizes (tiny result, collected), then one
+    filtered pass applies per-class hash fractions — two scans total, no
+    shuffle of the data itself.
+    """
+    counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
+    if not counts:
+        return df
+    smallest = min(counts.values())
+    fractions = {label: smallest / n for label, n in counts.items()}
+    return stratified_sample(
+        df, label_col, fractions, key_col=key_col, seed=seed
+    )
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 42,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization.
+
+    Orders by a key hash: `repartitionByRange` on the hash gives evenly
+    sized output partitions, sorted within each — a reproducible
+    permutation of the dataset at the cost of one range shuffle.
+    """
+    hashed = df.withColumn("__shuffle_key", F.xxhash64(F.col(key_col), F.lit(seed)))
+    parts = num_partitions or df.rdd.getNumPartitions()
+    return (
+        hashed.repartitionByRange(parts, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    )
