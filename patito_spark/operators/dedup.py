@@ -254,19 +254,26 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    shingle_size: int = 3,
     **lsh_kwargs,
 ) -> DataFrame:
     """Verified duplicate pairs: LSH candidates filtered by true Jaccard.
 
-    The expensive Jaccard computation only touches candidate pairs, so the
-    cost is proportional to the number of near-duplicates, not n².
+    Verification uses the SAME shingle space as the signatures (so the
+    threshold means what the MinHash collision probability estimates), and
+    only touches candidate pairs — cost proportional to the number of
+    near-duplicates, not n².
     """
     candidates = minhash_lsh_candidates(
-        df, id_col=id_col, text_col=text_col, **lsh_kwargs
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_size=shingle_size,
+        **lsh_kwargs,
     )
     toks = df.select(
         F.col(id_col).alias("__jid"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("__jtokens"),
+        shingles(text_col, n=shingle_size).alias("__jtokens"),
     )
     verified = (
         candidates.join(
