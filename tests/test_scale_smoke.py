@@ -1,0 +1,85 @@
+"""Large-input smoke tests (opt-in: SPARK_GRAFT_SCALE_SMOKE=1).
+
+Synthesizes 10M-row inputs in-memory (spark.range — no testdata writes)
+and runs the shuffle-heavy operators end-to-end. Catches plans that only
+work at unit-test sizes (driver collects, unbounded state, per-row Python).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="scale smoke is opt-in (SPARK_GRAFT_SCALE_SMOKE=1)",
+)
+
+N = 10_000_000
+
+
+def test_validation_single_pass_10m(spark):
+    import patito_spark as pt
+
+    class Row(pt.Model):
+        id: int = pt.Field(ge=0)
+        v: float
+        bucket: int = pt.Field(ge=0, le=99)
+
+    df = spark.range(N).selectExpr(
+        "id", "cast(id % 1000 as double) / 7 as v", "cast(id % 100 as int) as bucket"
+    ).withColumn("bucket", F.col("bucket").cast("long"))
+    Row.validate_df(df, approximate_unique=True)
+
+
+def test_exact_dedup_10m(spark):
+    from patito_spark.operators.dedup import dedup_exact
+
+    df = spark.range(N).selectExpr("id % 1000000 as k", "id as payload")
+    out = dedup_exact(df, subset=["k"], id_col="payload")
+    assert out.count() == 1_000_000
+
+
+def test_salted_aggregate_10m_hot_key(spark):
+    from patito_spark.operators.skew import salted_aggregate
+
+    # 50% of rows share one key
+    df = spark.range(N).selectExpr(
+        "if(id % 2 = 0, 0, id) as k", "cast(id % 13 as double) as v"
+    )
+    out = salted_aggregate(
+        df, keys=["k"], aggs={"s": ("v", "sum"), "n": ("v", "count")},
+        salt_buckets=32,
+    )
+    hot = out.filter("k = 0").first()
+    assert hot["n"] == N // 2
+
+
+def test_minhash_1m_docs(spark):
+    from patito_spark.operators.dedup import minhash_lsh_candidates
+
+    # 1M short synthetic docs, every 1000th is a duplicate of doc 0
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "if(id % 1000 = 0, 'alpha beta gamma delta epsilon zeta', "
+        "concat('w', id, ' x', id + 1, ' y', id + 2, ' z', id + 3)) as text",
+    )
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=32, bands=8, max_bucket_size=2000
+    )
+    # the 1000 planted duplicates form up to ~500k candidate pairs capped
+    # by bucket size; just require the pipeline completes and finds some
+    assert pairs.limit(1).count() == 1
+
+
+def test_topk_1m_corpus(spark):
+    from patito_spark.operators.similarity import cosine_topk
+
+    corpus = spark.range(1_000_000).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 97 as double), cast(id % 89 as double), "
+        "cast(id % 83 as double), 1.0d) as embedding",
+    )
+    queries = corpus.filter("vec_id < 3")
+    out = cosine_topk(corpus, queries, k=5)
+    assert out.count() == 15
