@@ -18,10 +18,17 @@ Determinism notes:
 from __future__ import annotations
 
 import datetime as dt
+import os
+import sys
 from collections.abc import Callable
 from typing import Literal, Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# make `import patito_spark` work regardless of the caller's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
