@@ -1,0 +1,78 @@
+"""Regenerate docs/plans.md: formatted physical plans of headline queries.
+
+Run from the repo root: ``python tools/dump_plans.py``
+"""
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from patito_spark.plans import executed_plan
+from patito_spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.01"
+
+HEADLINERS = {
+    "q1_pricing_summary": (
+        "Filter pushed to scan, 7-column pruned read, partial+final "
+        "HashAggregate (map-side combine), range-partitioned sort."
+    ),
+    "q3_shipping_priority": (
+        "Both joins broadcast (filtered sides are small), "
+        "TakeOrderedAndProject instead of global sort+limit."
+    ),
+    "q5_local_supplier": (
+        "Region/nation dims explicitly broadcast; fact joins left to AQE."
+    ),
+    "q6_forecast_revenue": (
+        "All four predicates in PushedFilters; ReadSchema is exactly the "
+        "4 needed columns of 11."
+    ),
+    "rel_filter": (
+        "SQL-string Relation filter still reaches the parquet scan — the "
+        "Relation layer compiles to Catalyst plans, not opaque strings."
+    ),
+    "dedup_minhash": (
+        "OPH MinHash: explode/shingle window -> hash aggregates with "
+        "partial_min (map-side combine) -> band-bucket equi-join; no "
+        "cross product anywhere."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_session("plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    out = [
+        "# Physical plans of headline queries (auto-generated)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. Annotations state",
+        "the property each plan is expected to show; `tests/test_plans.py`",
+        "asserts them.",
+        "",
+    ]
+    for name, annotation in HEADLINERS.items():
+        df = queries[name](spark, SF_DIR)
+        plan = executed_plan(df)
+        plan = re.sub(r", \[plan_id=\d+\]", "", plan)
+        out.append(f"## {name}")
+        out.append("")
+        out.append(annotation)
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "docs", "plans.md"), "w"
+    ) as f:
+        f.write("\n".join(out))
+    print("wrote docs/plans.md")
+
+
+if __name__ == "__main__":
+    main()
