@@ -8,11 +8,15 @@ Spark's xxhash64, which no other engine reproduces — those get rows-only
 checks).
 
 Determinism notes:
-* aggregates over doubles are rounded (2-6 decimals) in BOTH engines; raw
-  column values pass through untouched (bit-identical from parquet),
+* SUM/AVG aggregates over doubles are rounded (2-6 decimals) in BOTH
+  engines (partition-order double addition is not associative);
+* ratio-style values (jaccard, cosine, quality) are NOT rounded: both
+  engines compute the identical IEEE-double operation sequence, verified
+  bit-exact — decimal rounding is the only thing that can diverge (Spark
+  rounds via the shortest decimal repr, DuckDB via scaled std::round);
 * every ranking has a unique-id tie-break,
 * timestamps are TIMESTAMP_NTZ on the Spark side — no timezone skew vs
-  DuckDB's naive timestamps.
+  DuckDB's naive timestamps; events use epoch-nanos integer math.
 """
 
 from __future__ import annotations
@@ -850,19 +854,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id < 150
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(
-                       len(list_intersect(a.grams, b.grams))::DOUBLE
-                       / (len(a.grams) + len(b.grams)
-                          - len(list_intersect(a.grams, b.grams))),
-                       4
-                   ) AS jaccard
+                   len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))) AS jaccard
             FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-            WHERE round(
-                       len(list_intersect(a.grams, b.grams))::DOUBLE
-                       / (len(a.grams) + len(b.grams)
-                          - len(list_intersect(a.grams, b.grams))),
-                       4
-                   ) >= 0.82
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.82
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (
@@ -873,12 +871,9 @@ def oracle_sql() -> dict[str, str]:
             raw_pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-                WHERE round(
-                          len(list_intersect(a.grams, b.grams))::DOUBLE
-                          / (len(a.grams) + len(b.grams)
-                             - len(list_intersect(a.grams, b.grams))),
-                          4
-                      ) >= 0.82
+                WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                      / (len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams))) >= 0.82
             ),
             edges AS (
                 SELECT id_a AS src, id_b AS dst FROM raw_pairs
@@ -894,30 +889,38 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "dedup_embedding": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]
+                       )) AS norm
+                FROM embeddings WHERE vec_id < 500
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]
-                   ), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 500 AND b.vec_id < 500
-              AND round(list_cosine_similarity(
-                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]
-                  ), 6) >= 0.9
+                   list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.9
         """,
         "ann_topk": """
-            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]
+                       )) AS norm
+                FROM embeddings
+            )
+            SELECT query_id, neighbor_id, cosine, rank
             FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       list_cosine_similarity(
-                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]
-                       ) AS cosine,
+                       list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                           AS cosine,
                        row_number() OVER (
                            PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]
-                           ) DESC, c.vec_id ASC
+                           ORDER BY list_dot_product(q.v, c.v)
+                                    / (q.norm * c.norm) DESC,
+                                    c.vec_id ASC
                        ) AS rank
-                FROM embeddings q, embeddings c
+                FROM e q, e c
                 WHERE q.vec_id < 8
             ) WHERE rank <= 10
         """,
@@ -939,12 +942,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id,
-                   round(
-                       least(n / 100.0, 1.0) * 0.5
-                       + (1.0 - least(abs(total_len / n - 5.0) / 5.0, 1.0)) * 0.5
-                       - least(punct * 4.0, 1.0) * 0.25,
-                       4
-                   ) AS quality
+                   least(n / 100.0, 1.0) * 0.5
+                   + (1.0 - least(abs(total_len / n - 5.0) / 5.0, 1.0)) * 0.5
+                   - least(punct * 4.0, 1.0) * 0.25 AS quality
             FROM feats
         """,
         "text_langid": f"""

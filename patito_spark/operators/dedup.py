@@ -284,9 +284,7 @@ def minhash_dedup_pairs(
             toks.withColumnsRenamed({"__jid": "id_b", "__jtokens": "tokens_b"}),
             on="id_b",
         )
-        .withColumn(
-            "jaccard", F.round(jaccard(F.col("tokens_a"), F.col("tokens_b")), 4)
-        )
+        .withColumn("jaccard", jaccard(F.col("tokens_a"), F.col("tokens_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -323,9 +321,7 @@ def ngram_jaccard_pairs(
     )
     return (
         a.join(b, on=[a.id_a < b.id_b])
-        .withColumn(
-            "jaccard", F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 4)
-        )
+        .withColumn("jaccard", jaccard(F.col("grams_a"), F.col("grams_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -472,11 +468,8 @@ def embedding_dedup_pairs(
         a.join(b, on=[a.id_a < b.id_b])
         .withColumn(
             "cosine",
-            F.round(
-                dot_product(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                6,
-            ),
+            dot_product(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -562,7 +555,7 @@ def embedding_dedup_pairs_lsh(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "cosine": np.round(sims[ia, ib][keep], 6),
+                "cosine": sims[ia, ib][keep],
             }
         )
 

@@ -58,12 +58,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -220,12 +215,7 @@ def ann_ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -271,10 +261,5 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine"), 6).alias("cosine"),
-            "rank",
-        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -72,8 +72,10 @@ def quality_score(text: Union[str, Column]) -> Column:
 
     Rewards reasonable length (saturating at 100 tokens) and word shape
     (average token length near natural language), penalizes punctuation
-    soup. Pure arithmetic — identical formula is expressible in any SQL
-    engine for oracle checks.
+    soup. Pure IEEE-double arithmetic with power-of-two constants — the
+    identical formula in another engine produces bit-identical doubles, so
+    the result is deliberately NOT rounded (decimal rounding of values on
+    a .5 boundary is engine-dependent and breaks exact cross-checks).
     """
     n = token_count(text).cast("double")
     length_component = F.least(n / F.lit(100.0), F.lit(1.0))
@@ -81,10 +83,10 @@ def quality_score(text: Union[str, Column]) -> Column:
         F.abs(avg_token_length(text) - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
     )
     punct_penalty = F.least(punctuation_ratio(text) * F.lit(4.0), F.lit(1.0))
-    return F.round(
+    return (
         length_component * F.lit(0.5)
-        + shape_component * F.lit(0.5) - punct_penalty * F.lit(0.25),
-        4,
+        + shape_component * F.lit(0.5)
+        - punct_penalty * F.lit(0.25)
     )
 
 
