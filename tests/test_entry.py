@@ -50,11 +50,15 @@ def assert_results_match(name, spark_rows, spark_cols, duck_rows, duck_cols):
     for i, (s, d) in enumerate(zip(s_rows, d_rows)):
         for s_val, d_val in zip(s, d):
             if isinstance(s_val, float) or isinstance(d_val, float):
+                # the driver hashes values, so floats must match exactly —
+                # enforce bit-exactness here too
                 s_f, d_f = float(s_val), float(d_val)
                 if math.isnan(s_f) and math.isnan(d_f):
                     continue
-                assert abs(s_f - d_f) <= 1e-9 * max(1.0, abs(d_f)), (
-                    f"{name} row {i}: float {s_f} != {d_f}"
+                import struct as _struct
+
+                assert _struct.pack("d", s_f) == _struct.pack("d", d_f), (
+                    f"{name} row {i}: float {s_f!r} != {d_f!r}"
                 )
             else:
                 assert str(s_val) == str(d_val), (
