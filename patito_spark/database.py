@@ -615,6 +615,12 @@ class Database:
             cls._default = cls()
         return cls._default
 
+    @classmethod
+    def from_connection(cls, spark: SparkSession) -> "Database":
+        """Construct from an existing SparkSession (the Spark analogue of
+        the reference's DuckDB-connection constructor, ref duckdb.py:2422)."""
+        return cls(spark)
+
     def _read_path(self, path: str) -> SparkDataFrame:
         lower = path.lower()
         if lower.endswith(".parquet"):

@@ -72,3 +72,9 @@ def test_relation_create_table(db, spark):
 
 def test_default_database_shared():
     assert pt.Database.default() is pt.Database.default()
+
+
+def test_from_connection(spark):
+    db = pt.Database.from_connection(spark)
+    assert db.spark is spark
+    assert db.query("select 1 as a").count() == 1
