@@ -3,16 +3,21 @@ embedding-cosine near-dup.
 
 Scale design (100 TB / 1000 executors):
 
-* exact: one hash-aggregate shuffle on the dedup key; map-side partial
-  aggregation reduces each partition to one row per key before the shuffle.
-* MinHash LSH: O(n) signature computation fused into the scan (pure
-  expressions, no UDF), then a *band-bucket* self-join — candidates only
-  meet inside (band, band_hash) buckets, never the O(n²) cross product.
-  Oversized buckets (degenerate content) are capped to bound skew.
-* SimHash: 64-bit signature per doc as expressions; candidate pairs by
-  pigeonhole on 16-bit chunks (hamming ≤ 3 guarantees one equal chunk),
-  verified with bit_count(xor).
-* Jaccard / cosine verification only ever runs on candidate pairs.
+* exact: one shuffle on the dedup key (window row_number / hash agg with
+  map-side combine).
+* MinHash: one-permutation hashing — shingle-hash rows through codegen
+  hash aggregates (per-bin mins, map-side combined), then a *band-bucket*
+  self-join: candidates only meet inside (band, bucket) groups, never the
+  O(n²) cross product. Oversized buckets are capped to bound skew.
+* SimHash: 64 bit-vote conditional sums in one codegen hash aggregate;
+  candidate pairs by pigeonhole on 16-bit chunks (hamming ≤ 3 guarantees
+  one equal chunk), verified with bit_count(xor).
+* embeddings: exact pair verify as expressions, or LSH buckets + BLAS
+  verification via Arrow batches for the full-table path.
+* Jaccard / cosine verification only ever runs on candidate pairs, in the
+  SAME feature space that generated the candidates.
+* No interpreted higher-order-function lambdas on any per-pair hot path
+  (Spark evaluates them interpreted, ~1000× slower than codegen).
 """
 
 from __future__ import annotations
