@@ -172,12 +172,15 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket_size: int = 1000,
+    shingle_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate duplicate pairs via banded MinHash LSH.
 
     Returns ``id_a < id_b`` pairs that share at least one band bucket.
     ``max_bucket_size`` drops degenerate buckets (e.g. empty documents) to
     bound the quadratic blow-up inside a single bucket at scale.
+    ``shingle_rows`` lets callers reuse a precomputed
+    :func:`shingle_hash_rows` output (avoids re-shingling the corpus).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -189,8 +192,10 @@ def minhash_lsh_candidates(
     # Map-side combine reduces each partition to ≤ k rows per doc before the
     # shuffle, so at 100 TB the exchanged data is ~k·n_docs longs, not the
     # shingle stream.
-    exploded = shingle_hash_rows(
-        df, id_col=id_col, text_col=text_col, n=shingle_size
+    exploded = (
+        shingle_rows
+        if shingle_rows is not None
+        else shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=shingle_size)
     )
     bin_mins = (
         exploded.withColumn("__bin", F.pmod(F.col("__h"), F.lit(num_hashes)))
@@ -267,18 +272,23 @@ def minhash_dedup_pairs(
     Verification uses the SAME shingle space as the signatures (so the
     threshold means what the MinHash collision probability estimates), and
     only touches candidate pairs — cost proportional to the number of
-    near-duplicates, not n².
+    near-duplicates, not n². Both stages share one shingle-hash pipeline:
+    verification intersects the per-doc hash-gram arrays (sorted bigint
+    arrays, cheap JVM set ops) instead of re-shingling text per pair.
     """
+    shingle_rows = shingle_hash_rows(
+        df, id_col=id_col, text_col=text_col, n=shingle_size
+    )
     candidates = minhash_lsh_candidates(
         df,
         id_col=id_col,
         text_col=text_col,
         shingle_size=shingle_size,
+        shingle_rows=shingle_rows,
         **lsh_kwargs,
     )
-    toks = df.select(
-        F.col(id_col).alias("__jid"),
-        shingles(text_col, n=shingle_size).alias("__jtokens"),
+    toks = shingle_rows.groupBy(F.col("__id").alias("__jid")).agg(
+        F.sort_array(F.collect_list("__h")).alias("__jtokens")
     )
     verified = (
         candidates.join(
