@@ -358,6 +358,44 @@ def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins: per segment, customers with vs without orders.
+
+    Spark's left_semi/left_anti never materialize right-side columns —
+    the join only probes the (broadcast or shuffled) key set.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    order_keys = _t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        customer.join(
+            order_keys, customer.c_custkey == order_keys.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without_orders = (
+        customer.join(
+            order_keys, customer.c_custkey == order_keys.o_custkey, "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return with_orders.join(without_orders, "c_mktsegment", "full").na.fill(
+        0, ["n_with_orders", "n_without_orders"]
+    )
+
+
+def rel_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic order + limit/offset pagination via the Relation layer."""
+    part = _rel(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .order(by=["p_retailprice desc", "p_partkey"])
+        .limit(20, offset=10)
+        .dataframe
+    )
+
+
 def rel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL with column-name reconciliation via the Relation layer."""
     nation = _rel(spark, sf_dir, "nation").select("n_name as name")
@@ -627,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_case": rel_case,
         "rel_join": rel_join,
         "rel_setops": rel_setops,
+        "q_semi_anti_customers": q_semi_anti_customers,
+        "rel_limit_offset": rel_limit_offset,
         "rel_union": rel_union,
         "rel_distinct": rel_distinct,
         "rel_from_parquet_path": rel_from_parquet_path,
@@ -796,6 +836,34 @@ def oracle_sql() -> dict[str, str]:
             )
             EXCEPT
             SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+        """,
+        "q_semi_anti_customers": """
+            WITH w AS (
+                SELECT c_mktsegment, count(*) AS n_with_orders
+                FROM customer
+                WHERE EXISTS (
+                    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                )
+                GROUP BY c_mktsegment
+            ),
+            wo AS (
+                SELECT c_mktsegment, count(*) AS n_without_orders
+                FROM customer
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                )
+                GROUP BY c_mktsegment
+            )
+            SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+                   coalesce(n_with_orders, 0) AS n_with_orders,
+                   coalesce(n_without_orders, 0) AS n_without_orders
+            FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        """,
+        "rel_limit_offset": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC
+            LIMIT 20 OFFSET 10
         """,
         "rel_union": """
             SELECT n_name AS name FROM nation
