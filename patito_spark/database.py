@@ -15,6 +15,7 @@ exactly like the reference and parsed by Spark's own SQL parser via
 from __future__ import annotations
 
 import itertools
+import re
 from typing import Any, Iterable, Iterator, Optional, TYPE_CHECKING, Union
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
@@ -74,7 +75,10 @@ class Relation:
             df = database._read_path(str(derived_from))
         elif isinstance(derived_from, str):
             stripped = derived_from.lstrip().lower()
-            if stripped.startswith(("select", "with", "values", "from")):
+            # Word boundary required so table names like "from_api_events",
+            # "values_daily" or "withdrawals" resolve via the catalog rather
+            # than being mis-parsed as SQL text.
+            if re.match(r"^(select|with|values|from)\b", stripped):
                 df = database.spark.sql(derived_from)
             elif stripped.endswith((".parquet", ".csv", ".json")):
                 df = database._read_path(derived_from)
@@ -340,7 +344,11 @@ class Relation:
             yield self._to_model(row)
 
     def __eq__(self, other: object) -> bool:
-        """Content equality irrespective of row order (ref duckdb.py:2129)."""
+        """Content equality irrespective of row order (ref duckdb.py:2129).
+
+        Note: this runs two ``exceptAll`` Spark jobs — two shuffles of both
+        inputs. Fine as a test utility; avoid in production hot paths.
+        """
         other_rel = self.database.to_relation(other)  # type: ignore[arg-type]
         left, right = self._df, other_rel._df
         if set(left.columns) != set(right.columns):
@@ -529,10 +537,18 @@ class Relation:
         return self.union(other)
 
     def except_(self, other: RelationSource) -> "Relation":
-        """Rows in self but not in other (SQL EXCEPT, dedups)."""
+        """Rows in self but not in other (SQL EXCEPT DISTINCT, ref duckdb.py:895).
+
+        Uses Spark's ``subtract`` (EXCEPT DISTINCT): any row that appears in
+        ``other`` is removed entirely, regardless of its multiplicity in
+        ``self`` — matching SQL EXCEPT and the reference's "remove all rows
+        that can be found in the other relation".
+        """
         other_rel = self.database.to_relation(other)
         return self._wrap(
-            self._df.exceptAll(other_rel._df.select(*self.columns)).distinct()
+            self._df.select(*self.columns).subtract(
+                other_rel._df.select(*self.columns)
+            )
         )
 
     def intersect(self, other: RelationSource) -> "Relation":

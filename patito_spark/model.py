@@ -596,25 +596,26 @@ class Model(BaseModel, metaclass=ModelMetaclass):
         if wrong:
             raise TypeError(f"{cls.__name__} does not contain fields {wrong}!")
 
-        height = 1
-        for value in kwargs.values():
-            if isinstance(value, Iterable) and not isinstance(value, str):
-                height = max(height, len(list(value)))
-
-        rows = []
+        # Materialize each iterable exactly once (generators are one-shot),
+        # then cycle values shorter than the tallest column, mirroring
+        # pandas_examples(); scalars repeat for every row.
         materialized = {
             key: (
                 list(value)
                 if isinstance(value, Iterable) and not isinstance(value, str)
-                else [value] * height
+                else [value]
             )
             for key, value in kwargs.items()
         }
+        height = max((len(v) for v in materialized.values()), default=1) or 1
+
+        rows = []
         for i in range(height):
             row = {}
             for name, spec in cls.column_specs.items():
                 if name in materialized:
-                    row[name] = materialized[name][i]
+                    values = materialized[name]
+                    row[name] = values[i % len(values)] if values else None
                 elif spec.unique:
                     row[name] = i
                 else:

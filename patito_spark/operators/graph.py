@@ -11,6 +11,8 @@ lineage is cut with localCheckpoint so plans don't grow unboundedly.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -50,27 +52,50 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 F.col("node"),
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
-                ).alias("__changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # Pointer jumping: additionally adopt the label of the current label
+        # (labels are node ids, so self-join on component == node). Halves the
+        # remaining distance to the cluster minimum each round, so chains
+        # converge in O(log diameter) rounds instead of O(diameter).
+        parents = stepped.select(
+            F.col("node").alias("__p_node"), F.col("component").alias("__p_comp")
+        )
+        jumped = (
+            stepped.join(parents, stepped.component == parents.__p_node, "left")
+            .select(
+                F.col("node"),
+                F.col("__old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__p_comp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        updated = jumped.localCheckpoint(eager=True)
         changed = updated.agg(
-            F.count(F.when(F.col("__changed"), 1)).alias("n")
+            F.count(F.when(F.col("component") < F.col("__old"), 1)).alias("n")
         ).first()["n"]
-        labels = updated.drop("__changed")
+        labels = updated.drop("__old")
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations ({changed} labels still changing); returned "
+            "components may be split. Increase max_iterations.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -203,8 +203,12 @@ def sessionize_stream(
             [
                 (
                     u,
-                    dt.datetime.utcfromtimestamp(s),
-                    dt.datetime.utcfromtimestamp(e),
+                    dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(
+                        tzinfo=None
+                    ),
+                    dt.datetime.fromtimestamp(e, dt.timezone.utc).replace(
+                        tzinfo=None
+                    ),
                     n,
                 )
                 for (u, s, e, n) in sessions

@@ -273,7 +273,17 @@ def _find_errors(
                     name,
                 )
             else:
-                add(F.count(col) - F.count_distinct(col), "unique", name)
+                # count/count_distinct both skip NULLs, so duplicated nulls in
+                # a nullable unique column would otherwise validate clean; the
+                # reference's is_duplicated() counts them (ref validators.py:225).
+                null_dups = F.greatest(
+                    F.count(F.when(col.isNull(), 1)) - F.lit(1), F.lit(0)
+                )
+                add(
+                    F.count(col) - F.count_distinct(col) + null_dups,
+                    "unique",
+                    name,
+                )
 
         constraint_checks, needs_alias = _constraint_columns(spec)
         if constraint_checks:
