@@ -596,18 +596,29 @@ class Model(BaseModel, metaclass=ModelMetaclass):
         if wrong:
             raise TypeError(f"{cls.__name__} does not contain fields {wrong}!")
 
-        # Materialize each iterable exactly once (generators are one-shot),
-        # then cycle values shorter than the tallest column, mirroring
-        # pandas_examples(); scalars repeat for every row.
-        materialized = {
-            key: (
-                list(value)
-                if isinstance(value, Iterable) and not isinstance(value, str)
-                else [value]
-            )
-            for key, value in kwargs.items()
+        # Materialize each explicit iterable exactly once (generators are
+        # one-shot). Scalars repeat for every row; explicit iterables must
+        # all have the same length — the reference raises on shape mismatch
+        # (silent cycling would mask mismatched-length input).
+        materialized: dict[str, list] = {}
+        scalar_cols: set[str] = set()
+        for key, value in kwargs.items():
+            if isinstance(value, Iterable) and not isinstance(value, str):
+                materialized[key] = list(value)
+            else:
+                materialized[key] = [value]
+                scalar_cols.add(key)
+        iterable_lengths = {
+            key: len(v)
+            for key, v in materialized.items()
+            if key not in scalar_cols
         }
-        height = max((len(v) for v in materialized.values()), default=1) or 1
+        if len(set(iterable_lengths.values())) > 1:
+            raise ValueError(
+                f"{cls.__name__}.examples() got iterables of differing "
+                f"lengths: {iterable_lengths}"
+            )
+        height = next(iter(iterable_lengths.values()), 1) or 1
 
         rows = []
         for i in range(height):
@@ -615,6 +626,7 @@ class Model(BaseModel, metaclass=ModelMetaclass):
             for name, spec in cls.column_specs.items():
                 if name in materialized:
                     values = materialized[name]
+                    # Scalars cycle (len 1); iterables are height-aligned.
                     row[name] = values[i % len(values)] if values else None
                 elif spec.unique:
                     row[name] = i

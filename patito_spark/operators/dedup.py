@@ -27,8 +27,6 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-from patito_spark.functions.vector import cosine_similarity
-
 # ---------------------------------------------------------------------- #
 # Exact dedup                                                             #
 # ---------------------------------------------------------------------- #
@@ -454,41 +452,98 @@ def embedding_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     scope: Optional[Column] = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Pairs of near-identical embeddings by cosine ≥ threshold.
 
-    Brute-force within ``scope`` (exact); at 100 TB bucket first with
-    :func:`patito_spark.operators.similarity.hyperplane_lsh_buckets` and run
-    this verifier per bucket.
+    Exact all-pairs within ``scope``, executed as a *blocked* cross
+    product: rows are hashed into ``n_blocks`` blocks, each row is routed
+    to the ``n_blocks`` block-pairs it participates in (one explode — no
+    pair join), and each (block_a, block_b) task scores its pair of blocks
+    as one numpy matrix op. Data movement is ``O(n × n_blocks)`` vector
+    rows instead of ``O(n²)`` materialized vector pairs; compute is still
+    exact O(n²) flops — at 100 TB bucket first with
+    :func:`patito_spark.operators.similarity.hyperplane_lsh_buckets` and
+    run this verifier per bucket.
+
+    Accumulation is sequential-fold over dimensions (bit-exact vs the
+    DuckDB ``list_dot_product`` oracle); products and norm multiplies are
+    commutative so symmetric pairs score identically.
     """
-    from patito_spark.functions.vector import dot_product, l2_norm
+    import numpy as np
+    import pandas as pd
+
+    from patito_spark.functions.vector_numpy import (
+        _as_matrix,
+        seq_dot_matrix,
+        seq_norm,
+    )
 
     base = df.filter(scope) if scope is not None else df
-    # Norms are computed once per row (O(n)), so each of the O(n²) pairs
-    # only pays for a dot product — 3× less per-pair expression work.
     feats = base.select(
-        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__norm")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
     )
-    a = feats.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        F.col("__norm").alias("norm_a"),
+    # Route each row to every block-pair it belongs to: row in block b
+    # participates in pairs (min(b,i), max(b,i)) for all i — n_blocks
+    # groups per row, built with one explode (no join).
+    routed = feats.withColumn(
+        "__bp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda i: F.struct(
+                    F.least(F.col("__blk"), i).alias("pa"),
+                    F.greatest(F.col("__blk"), i).alias("pb"),
+                ),
+            )
+        ),
+    ).select("id", "vec", "__blk", F.col("__bp.pa").alias("pa"), F.col("__bp.pb").alias("pb"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", base.schema[id_col].dataType, True),
+            T.StructField("id_b", base.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
-    b = feats.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col("__norm").alias("norm_b"),
-    )
-    return (
-        a.join(b, on=[a.id_a < b.id_b])
-        .withColumn(
-            "cosine",
-            dot_product(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("norm_a") * F.col("norm_b")),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+
+    def score_blocks(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        blk_a, blk_b = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        rows_a = pdf[pdf["__blk"] == blk_a]
+        mat_a = _as_matrix(rows_a["vec"]) if len(rows_a) else None
+        if mat_a is None:
+            return empty
+        ids_a = rows_a["id"].to_numpy()
+        if blk_a == blk_b:
+            # Triangular within one block.
+            if len(rows_a) < 2:
+                return empty
+            cos = seq_dot_matrix(mat_a, mat_a) / (
+                seq_norm(mat_a)[:, None] * seq_norm(mat_a)[None, :]
+            )
+            ia, ib = np.triu_indices(len(ids_a), k=1)
+            mask = cos[ia, ib] >= threshold
+            ia, ib = ia[mask], ib[mask]
+            lo, hi = ids_a[ia], ids_a[ib]
+        else:
+            rows_b = pdf[pdf["__blk"] == blk_b]
+            if len(rows_b) == 0:
+                return empty
+            mat_b = _as_matrix(rows_b["vec"])
+            ids_b = rows_b["id"].to_numpy()
+            cos = seq_dot_matrix(mat_a, mat_b) / (
+                seq_norm(mat_a)[:, None] * seq_norm(mat_b)[None, :]
+            )
+            ia, ib = np.nonzero(cos >= threshold)
+            xa, xb = ids_a[ia], ids_b[ib]
+            lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
+        return out.sort_values(["id_a", "id_b"])
+
+    return routed.groupBy("pa", "pb").applyInPandas(score_blocks, out_schema)
 
 
 def embedding_dedup_pairs_lsh(

@@ -46,6 +46,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed: int | None = None  # None = loop never ran (max_iterations <= 0)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -67,6 +68,9 @@ def connected_components(
         # (labels are node ids, so self-join on component == node). Halves the
         # remaining distance to the cluster minimum each round, so chains
         # converge in O(log diameter) rounds instead of O(diameter).
+        # Checkpointed first: it feeds both sides of the self-join below and
+        # would otherwise be recomputed (join + agg) twice per iteration.
+        stepped = stepped.localCheckpoint(eager=True)
         parents = stepped.select(
             F.col("node").alias("__p_node"), F.col("component").alias("__p_comp")
         )
@@ -89,9 +93,12 @@ def connected_components(
         if changed == 0:
             break
     else:
+        still_changing = (
+            "loop never ran" if changed is None else f"{changed} labels still changing"
+        )
         warnings.warn(
             f"connected_components did not converge within {max_iterations} "
-            f"iterations ({changed} labels still changing); returned "
+            f"iterations ({still_changing}); returned "
             "components may be split. Increase max_iterations.",
             RuntimeWarning,
             stacklevel=2,

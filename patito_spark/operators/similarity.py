@@ -1,21 +1,44 @@
 """Similarity search over embedding columns.
 
-* :func:`cosine_topk` — exact brute-force baseline. The scored cross join is
-  query-broadcast (queries are small by definition), scoring is pure
-  expressions fused into the corpus scan, and only the ranking shuffle moves
-  ``|queries| × |corpus|`` score rows.
+* :func:`cosine_topk` — exact brute-force baseline. The query matrix rides
+  into each task as a broadcast closure (queries are small by definition);
+  scoring is one Arrow-batched numpy pass over the corpus scan with
+  *per-batch top-k pruning*, so the ranking shuffle moves at most
+  ``k × |queries|`` rows per input batch — never the full
+  ``|corpus| × |queries|`` score matrix.
 * :func:`hyperplane_lsh_buckets` / :func:`ann_lsh_topk` — the scale path:
   sign-random-projection buckets shrink each query's candidate set to its
   own bucket before exact scoring. Hyperplanes are derived deterministically
   from a seed so results are reproducible.
+* :func:`ann_ivf_topk` — IVF: a KMeans coarse quantizer (fit on a
+  deterministic hash-sample, never the full corpus) routes each query to
+  its ``n_probe`` nearest cells.
+
+All scoring goes through :mod:`patito_spark.functions.vector_numpy` —
+Arrow-batched numpy with sequential-fold accumulation (bit-exact vs the
+DuckDB oracles); interpreted higher-order-function lambdas are banned from
+these hot paths (~100-1000× slower than codegen/numpy per op).
 """
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from patito_spark.functions.vector_numpy import (
+    _as_matrix,
+    cosine_score_pairs,
+    seq_dot_matrix,
+    seq_norm,
+    sign_projection_buckets,
+)
+
+#: Hard cap on driver-side query materialization in :func:`cosine_topk`.
+#: Queries ride into every task as a closure; beyond this size use the
+#: LSH/IVF paths (or a broadcast bucket join) instead.
+MAX_BROADCAST_QUERIES = 65_536
 
 
 def cosine_topk(
@@ -31,27 +54,81 @@ def cosine_topk(
 
     Returns ``query_id, neighbor_id, cosine, rank``; ties broken by
     neighbor id so results are deterministic across engines.
+
+    Scale shape: the query set is collected once (bounded by
+    :data:`MAX_BROADCAST_QUERIES`) and scored against the corpus in one
+    Arrow-batched numpy pass. Each batch emits only its local top-k rows
+    per query (same (cosine desc, id asc) order as the final ranking, so
+    pruning is lossless); the global window then ranks
+    ``≤ k × |queries| × n_batches`` rows, not ``|corpus| × |queries|``.
     """
-    from patito_spark.functions.vector import dot_product, l2_norm
+    import numpy as np
+    import pandas as pd
 
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
-    # Norms computed once per side; each scored pair pays one dot product.
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qvec"),
-        l2_norm(F.col(query_vec_col)).alias("__qnorm"),
+
+    q_pdf = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .toPandas()
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    if len(q_pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"cosine_topk broadcasts the query set to every task; got more "
+            f"than {MAX_BROADCAST_QUERIES} queries. Use ann_lsh_topk / "
+            "ann_ivf_topk for large query sets."
+        )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = _as_matrix(q_pdf["__qvec"])
+    q_norm = seq_norm(q_mat)
+    nq = len(q_ids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                "query_id", queries.schema[query_id_col].dataType, True
+            ),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
     )
-    scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine",
-        dot_product(F.col("__qvec"), F.col("__cvec"))
-        / (F.col("__qnorm") * F.col("__cnorm")),
+    pruned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            c_mat = _as_matrix(pdf["__cvec"])
+            c_ids = pdf["neighbor_id"].to_numpy()
+            # (nc, nq) cosine matrix; sequential-fold accumulation keeps it
+            # bit-exact vs the expression/DuckDB formulation.
+            cos = seq_dot_matrix(c_mat, q_mat) / (
+                seq_norm(c_mat)[:, None] * q_norm[None, :]
+            )
+            take = min(k, len(c_ids))
+            parts = []
+            for j in range(nq):
+                # Local top-k under the FINAL ordering (cosine desc, id asc)
+                # — lossless pruning for the global top-k.
+                order = np.lexsort((c_ids, -cos[:, j]))[:take]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids[j], take),
+                            "neighbor_id": c_ids[order],
+                            "cosine": cos[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = pruned.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -75,7 +152,13 @@ def _deterministic_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[
 def hyperplane_bucket(
     vec: Column, planes: Sequence[Sequence[float]]
 ) -> Column:
-    """Sign-random-projection bucket id (bigint) for a vector column."""
+    """Sign-random-projection bucket id (bigint) for a vector column.
+
+    Expression formulation (interpreted higher-order functions) — kept for
+    callers that need a pure-Column API, e.g. inside a larger expression.
+    Prefer :func:`hyperplane_lsh_buckets` (Arrow-batched numpy) on any
+    per-row hot path.
+    """
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         dot = F.aggregate(
@@ -103,120 +186,13 @@ def hyperplane_lsh_buckets(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Assign each vector to a sign-random-projection bucket."""
-    planes = _deterministic_hyperplanes(dim, n_planes, seed)
-    return df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), planes))
+    """Assign each vector to a sign-random-projection bucket.
 
-
-def ann_ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 3,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search.
-
-    1. A KMeans coarse quantizer (Spark ML, seeded) learns ``n_centroids``
-       cells from the corpus.
-    2. Each corpus vector is assigned to its nearest cell — one vectorized
-       numpy pass via ``mapInPandas`` (the inverted file).
-    3. Each query probes its ``n_probe`` nearest cells only; exact cosine
-       ranking runs inside the probed cells.
-
-    Scanned fraction ≈ n_probe/n_centroids of the corpus per query — the
-    standard IVF recall/speed dial. Recall loss comes from true neighbors
-    living in unprobed cells.
+    One numpy matmul per Arrow batch (map-only, no shuffle); all input
+    columns pass through with a ``bucket`` column appended.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("cell", T.IntegerType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
-            T.StructField("__cvec", T.ArrayType(T.DoubleType(), False), False),
-            T.StructField("__cnorm", T.DoubleType(), False),
-        ]
-    )
-    pruned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    )
-
-    def assign(batches):
-        for pdf in batches:
-            mat = np.stack(pdf["vec"].to_numpy())
-            dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-            yield pd.DataFrame(
-                {
-                    "cell": dists.argmin(1).astype("int32"),
-                    "neighbor_id": pdf["neighbor_id"],
-                    "__cvec": list(mat),
-                    "__cnorm": np.linalg.norm(mat, axis=1),
-                }
-            )
-
-    inverted = pruned.mapInPandas(assign, schema=assign_schema)
-
-    probe_schema = T.StructType(
-        [
-            T.StructField("cell", T.IntegerType(), False),
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("__qvec", T.ArrayType(T.DoubleType(), False), False),
-            T.StructField("__qnorm", T.DoubleType(), False),
-        ]
-    )
-    q_pruned = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    )
-
-    def probe(batches):
-        for pdf in batches:
-            mat = np.stack(pdf["vec"].to_numpy())
-            dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-            probed = np.argsort(dists, axis=1)[:, :n_probe]
-            rows = {
-                "cell": probed.reshape(-1).astype("int32"),
-                "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
-                "__qvec": [v for v in mat for _ in range(n_probe)],
-                "__qnorm": np.repeat(np.linalg.norm(mat, axis=1), n_probe),
-            }
-            yield pd.DataFrame(rows)
-
-    probes = q_pruned.mapInPandas(probe, schema=probe_schema)
-
-    scored = inverted.join(F.broadcast(probes), on="cell").withColumn(
-        "cosine",
-        F.aggregate(
-            F.zip_with(F.col("__qvec"), F.col("__cvec"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("__qnorm") * F.col("__cnorm")),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
+    return sign_projection_buckets(df, planes, vec_col=vec_col)
 
 
 def ann_lsh_topk(
@@ -231,29 +207,158 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each query's bucket.
 
-    The corpus-side bucket assignment is a map-only projection; the join on
-    ``bucket`` replaces the cross join, cutting scored candidates by
+    The corpus-side bucket assignment is a map-only numpy projection; the
+    join on ``bucket`` replaces the cross join, cutting scored candidates by
     ~2^n_planes. Recall degrades gracefully (vectors straddling a
     hyperplane); multi-probe or more tables would raise it — this is the
     canonical speed/recall trade.
     """
-    from patito_spark.functions.vector import dot_product, l2_norm
-
     planes = _deterministic_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = sign_projection_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ),
+        planes,
+        vec_col="__cvec",
+    )
+    q = sign_projection_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ),
+        planes,
+        vec_col="__qvec",
+    )
+    candidates = c.join(F.broadcast(q), on="bucket")
+    scored = cosine_score_pairs(
+        candidates,
+        vec_a="__qvec",
+        vec_b="__cvec",
+        keep_cols=["query_id", "neighbor_id"],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    max_train_vectors: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    1. A KMeans coarse quantizer (Spark ML, seeded) learns ``n_centroids``
+       cells — fit on a *deterministic hash-sample* capped at
+       ``max_train_vectors`` (a multi-pass ML fit over the full corpus
+       would dominate at 100 TB; centroid quality saturates long before
+       100k training points for coarse quantizers).
+    2. Each corpus vector is assigned to its nearest cell — one vectorized
+       numpy pass via ``mapInPandas`` (the inverted file).
+    3. Each query probes its ``n_probe`` nearest cells only; exact cosine
+       ranking runs inside the probed cells.
+
+    Scanned fraction ≈ n_probe/n_centroids of the corpus per query — the
+    standard IVF recall/speed dial. Recall loss comes from true neighbors
+    living in unprobed cells.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from patito_spark.operators.sampling import deterministic_sample
+
+    train_src = corpus
+    n_corpus = corpus.count()
+    if n_corpus > max_train_vectors:
+        # Hash-sample (reproducible under retries/AQE) — parquet count() is
+        # metadata-cheap, and the fit then touches a bounded slice.
+        train_src = deterministic_sample(
+            corpus,
+            fraction=max_train_vectors / n_corpus,
+            key_col=id_col,
+            seed=seed,
+        )
+    train = train_src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType, False),
+            T.StructField("__cvec", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    pruned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        l2_norm(F.col(vec_col)).alias("__cnorm"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("__cvec"), planes))
-    q = queries.select(
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "cell": dists.argmin(1).astype("int32"),
+                    "neighbor_id": pdf["neighbor_id"],
+                    "__cvec": list(mat),
+                }
+            )
+
+    inverted = pruned.mapInPandas(assign, schema=assign_schema)
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("query_id", queries.schema[id_col].dataType, False),
+            T.StructField("__qvec", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    q_pruned = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        l2_norm(F.col(vec_col)).alias("__qnorm"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("__qvec"), planes))
-    scored = c.join(F.broadcast(q), on="bucket").withColumn(
-        "cosine",
-        dot_product(F.col("__qvec"), F.col("__cvec"))
-        / (F.col("__qnorm") * F.col("__cnorm")),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+            probed = np.argsort(dists, axis=1)[:, :n_probe]
+            rows = {
+                "cell": probed.reshape(-1).astype("int32"),
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
+                "__qvec": [v for v in mat for _ in range(n_probe)],
+            }
+            yield pd.DataFrame(rows)
+
+    probes = q_pruned.mapInPandas(probe, schema=probe_schema)
+
+    candidates = inverted.join(F.broadcast(probes), on="cell")
+    scored = cosine_score_pairs(
+        candidates,
+        vec_a="__qvec",
+        vec_b="__cvec",
+        keep_cols=["query_id", "neighbor_id"],
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -259,8 +259,14 @@ def _find_errors(
             if approximate_unique:
                 # HLL sketch (rsd 1%): only flag when duplicates exceed the
                 # sketch's error band, so small overestimates don't produce
-                # false positives. Exact mode is the default.
+                # false positives. Exact mode is the default. Duplicated
+                # NULLs are counted exactly (same term as the exact branch —
+                # approx_count_distinct skips NULLs, so the sketch can't
+                # see them).
                 approx = F.approx_count_distinct(col, rsd=0.01)
+                null_dups = F.greatest(
+                    F.count(F.when(col.isNull(), 1)) - F.lit(1), F.lit(0)
+                )
                 add(
                     F.when(
                         F.count(col) - approx
@@ -268,7 +274,8 @@ def _find_errors(
                             (F.count(col) * F.lit(0.02)).cast("long"), F.lit(1)
                         ),
                         F.count(col) - approx,
-                    ).otherwise(F.lit(0)),
+                    ).otherwise(F.lit(0))
+                    + null_dups,
                     "unique",
                     name,
                 )
