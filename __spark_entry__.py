@@ -513,22 +513,30 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs, scoped to a fixed window so the oracle
     comparison stays brute-force-exact at every SF; the full-table scale
-    path is dedup_embedding_lsh."""
+    path is dedup_embedding_lsh.
+
+    Threshold 0.35: the synthetic embeddings are uniform-random (max pair
+    cosine ≈ 0.5), so a "near-dup" 0.9 threshold returns the empty set at
+    every SF — a vacuous oracle. 0.35 yields ~250 pairs per SF, putting the
+    whole scoring path (widening, dots, norms, threshold) under the
+    value-level oracle."""
     from patito_spark.operators.dedup import embedding_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_dedup_pairs(
-        emb, threshold=0.9, scope=F.col("vec_id") < 500
+        emb, threshold=0.35, scope=F.col("vec_id") < 500
     )
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed + numpy-vectorized near-dup over the full table
-    (rows-only check: approximate recall by design)."""
+    """LSH-bucketed near-dup over the full table. Value-oracled: the oracle
+    SQL re-derives the sign-projection buckets from the same hyperplane
+    constants (sequential-fold dots on both engines), so bucketing AND
+    scoring are compared bit-exactly."""
     from patito_spark.operators.dedup import embedding_dedup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs_lsh(emb, threshold=0.9, n_planes=8)
+    return embedding_dedup_pairs_lsh(emb, threshold=0.35, n_planes=4)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,20 +558,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only check: xxhash64 signatures
-    are Spark-specific and not reproducible in DuckDB)."""
+    """MinHash+LSH near-dup pairs, portable-hash mode: shingles are hashed
+    with an md5-derived 60-bit hash DuckDB reproduces exactly, so the
+    oracle replays the FULL pipeline (shingle → bin-min → band signature →
+    bucket join → Jaccard verify) value-for-value in SQL."""
     from patito_spark.operators.dedup import minhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.6, num_hashes=64, bands=16)
+    return minhash_dedup_pairs(
+        docs, threshold=0.6, num_hashes=64, bands=16, hash_mode="portable"
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check, Spark-specific hashing)."""
+    """SimHash near-dup pairs, portable-hash mode (oracle replays the bit
+    votes, signature packing, pigeonhole join and hamming verify in SQL)."""
     from patito_spark.operators.dedup import simhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, max_hamming=8)
+    return simhash_dedup_pairs(docs, max_hamming=8, hash_mode="portable").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,32 +591,51 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only: bucketing is
-    seed-dependent and approximate by design)."""
+    """LSH-bucketed approximate top-k. Value-oracled: hyperplanes are
+    deterministic constants, buckets are sign bits of sequential-fold
+    dots — the oracle SQL re-derives buckets, candidate sets, scores, and
+    ranks from the same plane literals."""
     from patito_spark.operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ann_lsh_topk(emb, queries, k=10, n_planes=6)
+    out = ann_lsh_topk(emb, queries, k=10, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: KMeans cells are seed-dependent
-    and the search is approximate by design)."""
+    """IVF approximate top-k with a deterministic coarse quantizer.
+
+    Centroids are 16 fixed corpus points (vec_id < 16) — the standard
+    "IVF-flat, sampled coarse quantizer" baseline — with cosine cell
+    assignment, so the oracle SQL replays assignment, probing, and ranking
+    exactly. The KMeans quantizer path stays the library default (unit
+    recall tests cover it)."""
     from patito_spark.operators.similarity import ann_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ann_ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=3)
+    out = ann_ivf_topk(
+        emb,
+        queries,
+        k=10,
+        n_probe=3,
+        centroids_df=emb.filter(F.col("vec_id") < 16),
+        assign_metric="cosine",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic keyed train/test split summary (rows-only: xxhash64
-    membership is Spark-specific). Split must be disjoint and complete."""
+    """Deterministic keyed train/test split summary, portable-hash mode —
+    the oracle SQL recomputes every row's split membership from the same
+    md5-derived fraction. Split must be disjoint and complete."""
     from patito_spark.operators.sampling import train_test_split
 
     docs = _t(spark, sf_dir, "documents")
-    train, test = train_test_split(docs, key_col="doc_id", test_fraction=0.2)
+    train, test = train_test_split(
+        docs, key_col="doc_id", test_fraction=0.2, hash_mode="portable"
+    )
     return (
         train.select(F.lit("train").alias("split"), "doc_id")
         .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
@@ -708,6 +742,75 @@ def _lang_scores_sql() -> str:
         f"{markers})) as s_{lang}"
         for lang, markers in _LANG_MARKER_SQL.items()
     )
+
+
+# --- SQL fragments that replay portable-hash / hyperplane pipelines ----- #
+
+
+def _phash_sql(expr: str) -> str:
+    """DuckDB fragment for the engine-portable 60-bit md5 hash."""
+    from patito_spark.functions.hashing import portable_hash64_sql
+
+    return portable_hash64_sql(expr)
+
+
+def _bucket_sql(vec: str, n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """Sign-random-projection bucket id from the SAME hyperplane constants
+    the Spark operators use (full-precision repr round-trips exactly; both
+    engines evaluate sequential-fold dots, so the sign bits agree
+    bit-for-bit)."""
+    from patito_spark.operators.similarity import _deterministic_hyperplanes
+
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
+    return " + ".join(
+        "(CASE WHEN list_dot_product("
+        f"{vec}, [{', '.join(repr(x) for x in row)}]"
+        f") > 0 THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+
+
+# The portable hash is 60-bit (top 4 bits constant 0), so SimHash bits
+# 60-63 can never win a vote — the oracle only materializes bits 0..59.
+_SIMHASH_BITS = 60
+
+
+def _simhash_votes_sql() -> str:
+    return ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+
+
+def _simhash_pack_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+
+
+def _split_frac_sql() -> str:
+    """DuckDB fragment mirroring the portable train/test hash fraction."""
+    from patito_spark.operators.sampling import sample_fraction_sql
+
+    return sample_fraction_sql("doc_id", seed=42)
+
+
+#: Shingle rows shared by the dedup_minhash oracle: replays
+#: shingle_hash_rows (word 3-grams, whole-text fallback for short docs,
+#: portable hash, distinct per doc).
+_SHINGLE_SQL = f"""
+    SELECT DISTINCT doc_id, {_phash_sql('gram')} AS h
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                      ELSE [text] END) AS gram
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+              FROM documents)
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -967,7 +1070,196 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.9
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35
+        """,
+        # Replays embedding_dedup_pairs_lsh end-to-end: bucket = sign bits
+        # of sequential-fold dots against the seed-42 hyperplanes, exact
+        # cosine within each bucket.
+        "dedup_embedding_lsh": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]
+                       )) AS norm
+                FROM embeddings
+            ),
+            b AS (
+                SELECT vec_id, v, norm,
+                       {_bucket_sql('v', n_planes=4)} AS bucket
+                FROM e
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   list_dot_product(a.v, c.v) / (a.norm * c.norm) AS cosine
+            FROM b a JOIN b c
+              ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE list_dot_product(a.v, c.v) / (a.norm * c.norm) >= 0.35
+        """,
+        # Replays the FULL MinHash pipeline in portable-hash mode:
+        # shingle hashes -> one-permutation bin-mins (h mod 64) -> band key
+        # (bins 4-per-band, '<bin>:<min>' joined in bin order) -> bucket
+        # equi-join with the >1 / <=1000 size guard -> exact Jaccard over
+        # the shared shingle-hash sets. Spark joins on xxhash64(band key);
+        # the oracle joins on the key string itself — identical pairs
+        # short of a 64-bit hash collision.
+        "dedup_minhash": f"""
+            WITH sh AS ({_SHINGLE_SQL}),
+            bin_mins AS (
+                SELECT doc_id, h % 64 AS bin, min(h) AS mn
+                FROM sh GROUP BY doc_id, h % 64
+            ),
+            banded AS (
+                SELECT doc_id, (bin // 4) AS band,
+                       string_agg(bin || ':' || mn, ',' ORDER BY bin) AS bkey
+                FROM bin_mins GROUP BY doc_id, (bin // 4)
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS sz
+                    FROM banded
+                ) WHERE sz > 1 AND sz <= 1000
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM kept a JOIN kept b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+            ),
+            toks AS (
+                SELECT doc_id, list_sort(list(h)) AS hs FROM sh GROUP BY doc_id
+            )
+            SELECT id_a, id_b,
+                   CASE WHEN len(a.hs) + len(b.hs)
+                             - len(list_intersect(a.hs, b.hs)) = 0 THEN 1.0
+                        ELSE len(list_intersect(a.hs, b.hs))::DOUBLE
+                             / (len(a.hs) + len(b.hs)
+                                - len(list_intersect(a.hs, b.hs)))
+                   END AS jaccard
+            FROM cand JOIN toks a ON cand.id_a = a.doc_id
+                      JOIN toks b ON cand.id_b = b.doc_id
+            WHERE jaccard >= 0.6
+        """,
+        # Replays SimHash in portable-hash mode: per-token ±1 bit votes in
+        # one grouped aggregate, sign-packed signature, pigeonhole
+        # candidate join on 16-bit chunks, bit_count(xor) verify.
+        "dedup_simhash": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            th AS (SELECT doc_id, {_phash_sql('t')} AS h FROM tok),
+            votes AS (
+                SELECT doc_id, {_simhash_votes_sql()}
+                FROM th GROUP BY doc_id
+            ),
+            sigs AS (
+                SELECT doc_id, ({_simhash_pack_sql()})::BIGINT AS sig
+                FROM votes
+            ),
+            chunked AS (
+                SELECT doc_id, sig, c AS chunk_id,
+                       (sig >> (c * 16)) & 65535 AS chunk_val
+                FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM chunked a JOIN chunked b
+                  ON a.chunk_id = b.chunk_id
+                 AND a.chunk_val = b.chunk_val
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+        """,
+        # Replays ann_lsh_topk: 6-plane buckets on corpus AND queries,
+        # exact (cosine desc, id asc) ranking within each query's bucket.
+        "ann_lsh": f"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]
+                       )) AS norm
+                FROM embeddings
+            ),
+            b AS (
+                SELECT vec_id, v, norm,
+                       {_bucket_sql('v', n_planes=6)} AS bucket
+                FROM e
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                           AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, c.v)
+                                    / (q.norm * c.norm) DESC,
+                                    c.vec_id ASC
+                       ) AS rank
+                FROM b q JOIN b c ON q.bucket = c.bucket
+                WHERE q.vec_id < 8
+            ) WHERE rank <= 10
+        """,
+        # Replays ann_ivf with the deterministic quantizer: centroids are
+        # vec_id < 16 (cell = id rank), cosine assignment with
+        # (score desc, cell asc) ties, 3-probe search, exact ranking in the
+        # probed cells.
+        "ann_ivf": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]
+                       )) AS norm
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS cv, norm AS cnorm
+                FROM e WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT e.vec_id, e.v, e.norm, cent.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, cent.cv)
+                                    / (e.norm * cent.cnorm) DESC,
+                                    cent.cell ASC
+                       ) AS rn
+                FROM e, cent
+            ),
+            assign AS (
+                SELECT vec_id, v, norm, cell FROM scored WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell
+                FROM scored WHERE vec_id < 8 AND rn <= 3
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_dot_product(p.qv, a.v) / (p.qnorm * a.norm)
+                           AS cosine,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY list_dot_product(p.qv, a.v)
+                                    / (p.qnorm * a.norm) DESC,
+                                    a.vec_id ASC
+                       ) AS rank
+                FROM probes p JOIN assign a ON p.cell = a.cell
+            ) WHERE rank <= 10
+        """,
+        # Recomputes every row's split membership from the portable hash
+        # fraction (md5 of '<doc_id>:42' mod 1e6 over 1e6) — totals AND
+        # boundary behavior are value-checked, not just disjointness.
+        "sample_split_documents": f"""
+            WITH f AS (
+                SELECT doc_id, {_split_frac_sql()} AS frac FROM documents
+            )
+            SELECT split, count(*) AS n FROM (
+                SELECT CASE WHEN frac >= 0.2 THEN 'train' ELSE 'test' END
+                           AS split
+                FROM f
+            ) GROUP BY split
         """,
         "ann_topk": """
             WITH e AS (

@@ -127,12 +127,13 @@ def sign_projection_buckets(
     vec_col: str = "embedding",
     bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Append a sign-random-projection bucket id (one matmul per batch).
+    """Append a sign-random-projection bucket id (one numpy pass per batch).
 
     ``planes`` is an (n_planes, dim) array-like; bucket bit ``i`` is set
-    when ``dot(vec, planes[i]) > 0``. Bucket membership is approximate by
-    design (vectors straddling a hyperplane), so plain BLAS matmul is fine
-    here — no sequential-fold requirement.
+    when ``dot(vec, planes[i]) > 0``. Dots use sequential-fold accumulation
+    (:func:`seq_dot_matrix`), so bucket assignment is bit-reproducible by
+    any engine evaluating the same sequential dot — the correctness oracles
+    re-derive buckets in SQL from the same plane constants.
     """
     import numpy as np
     import pandas as pd
@@ -149,7 +150,7 @@ def sign_projection_buckets(
             if len(pdf) == 0:
                 continue
             mat = _as_matrix(pdf[vec_col])
-            signs = (mat @ plane_mat.T) > 0
+            signs = seq_dot_matrix(mat, plane_mat) > 0
             out = pdf.copy()
             out[bucket_col] = signs @ weights
             yield out

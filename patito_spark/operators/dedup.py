@@ -128,15 +128,22 @@ def shingle_hash_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(``__id``, ``__h``) rows: xxhash64 of each distinct word n-gram.
+    """(``__id``, ``__h``) rows: 64-bit hash of each distinct word n-gram.
 
     Codegen formulation: tokens are exploded to rows and n-grams built with
     ``lead()`` windows — no interpreted array lambdas anywhere. The window
     partitions by document, so it parallelizes across docs and never holds
     more than one document's tokens per group.
+
+    ``hash_mode="portable"`` (md5-derived, engine-reproducible — see
+    :mod:`patito_spark.functions.hashing`) lets a SQL oracle replay the
+    whole MinHash pipeline; the default ``xxhash64`` is the fast path.
     """
     from pyspark.sql import Window
+
+    from patito_spark.functions.hashing import hash64
 
     toks = df.select(
         F.col(id_col).alias("__id"),
@@ -159,7 +166,9 @@ def shingle_hash_rows(
         .when(is_short_doc, F.col("__text"))
         .alias("__gram"),
     ).filter(F.col("__gram").isNotNull())
-    return grams.select("__id", F.xxhash64("__gram").alias("__h")).distinct()
+    return grams.select(
+        "__id", hash64("__gram", mode=hash_mode).alias("__h")
+    ).distinct()
 
 
 def minhash_lsh_candidates(
@@ -171,6 +180,7 @@ def minhash_lsh_candidates(
     shingle_size: int = 3,
     max_bucket_size: int = 1000,
     shingle_rows: Optional[DataFrame] = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate duplicate pairs via banded MinHash LSH.
 
@@ -193,7 +203,10 @@ def minhash_lsh_candidates(
     exploded = (
         shingle_rows
         if shingle_rows is not None
-        else shingle_hash_rows(df, id_col=id_col, text_col=text_col, n=shingle_size)
+        else shingle_hash_rows(
+            df, id_col=id_col, text_col=text_col, n=shingle_size,
+            hash_mode=hash_mode,
+        )
     )
     bin_mins = (
         exploded.withColumn("__bin", F.pmod(F.col("__h"), F.lit(num_hashes)))
@@ -263,6 +276,7 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     shingle_size: int = 3,
+    hash_mode: str = "xxhash64",
     **lsh_kwargs,
 ) -> DataFrame:
     """Verified duplicate pairs: LSH candidates filtered by true Jaccard.
@@ -275,7 +289,8 @@ def minhash_dedup_pairs(
     arrays, cheap JVM set ops) instead of re-shingling text per pair.
     """
     shingle_rows = shingle_hash_rows(
-        df, id_col=id_col, text_col=text_col, n=shingle_size
+        df, id_col=id_col, text_col=text_col, n=shingle_size,
+        hash_mode=hash_mode,
     )
     candidates = minhash_lsh_candidates(
         df,
@@ -350,22 +365,27 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash signatures (``__id``, ``__sig`` bigint) — codegen hash agg.
 
     Formulation for scale: explode token hashes to rows, then ONE hash
-    aggregate with ``bits`` conditional sums (each token's xxhash64 votes
-    ±1 per bit). Everything stays in whole-stage codegen — higher-order
-    array functions are interpreted in Spark and ~1000× slower per op.
-    Map-side combine reduces each partition to one partial-vote row per doc
-    before the shuffle.
+    aggregate with ``bits`` conditional sums (each token's 64-bit hash
+    votes ±1 per bit). Everything stays in whole-stage codegen —
+    higher-order array functions are interpreted in Spark and ~1000×
+    slower per op. Map-side combine reduces each partition to one
+    partial-vote row per doc before the shuffle.
+
+    ``hash_mode="portable"`` (60-bit md5-derived) makes signatures
+    engine-reproducible for SQL oracles; its top 4 bits are constant 0 so
+    the effective signature is 60 bits — fine for near-dup voting.
     """
+    from patito_spark.functions.hashing import hash64
+
     exploded = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t))
-        ).alias("__h"),
-    )
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select("__id", hash64("__tok", mode=hash_mode).alias("__h"))
     votes = exploded.groupBy("__id").agg(
         *[
             F.sum(
@@ -386,6 +406,7 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
@@ -395,7 +416,9 @@ def simhash_dedup_pairs(
     never a cross join. Verified with ``bit_count(a XOR b)``.
     """
     bits_per_chunk = 64 // chunks
-    sigs = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    sigs = simhash_signatures(
+        df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
+    )
     chunked = sigs.select(
         "__id",
         "__sig",
@@ -560,49 +583,38 @@ def embedding_dedup_pairs_lsh(
     The 100 TB path for :func:`embedding_dedup_pairs`:
 
     1. ``mapInPandas`` assigns each vector a sign-random-projection bucket —
-       one numpy matmul per Arrow batch (vectorized; per-row expression
-       evaluation of 64-dim dots is Spark-interpreted and ~1000× slower).
-    2. ``applyInPandas`` per bucket computes the exact pairwise cosine matrix
-       with one BLAS matmul and emits only pairs ≥ threshold.
+       one numpy pass per Arrow batch (per-row expression evaluation of
+       64-dim dots is Spark-interpreted and ~1000× slower).
+    2. ``applyInPandas`` per bucket computes the exact pairwise cosine
+       matrix and emits only pairs ≥ threshold.
 
     Candidates never leave their bucket, so total work is Σ bucket² instead
-    of n²; recall follows the hyperplane collision bound (pairs at cosine
-    ≥ 0.95 land in the same 8-plane bucket ~85% of the time; raise recall
-    with fewer planes or multiple seeds, trading bucket size).
+    of n²; recall follows the hyperplane collision bound (raise recall with
+    fewer planes or multiple seeds, trading bucket size).
+
+    Both stages use sequential-fold accumulation, so a SQL oracle can
+    replay the pipeline exactly from the same plane constants (bucket =
+    sign bits of ``list_dot_product``; cosine = dot/(norm·norm)).
     """
     import numpy as np
     import pandas as pd
 
+    from patito_spark.functions.vector_numpy import (
+        _as_matrix,
+        seq_dot_matrix,
+        seq_norm,
+        sign_projection_buckets,
+    )
     from patito_spark.operators.similarity import _deterministic_hyperplanes
 
-    planes = np.asarray(
-        _deterministic_hyperplanes(dim, n_planes, seed), dtype=np.float64
-    )
-
-    bucket_schema = T.StructType(
-        [
-            T.StructField("bucket", T.LongType(), False),
-            T.StructField("id", T.LongType(), False),
-            T.StructField("vec", T.ArrayType(T.DoubleType(), False), False),
-        ]
-    )
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
     pruned = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-
-    def assign_buckets(batches):
-        for pdf in batches:
-            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-            signs = (mat @ planes.T) > 0
-            buckets = signs @ (1 << np.arange(n_planes, dtype=np.int64))
-            yield pd.DataFrame(
-                {"bucket": buckets, "id": pdf["id"], "vec": list(mat)}
-            )
-
-    bucketed = pruned.mapInPandas(assign_buckets, schema=bucket_schema)
+    bucketed = sign_projection_buckets(pruned, planes, vec_col="vec")
 
     pair_schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType(), False),
-            T.StructField("id_b", T.LongType(), False),
+            T.StructField("id_a", df.schema[id_col].dataType, False),
+            T.StructField("id_b", df.schema[id_col].dataType, False),
             T.StructField("cosine", T.DoubleType(), False),
         ]
     )
@@ -614,18 +626,18 @@ def embedding_dedup_pairs_lsh(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-        mat = np.stack(pdf["vec"].to_numpy())
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        normalized = mat / np.where(norms == 0, 1.0, norms)
-        sims = normalized @ normalized.T
+        mat = _as_matrix(pdf["vec"])
+        cos = seq_dot_matrix(mat, mat) / (
+            seq_norm(mat)[:, None] * seq_norm(mat)[None, :]
+        )
         ia, ib = np.triu_indices(n, k=1)
-        keep = sims[ia, ib] >= threshold
+        keep = cos[ia, ib] >= threshold
         ids = pdf["id"].to_numpy()
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "cosine": sims[ia, ib][keep],
+                "cosine": cos[ia, ib][keep],
             }
         )
 

@@ -14,11 +14,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 _BUCKETS = 1_000_000
 
 
-def _hash_fraction(key: Column, seed: int) -> Column:
-    """Uniform [0, 1) value derived from a key column (deterministic)."""
-    return (
-        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS)) / F.lit(_BUCKETS)
-    )
+def _hash_fraction(key: Column, seed: int, hash_mode: str = "xxhash64") -> Column:
+    """Uniform [0, 1) value derived from a key column (deterministic).
+
+    ``hash_mode="portable"`` derives the fraction from an md5-based hash of
+    ``"<key>:<seed>"`` that other engines reproduce exactly (see
+    :mod:`patito_spark.functions.hashing`) — used by correctness oracles;
+    ``xxhash64`` is the fast default.
+    """
+    if hash_mode == "portable":
+        from patito_spark.functions.hashing import portable_hash64
+
+        h = portable_hash64(
+            F.concat(key.cast("string"), F.lit(":"), F.lit(str(seed)))
+        )
+    else:
+        h = F.xxhash64(key, F.lit(seed))
+    return F.pmod(h, F.lit(_BUCKETS)) / F.lit(_BUCKETS)
+
+
+def sample_fraction_sql(key_expr: str, seed: int) -> str:
+    """DuckDB SQL fragment mirroring ``_hash_fraction`` in portable mode."""
+    from patito_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(f"({key_expr})::VARCHAR || ':{seed}'")
+    return f"({h} % {_BUCKETS}) / {_BUCKETS}"
 
 
 def deterministic_sample(
@@ -26,6 +46,7 @@ def deterministic_sample(
     fraction: float,
     key_col: str,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by hash of ``key_col``.
 
@@ -33,7 +54,9 @@ def deterministic_sample(
     stable across runs, partitionings, and Spark versions, and co-sampled
     tables stay aligned (same key ⇒ same decision everywhere).
     """
-    return df.filter(_hash_fraction(F.col(key_col), seed) < fraction)
+    return df.filter(
+        _hash_fraction(F.col(key_col), seed, hash_mode=hash_mode) < fraction
+    )
 
 
 def train_test_split(
@@ -41,13 +64,14 @@ def train_test_split(
     key_col: str,
     test_fraction: float = 0.1,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """(train, test) split on a key hash — one pass each, no shuffle.
 
     Keyed splitting guarantees a key never straddles the boundary (the
     leakage guarantee random row splits cannot give when keys repeat).
     """
-    h = _hash_fraction(F.col(key_col), seed)
+    h = _hash_fraction(F.col(key_col), seed, hash_mode=hash_mode)
     return df.filter(h >= test_fraction), df.filter(h < test_fraction)
 
 

@@ -255,16 +255,26 @@ def ann_ivf_topk(
     n_probe: int = 3,
     seed: int = 42,
     max_train_vectors: int = 100_000,
+    centroids_df: Optional[DataFrame] = None,
+    assign_metric: str = "l2",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
-    1. A KMeans coarse quantizer (Spark ML, seeded) learns ``n_centroids``
-       cells — fit on a *deterministic hash-sample* capped at
-       ``max_train_vectors`` (a multi-pass ML fit over the full corpus
-       would dominate at 100 TB; centroid quality saturates long before
-       100k training points for coarse quantizers).
+    1. A coarse quantizer learns/defines ``n_centroids`` cells. Default: a
+       KMeans fit (Spark ML, seeded) on a *deterministic hash-sample*
+       capped at ``max_train_vectors`` (a multi-pass ML fit over the full
+       corpus would dominate at 100 TB; centroid quality saturates long
+       before 100k training points for coarse quantizers). Alternatively
+       pass ``centroids_df`` — a small DataFrame of (id, vector) rows used
+       verbatim as centroids (cell = rank of the centroid id). Sampled
+       corpus points are the standard "IVF-flat, random coarse quantizer"
+       baseline, and a fixed quantizer makes the whole search replayable
+       by a SQL oracle.
     2. Each corpus vector is assigned to its nearest cell — one vectorized
        numpy pass via ``mapInPandas`` (the inverted file).
+       ``assign_metric``: ``"l2"`` (squared euclidean, KMeans-consistent)
+       or ``"cosine"`` (sequential-fold dots, bit-reproducible by SQL
+       engines; ties break to the lowest cell).
     3. Each query probes its ``n_probe`` nearest cells only; exact cosine
        ranking runs inside the probed cells.
 
@@ -275,27 +285,48 @@ def ann_ivf_topk(
     import numpy as np
     import pandas as pd
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    from patito_spark.operators.sampling import deterministic_sample
-
-    train_src = corpus
-    n_corpus = corpus.count()
-    if n_corpus > max_train_vectors:
-        # Hash-sample (reproducible under retries/AQE) — parquet count() is
-        # metadata-cheap, and the fit then touches a bounded slice.
-        train_src = deterministic_sample(
-            corpus,
-            fraction=max_train_vectors / n_corpus,
-            key_col=id_col,
-            seed=seed,
+    if centroids_df is not None:
+        c_pdf = (
+            centroids_df.select(
+                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+            )
+            .orderBy("__cid")
+            .toPandas()
         )
-    train = train_src.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+        centroids = _as_matrix(c_pdf["__cvec"])
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        from patito_spark.operators.sampling import deterministic_sample
+
+        train_src = corpus
+        n_corpus = corpus.count()
+        if n_corpus > max_train_vectors:
+            # Hash-sample (reproducible under retries/AQE) — parquet count()
+            # is metadata-cheap, and the fit then touches a bounded slice.
+            train_src = deterministic_sample(
+                corpus,
+                fraction=max_train_vectors / n_corpus,
+                key_col=id_col,
+                seed=seed,
+            )
+        train = train_src.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+        centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    cent_norm = seq_norm(centroids)
+
+    def _cell_scores(mat):
+        """(n, n_cells) affinity matrix; HIGHER is closer for both metrics."""
+        if assign_metric == "cosine":
+            return seq_dot_matrix(mat, centroids) / (
+                seq_norm(mat)[:, None] * cent_norm[None, :]
+            )
+        return -((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
 
     assign_schema = T.StructType(
         [
@@ -314,10 +345,12 @@ def ann_ivf_topk(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["vec"].to_numpy())
-            dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+            scores = _cell_scores(mat)
+            # argmax returns the FIRST max — ties break to the lowest cell,
+            # matching the oracle's (score desc, cell asc) row_number.
             yield pd.DataFrame(
                 {
-                    "cell": dists.argmin(1).astype("int32"),
+                    "cell": scores.argmax(1).astype("int32"),
                     "neighbor_id": pdf["neighbor_id"],
                     "__cvec": list(mat),
                 }
@@ -342,8 +375,11 @@ def ann_ivf_topk(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["vec"].to_numpy())
-            dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-            probed = np.argsort(dists, axis=1)[:, :n_probe]
+            # Stable sort on -score: (score desc, cell asc) — deterministic
+            # and oracle-consistent under ties.
+            probed = np.argsort(
+                -_cell_scores(mat), axis=1, kind="stable"
+            )[:, :n_probe]
             rows = {
                 "cell": probed.reshape(-1).astype("int32"),
                 "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
