@@ -78,6 +78,78 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(*merge_exprs)
 
 
+def _key_counts(
+    df: DataFrame, key: str, fraction: float, seed: int
+) -> DataFrame:
+    """Lazy per-key counts over a row sample (``fraction >= 1`` = no sample).
+
+    Exactness is irrelevant here — hot-key detection is a planning
+    heuristic, and salting preserves join semantics whichever keys are
+    picked — so a plain seeded row sample is fine (no need for the
+    hash-keyed reproducible sampling the data operators use).
+    """
+    src = df if fraction >= 1.0 else df.sample(fraction=fraction, seed=seed)
+    return src.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    threshold_fraction: float = 0.02,
+    min_count: int = 1000,
+    sample_fraction: float = 0.01,
+    min_sample_rows: int = 100_000,
+    max_hot_keys: int = 64,
+    seed: int = 42,
+) -> list:
+    """Estimate the skewed values of ``key`` from a bounded sample.
+
+    Scale shape: ONE pass over ``sample_fraction`` of the rows (falling
+    back to a full pass only when the sample is too small to trust, i.e.
+    the data itself is small), a map-side-combined count shuffle of the
+    sampled keys, and a driver transfer capped at ``max_hot_keys`` rows —
+    never an unbounded ``collect()`` and never two extra full scans. When
+    more than ``max_hot_keys`` keys clear the threshold, the heaviest ones
+    win and a warning is emitted (at that point the data is closer to
+    uniform-heavy than skewed, and explicit ``hot_keys`` or a plain
+    shuffle join is the better tool).
+
+    A key is hot when its (sampled) count exceeds
+    ``max(sampled_total * threshold_fraction, min_count * fraction)``.
+    """
+    import warnings
+
+    def _detect(fraction: float) -> tuple[int, list]:
+        # localCheckpoint materializes the (small) per-key counts so the
+        # total-rows agg and the threshold filter don't rescan the input.
+        counts = _key_counts(df, key, fraction, seed).localCheckpoint()
+        total = counts.agg(F.sum("__n")).collect()[0][0] or 0
+        floor = max(total * threshold_fraction, min_count * fraction)
+        rows = (
+            counts.filter(F.col("__n") > floor)
+            .orderBy(F.col("__n").desc())
+            .limit(max_hot_keys + 1)
+            .collect()
+        )
+        return total, [r[0] for r in rows]
+
+    total, found = _detect(sample_fraction)
+    if total < min_sample_rows and sample_fraction < 1.0:
+        # Sample too small to estimate frequencies — the input itself is
+        # small, so an exact pass is cheap.
+        total, found = _detect(1.0)
+    if len(found) > max_hot_keys:
+        warnings.warn(
+            f"detect_hot_keys: more than {max_hot_keys} keys cleared the "
+            "skew threshold; keeping the heaviest ones. Pass explicit "
+            "hot_keys (or don't salt) for uniform-heavy key distributions.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        found = found[:max_hot_keys]
+    return found
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -97,23 +169,16 @@ def salted_join(
 
     Args:
         hot_keys: the skewed join-key values (single-column join). If None,
-            they are detected with one approximate frequency pass (keys
-            above 2% of rows).
+            :func:`detect_hot_keys` estimates them from a bounded sample
+            (keys above ~2% of rows); pass them explicitly when you already
+            know the skew profile — detection still costs a sampling pass.
     """
     if len(list(on)) != 1:
         raise ValueError("salted_join currently supports single-column keys")
     key = list(on)[0]
 
     if hot_keys is None:
-        total = left.count()
-        detected = (
-            left.groupBy(key)
-            .count()
-            .filter(F.col("count") > max(total * 0.02, 1000))
-            .select(key)
-            .collect()
-        )
-        hot_keys = [r[0] for r in detected]
+        hot_keys = detect_hot_keys(left, key)
     hot_keys = list(hot_keys)
     if not hot_keys:
         return left.join(right, on=key, how=how)
