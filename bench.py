@@ -38,16 +38,23 @@ def main() -> None:
 
     # Warm the JVM, codegen cache, and file-index for every query, then
     # measure steady state (what a long-lived cluster session would see).
+    # Each query is timed best-of-N (default 3): single-shot timings at
+    # sub-second scale are dominated by scheduler jitter and produced
+    # phantom regressions on untouched code in earlier rounds.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = entry_mod.queries()
     for fn in queries.values():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
