@@ -644,6 +644,114 @@ def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Spark has no ASOF JOIN; asof_join composes it as a union + one keyed
+    window (no nested loop, one shuffle). The oracle is DuckDB's native
+    ASOF LEFT JOIN over the same deduplicated click stream.
+    """
+    from pyspark.sql import Window
+
+    from patito_spark.operators.temporal import asof_join
+
+    # Micro precision: DuckDB's TIMESTAMP truncates parquet nanos to
+    # micros, so both engines work in epoch-micros (collision-checked:
+    # no two events share a microsecond at any SF).
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    # As-of semantics are undefined for duplicate right timestamps:
+    # keep the max click_id per (user, ts) on both engines.
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("click_id").desc())
+    clicks = (
+        clicks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return asof_join(purchases, clicks, on="ts", by=["user_id"])
+
+
+def q_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: line items shipped within 30 days of any scoped
+    order's date. Bucketed equi-join formulation (never a nested loop);
+    the oracle is the plain inequality join."""
+    from patito_spark.operators.temporal import range_join
+
+    day = 86_400
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("s"),
+            (F.unix_timestamp("o_orderdate") + 30 * day).alias("e"),
+        )
+    )
+    points = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.unix_timestamp("l_shipdate").alias("p"),
+        )
+    )
+    out = range_join(points, orders, "p", "s", "e", bucket_width=30 * day)
+    return out.select("l_orderkey", "l_linenumber", "p", "o_orderkey")
+
+
+def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: events replayed as a change stream onto user state.
+
+    Each event upserts its user's row; 'error' events delete the user.
+    The latest change by (ts, event_id) wins — Delta-style MERGE compiled
+    to one window + anti-join, oracled as a QUALIFY in SQL.
+    """
+    from patito_spark.operators.temporal import apply_changes
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")  # epoch-micros, see q_asof_purchases
+    )
+    changes = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return apply_changes(
+        None, changes, key_cols=["user_id"], seq_col=["ts", "event_id"]
+    )
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the multimodal plumbing.
+
+    Documents' text bytes stand in for image blobs (no media column in the
+    test tables); the oracle value-checks the content-addressing outputs
+    (sha256 hex + byte length) that are codec-independent — the decode
+    kernel itself is deterministic-fake by default, PIL when installed.
+    """
+    from patito_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return extract_image_features(blobs).select("doc_id", "sha256", "n_bytes")
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.text import token_count
 
@@ -720,6 +828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "sample_split_documents": sample_split_documents,
+        "q_asof_purchases": q_asof_purchases,
+        "q_range_join_orders": q_range_join_orders,
+        "q_cdc_user_state": q_cdc_user_state,
+        "multimodal_image_features": multimodal_image_features,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1283,6 +1395,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM e q, e c
                 WHERE q.vec_id < 8
             ) WHERE rank <= 10
+        """,
+        "q_asof_purchases": """
+            WITH purchases AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts,
+                       event_id AS click_id, value AS click_value
+                FROM events WHERE event_type = 'click'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, epoch_ns(ts) // 1000
+                    ORDER BY event_id DESC
+                ) = 1
+            )
+            SELECT p.user_id, p.ts, p.event_id, p.value,
+                   c.click_id AS right_click_id,
+                   c.click_value AS right_click_value,
+                   c.ts AS right_ts
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_range_join_orders": """
+            SELECT l_orderkey, l_linenumber,
+                   epoch(l_shipdate)::BIGINT AS p, o_orderkey
+            FROM (SELECT l_orderkey, l_linenumber, l_shipdate
+                  FROM lineitem WHERE l_orderkey < 500) l
+            JOIN (SELECT o_orderkey,
+                         epoch(o_orderdate)::BIGINT AS s,
+                         epoch(o_orderdate)::BIGINT + 30 * 86400 AS e
+                  FROM orders WHERE o_orderkey < 100) o
+              ON epoch(l.l_shipdate)::BIGINT >= o.s
+             AND epoch(l.l_shipdate)::BIGINT < o.e
+        """,
+        "q_cdc_user_state": """
+            SELECT user_id, ts, event_id, value, event_type FROM (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id,
+                       value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "multimodal_image_features": """
+            SELECT doc_id, sha256(text) AS sha256,
+                   strlen(text)::BIGINT AS n_bytes
+            FROM documents
         """,
         "text_token_count": """
             SELECT doc_id,

@@ -91,6 +91,7 @@ class Relation:
         self.alias = alias or _fresh_alias()
         self._df = df.alias(self.alias)
         self.model = model
+        self._inferred_model: Optional[Any] = None
 
     # ------------------------------------------------------------------ #
     # Plumbing                                                            #
@@ -311,14 +312,26 @@ class Relation:
             )
         return self._to_model(rows[0])
 
+    def infer_model(self) -> Any:
+        """Infer a Model class from this relation's schema.
+
+        The public counterpart of the reference's ``create_pydantic_model``
+        (ref duckdb.py:101-110): lets untyped relations round-trip into the
+        model layer — ``rel.set_model(rel.infer_model())`` — with real
+        dtype annotations inferred from the Spark schema (the reference
+        types every column ``Any``). Named after the relation's alias.
+        """
+        from patito_spark.model import model_from_spark_schema
+
+        return model_from_spark_schema(self.alias, self._df.schema)
+
     def _to_model(self, row) -> Any:
         data = row.asDict(recursive=True)
         if self.model is not None:
             return self.model(**data)
-        from patito_spark.model import Model
-
-        dynamic = Model.with_fields(**{k: (Any, None) for k in data})
-        return dynamic.model_construct(**data)
+        if self._inferred_model is None:
+            self._inferred_model = self.infer_model()
+        return self._inferred_model.model_construct(**data)
 
     def all(self, *filters: str, **equalities: Any) -> bool:
         """True if all rows satisfy the given filters (ref duckdb.py:463).

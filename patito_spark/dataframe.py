@@ -140,6 +140,18 @@ class DataFrame:
         """
         return self
 
+    def collect(self, **kwargs: Any) -> "DataFrame":
+        """Return the model-aware wrapper, mirroring LazyFrame.collect().
+
+        In the reference, ``collect()`` ends a lazy chain and returns the
+        *model-aware DataFrame* (ref polars.py:68-133) — so ported
+        ``df.lazy()...collect().validate()`` chains must get the wrapper
+        back, not a list of rows (Spark's row-collect stays available as
+        ``df.inner.collect()``). Optimizer flags from the reference
+        signature are accepted and ignored: Catalyst always optimizes.
+        """
+        return DataFrame(self._df, model=self.model)
+
     # ------------------------------------------------------------------ #
     # Model-aware API (ref polars.py:175-679)                             #
     # ------------------------------------------------------------------ #

@@ -285,6 +285,76 @@ def valid_spark_types(python_type: Any) -> list[T.DataType]:
     return [default_spark_type(python_type)]
 
 
+_SPARK_TO_PYTHON: list[tuple[type, Any]] = [
+    (T.LongType, int),
+    (T.IntegerType, int),
+    (T.ShortType, int),
+    (T.ByteType, int),
+    (T.DoubleType, float),
+    (T.FloatType, float),
+    (T.StringType, str),
+    (T.BooleanType, bool),
+    (T.DateType, dt.date),
+    (T.TimestampType, dt.datetime),
+    (T.TimestampNTZType, dt.datetime),
+    (T.DayTimeIntervalType, dt.timedelta),
+    (T.BinaryType, bytes),
+    (T.DecimalType, Decimal),
+]
+
+
+def _python_annotation(dtype: T.DataType) -> Any:
+    """Python annotation for a Spark dtype (inverse of default_spark_type)."""
+    for spark_type, python_type in _SPARK_TO_PYTHON:
+        if isinstance(dtype, spark_type):
+            return python_type
+    if isinstance(dtype, T.ArrayType):
+        item = _python_annotation(dtype.elementType)
+        if dtype.containsNull:
+            item = Optional[item]
+        return list[item]
+    if isinstance(dtype, T.MapType):
+        value = _python_annotation(dtype.valueType)
+        if dtype.valueContainsNull:
+            value = Optional[value]
+        return dict[_python_annotation(dtype.keyType), value]
+    if isinstance(dtype, T.StructType):
+        return model_from_spark_schema("InferredStruct", dtype)
+    raise NotImplementedError(f"No python annotation for Spark dtype {dtype}.")
+
+
+def model_from_spark_schema(
+    model_name: str, schema: T.StructType
+) -> type["Model"]:
+    """Infer a Model class from a Spark schema (ref duckdb.py:101-110).
+
+    The reference's ``create_pydantic_model`` types every inferred column
+    as ``Any``; here each field gets the real python annotation for its
+    Spark dtype (nullable fields become ``Optional`` with a ``None``
+    default), plus an explicit ``Field(dtype=...)`` override whenever the
+    source dtype is not the annotation's default (e.g. ``IntegerType`` for
+    ``int``) — so ``InferredModel.validate_df(source_df)`` round-trips.
+    """
+    import re
+
+    fields: dict[str, Any] = {}
+    for field in schema.fields:
+        annotation = _python_annotation(field.dataType)
+        override = (
+            None
+            if default_spark_type(annotation) == field.dataType
+            else field.dataType
+        )
+        if field.nullable:
+            annotation = Optional[annotation]
+            default = Field(None, dtype=override) if override else None
+        else:
+            default = Field(dtype=override) if override else ...
+        fields[field.name] = (annotation, default)
+    model_name = re.sub(r"\W", "_", model_name) or "InferredModel"
+    return create_model(model_name, __base__=Model, **fields)
+
+
 def _struct_from_basemodel(model: type[BaseModel]) -> T.StructType:
     fields = []
     for name, fi in model.model_fields.items():

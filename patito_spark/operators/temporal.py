@@ -1,0 +1,257 @@
+"""Temporal composite operators: as-of join, range join, CDC merge.
+
+Spark has no native ASOF JOIN (DuckDB/Polars do — ref users expect one);
+the composition here avoids the two naive formulations that die at scale:
+
+* inequality join → BroadcastNestedLoopJoin (O(n·m) comparisons), and
+* per-key ``collect_list`` + UDF search (skew-bound, interpreted).
+
+Instead:
+
+* :func:`asof_join` — the **union-window** formulation: both sides are
+  unioned into one stream, partitioned by key, sorted by time, and the
+  right side's payload is carried forward with ``last(..., ignorenulls)``.
+  ONE shuffle (the window's), no join at all, no row explosion; skewed
+  keys degrade no worse than any window over the same key.
+* :func:`range_join` — the **bucketed** formulation: intervals are
+  exploded onto fixed-width time buckets, points equi-join their single
+  bucket, and the exact range predicate filters inside the joined bucket.
+  Work is proportional to overlaps, never |points| × |intervals|.
+* :func:`apply_changes` — Delta-style CDC MERGE (upsert + delete by
+  change sequence): latest change per key wins via one window, applied
+  over the base with a full outer join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------- #
+# As-of join                                                              #
+# ---------------------------------------------------------------------- #
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Optional[Sequence[str]] = None,
+    right_prefix: str = "right_",
+    tolerance: Optional[int] = None,
+) -> DataFrame:
+    """Backward as-of join: latest ``right`` row with ``right.on <= left.on``.
+
+    Matches DuckDB ``ASOF LEFT JOIN`` / Polars ``join_asof`` semantics
+    (backward direction, equality included). All non-``on``/``by`` right
+    columns are carried with ``right_prefix``; unmatched left rows keep
+    them NULL.
+
+    Scale shape: both sides are unioned into one keyed stream and the
+    right payload is carried forward inside ONE window — no join, no
+    nested loop, one shuffle on ``by``. With equal timestamps on both
+    sides the right row sorts first (matches ``<=``); duplicate right
+    rows per (key, time) must be pre-deduplicated by the caller (as-of
+    semantics are undefined there — same as DuckDB, which picks an
+    arbitrary one).
+
+    Args:
+        on: ordering column name, present in both sides (numeric or
+            timestamp).
+        by: equi-join key columns (the partition of the window).
+        tolerance: optional max allowed ``left.on - right.on`` (same units
+            as ``on``); matches older than this become NULL.
+    """
+    by = list(by or [])
+    carry_cols = [c for c in right.columns if c != on and c not in by]
+
+    l_marked = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c != on and c not in by],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carry_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r_t"),
+    )
+    r_marked = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != on and c not in by
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in carry_cols],
+        F.col(on).alias("__r_t"),
+    )
+    unioned = l_marked.unionByName(r_marked)
+
+    # Right rows (__side=0) sort before left rows at the same instant, so
+    # a right row at exactly left.on is visible to the carry — the `<=`
+    # in the as-of contract.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in carry_cols
+        ],
+        F.last("__r_t", ignorenulls=True).over(w).alias("__c_t"),
+    )
+
+    out = carried.filter(F.col("__side") == 1)
+    in_tolerance: Optional[Column] = None
+    if tolerance is not None:
+        in_tolerance = F.col("__t") - F.col("__c_t") <= F.lit(tolerance)
+    projection = [
+        *by,
+        F.col("__t").alias(on),
+        *[F.col(c) for c in left.columns if c != on and c not in by],
+    ]
+    for c in carry_cols:
+        value = F.col(f"__c_{c}")
+        if in_tolerance is not None:
+            value = F.when(in_tolerance, value)
+        projection.append(value.alias(f"{right_prefix}{c}"))
+    value = F.col("__c_t")
+    if in_tolerance is not None:
+        value = F.when(in_tolerance, value)
+    projection.append(value.alias(f"{right_prefix}{on}"))
+    return out.select(*projection)
+
+
+# ---------------------------------------------------------------------- #
+# Range join                                                              #
+# ---------------------------------------------------------------------- #
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Optional[Sequence[str]] = None,
+    bucket_width: Optional[int] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval with ``start <= point < end``.
+
+    Scale shape: a plain inequality join becomes a nested-loop cross
+    product in Spark. Here each interval is exploded onto the fixed-width
+    buckets it overlaps and each point computes its single bucket, so
+    candidates meet in an *equi-join* on (``by``..., bucket) and the exact
+    predicate filters within. Each matching pair meets exactly once (a
+    point has one bucket), so no dedup pass is needed. Cost is
+    ``|intervals| × avg_buckets_per_interval`` replicated rows — pick
+    ``bucket_width`` near the typical interval length (default: estimated
+    from a 1k-interval sample).
+
+    ``how="left"`` keeps unmatched points with NULL interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports how='inner' or 'left'")
+    by = list(by or [])
+
+    if bucket_width is None:
+        sample = intervals.select(
+            (F.col(end_col) - F.col(start_col)).alias("__len")
+        ).limit(1000)
+        row = sample.agg(F.max("__len").alias("mx")).first()
+        bucket_width = int(row["mx"] or 1) or 1
+
+    i_bucketed = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_width).cast("long"),
+                # end is exclusive, but a point in end's bucket can still
+                # precede it — include the end bucket.
+                (F.col(end_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    p_bucketed = points.withColumn(
+        "__bucket", (F.col(point_col) / bucket_width).cast("long")
+    )
+    cond = [p_bucketed["__bucket"] == i_bucketed["__bucket"]] + [
+        p_bucketed[c] == i_bucketed[c] for c in by
+    ]
+    in_range = (i_bucketed[start_col] <= p_bucketed[point_col]) & (
+        p_bucketed[point_col] < i_bucketed[end_col]
+    )
+    if how == "inner":
+        joined = p_bucketed.join(i_bucketed, [*cond, in_range], "inner")
+        drop = [i_bucketed[c] for c in by]
+        out = joined.drop("__bucket").drop(*drop) if by else joined.drop("__bucket")
+        return out
+    # left: keep unmatched points — join then null-out non-matches is
+    # wrong (a point can match several intervals); use inner + anti union.
+    inner = p_bucketed.join(i_bucketed, [*cond, in_range], "inner")
+    inner = (
+        inner.drop("__bucket").drop(*[i_bucketed[c] for c in by])
+        if by
+        else inner.drop("__bucket")
+    )
+    matched_keys = inner.select(*points.columns).distinct()
+    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    for c in intervals.columns:
+        if c not in by:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(intervals.schema[c].dataType)
+            )
+    return inner.unionByName(unmatched)
+
+
+# ---------------------------------------------------------------------- #
+# CDC merge                                                               #
+# ---------------------------------------------------------------------- #
+
+
+def apply_changes(
+    base: Optional[DataFrame],
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: Union[str, Sequence[str]],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Delta-style CDC MERGE: apply a change stream onto a base snapshot.
+
+    For every key, the change with the greatest ``seq_col`` wins —
+    ``seq_col`` may be a list for composite ordering (e.g.
+    ``["ts", "event_id"]``); callers must make (key, seq) unique, as CDC
+    streams are. A winning ``delete_op`` removes the key, anything else
+    upserts the row. Keys untouched by the stream keep their base row.
+    ``base=None`` materializes a snapshot from the stream alone.
+
+    Scale shape: one window over the changes (partition by key — the same
+    shuffle a MERGE would do), then one anti-join against base. Output
+    columns are the base/change payload without ``op_col``.
+    """
+    key_cols = list(key_cols)
+    seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # Delete-winning keys are dropped from upserts AND (being "touched")
+    # from the base survivors — no separate delete pass needed.
+    upserts = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+
+    if base is None:
+        return upserts
+    survivors = base.join(latest.select(*key_cols), key_cols, "left_anti")
+    # Output keeps the base schema; the change stream's bookkeeping columns
+    # (seq, anything extra) don't leak into the merged table.
+    return survivors.unionByName(upserts.select(*base.columns))

@@ -78,3 +78,58 @@ def test_from_connection(spark):
     db = pt.Database.from_connection(spark)
     assert db.spark is spark
     assert db.query("select 1 as a").count() == 1
+
+
+# --- model inference (ref duckdb.py:101-110 create_pydantic_model) ------- #
+
+
+def test_infer_model_annotations(spark, db):
+    rel = db.to_relation(
+        spark.createDataFrame(
+            [(1, "a", 2.5, None)],
+            "k long, s string, v double, maybe string",
+        )
+    ).set_alias("inferred_products")
+    model = rel.infer_model()
+    assert model.__name__ == "inferred_products"
+    assert model.columns == ["k", "s", "v", "maybe"]
+    assert model.dtypes["k"].simpleString() == "bigint"
+    assert model.dtypes["s"].simpleString() == "string"
+    assert model.dtypes["v"].simpleString() == "double"
+    assert model.nullable_columns == {"k", "s", "v", "maybe"}
+
+
+def test_infer_model_round_trips_validation(spark, db):
+    """An inferred model must validate the relation it came from."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int not null, name string"
+    )
+    rel = db.to_relation(df)
+    model = rel.infer_model()
+    # IntegerType (not the int-default LongType) must round-trip via the
+    # dtype override.
+    model.validate_df(df)
+    assert model.dtypes["id"].simpleString() == "int"
+
+
+def test_infer_model_nested_types(spark, db):
+    df = spark.createDataFrame(
+        [([1, 2], {"k": 1.0})],
+        "arr array<bigint>, m map<string, double>",
+    )
+    model = db.to_relation(df).infer_model()
+    model.validate_df(df)
+
+
+def test_get_on_untyped_relation_uses_inferred_model(spark, db):
+    """get() on a model-less relation returns typed inferred-model rows."""
+    rel = db.to_relation(
+        spark.createDataFrame([(1, "a"), (2, "b")], "column_1 long, column_2 string")
+    )
+    row = rel.get(column_1=1)
+    assert row.column_1 == 1
+    assert row.column_2 == "a"
+    from typing import Optional
+
+    assert type(row).model_fields["column_1"].annotation == Optional[int]
+    assert "column_1" in type(row).columns

@@ -179,3 +179,21 @@ def test_write_parquet_roundtrip(spark, tmp_path):
     bad = Product.DataFrame({"product_id": [1, 1], "price": [1.0, 2.0]})
     with pytest.raises(DataFrameValidationError):
         bad.write_parquet(str(tmp_path / "bad.parquet"), validate=True)
+
+
+def test_collect_returns_model_aware_wrapper(spark):
+    """Ported lazy()...collect().validate() chains keep the wrapper
+    (ref polars.py:68-133 LazyFrame.collect)."""
+    import patito_spark as pt
+
+    class Product(pt.Model):
+        name: str
+        price: int
+
+    sdf = spark.createDataFrame([("apple", 25), ("banana", 61)], "name string, price long")
+    df = pt.DataFrame(sdf, model=Product)
+    out = df.lazy().filter("price > 30").collect()
+    assert isinstance(out, pt.DataFrame)
+    assert out.model is Product
+    out.validate()  # model-aware method still available post-collect
+    assert [r["name"] for r in out.inner.collect()] == ["banana"]

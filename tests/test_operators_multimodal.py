@@ -48,3 +48,24 @@ def test_real_codecs_gate(blobs):
         multimodal.extract_image_features(blobs, use_real_codecs=True)
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(blobs, use_real_codecs=True)
+
+
+def test_real_codec_gate_is_import_try(spark):
+    """use_real_codecs resolves the codec at plan build: with Pillow
+    installed the kernel decodes; without it, a clear driver-side error."""
+    from patito_spark.operators.multimodal import extract_image_features
+
+    df = spark.createDataFrame([(1, bytearray(b"notanimage"))], "doc_id long, blob binary")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            extract_image_features(df, use_real_codecs=True)
+    else:
+        out = extract_image_features(df, use_real_codecs=True)
+        assert out.columns == ["doc_id", "sha256", "n_bytes", "features"]
