@@ -258,6 +258,47 @@ class Relation:
         return self._wrap(self._df.distinct())
 
     # ------------------------------------------------------------------ #
+    # Materialization hints                                               #
+    # ------------------------------------------------------------------ #
+    def cache(self) -> "Relation":
+        """Hint: keep this relation's result in executor memory/disk.
+
+        Use when a relation feeds several downstream queries — without it
+        Spark recomputes the lineage per action. Lazy (materializes on
+        first use); pair with :meth:`unpersist`. Like Spark's own
+        ``DataFrame.cache`` this marks THIS relation (and returns it) —
+        derived relations reuse the cached subtree via plan matching.
+        """
+        self._df.cache()
+        return self
+
+    def persist(self, storage_level: Optional[str] = None) -> "Relation":
+        """Like :meth:`cache` with an explicit storage level name
+        (e.g. ``"MEMORY_AND_DISK"``, ``"DISK_ONLY"``)."""
+        if storage_level is None:
+            self._df.persist()
+        else:
+            from pyspark import StorageLevel
+
+            self._df.persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def unpersist(self) -> "Relation":
+        """Release a :meth:`cache`/:meth:`persist` hint."""
+        self._df.unpersist()
+        return self
+
+    def checkpoint(self, eager: bool = True) -> "Relation":
+        """Cut the lineage by materializing to executor-local storage.
+
+        For iterative pipelines (the connected-components loop does this
+        internally): plans whose lineage grows per iteration eventually
+        drown the optimizer; a localCheckpoint resets the plan to a scan
+        of the materialized result.
+        """
+        return self._wrap(self._df.localCheckpoint(eager=eager))
+
+    # ------------------------------------------------------------------ #
     # Aggregation                                                         #
     # ------------------------------------------------------------------ #
     def aggregate(

@@ -4,6 +4,7 @@ from patito_spark.streaming.validate import (
     read_stream,
     sessionize_stream,
     stateful_dedup_stream,
+    streaming_apply_changes,
     windowed_aggregate,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "read_stream",
     "sessionize_stream",
     "stateful_dedup_stream",
+    "streaming_apply_changes",
     "windowed_aggregate",
 ]

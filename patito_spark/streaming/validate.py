@@ -245,3 +245,76 @@ def stateful_dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_apply_changes(
+    stream: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Streaming CDC MERGE: a continuously-updated latest-state view.
+
+    The streaming counterpart of
+    :func:`patito_spark.operators.temporal.apply_changes`: per key, the
+    change with the greatest ``seq_col`` seen so far wins; a winning
+    delete emits a tombstone (``is_deleted=True``). Late, lower-sequence
+    changes are rejected by the state, so the view converges to the same
+    result as the batch operator over the full stream.
+
+    Built on ``applyInPandasWithState``: state holds one row per key
+    (its latest seq + payload) — O(keys) memory, the same state a MERGE
+    sink would keep. Run with ``outputMode("update")``; each batch emits
+    only the keys it changed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    value_cols = [c for c in stream.columns if c not in (*key_cols, op_col)]
+    key_fields = [stream.schema[c] for c in key_cols]
+    value_fields = [stream.schema[c] for c in value_cols]
+    out_schema = StructType(
+        key_fields
+        + value_fields
+        + [StructField("is_deleted", BooleanType(), False)]
+    )
+    state_schema = StructType(
+        value_fields + [StructField("__deleted", BooleanType(), True)]
+    )
+    seq_idx = value_cols.index(seq_col)
+
+    def _py(value):
+        # itertuples yields numpy scalars; state round-trips python values
+        return value.item() if hasattr(value, "item") else value
+
+    def merge(key, batches, state: GroupState):
+        best = None  # tuple of value_cols
+        best_deleted = False
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                values = tuple(_py(getattr(row, c)) for c in value_cols)
+                if best is None or values[seq_idx] > best[seq_idx]:
+                    best = values
+                    best_deleted = getattr(row, op_col) == delete_op
+        if best is None:
+            return
+        if state.exists:
+            current = tuple(state.get)
+            if current[seq_idx] >= best[seq_idx]:
+                # Late data: the state already holds a newer change.
+                return
+        state.update((*best, best_deleted))
+        yield pd.DataFrame(
+            [(*key, *best, best_deleted)],
+            columns=[*key_cols, *value_cols, "is_deleted"],
+        )
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        merge,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -240,3 +240,22 @@ def test_to_df(relation):
     df = relation.to_df()
     assert isinstance(df, pt.DataFrame)
     assert df.count() == 3
+
+
+def test_materialization_hints(spark, db):
+    rel = db.to_relation(spark.createDataFrame([(1,), (2,)], "a long"))
+    cached = rel.cache()
+    assert cached.count() == 2
+    assert cached._df.is_cached
+    released = cached.unpersist()
+    assert not released._df.is_cached
+
+    persisted = rel.persist("MEMORY_AND_DISK")
+    assert persisted._df.is_cached
+    persisted.unpersist()
+
+    checkpointed = rel.filter("a > 1").checkpoint()
+    # lineage cut: the checkpointed plan no longer contains the filter
+    assert checkpointed.count() == 1
+    assert "ExistingRDD" in checkpointed._df._jdf.queryExecution().optimizedPlan().toString() or \
+           "LogicalRDD" in checkpointed._df._jdf.queryExecution().optimizedPlan().toString()

@@ -150,3 +150,43 @@ def test_sessionize_stream(spark, tmp_path):
     for r in rows:
         by_user.setdefault(r.user_id, []).append(r.n_events)
     assert by_user.get(1) == [2]
+
+
+def test_streaming_apply_changes_matches_batch(spark, tmp_path):
+    """The streaming CDC view must converge to the batch apply_changes
+    result over the same change stream."""
+    from patito_spark.operators.temporal import apply_changes
+    from patito_spark.streaming import streaming_apply_changes
+
+    path = str(tmp_path / "cdc_stream")
+    changes = spark.sql(
+        """
+        select * from values
+          (1, 10, 'v1a', 'U'),
+          (1, 20, 'v1b', 'U'),
+          (2, 15, 'v2',  'U'),
+          (2, 30, null,  'D'),
+          (3, 5,  'v3',  'U')
+        as t(k, seq, v, op)
+        """
+    )
+    changes.write.parquet(path)
+    stream = spark.readStream.schema("k long, seq long, v string, op string").parquet(path)
+    merged = streaming_apply_changes(stream, key_cols=["k"], seq_col="seq")
+    _run_available_now(merged, "t_cdc", output_mode="update")
+    rows = spark.sql("select * from t_cdc").collect()
+
+    # Final state per key: latest update-mode emission
+    latest = {}
+    for r in rows:
+        if r.k not in latest or r.seq > latest[r.k].seq:
+            latest[r.k] = r
+    stream_state = {
+        k: (r.seq, r.v)
+        for k, r in latest.items()
+        if not r.is_deleted
+    }
+    batch = apply_changes(None, changes, key_cols=["k"], seq_col="seq")
+    batch_state = {r.k: (r.seq, r.v) for r in batch.collect()}
+    assert stream_state == batch_state
+    assert latest[2].is_deleted  # tombstone emitted for the deleted key
