@@ -83,3 +83,46 @@ def test_topk_1m_corpus(spark):
     queries = corpus.filter("vec_id < 3")
     out = cosine_topk(corpus, queries, k=5)
     assert out.count() == 15
+
+
+def test_asof_join_10m(spark):
+    """As-of join at 10M left rows x 1M right rows: the union-window plan
+    must complete without nested loops or driver materialization."""
+    from patito_spark.operators.temporal import asof_join
+
+    left = spark.range(N).selectExpr(
+        "id % 100000 as k", "id as t", "id as payload"
+    )
+    right = spark.range(1_000_000).selectExpr(
+        "id % 100000 as k", "id * 10 as t", "cast(id as double) as px"
+    )
+    out = asof_join(left, right, on="t", by=["k"])
+    assert out.count() == N
+
+
+def test_range_join_2m_points(spark):
+    """Bucketed range join: 2M points x 10k intervals resolves through the
+    bucket equi-join (a nested-loop cross product would be 2e10 pairs)."""
+    from patito_spark.operators.temporal import range_join
+
+    points = spark.range(2_000_000).selectExpr("id as p")
+    intervals = spark.range(10_000).selectExpr(
+        "id as iv_id", "id * 200 as s", "id * 200 + 100 as e"
+    )
+    out = range_join(points, intervals, "p", "s", "e", bucket_width=200)
+    # every interval covers exactly 100 integer points
+    assert out.count() == 10_000 * 100
+
+
+def test_apply_changes_10m(spark):
+    from patito_spark.operators.temporal import apply_changes
+
+    changes = spark.range(N).selectExpr(
+        "id % 1000000 as k",
+        "id as seq",
+        "concat('v', id) as v",
+        "if(id % 17 = 0, 'D', 'U') as op",
+    )
+    out = apply_changes(None, changes, key_cols=["k"], seq_col="seq")
+    n = out.count()
+    assert 0 < n <= 1_000_000
