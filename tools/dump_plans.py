@@ -40,6 +40,16 @@ HEADLINERS = {
         "partial_min (map-side combine) -> band-bucket equi-join; no "
         "cross product anywhere."
     ),
+    "q_asof_purchases": (
+        "As-of join via union + keyed window: ZERO join operators, "
+        "WindowGroupLimit prunes the click dedup map-side, filters "
+        "pushed to both scans."
+    ),
+    "q_range_join_orders": (
+        "Bucketed range join resolves as a hash equi-join on the bucket "
+        "(broadcast here; shuffle join at scale) — never "
+        "BroadcastNestedLoopJoin."
+    ),
 }
 
 
