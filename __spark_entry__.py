@@ -752,6 +752,42 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(blobs).select("doc_id", "sha256", "n_bytes")
 
 
+STRATA_FRACTIONS = {"en": 0.3, "de": 0.8, "fr": 0.5, "es": 0.5, "zh": 0.1}
+
+
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (portable-hash mode): the oracle
+    recomputes every row's keep/drop decision from the same md5 fraction
+    and per-language fraction table."""
+    from patito_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions=STRATA_FRACTIONS,
+        key_col="doc_id",
+        hash_mode="portable",
+    )
+    return out.select("doc_id", "lang")
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count (word runs + non-space punctuation chars).
+
+    The Spark side splits on Java-regex lookarounds; RE2 (DuckDB) has no
+    lookarounds, so the oracle uses the equivalent closed form:
+    ``#[A-Za-z0-9_]+ runs + #[^A-Za-z0-9_ ] chars`` — an independent
+    re-specification, which is a stronger check than a replay.
+    """
+    from patito_spark.operators.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.text import token_count
 
@@ -832,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join_orders": q_range_join_orders,
         "q_cdc_user_state": q_cdc_user_state,
         "multimodal_image_features": multimodal_image_features,
+        "sample_stratified_docs": sample_stratified_docs,
+        "text_bpe_tokens": text_bpe_tokens,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
         "text_langid": text_langid,
@@ -1443,6 +1481,24 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": """
             SELECT doc_id, sha256(text) AS sha256,
                    strlen(text)::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "sample_stratified_docs": f"""
+            WITH f AS (
+                SELECT doc_id, lang, {_split_frac_sql()} AS frac
+                FROM documents
+            )
+            SELECT doc_id, lang FROM f
+            WHERE frac < CASE lang {' '.join(
+                f"WHEN '{lang}' THEN {frac}"
+                for lang, frac in STRATA_FRACTIONS.items()
+            )} ELSE 0.0 END
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                   + len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))
+                       AS n_bpe_tokens
             FROM documents
         """,
         "text_token_count": """

@@ -81,6 +81,7 @@ def stratified_sample(
     fractions: dict,
     key_col: str,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum hash sampling (deterministic ``sampleBy``)."""
     frac_expr = None
@@ -92,7 +93,9 @@ def stratified_sample(
             else frac_expr.when(cond, F.lit(float(fraction)))
         )
     frac_expr = frac_expr.otherwise(F.lit(0.0))
-    return df.filter(_hash_fraction(F.col(key_col), seed) < frac_expr)
+    return df.filter(
+        _hash_fraction(F.col(key_col), seed, hash_mode=hash_mode) < frac_expr
+    )
 
 
 def balance_classes(
@@ -100,6 +103,7 @@ def balance_classes(
     label_col: str,
     key_col: str,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Downsample every class to ~the size of the rarest class.
 
@@ -113,7 +117,8 @@ def balance_classes(
     smallest = min(counts.values())
     fractions = {label: smallest / n for label, n in counts.items()}
     return stratified_sample(
-        df, label_col, fractions, key_col=key_col, seed=seed
+        df, label_col, fractions, key_col=key_col, seed=seed,
+        hash_mode=hash_mode,
     )
 
 

@@ -52,12 +52,15 @@ def bpe_ish_token_count(text: Union[str, Column]) -> Column:
 
 
 def avg_token_length(text: Union[str, Column]) -> Column:
-    """Mean token character length (double)."""
-    toks = tokens(text)
-    total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-    )
-    return total / F.size(toks)
+    """Mean token character length (double).
+
+    Codegen formulation: the summed token length equals the text's
+    non-space character count (tokens are the ' '-split segments), so no
+    interpreted ``aggregate`` lambda is needed.
+    """
+    t = _text(text)
+    total = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double")
+    return total / F.size(tokens(text))
 
 
 def punctuation_ratio(text: Union[str, Column]) -> Column:

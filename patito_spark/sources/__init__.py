@@ -3,15 +3,19 @@
 from patito_spark.sources.readers import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     write_bucketed,
+    write_orc,
     write_parquet,
 )
 
 __all__ = [
     "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "write_bucketed",
+    "write_orc",
     "write_parquet",
 ]

@@ -92,6 +92,51 @@ def read_parquet(
     return _finalize(sdf, model)
 
 
+def read_orc(
+    path: str,
+    model: type["Model"],
+    spark: Optional[SparkSession] = None,
+    prune: bool = True,
+    **options: Any,
+) -> "DataFrame":
+    """Read ORC; project to the model's columns so the scan prunes."""
+    spark = _session(spark)
+    sdf = spark.read.options(**options).orc(path)
+    derived = set(model.derived_columns)
+    if prune:
+        keep = [c for c in model.columns if c in sdf.columns and c not in derived]
+        extra_sources = {
+            src for src in model.derived_columns.values() if isinstance(src, str)
+        }
+        keep += [c for c in sdf.columns if c in extra_sources and c not in keep]
+        if keep:
+            sdf = sdf.select(*keep)
+    return _finalize(sdf, model)
+
+
+def write_orc(
+    df,
+    path: str,
+    partition_by: Optional[list[str]] = None,
+    mode: str = "error",
+    validate: bool = False,
+    **options: Any,
+) -> None:
+    """Write a (model-)DataFrame to ORC, optionally validating first."""
+    from patito_spark.dataframe import DataFrame as PatitoDataFrame
+
+    if isinstance(df, PatitoDataFrame):
+        if validate:
+            df.validate()
+        sdf = df.inner
+    else:
+        sdf = df
+    writer = sdf.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_json(
     path: str,
     model: type["Model"],

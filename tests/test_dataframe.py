@@ -197,3 +197,34 @@ def test_collect_returns_model_aware_wrapper(spark):
     assert out.model is Product
     out.validate()  # model-aware method still available post-collect
     assert [r["name"] for r in out.inner.collect()] == ["banana"]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    import patito_spark as pt
+    from patito_spark.sources import read_orc, write_orc
+
+    class Product(pt.Model):
+        pid: int
+        name: str
+
+    sdf = spark.createDataFrame([(1, "a"), (2, "b")], "pid long, name string, extra string"
+                                .replace(", extra string", ""))
+    df = pt.DataFrame(sdf, model=Product)
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path, validate=True)
+    back = read_orc(path, model=Product, spark=spark)
+    back.validate()
+    assert sorted(tuple(r) for r in back.inner.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_orc_prunes_columns(spark, tmp_path):
+    import patito_spark as pt
+    from patito_spark.sources import read_orc
+
+    class Narrow(pt.Model):
+        pid: int
+
+    path = str(tmp_path / "orc_wide")
+    spark.createDataFrame([(1, "x", 2.0)], "pid long, s string, v double").write.orc(path)
+    out = read_orc(path, model=Narrow, spark=spark)
+    assert out.inner.columns == ["pid"]

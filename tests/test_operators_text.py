@@ -100,3 +100,17 @@ def test_profile_shape(docs):
         "fingerprint",
     }
     assert out.count() == 3
+
+
+def test_avg_token_length_codegen_formulation(spark):
+    """length(replace(text,' ','')) / n_tokens must equal the per-token sum
+    (including empty tokens from repeated spaces)."""
+    from patito_spark.operators.text import avg_token_length
+
+    df = spark.createDataFrame(
+        [("ab cd",), ("a  b",), ("xyz",)], "text string"
+    )
+    got = [r["a"] for r in df.select(avg_token_length("text").alias("a")).collect()]
+    assert got[0] == 2.0          # (2+2)/2
+    assert got[1] == 2.0 / 3.0    # tokens 'a','','b' -> (1+0+1)/3
+    assert got[2] == 3.0
