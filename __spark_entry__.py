@@ -681,6 +681,33 @@ def q_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="ts", by=["user_id"])
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's NEXT click at or
+    after it (oracled via DuckDB ASOF with the inequality flipped)."""
+    from pyspark.sql import Window
+
+    from patito_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")  # epoch-micros, see q_asof_purchases
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("click_id").desc())
+    clicks = (
+        clicks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by=["user_id"], direction="forward"
+    )
+
+
 def q_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join: line items shipped within 30 days of any scoped
     order's date. Bucketed equi-join formulation (never a nested loop);
@@ -865,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": ann_ivf,
         "sample_split_documents": sample_split_documents,
         "q_asof_purchases": q_asof_purchases,
+        "q_asof_forward": q_asof_forward,
         "q_range_join_orders": q_range_join_orders,
         "q_cdc_user_state": q_cdc_user_state,
         "multimodal_image_features": multimodal_image_features,
@@ -1454,6 +1482,25 @@ def oracle_sql() -> dict[str, str]:
                    c.ts AS right_ts
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_asof_forward": """
+            WITH purchases AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts,
+                       event_id AS click_id
+                FROM events WHERE event_type = 'click'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, epoch_ns(ts) // 1000
+                    ORDER BY event_id DESC
+                ) = 1
+            )
+            SELECT p.user_id, p.ts, p.event_id,
+                   c.click_id AS right_click_id, c.ts AS right_ts
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "q_range_join_orders": """
             SELECT l_orderkey, l_linenumber,

@@ -40,29 +40,39 @@ def asof_join(
     by: Optional[Sequence[str]] = None,
     right_prefix: str = "right_",
     tolerance: Optional[int] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest ``right`` row with ``right.on <= left.on``.
+    """As-of join: for each left row, one temporally-matched right row.
 
-    Matches DuckDB ``ASOF LEFT JOIN`` / Polars ``join_asof`` semantics
-    (backward direction, equality included). All non-``on``/``by`` right
-    columns are carried with ``right_prefix``; unmatched left rows keep
-    them NULL.
+    Directions (Polars ``join_asof`` parity; equality always matches):
+
+    * ``backward`` (default) — latest right with ``right.on <= left.on``
+      (DuckDB ``ASOF LEFT JOIN`` semantics).
+    * ``forward`` — earliest right with ``right.on >= left.on``.
+    * ``nearest`` — whichever of the two is closer; ties prefer backward.
+
+    All non-``on``/``by`` right columns are carried with ``right_prefix``;
+    unmatched left rows keep them NULL.
 
     Scale shape: both sides are unioned into one keyed stream and the
-    right payload is carried forward inside ONE window — no join, no
-    nested loop, one shuffle on ``by``. With equal timestamps on both
-    sides the right row sorts first (matches ``<=``); duplicate right
-    rows per (key, time) must be pre-deduplicated by the caller (as-of
-    semantics are undefined there — same as DuckDB, which picks an
-    arbitrary one).
+    right payload is carried inside windows over ONE shuffle on ``by`` —
+    no join, no nested loop (`nearest` adds a second sort of the same
+    exchange, not a second shuffle). Duplicate right rows per (key, time)
+    must be pre-deduplicated by the caller (as-of semantics are undefined
+    there — same as DuckDB, which picks an arbitrary one).
 
     Args:
         on: ordering column name, present in both sides (numeric or
-            timestamp).
+            timestamp; ``nearest`` requires numeric for the distance
+            comparison).
         by: equi-join key columns (the partition of the window).
-        tolerance: optional max allowed ``left.on - right.on`` (same units
-            as ``on``); matches older than this become NULL.
+        tolerance: optional max allowed time distance (same units as
+            ``on``); matches farther than this become NULL.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join direction must be 'backward', 'forward' or 'nearest'"
+        )
     by = list(by or [])
     carry_cols = [c for c in right.columns if c != on and c not in by]
 
@@ -88,41 +98,84 @@ def asof_join(
     )
     unioned = l_marked.unionByName(r_marked)
 
-    # Right rows (__side=0) sort before left rows at the same instant, so
-    # a right row at exactly left.on is visible to the carry — the `<=`
-    # in the as-of contract.
-    w = (
+    # Backward: right rows (__side=0) sort BEFORE left rows at the same
+    # instant, so an equal-timestamp right row is inside the trailing
+    # frame — the `<=` of the contract. Forward mirrors it: right rows
+    # sort AFTER left at the same instant, leading frame, `>=`.
+    w_back = (
         Window.partitionBy(*by)
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in carry_cols
-        ],
-        F.last("__r_t", ignorenulls=True).over(w).alias("__c_t"),
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    carried = unioned
+    if direction in ("backward", "nearest"):
+        carried = carried.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w_back).alias(f"__b_{c}")
+                for c in carry_cols
+            ],
+            F.last("__r_t", ignorenulls=True).over(w_back).alias("__b_t"),
+        )
+    if direction in ("forward", "nearest"):
+        carried = carried.select(
+            "*",
+            *[
+                F.first(f"__r_{c}", ignorenulls=True).over(w_fwd).alias(f"__f_{c}")
+                for c in carry_cols
+            ],
+            F.first("__r_t", ignorenulls=True).over(w_fwd).alias("__f_t"),
+        )
 
     out = carried.filter(F.col("__side") == 1)
-    in_tolerance: Optional[Column] = None
-    if tolerance is not None:
-        in_tolerance = F.col("__t") - F.col("__c_t") <= F.lit(tolerance)
+
+    def _valid(side: str) -> Column:
+        t = F.col(f"__{side}_t")
+        distance = (
+            F.col("__t") - t if side == "b" else t - F.col("__t")
+        )
+        ok = t.isNotNull()
+        if tolerance is not None:
+            ok = ok & (distance <= F.lit(tolerance))
+        return ok
+
+    if direction == "backward":
+        pick = {c: F.when(_valid("b"), F.col(f"__b_{c}")) for c in carry_cols}
+        pick["__out_t"] = F.when(_valid("b"), F.col("__b_t"))
+    elif direction == "forward":
+        pick = {c: F.when(_valid("f"), F.col(f"__f_{c}")) for c in carry_cols}
+        pick["__out_t"] = F.when(_valid("f"), F.col("__f_t"))
+    else:
+        # Row-consistent choice: the whole carried row comes from one side.
+        use_back = _valid("b") & (
+            ~_valid("f")
+            | (
+                (F.col("__t") - F.col("__b_t"))
+                <= (F.col("__f_t") - F.col("__t"))
+            )
+        )
+        pick = {
+            c: F.when(use_back, F.col(f"__b_{c}")).otherwise(
+                F.when(_valid("f"), F.col(f"__f_{c}"))
+            )
+            for c in carry_cols
+        }
+        pick["__out_t"] = F.when(use_back, F.col("__b_t")).otherwise(
+            F.when(_valid("f"), F.col("__f_t"))
+        )
+
     projection = [
         *by,
         F.col("__t").alias(on),
         *[F.col(c) for c in left.columns if c != on and c not in by],
+        *[pick[c].alias(f"{right_prefix}{c}") for c in carry_cols],
+        pick["__out_t"].alias(f"{right_prefix}{on}"),
     ]
-    for c in carry_cols:
-        value = F.col(f"__c_{c}")
-        if in_tolerance is not None:
-            value = F.when(in_tolerance, value)
-        projection.append(value.alias(f"{right_prefix}{c}"))
-    value = F.col("__c_t")
-    if in_tolerance is not None:
-        value = F.when(in_tolerance, value)
-    projection.append(value.alias(f"{right_prefix}{on}"))
     return out.select(*projection)
 
 

@@ -151,3 +151,43 @@ def test_apply_changes_snapshot_from_stream(spark):
     )
     out = apply_changes(None, changes, key_cols=["k"], seq_col="seq")
     assert canon(out.select("k", "v")) == [(1, "b")]
+
+
+def test_asof_join_forward(trades, quotes):
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="forward")
+    got = {
+        (r["sym"], r["t"]): (r["right_px"], r["right_t"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("A", 5): (1.0, 10),    # earliest quote at/after 5
+        ("A", 20): (2.0, 20),   # equality matches forward too
+        ("A", 25): (3.0, 30),
+        ("A", 99): (None, None),  # nothing after 99
+        ("B", 14): (10.0, 15),
+        ("C", 50): (None, None),
+    }
+
+
+def test_asof_join_nearest(trades, quotes):
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="nearest")
+    got = {(r["sym"], r["t"]): r["right_t"] for r in out.collect()}
+    assert got[("A", 5)] == 10    # only forward exists
+    assert got[("A", 20)] == 20   # exact
+    assert got[("A", 25)] == 20   # backward dist 5 <= forward dist 5 -> tie, backward
+    assert got[("A", 99)] == 30   # only backward exists
+    assert got[("B", 14)] == 15
+
+
+def test_asof_join_nearest_tolerance(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="t", by=["sym"], direction="nearest", tolerance=4
+    )
+    got = {(r["sym"], r["t"]): r["right_t"] for r in out.collect()}
+    assert got[("A", 5)] is None   # forward dist 5 > 4
+    assert got[("A", 25)] is None  # both dists 5 > 4
+    assert got[("B", 14)] == 15    # dist 1
+
+def test_asof_join_bad_direction(trades, quotes):
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="t", direction="sideways")
