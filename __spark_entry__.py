@@ -815,6 +815,44 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (codegen regexp_replace chain, no UDF).
+
+    The synthetic documents contain no PII, so both engines inject the
+    same deterministic email/IP/phone per row before redacting — the
+    oracle then value-checks the full pattern chain non-vacuously.
+    """
+    from patito_spark.operators.text import redact
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com ip 10.0.0."),
+            F.col("doc_id") % 255,
+            F.lit(" call +1-555-123-4567"),
+        ).alias("text"),
+    )
+    return injected.select("doc_id", redact("text").alias("redacted"))
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing 5-grams with a
+    held-out 'benchmark' slice (doc_id < 20), broadcast overlap join in
+    portable-hash mode so the oracle replays gram hashing + counting."""
+    from patito_spark.operators.contamination import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return ngram_contamination(
+        corpus, benchmark, n=5, hash_mode="portable"
+    )
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.text import token_count
 
@@ -897,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_user_state": q_cdc_user_state,
         "multimodal_image_features": multimodal_image_features,
         "sample_stratified_docs": sample_stratified_docs,
+        "text_redact": text_redact,
+        "contamination_check": contamination_check,
         "text_bpe_tokens": text_bpe_tokens,
         "text_token_count": text_token_count,
         "text_quality": text_quality,
@@ -974,21 +1014,37 @@ def _split_frac_sql() -> str:
     return sample_fraction_sql("doc_id", seed=42)
 
 
-#: Shingle rows shared by the dedup_minhash oracle: replays
-#: shingle_hash_rows (word 3-grams, whole-text fallback for short docs,
-#: portable hash, distinct per doc).
-_SHINGLE_SQL = f"""
+def _redact_sql(expr: str) -> str:
+    """regexp_replace chain mirroring text.redact (same patterns, 'g')."""
+    from patito_spark.operators.text import PII_PATTERNS
+
+    for label, pattern in PII_PATTERNS.items():
+        escaped = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '<{label}>', 'g')"
+    return expr
+
+
+def _shingle_sql(n: int = 3, source: str = "documents") -> str:
+    """Shingle rows replaying shingle_hash_rows: word n-grams with the
+    whole-text fallback for short docs, portable hash, distinct per doc."""
+    gram = " || ' ' || ".join(
+        f"t[i + {j}]" if j else "t[i]" for j in range(n)
+    )
+    return f"""
     SELECT DISTINCT doc_id, {_phash_sql('gram')} AS h
     FROM (
         SELECT doc_id,
-               unnest(CASE WHEN len(t) >= 3
-                      THEN list_transform(range(1, len(t) - 1),
-                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+               unnest(CASE WHEN len(t) >= {n}
+                      THEN list_transform(range(1, len(t) - {n - 2}),
+                           i -> {gram})
                       ELSE [text] END) AS gram
         FROM (SELECT doc_id, text, string_split(text, ' ') AS t
-              FROM documents)
+              FROM {source})
     )
 """
+
+
+_SHINGLE_SQL = _shingle_sql(3)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1540,6 +1596,28 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN '{lang}' THEN {frac}"
                 for lang, frac in STRATA_FRACTIONS.items()
             )} ELSE 0.0 END
+        """,
+        "text_redact": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@example.com ip 10.0.0.' || (doc_id % 255)
+                            || ' call +1-555-123-4567' AS text
+                FROM documents
+            )
+            SELECT doc_id, {_redact_sql('text')} AS redacted
+            FROM injected
+        """,
+        "contamination_check": f"""
+            WITH cg AS ({_shingle_sql(5, '(SELECT doc_id, text FROM documents WHERE doc_id >= 20)')}),
+            bg AS (
+                SELECT DISTINCT h
+                FROM ({_shingle_sql(5, '(SELECT doc_id, text FROM documents WHERE doc_id < 20)')})
+            )
+            SELECT cg.doc_id, count(DISTINCT cg.h) AS n_shared_grams
+            FROM cg JOIN bg ON cg.h = bg.h
+            GROUP BY cg.doc_id
+            HAVING count(DISTINCT cg.h) >= 1
         """,
         "text_bpe_tokens": """
             SELECT doc_id,

@@ -172,3 +172,29 @@ def profile(
         detect_language(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+#: Default PII patterns (RE2-compatible — no lookarounds — so SQL engines
+#: can replay redaction for oracles; Java regex reads them identically).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?",
+    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact(
+    text: Union[str, Column],
+    patterns: Union[dict, None] = None,
+) -> Column:
+    """Replace PII matches with ``<LABEL>`` placeholders (map-only).
+
+    ``patterns`` maps label -> regex; applied in insertion order (labels
+    matched earlier are not re-scanned by later patterns since the
+    placeholder contains no pattern characters). Pure ``regexp_replace``
+    chain: whole-stage codegen, no UDF, fused into the scan.
+    """
+    col = _text(text)
+    for label, pattern in (patterns or PII_PATTERNS).items():
+        col = F.regexp_replace(col, pattern, f"<{label}>")
+    return col

@@ -114,3 +114,30 @@ def test_avg_token_length_codegen_formulation(spark):
     assert got[0] == 2.0          # (2+2)/2
     assert got[1] == 2.0 / 3.0    # tokens 'a','','b' -> (1+0+1)/3
     assert got[2] == 3.0
+
+
+def test_redact_patterns(spark):
+    from patito_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@foo.org here",),
+         ("server at 192.168.1.10 port",),
+         ("call +1-555-123-4567 now",),
+         ("clean text stays",)],
+        "text string",
+    )
+    got = [r["r"] for r in df.select(redact("text").alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> here"
+    assert got[1] == "server at <IPV4> port"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "clean text stays"
+
+
+def test_redact_custom_patterns(spark):
+    from patito_spark.operators.text import redact
+
+    df = spark.createDataFrame([("id ABC-123 ok",)], "text string")
+    got = df.select(
+        redact("text", {"TICKET": r"[A-Z]{3}-[0-9]+"}).alias("r")
+    ).first()["r"]
+    assert got == "id <TICKET> ok"
