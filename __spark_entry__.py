@@ -853,6 +853,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (duplicate / top bigram
+    fractions) — oracled value-exactly (integer-ratio doubles)."""
+    from patito_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, ngram=2)
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.text import token_count
 
@@ -936,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": multimodal_image_features,
         "sample_stratified_docs": sample_stratified_docs,
         "text_redact": text_redact,
+        "text_repetition": text_repetition,
         "contamination_check": contamination_check,
         "text_bpe_tokens": text_bpe_tokens,
         "text_token_count": text_token_count,
@@ -1596,6 +1606,25 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN '{lang}' THEN {frac}"
                 for lang, frac in STRATA_FRACTIONS.items()
             )} ELSE 0.0 END
+        """,
+        "text_repetition": """
+            WITH grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents)
+                WHERE len(t) >= 2
+            ),
+            per_gram AS (
+                SELECT doc_id, gram, count(*) AS n
+                FROM grams GROUP BY doc_id, gram
+            )
+            SELECT doc_id,
+                   sum(n) AS n_grams,
+                   1.0 - count(*)::DOUBLE / sum(n)::DOUBLE AS dup_gram_frac,
+                   max(n)::DOUBLE / sum(n)::DOUBLE AS top_gram_frac
+            FROM per_gram GROUP BY doc_id
         """,
         "text_redact": f"""
             WITH injected AS (

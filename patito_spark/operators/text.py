@@ -198,3 +198,54 @@ def redact(
     for label, pattern in (patterns or PII_PATTERNS).items():
         col = F.regexp_replace(col, pattern, f"<{label}>")
     return col
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document.
+
+    Returns ``<id_col>, n_grams, dup_gram_frac, top_gram_frac`` where
+    ``dup_gram_frac`` is the fraction of n-gram occurrences that are
+    repeats (1 - distinct/total) and ``top_gram_frac`` the share of the
+    single most frequent n-gram — the repetition filters from the Gopher
+    data pipeline (Rae et al. 2021, table A1). Documents shorter than
+    ``ngram`` tokens emit no row.
+
+    Scale shape: tokens explode to rows, n-grams build via ``lead()``
+    windows (codegen, partitioned per doc), then TWO hash aggregates
+    (per-gram counts, then per-doc stats) — both map-side combined; no
+    arrays are held whole-document in memory.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+    )
+    if ngram > 1:
+        w = Window.partitionBy("__id").orderBy("__pos")
+        gram_cols = [F.col("__tok")] + [
+            F.lead("__tok", i).over(w) for i in range(1, ngram)
+        ]
+        grams = toks.select(
+            "__id",
+            F.when(
+                gram_cols[-1].isNotNull(), F.concat_ws(" ", *gram_cols)
+            ).alias("__gram"),
+        ).filter(F.col("__gram").isNotNull())
+    else:
+        grams = toks.select("__id", F.col("__tok").alias("__gram"))
+    per_gram = grams.groupBy("__id", "__gram").agg(F.count("*").alias("__n"))
+    return per_gram.groupBy(F.col("__id").alias(id_col)).agg(
+        F.sum("__n").alias("n_grams"),
+        (
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("__n").cast("double")
+        ).alias("dup_gram_frac"),
+        (F.max("__n").cast("double") / F.sum("__n").cast("double")).alias(
+            "top_gram_frac"
+        ),
+    )

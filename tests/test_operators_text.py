@@ -141,3 +141,31 @@ def test_redact_custom_patterns(spark):
         redact("text", {"TICKET": r"[A-Z]{3}-[0-9]+"}).alias("r")
     ).first()["r"]
     assert got == "id <TICKET> ok"
+
+
+def test_repetition_stats(spark):
+    from patito_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "x y z w"),          # 3 distinct bigrams, no repeats
+            (3, "q"),                # shorter than ngram -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, ngram=2).collect()}
+    assert out[1]["n_grams"] == 5
+    assert out[1]["dup_gram_frac"] == 1.0 - 2.0 / 5.0
+    assert out[1]["top_gram_frac"] == 3.0 / 5.0  # 'a b' occurs 3 times
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert 3 not in out
+
+
+def test_repetition_stats_unigram(spark):
+    from patito_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    row = repetition_stats(df, ngram=1).first()
+    assert row["n_grams"] == 3
+    assert row["top_gram_frac"] == 2.0 / 3.0
