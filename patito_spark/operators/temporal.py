@@ -84,7 +84,9 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carry_cols],
         F.lit(None).cast(right.schema[on].dataType).alias("__r_t"),
     )
-    r_marked = right.select(
+    # A NULL right timestamp would sort NULLS FIRST and its payload would
+    # be carried into every row — a NULL-timed observation matches nothing.
+    r_marked = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("__t"),
         F.lit(0).alias("__side"),
@@ -219,19 +221,21 @@ def range_join(
         row = sample.agg(F.max("__len").alias("mx")).first()
         bucket_width = int(row["mx"] or 1) or 1
 
+    # floor (not truncating cast): negative coordinates must round DOWN
+    # or points just below zero land in the wrong bucket.
     i_bucketed = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(start_col) / bucket_width).cast("long"),
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
                 # end is exclusive, but a point in end's bucket can still
                 # precede it — include the end bucket.
-                (F.col(end_col) / bucket_width).cast("long"),
+                F.floor(F.col(end_col) / bucket_width).cast("long"),
             )
         ),
     )
     p_bucketed = points.withColumn(
-        "__bucket", (F.col(point_col) / bucket_width).cast("long")
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
     )
     cond = [p_bucketed["__bucket"] == i_bucketed["__bucket"]] + [
         p_bucketed[c] == i_bucketed[c] for c in by

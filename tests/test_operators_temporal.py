@@ -191,3 +191,21 @@ def test_asof_join_nearest_tolerance(trades, quotes):
 def test_asof_join_bad_direction(trades, quotes):
     with pytest.raises(ValueError, match="direction"):
         asof_join(trades, quotes, on="t", direction="sideways")
+
+
+def test_range_join_negative_coordinates(spark):
+    """Bucket ids must floor (not truncate): points below zero."""
+    intervals = spark.createDataFrame([(1, -10, -2)], "iv_id long, s long, e long")
+    points = spark.createDataFrame([(-5,), (-2,), (-11,)], "p long")
+    out = range_join(points, intervals, "p", "s", "e", bucket_width=4)
+    got = sorted(r["p"] for r in out.collect())
+    assert got == [-5]  # -2 excluded (end), -11 outside
+
+
+def test_asof_join_null_right_timestamps_ignored(spark):
+    left = spark.createDataFrame([(10,)], "t long")
+    right = spark.createDataFrame(
+        [(None, "ghost"), (5, "real")], "t long, tag string"
+    )
+    out = asof_join(left, right, on="t")
+    assert out.first()["right_tag"] == "real"
