@@ -815,6 +815,62 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour + day) over events.
+
+    The day level re-aggregates the cached hour level, not the raw table
+    (cascade_rollup); sums rounded for cross-engine double addition."""
+    from patito_spark.operators.timeseries import cascade_rollup
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")  # epoch-micros, see q_asof_purchases
+    )
+    rolled = cascade_rollup(
+        events,
+        "ts",
+        widths=[HOUR_US, DAY_US],
+        aggs={"n": ("value", "count"), "total": ("value", "sum")},
+        group_cols=["event_type"],
+    )
+    return rolled.select(
+        "resolution",
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+    )
+
+
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly event counts per type (dense time axis, zeros in
+    the holes) — the charting/interpolation shape."""
+    from patito_spark.operators.timeseries import fill_gaps, time_bucket
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")
+    )
+    hourly = events.groupBy(
+        time_bucket("ts", HOUR_US).alias("bucket"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return fill_gaps(
+        hourly, "bucket", HOUR_US, group_cols=["event_type"], fill={"n": 0}
+    )
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch: approximate distinct users per event
+    type. Portable hash makes sketch state AND estimate engine-exact, so
+    the oracle value-checks an *approximate* algorithm bit-for-bit."""
+    from patito_spark.operators.sketch import kmv_distinct
+
+    events = _t(spark, sf_dir, "events")
+    return kmv_distinct(events, "user_id", group_cols=["event_type"], k=32)
+
+
 def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (codegen regexp_replace chain, no UDF).
 
@@ -944,6 +1000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_user_state": q_cdc_user_state,
         "multimodal_image_features": multimodal_image_features,
         "sample_stratified_docs": sample_stratified_docs,
+        "q_rollup_multires": q_rollup_multires,
+        "q_hourly_gapfill": q_hourly_gapfill,
+        "q_kmv_distinct_users": q_kmv_distinct_users,
         "text_redact": text_redact,
         "text_repetition": text_repetition,
         "contamination_check": contamination_check,
@@ -1606,6 +1665,58 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN '{lang}' THEN {frac}"
                 for lang, frac in STRATA_FRACTIONS.items()
             )} ELSE 0.0 END
+        """,
+        "q_rollup_multires": f"""
+            SELECT {HOUR_US} AS resolution,
+                   (epoch_ns(ts) // 1000 // {HOUR_US}) * {HOUR_US}
+                       AS bucket_start,
+                   event_type, count(value) AS n,
+                   round(sum(value), 2) AS total
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT {DAY_US},
+                   (epoch_ns(ts) // 1000 // {DAY_US}) * {DAY_US},
+                   event_type, count(value), round(sum(value), 2)
+            FROM events GROUP BY 2, 3
+        """,
+        "q_hourly_gapfill": f"""
+            WITH hourly AS (
+                SELECT (epoch_ns(ts) // 1000 // {HOUR_US}) * {HOUR_US}
+                           AS bucket,
+                       event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM hourly GROUP BY 1
+            ),
+            axis AS (
+                SELECT event_type,
+                       unnest(range(lo, hi + 1, {HOUR_US})) AS bucket
+                FROM bounds
+            )
+            SELECT a.event_type, a.bucket, coalesce(h.n, 0) AS n
+            FROM axis a LEFT JOIN hourly h USING (event_type, bucket)
+        """,
+        "q_kmv_distinct_users": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       {_phash_sql('user_id::VARCHAR')} AS h
+                FROM events
+            ),
+            kept AS (
+                SELECT event_type, h,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY h ASC
+                       ) AS rn
+                FROM h
+            )
+            SELECT event_type, count(*) AS n_kept,
+                   max(h)::DOUBLE AS kth_hash,
+                   CASE WHEN count(*) < 32 THEN count(*)::DOUBLE
+                        ELSE 31.0 * {float(1 << 60)!r} / max(h)::DOUBLE
+                   END AS distinct_est
+            FROM kept WHERE rn <= 32 GROUP BY event_type
         """,
         "text_repetition": """
             WITH grams AS (
