@@ -599,7 +599,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = ann_lsh_topk(emb, queries, k=10, n_planes=6)
+    out = ann_lsh_topk(emb, queries, k=10, n_planes=6, multi_probe_bits=1)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1475,8 +1475,9 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
             FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
         """,
-        # Replays ann_lsh_topk: 6-plane buckets on corpus AND queries,
-        # exact (cosine desc, id asc) ranking within each query's bucket.
+        # Replays ann_lsh_topk: 6-plane buckets on corpus AND queries;
+        # multi-probe(1) = the query also probes every bucket one bit-flip
+        # away, i.e. candidates are buckets within Hamming distance 1.
         "ann_lsh": f"""
             WITH e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1500,7 +1501,8 @@ def oracle_sql() -> dict[str, str]:
                                     / (q.norm * c.norm) DESC,
                                     c.vec_id ASC
                        ) AS rank
-                FROM b q JOIN b c ON q.bucket = c.bucket
+                FROM b q JOIN b c
+                  ON bit_count(xor(q.bucket, c.bucket)) <= 1
                 WHERE q.vec_id < 8
             ) WHERE rank <= 10
         """,

@@ -204,15 +204,24 @@ def ann_lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    multi_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each query's bucket.
 
     The corpus-side bucket assignment is a map-only numpy projection; the
-    join on ``bucket`` replaces the cross join, cutting scored candidates by
-    ~2^n_planes. Recall degrades gracefully (vectors straddling a
-    hyperplane); multi-probe or more tables would raise it — this is the
-    canonical speed/recall trade.
+    join on ``bucket`` replaces the cross join, cutting scored candidates
+    by ~2^n_planes. ``multi_probe_bits=1`` additionally probes every
+    bucket at Hamming distance 1 from the query's (each hyperplane bit
+    flipped once — the standard multi-probe recall lever: a near neighbor
+    missed only because it straddles ONE hyperplane is recovered). The
+    query side explodes to ``n_planes + 1`` probe buckets, so the join
+    stays an equi-join — corpus-side pruning is preserved, candidate
+    volume grows ~(n_planes+1)×. Only 0 and 1 are supported; deeper
+    probing multiplies candidates combinatorially — use fewer planes or
+    IVF instead.
     """
+    if multi_probe_bits not in (0, 1):
+        raise ValueError("multi_probe_bits must be 0 or 1")
     planes = _deterministic_hyperplanes(dim, n_planes, seed)
     c = sign_projection_buckets(
         corpus.select(
@@ -228,6 +237,18 @@ def ann_lsh_topk(
         planes,
         vec_col="__qvec",
     )
+    if multi_probe_bits == 1:
+        # A corpus vector lives in ONE bucket and the probe set is
+        # distinct, so each (query, neighbor) pair still meets at most
+        # once — no dedup pass needed.
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     candidates = c.join(F.broadcast(q), on="bucket")
     scored = cosine_score_pairs(
         candidates,

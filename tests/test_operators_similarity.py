@@ -96,3 +96,39 @@ def test_ann_ivf_recall(emb):
     assert recall >= 0.4
     for q in range(10):
         assert (q, q) in ivf_set  # self always lands in own probed cell
+
+
+def test_multi_probe_raises_recall(spark, sf_dir):
+    """Hamming-1 probing must find at least as many true neighbors as
+    single-bucket probing (and strictly more candidates)."""
+    from patito_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(multi):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_lsh_topk(
+                emb, queries, k=5, n_planes=6, multi_probe_bits=multi
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    # synthetic embeddings are uniform-random (no true clusters), so
+    # absolute recall is modest; monotonicity is the real contract
+    assert r1 >= 0.3
+
+
+def test_multi_probe_bits_validation(spark, sf_dir):
+    from patito_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="multi_probe_bits"):
+        ann_lsh_topk(emb, emb.limit(1), multi_probe_bits=2)
