@@ -4,6 +4,7 @@ from patito_spark.streaming.validate import (
     read_stream,
     sessionize_stream,
     stateful_dedup_stream,
+    stream_stream_join,
     streaming_apply_changes,
     windowed_aggregate,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "read_stream",
     "sessionize_stream",
     "stateful_dedup_stream",
+    "stream_stream_join",
     "streaming_apply_changes",
     "windowed_aggregate",
 ]

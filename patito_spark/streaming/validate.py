@@ -318,3 +318,45 @@ def streaming_apply_changes(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded time condition.
+
+    Joins rows whose timestamps are within ``max_delay`` of each other
+    (``right_ts`` in [left_ts - max_delay, left_ts + max_delay]). The
+    watermarks plus the interval bound are exactly what lets Spark EVICT
+    join state: without them a stream-stream join buffers both sides
+    forever. State per side is bounded by (watermark + max_delay) of
+    data — the knob to size against throughput.
+
+    ``how``: inner, or left_outer/right_outer (outer rows emit once the
+    watermark proves no match can still arrive).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for key in on:
+        this = lw[key] == rw[key]
+        cond = this if cond is None else cond & this
+    interval = (
+        (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    cond = interval if cond is None else cond & interval
+    joined = lw.join(rw, cond, how)
+    # A condition join keeps both copies of each key; keep the side that
+    # is non-null under the chosen join type.
+    keep_left = how != "right_outer"
+    for key in on:
+        joined = joined.drop(rw[key] if keep_left else lw[key])
+    return joined

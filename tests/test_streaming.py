@@ -190,3 +190,32 @@ def test_streaming_apply_changes_matches_batch(spark, tmp_path):
     batch_state = {r.k: (r.seq, r.v) for r in batch.collect()}
     assert stream_state == batch_state
     assert latest[2].is_deleted  # tombstone emitted for the deleted key
+
+
+def test_stream_stream_join(spark, tmp_path):
+    from patito_spark.streaming import stream_stream_join
+
+    lpath, rpath = str(tmp_path / "ss_left"), str(tmp_path / "ss_right")
+    spark.sql("""
+        select * from values
+          (1, timestamp'2024-01-01 10:00:00', 'L1'),
+          (2, timestamp'2024-01-01 10:00:00', 'L2')
+        as t(k, lts, lv)
+    """).write.parquet(lpath)
+    spark.sql("""
+        select * from values
+          (1, timestamp'2024-01-01 10:10:00', 'R1'),
+          (2, timestamp'2024-01-01 12:00:00', 'R2late')
+        as t(k, rts, rv)
+    """).write.parquet(rpath)
+    ls = spark.readStream.schema("k long, lts timestamp, lv string").parquet(lpath)
+    rs = spark.readStream.schema("k long, rts timestamp, rv string").parquet(rpath)
+    joined = stream_stream_join(
+        ls, rs, on=["k"], left_ts="lts", right_ts="rts",
+        max_delay="30 minutes", watermark="1 hour",
+    )
+    _run_available_now(joined, "t_ssjoin", output_mode="append")
+    rows = spark.sql("select k, lv, rv from t_ssjoin").collect()
+    got = {(r.k, r.lv, r.rv) for r in rows}
+    assert (1, "L1", "R1") in got          # within 30 min
+    assert all(r.rv != "R2late" for r in rows)  # 2h gap excluded
