@@ -815,6 +815,59 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming CDC view under the value oracle.
+
+    Replays events as a change stream through applyInPandasWithState
+    (latest change per user wins; errors are deletes) and returns the
+    final state — the custom stateful operator itself is what the DuckDB
+    oracle checks, not a batch re-derivation. Robust to multi-batch
+    execution: the memory sink's update rows are reduced to the
+    max-sequence row per key before returning.
+    """
+    import uuid
+
+    from pyspark.sql import Window
+
+    from patito_spark.streaming import streaming_apply_changes
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    changes = stream.select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts"),  # epoch-micros
+        "event_id",
+        "value",
+        "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    merged = streaming_apply_changes(changes, key_cols=["user_id"], seq_col="ts")
+    name = f"pt_cdc_{uuid.uuid4().hex[:8]}"
+    query = (
+        merged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(300)
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 HOUR_US = 3_600_000_000
 DAY_US = 86_400_000_000
 
@@ -1000,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_user_state": q_cdc_user_state,
         "multimodal_image_features": multimodal_image_features,
         "sample_stratified_docs": sample_stratified_docs,
+        "q_stream_cdc_state": q_stream_cdc_state,
         "q_rollup_multires": q_rollup_multires,
         "q_hourly_gapfill": q_hourly_gapfill,
         "q_kmv_distinct_users": q_kmv_distinct_users,
@@ -1667,6 +1721,19 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN '{lang}' THEN {frac}"
                 for lang, frac in STRATA_FRACTIONS.items()
             )} ELSE 0.0 END
+        """,
+        "q_stream_cdc_state": """
+            SELECT user_id, ts, event_id, value, event_type,
+                   (event_type = 'error') AS is_deleted
+            FROM (
+                SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id,
+                       value, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ns(ts) DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "q_rollup_multires": f"""
             SELECT {HOUR_US} AS resolution,

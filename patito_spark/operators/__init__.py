@@ -6,21 +6,29 @@ lacks the primitive (multimodal decode stubs).
 """
 
 from patito_spark.operators import (
+    contamination,
     dedup,
     graph,
     multimodal,
     sampling,
     similarity,
+    sketch,
     skew,
+    temporal,
     text,
+    timeseries,
 )
 
 __all__ = [
+    "contamination",
     "dedup",
     "graph",
     "multimodal",
     "sampling",
     "similarity",
+    "sketch",
     "skew",
+    "temporal",
     "text",
+    "timeseries",
 ]
