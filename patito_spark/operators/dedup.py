@@ -277,6 +277,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     shingle_size: int = 3,
     hash_mode: str = "xxhash64",
+    materialize_shingles: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Verified duplicate pairs: LSH candidates filtered by true Jaccard.
@@ -287,11 +288,19 @@ def minhash_dedup_pairs(
     near-duplicates, not n². Both stages share one shingle-hash pipeline:
     verification intersects the per-doc hash-gram arrays (sorted bigint
     arrays, cheap JVM set ops) instead of re-shingling text per pair.
+
+    The shared shingle rows feed BOTH branches, and Catalyst does not
+    share common subplans — without materialization the corpus is
+    re-shingled per branch. ``materialize_shingles`` (default) caches
+    them (memory-and-disk, ~tokens × 16 bytes); disable it to trade
+    recomputation for zero cache footprint.
     """
     shingle_rows = shingle_hash_rows(
         df, id_col=id_col, text_col=text_col, n=shingle_size,
         hash_mode=hash_mode,
     )
+    if materialize_shingles:
+        shingle_rows = shingle_rows.persist()
     candidates = minhash_lsh_candidates(
         df,
         id_col=id_col,
@@ -419,6 +428,9 @@ def simhash_dedup_pairs(
     sigs = simhash_signatures(
         df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
     )
+    # The signature table feeds both sides of the pigeonhole self-join;
+    # Catalyst would otherwise run the 64-sum aggregation twice.
+    sigs = sigs.persist()
     chunked = sigs.select(
         "__id",
         "__sig",
