@@ -241,6 +241,10 @@ def minhash_lsh_candidates(
     banded = banded.withColumn("__sz", F.count("*").over(w)).filter(
         (F.col("__sz") > 1) & (F.col("__sz") <= max_bucket_size)
     )
+    # Feeds both sides of the bucket self-join below — persist so the
+    # signature pipeline isn't executed twice (no cross-branch subplan
+    # sharing in Catalyst).
+    banded = banded.persist()
 
     left = banded.select(
         F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")

@@ -31,13 +31,17 @@ def connected_components(
     Returns:
         ``node, component`` — component is the min node id of the cluster.
     """
-    edges = pairs.select(
+    # The edge list unions with its own swap — persist the input so the
+    # (possibly expensive) pair-producing pipeline runs once, not twice,
+    # inside the checkpoint materialization.
+    base = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
+    base.unpersist()  # checkpoint materialized; the base is no longer needed
 
     labels = (
         edges.select(F.col("src").alias("node"))
