@@ -581,6 +581,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup in one call: MinHash+LSH pairs → Jaccard
+    verify → connected components → drop non-representatives. The oracle
+    replays the entire composition (portable hashes + recursive-CTE
+    closure + anti-join) value-for-value."""
+    from patito_spark.operators.dedup import dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_corpus(
+        docs, threshold=0.6, num_hashes=64, bands=16, hash_mode="portable"
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.similarity import cosine_topk
 
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "dedup_minhash": dedup_minhash,
+        "dedup_corpus_minhash": dedup_corpus_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
         "ann_lsh": ann_lsh,
@@ -1114,6 +1129,51 @@ def _bucket_sql(vec: str, n_planes: int, dim: int = 64, seed: int = 42) -> str:
 # The portable hash is 60-bit (top 4 bits constant 0), so SimHash bits
 # 60-63 can never win a vote — the oracle only materializes bits 0..59.
 _SIMHASH_BITS = 60
+
+
+def _minhash_pairs_sql_body() -> str:
+    """Shared CTE chain replaying minhash_dedup_pairs at threshold 0.6."""
+    return f"""sh AS ({_SHINGLE_SQL}),
+            bin_mins AS (
+                SELECT doc_id, h % 64 AS bin, min(h) AS mn
+                FROM sh GROUP BY doc_id, h % 64
+            ),
+            banded AS (
+                SELECT doc_id, (bin // 4) AS band,
+                       string_agg(bin || ':' || mn, ',' ORDER BY bin) AS bkey
+                FROM bin_mins GROUP BY doc_id, (bin // 4)
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS sz
+                    FROM banded
+                ) WHERE sz > 1 AND sz <= 1000
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM kept a JOIN kept b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                 AND a.doc_id < b.doc_id
+            ),
+            toks AS (
+                SELECT doc_id, list_sort(list(h)) AS hs FROM sh GROUP BY doc_id
+            ),
+            verified AS (
+                SELECT id_a, id_b,
+                       CASE WHEN len(a.hs) + len(b.hs)
+                                 - len(list_intersect(a.hs, b.hs)) = 0 THEN 1.0
+                            ELSE len(list_intersect(a.hs, b.hs))::DOUBLE
+                                 / (len(a.hs) + len(b.hs)
+                                    - len(list_intersect(a.hs, b.hs)))
+                       END AS jaccard
+                FROM cand JOIN toks a ON cand.id_a = a.doc_id
+                          JOIN toks b ON cand.id_b = b.doc_id
+                WHERE jaccard >= 0.6
+            )"""
+
+
+def _minhash_pairs_ctes() -> str:
+    return _minhash_pairs_sql_body()
 
 
 def _simhash_votes_sql() -> str:
@@ -1459,41 +1519,31 @@ def oracle_sql() -> dict[str, str]:
         # the oracle joins on the key string itself — identical pairs
         # short of a 64-bit hash collision.
         "dedup_minhash": f"""
-            WITH sh AS ({_SHINGLE_SQL}),
-            bin_mins AS (
-                SELECT doc_id, h % 64 AS bin, min(h) AS mn
-                FROM sh GROUP BY doc_id, h % 64
+            WITH {_minhash_pairs_ctes()}
+            SELECT id_a, id_b, jaccard FROM verified
+        """,
+        # The full composition: verified pairs -> transitive closure ->
+        # min-id representatives -> anti-join the drops out.
+        "dedup_corpus_minhash": f"""
+            WITH RECURSIVE {_minhash_pairs_ctes()},
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM verified
             ),
-            banded AS (
-                SELECT doc_id, (bin // 4) AS band,
-                       string_agg(bin || ':' || mn, ',' ORDER BY bin) AS bkey
-                FROM bin_mins GROUP BY doc_id, (bin // 4)
+            reach(src, dst) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
             ),
-            kept AS (
-                SELECT * FROM (
-                    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS sz
-                    FROM banded
-                ) WHERE sz > 1 AND sz <= 1000
+            comp AS (
+                SELECT src AS node, min(dst) AS component
+                FROM reach GROUP BY src
             ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM kept a JOIN kept b
-                  ON a.band = b.band AND a.bkey = b.bkey
-                 AND a.doc_id < b.doc_id
-            ),
-            toks AS (
-                SELECT doc_id, list_sort(list(h)) AS hs FROM sh GROUP BY doc_id
-            )
-            SELECT id_a, id_b,
-                   CASE WHEN len(a.hs) + len(b.hs)
-                             - len(list_intersect(a.hs, b.hs)) = 0 THEN 1.0
-                        ELSE len(list_intersect(a.hs, b.hs))::DOUBLE
-                             / (len(a.hs) + len(b.hs)
-                                - len(list_intersect(a.hs, b.hs)))
-                   END AS jaccard
-            FROM cand JOIN toks a ON cand.id_a = a.doc_id
-                      JOIN toks b ON cand.id_b = b.doc_id
-            WHERE jaccard >= 0.6
+            dropped AS (SELECT node FROM comp WHERE node <> component)
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
         """,
         # Replays SimHash in portable-hash mode: per-token ±1 bit votes in
         # one grouped aggregate, sign-packed signature, pigeonhole

@@ -658,3 +658,47 @@ def embedding_dedup_pairs_lsh(
         )
 
     return bucketed.groupBy("bucket").applyInPandas(bucket_pairs, pair_schema)
+
+
+# ---------------------------------------------------------------------- #
+# End-to-end corpus dedup                                                 #
+# ---------------------------------------------------------------------- #
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
+    **minhash_kwargs,
+) -> DataFrame:
+    """The user-facing operation: near-duplicate-free corpus, one call.
+
+    Composes the scale pipeline end-to-end: MinHash+LSH candidate pairs →
+    true-Jaccard verification → connected components over the verified
+    pairs → keep each cluster's minimum-id representative, drop the rest.
+    Returns ``df``'s rows minus non-representative near-duplicates (all
+    original columns).
+
+    Scale shape: everything upstream is the banded/bucketed pipeline
+    (never O(n²)); the final step is a LEFT ANTI join against the drop
+    set, whose size is the number of duplicates — broadcastable in the
+    common case where duplicates are a small fraction of the corpus.
+    """
+    from patito_spark.operators.graph import connected_components
+
+    pairs = minhash_dedup_pairs(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        hash_mode=hash_mode,
+        **minhash_kwargs,
+    )
+    components = connected_components(pairs, id_a="id_a", id_b="id_b")
+    drop = (
+        components.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, on=id_col, how="left_anti")

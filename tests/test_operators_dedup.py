@@ -126,3 +126,24 @@ def test_minhash_signature_expr(spark):
     assert by_id[1] == by_id[2]
     assert by_id[1] != by_id[3]
     assert len(by_id[1]) == 16
+
+
+def test_dedup_corpus_end_to_end(spark):
+    from patito_spark.operators.dedup import dedup_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                   # exact dup of 1
+            (3, base + " tail"),                         # near dup of 1
+            (4, "completely different words entirely here now today"),
+            (5, "another unrelated document with its own content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_corpus(docs, threshold=0.5, bands=32, num_hashes=64)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # cluster {1,2,3} -> representative 1; singletons survive
+    assert kept == [1, 4, 5]
+    assert out.columns == docs.columns
