@@ -728,6 +728,10 @@ def q_range_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the plain inequality join."""
     from patito_spark.operators.temporal import range_join
 
+    # unix_timestamp on TIMESTAMP_NTZ interprets wall time in the SESSION
+    # timezone; the oracle's epoch() is UTC-based — pin the session so the
+    # entry is correct regardless of the driver's default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     day = 86_400
     orders = (
         _t(spark, sf_dir, "orders")
