@@ -7,6 +7,7 @@ from patito_spark.streaming.validate import (
     stream_stream_join,
     streaming_apply_changes,
     windowed_aggregate,
+    write_stream_validated,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "stream_stream_join",
     "streaming_apply_changes",
     "windowed_aggregate",
+    "write_stream_validated",
 ]

@@ -360,3 +360,58 @@ def stream_stream_join(
     for key in on:
         joined = joined.drop(rw[key] if keep_left else lw[key])
     return joined
+
+
+def write_stream_validated(
+    stream: DataFrame,
+    model: type["Model"],
+    path: str,
+    checkpoint: str,
+    dead_letter_path: Optional[str] = None,
+    format: str = "parquet",
+    trigger_available_now: bool = False,
+    query_name: Optional[str] = None,
+):
+    """Validated streaming sink: good rows to ``path``, bad rows aside.
+
+    The model's row checks (compiled by :func:`row_validity_column` from
+    the same spec as batch validation) gate every record. With
+    ``dead_letter_path`` the sink runs as ``foreachBatch`` writing BOTH
+    outputs per micro-batch — invalid records are never dropped silently,
+    the standard dead-letter-queue pattern; without it invalid rows are
+    filtered out inline (cheaper: no per-batch python callback).
+
+    Returns the started ``StreamingQuery``.
+    """
+    valid = row_validity_column(model)
+    if dead_letter_path is None:
+        writer = (
+            stream.filter(valid)
+            .writeStream.format(format)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+        )
+        if query_name:
+            writer = writer.queryName(query_name)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        # Split once per micro-batch; persist so the two writes don't
+        # recompute the upstream batch.
+        batch = batch.persist()
+        batch.filter(valid).write.mode("append").format(format).save(path)
+        batch.filter(~F.coalesce(valid, F.lit(False))).write.mode(
+            "append"
+        ).format(format).save(dead_letter_path)
+        batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(route).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

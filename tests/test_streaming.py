@@ -219,3 +219,45 @@ def test_stream_stream_join(spark, tmp_path):
     got = {(r.k, r.lv, r.rv) for r in rows}
     assert (1, "L1", "R1") in got          # within 30 min
     assert all(r.rv != "R2late" for r in rows)  # 2h gap excluded
+
+
+def test_write_stream_validated_dead_letter(spark, tmp_path):
+    import patito_spark as pt
+    from patito_spark.streaming import write_stream_validated
+
+    class Reading(pt.Model):
+        k: int
+        v: float = pt.Field(ge=0)
+
+    src = str(tmp_path / "wsv_src")
+    spark.sql(
+        "select * from values (1, 1.5), (2, -3.0), (3, 0.0), (4, cast(null as double)) as t(k, v)"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    good, bad, ckpt = (str(tmp_path / d) for d in ("good", "bad", "ckpt"))
+    q = write_stream_validated(
+        stream, Reading, good, ckpt, dead_letter_path=bad,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    good_rows = {r.k for r in spark.read.parquet(good).collect()}
+    bad_rows = {r.k for r in spark.read.parquet(bad).collect()}
+    assert good_rows == {1, 3}
+    assert bad_rows == {2, 4}  # negative and null both routed, not dropped
+
+
+def test_write_stream_validated_inline_filter(spark, tmp_path):
+    import patito_spark as pt
+    from patito_spark.streaming import write_stream_validated
+
+    class Reading(pt.Model):
+        k: int
+        v: float = pt.Field(ge=0)
+
+    src = str(tmp_path / "wsv2_src")
+    spark.sql("select * from values (1, 1.0), (2, -1.0) as t(k, v)").write.parquet(src)
+    stream = spark.readStream.schema("k long, v double").parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    q = write_stream_validated(stream, Reading, out, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    assert {r.k for r in spark.read.parquet(out).collect()} == {1}
