@@ -140,6 +140,24 @@ class DataFrame:
         """
         return self
 
+    def with_column(self, name: str, column: Any) -> "DataFrame":
+        """polars-style alias for ``withColumn`` (ref polars.py ports)."""
+        return self._wrap(self._df.withColumn(name, column))
+
+    def with_columns(self, *columns: Any, **named: Any) -> "DataFrame":
+        """polars-style multi-column add.
+
+        Positional arguments are aliased Columns appended to the frame;
+        keyword arguments add-or-replace by name (``withColumn``
+        semantics) — use kwargs when overwriting an existing column.
+        """
+        out = self._df
+        if columns:
+            out = out.select("*", *columns)
+        for name, column in named.items():
+            out = out.withColumn(name, column)
+        return self._wrap(out)
+
     def collect(self, **kwargs: Any) -> "DataFrame":
         """Return the model-aware wrapper, mirroring LazyFrame.collect().
 

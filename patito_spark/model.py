@@ -561,6 +561,26 @@ class Model(BaseModel, metaclass=ModelMetaclass):
 
         _validate(dataframe=dataframe, schema=cls, **kwargs)
 
+    @classmethod
+    def validate(cls, obj, **kwargs):
+        """Porting shim matching the reference call shape.
+
+        The reference (pydantic v1) overrides ``Model.validate(df)`` for
+        dataframe validation (ref pydantic.py:670); pydantic v2 claims
+        ``validate`` as a model-instance alias. Dispatch on the argument:
+        dataframes route to :meth:`validate_df`, anything else to
+        pydantic's ``model_validate``.
+        """
+        from pyspark.sql import DataFrame as SparkDataFrame
+
+        from patito_spark.dataframe import DataFrame as PatitoDataFrame
+
+        if isinstance(obj, PatitoDataFrame):
+            return cls.validate_df(obj.inner, **kwargs)
+        if isinstance(obj, SparkDataFrame):
+            return cls.validate_df(obj, **kwargs)
+        return cls.model_validate(obj, **kwargs)
+
     # ------------------------------------------------------------------ #
     # Row construction                                                   #
     # ------------------------------------------------------------------ #

@@ -228,3 +228,35 @@ def test_read_orc_prunes_columns(spark, tmp_path):
     spark.createDataFrame([(1, "x", 2.0)], "pid long, s string, v double").write.orc(path)
     out = read_orc(path, model=Narrow, spark=spark)
     assert out.inner.columns == ["pid"]
+
+
+def test_with_column_aliases(spark):
+    import patito_spark as pt
+    from pyspark.sql import functions as F
+
+    df = pt.DataFrame(spark.createDataFrame([(1,)], "a long"))
+    out = df.with_column("b", F.col("a") * 2).with_columns(
+        (F.col("a") + 10).alias("c"), d=F.lit("x")
+    )
+    assert isinstance(out, pt.DataFrame)
+    row = out.inner.first()
+    assert (row["b"], row["c"], row["d"]) == (2, 11, "x")
+
+
+def test_model_validate_dispatch(spark):
+    import patito_spark as pt
+    from patito_spark.exceptions import DataFrameValidationError
+    import pytest as _pytest
+
+    class Item(pt.Model):
+        k: int
+        v: float = pt.Field(ge=0)
+
+    good = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    Item.validate(good)  # reference-style call shape, no raise
+    bad = spark.createDataFrame([(1, -1.0)], "k long, v double")
+    with _pytest.raises(DataFrameValidationError):
+        Item.validate(bad)
+    # non-dataframe argument falls through to pydantic model validation
+    inst = Item.validate({"k": 1, "v": 2.0})
+    assert inst.k == 1
