@@ -122,3 +122,70 @@ def test_apply_changes_matches_naive(spark, changes):
         state[k] = None if d else f"v{k}_{s}"
     want = {(k, v) for k, v in state.items() if v is not None}
     assert got == want
+
+
+# --- sketch / rollup properties ----------------------------------------- #
+
+VALUES = st.lists(st.integers(0, 500), min_size=1, max_size=60)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=VALUES, k=st.sampled_from([4, 16, 64]))
+def test_kmv_exact_when_under_k(spark, values, k):
+    from patito_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    row = kmv_distinct(df, "v", k=k).first()
+    n_true = len(set(values))
+    if n_true < k:
+        assert row["distinct_est"] == float(n_true)  # exact below k
+    else:
+        assert row["n_kept"] == k
+        assert row["distinct_est"] > 0
+
+
+EVENTS = st.lists(
+    st.tuples(st.integers(0, 7200), st.integers(0, 2)),
+    min_size=1, max_size=40,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=EVENTS)
+def test_cascade_rollup_levels_consistent(spark, events):
+    """Every coarse bucket must equal the sum/max of its fine buckets,
+    and the finest level must match a direct aggregation."""
+    from patito_spark.operators.timeseries import cascade_rollup
+
+    df = spark.createDataFrame(
+        [(t, float(g)) for t, g in events], "ts long, v double"
+    )
+    rolled = cascade_rollup(
+        df, "ts", widths=[60, 3600],
+        aggs={"n": ("v", "count"), "mx": ("v", "max")},
+    ).collect()
+    fine = {r["bucket_start"]: r for r in rolled if r["resolution"] == 60}
+    coarse = {r["bucket_start"]: r for r in rolled if r["resolution"] == 3600}
+    # consistency: coarse n = sum of member fine n; coarse mx = max
+    for cb, cr in coarse.items():
+        members = [r for b, r in fine.items() if b // 3600 * 3600 == cb]
+        assert cr["n"] == sum(m["n"] for m in members)
+        assert cr["mx"] == max(m["mx"] for m in members)
+    # finest matches direct
+    direct = {}
+    for t, g in events:
+        b = t // 60 * 60
+        direct.setdefault(b, []).append(float(g))
+    assert {b: r["n"] for b, r in fine.items()} == {
+        b: len(vs) for b, vs in direct.items()
+    }
