@@ -107,3 +107,12 @@ def test_kmv_partition_invariant(spark):
     est1 = kmv_distinct(a, "v", k=128).first()["distinct_est"]
     est2 = kmv_distinct(a.repartition(17), "v", k=128).first()["distinct_est"]
     assert est1 == est2  # k smallest of a set don't depend on partitioning
+
+
+def test_kmv_plan_prunes_map_side(spark):
+    """The smallest-k window must compile to WindowGroupLimit so each
+    partition ships at most k rows per group to the shuffle."""
+    df = spark.range(10_000).selectExpr("id % 5 as g", "id as v")
+    out = kmv_distinct(df, "v", group_cols=["g"], k=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -50,6 +50,16 @@ HEADLINERS = {
         "(broadcast here; shuffle join at scale) — never "
         "BroadcastNestedLoopJoin."
     ),
+    "q_kmv_distinct_users": (
+        "KMV sketch: WindowGroupLimit pushes the smallest-k selection "
+        "map-side, so the shuffle carries at most k hashes per group "
+        "per partition."
+    ),
+    "dedup_corpus_minhash": (
+        "End-to-end dedup composition: banded LSH equi-joins feed the "
+        "component loop; the final step is a LEFT ANTI join against the "
+        "(small) drop set."
+    ),
 }
 
 
