@@ -126,3 +126,23 @@ def test_apply_changes_10m(spark):
     out = apply_changes(None, changes, key_cols=["k"], seq_col="seq")
     n = out.count()
     assert 0 < n <= 1_000_000
+
+
+def test_contamination_1m_docs(spark):
+    """1M synthetic docs scanned against a 1k-doc benchmark: the overlap
+    must resolve through the broadcast gram-hash join (corpus never
+    shuffles on the gram)."""
+    from patito_spark.operators.contamination import ngram_contamination
+
+    corpus = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat('tok', id % 997, ' tok', (id + 1) % 997, ' tok', (id + 2) % 997, "
+        "' tok', (id + 3) % 997, ' tok', (id + 4) % 997) as text",
+    )
+    benchmark = spark.range(1_000).selectExpr(
+        "id + 2000000 as doc_id",
+        "concat('tok', id % 997, ' tok', (id + 1) % 997, ' tok', (id + 2) % 997, "
+        "' tok', (id + 3) % 997, ' tok', (id + 4) % 997) as text",
+    )
+    out = ngram_contamination(corpus, benchmark, n=5)
+    assert out.count() > 0  # constructed overlaps exist
