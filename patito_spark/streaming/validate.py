@@ -339,8 +339,11 @@ def stream_stream_join(
     forever. State per side is bounded by (watermark + max_delay) of
     data — the knob to size against throughput.
 
-    ``how``: inner, or left_outer/right_outer (outer rows emit once the
-    watermark proves no match can still arrive).
+    ``how``: inner, or left_outer/right_outer. Outer NULL rows emit
+    only when BOTH watermarks have advanced past the row's join window —
+    which requires a LATER micro-batch carrying newer events; a stream
+    that simply ends never flushes its pending outer rows (standard
+    Structured Streaming semantics, pinned by the outer-join test).
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)

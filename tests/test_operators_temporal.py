@@ -209,3 +209,18 @@ def test_asof_join_null_right_timestamps_ignored(spark):
     )
     out = asof_join(left, right, on="t")
     assert out.first()["right_tag"] == "real"
+
+
+def test_apply_changes_base_with_composite_seq(spark):
+    base = spark.createDataFrame([(1, "old")], "k long, v string")
+    changes = spark.createDataFrame(
+        [
+            (1, 10, 1, "a", "U"),
+            (1, 10, 2, "b", "U"),   # same ts, higher tiebreak wins
+            (2, 5, 1, "c", "U"),
+        ],
+        "k long, ts long, sub long, v string, op string",
+    )
+    out = apply_changes(base, changes, key_cols=["k"], seq_col=["ts", "sub"])
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "b"), (2, "c")}

@@ -116,3 +116,17 @@ def test_kmv_plan_prunes_map_side(spark):
     out = kmv_distinct(df, "v", group_cols=["g"], k=16)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_fill_gaps_multiple_groups_independent_ranges(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 180, 2.0), ("b", 300, 3.0), ("b", 360, 4.0)],
+        "g string, bucket long, v double",
+    )
+    out = fill_gaps(df, "bucket", 60, group_cols=["g"])
+    buckets = {}
+    for r in out.collect():
+        buckets.setdefault(r["g"], []).append(r["bucket"])
+    # each group's axis spans ITS OWN min..max, not the global range
+    assert sorted(buckets["a"]) == [0, 60, 120, 180]
+    assert sorted(buckets["b"]) == [300, 360]

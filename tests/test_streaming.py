@@ -261,3 +261,48 @@ def test_write_stream_validated_inline_filter(spark, tmp_path):
     q = write_stream_validated(stream, Reading, out, ckpt, trigger_available_now=True)
     q.awaitTermination(120)
     assert {r.k for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_stream_stream_join_left_outer(spark, tmp_path):
+    """Outer rows emit only once BOTH watermarks prove no match can still
+    arrive — which takes a later micro-batch advancing them. Two batches
+    per side (maxFilesPerTrigger=1); the second carries far-future rows."""
+    import time as _time
+
+    from patito_spark.streaming import stream_stream_join
+
+    lpath, rpath = str(tmp_path / "sso_left"), str(tmp_path / "sso_right")
+    spark.sql("""
+        select * from values
+          (1, timestamp'2024-01-01 10:00:00', 'L1'),
+          (9, timestamp'2024-01-01 10:00:00', 'Lonely')
+        as t(k, lts, lv)
+    """).coalesce(1).write.parquet(lpath)
+    spark.sql("""
+        select * from values (1, timestamp'2024-01-01 10:05:00', 'R1')
+        as t(k, rts, rv)
+    """).coalesce(1).write.parquet(rpath)
+    _time.sleep(1.1)  # second files must sort later by mtime
+    spark.sql("""
+        select * from values (99, timestamp'2024-01-02 10:00:00', 'Ladv')
+        as t(k, lts, lv)
+    """).coalesce(1).write.mode("append").parquet(lpath)
+    spark.sql("""
+        select * from values (98, timestamp'2024-01-02 10:00:00', 'Radv')
+        as t(k, rts, rv)
+    """).coalesce(1).write.mode("append").parquet(rpath)
+
+    ls = (spark.readStream.schema("k long, lts timestamp, lv string")
+          .option("maxFilesPerTrigger", 1).parquet(lpath))
+    rs = (spark.readStream.schema("k long, rts timestamp, rv string")
+          .option("maxFilesPerTrigger", 1).parquet(rpath))
+    joined = stream_stream_join(
+        ls, rs, on=["k"], left_ts="lts", right_ts="rts",
+        max_delay="30 minutes", watermark="1 hour", how="left_outer",
+    )
+    _run_available_now(joined, "t_sso", output_mode="append")
+    rows = {(r.k, r.lv, r.rv) for r in spark.sql("select k, lv, rv from t_sso").collect()}
+    assert (1, "L1", "R1") in rows
+    # unmatched left row emitted with NULL right side after the day-later
+    # batch advanced both watermarks past its join window
+    assert (9, "Lonely", None) in rows
