@@ -353,7 +353,7 @@ def ngram_jaccard_pairs(
             if ngram == 1
             else shingles(text_col, n=ngram)
         ).alias("__grams"),
-    )
+    ).persist()  # feeds both sides of the pair join
     a = feats.select(
         F.col(id_col).alias("id_a"), F.col("__grams").alias("grams_a")
     )
