@@ -1855,7 +1855,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams GROUP BY doc_id, gram
             )
             SELECT doc_id,
-                   sum(n) AS n_grams,
+                   sum(n)::BIGINT AS n_grams,
                    1.0 - count(*)::DOUBLE / sum(n)::DOUBLE AS dup_gram_frac,
                    max(n)::DOUBLE / sum(n)::DOUBLE AS top_gram_frac
             FROM per_gram GROUP BY doc_id

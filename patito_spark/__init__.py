@@ -15,6 +15,7 @@ from patito_spark import exceptions, sql
 from patito_spark.dataframe import DataFrame
 from patito_spark.database import Database, Relation
 from patito_spark.exceptions import DataFrameValidationError, ValidationError
+from patito_spark.functions.cache import cache_scope, release_caches
 from patito_spark.model import Field, Model
 from patito_spark.session import active_session, get_session
 
@@ -46,6 +47,7 @@ __all__ = [
     "Relation",
     "ValidationError",
     "active_session",
+    "cache_scope",
     "col",
     "exceptions",
     "field",
@@ -54,6 +56,7 @@ __all__ = [
     "lit",
     "operators",
     "plans",
+    "release_caches",
     "sources",
     "sql",
     "streaming",

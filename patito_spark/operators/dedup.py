@@ -27,6 +27,8 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
+from patito_spark.functions.cache import cache_scope, tracked_persist
+
 # ---------------------------------------------------------------------- #
 # Exact dedup                                                             #
 # ---------------------------------------------------------------------- #
@@ -243,8 +245,9 @@ def minhash_lsh_candidates(
     )
     # Feeds both sides of the bucket self-join below — persist so the
     # signature pipeline isn't executed twice (no cross-branch subplan
-    # sharing in Catalyst).
-    banded = banded.persist()
+    # sharing in Catalyst). Tracked: long-lived sessions release with
+    # `patito_spark.release_caches()` after consuming the result.
+    banded = tracked_persist(banded)
 
     left = banded.select(
         F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
@@ -304,7 +307,7 @@ def minhash_dedup_pairs(
         hash_mode=hash_mode,
     )
     if materialize_shingles:
-        shingle_rows = shingle_rows.persist()
+        shingle_rows = tracked_persist(shingle_rows)
     candidates = minhash_lsh_candidates(
         df,
         id_col=id_col,
@@ -353,7 +356,8 @@ def ngram_jaccard_pairs(
             if ngram == 1
             else shingles(text_col, n=ngram)
         ).alias("__grams"),
-    ).persist()  # feeds both sides of the pair join
+    )
+    feats = tracked_persist(feats)  # feeds both sides of the pair join
     a = feats.select(
         F.col(id_col).alias("id_a"), F.col("__grams").alias("grams_a")
     )
@@ -434,7 +438,7 @@ def simhash_dedup_pairs(
     )
     # The signature table feeds both sides of the pigeonhole self-join;
     # Catalyst would otherwise run the 64-sum aggregation twice.
-    sigs = sigs.persist()
+    sigs = tracked_persist(sigs)
     chunked = sigs.select(
         "__id",
         "__sig",
@@ -566,7 +570,10 @@ def embedding_dedup_pairs(
             ia, ib = np.triu_indices(len(ids_a), k=1)
             mask = cos[ia, ib] >= threshold
             ia, ib = ia[mask], ib[mask]
-            lo, hi = ids_a[ia], ids_a[ib]
+            # Triangular indices order by *row position*, not id value —
+            # normalize so id_a < id_b holds regardless of pandas row order.
+            xa, xb = ids_a[ia], ids_a[ib]
+            lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
         else:
             rows_b = pdf[pdf["__blk"] == blk_b]
             if len(rows_b) == 0:
@@ -688,15 +695,20 @@ def dedup_corpus(
     """
     from patito_spark.operators.graph import connected_components
 
-    pairs = minhash_dedup_pairs(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        threshold=threshold,
-        hash_mode=hash_mode,
-        **minhash_kwargs,
-    )
-    components = connected_components(pairs, id_a="id_a", id_b="id_b")
+    # connected_components materializes eagerly (checkpointed label loop),
+    # so every intermediate the minhash pipeline persists is consumed by
+    # the time it returns — release them here; the caller sees no cache
+    # residue from this call.
+    with cache_scope():
+        pairs = minhash_dedup_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            hash_mode=hash_mode,
+            **minhash_kwargs,
+        )
+        components = connected_components(pairs, id_a="id_a", id_b="id_b")
     drop = (
         components.filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias(id_col))

@@ -36,8 +36,8 @@ from patito_spark.functions.vector_numpy import (
 )
 
 #: Hard cap on driver-side query materialization in :func:`cosine_topk`.
-#: Queries ride into every task as a closure; beyond this size use the
-#: LSH/IVF paths (or a broadcast bucket join) instead.
+#: Queries ship as a broadcast variable (once per executor); beyond this
+#: size use the LSH/IVF paths (or a broadcast bucket join) instead.
 MAX_BROADCAST_QUERIES = 65_536
 
 
@@ -86,6 +86,10 @@ def cosine_topk(
     q_mat = _as_matrix(q_pdf["__qvec"])
     q_norm = seq_norm(q_mat)
     nq = len(q_ids)
+    # Broadcast variable, not a task closure: at the 65k cap the query
+    # matrix is ~35 MB — as a closure it is re-serialized into every task
+    # binary; as a broadcast it ships once per executor (torrent blocks).
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     out_schema = T.StructType(
         [
@@ -101,6 +105,7 @@ def cosine_topk(
     )
 
     def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        b_ids, b_mat, b_norm = bc.value
         for pdf in batches:
             if len(pdf) == 0 or nq == 0:
                 continue
@@ -108,8 +113,8 @@ def cosine_topk(
             c_ids = pdf["neighbor_id"].to_numpy()
             # (nc, nq) cosine matrix; sequential-fold accumulation keeps it
             # bit-exact vs the expression/DuckDB formulation.
-            cos = seq_dot_matrix(c_mat, q_mat) / (
-                seq_norm(c_mat)[:, None] * q_norm[None, :]
+            cos = seq_dot_matrix(c_mat, b_mat) / (
+                seq_norm(c_mat)[:, None] * b_norm[None, :]
             )
             take = min(k, len(c_ids))
             parts = []
@@ -120,7 +125,7 @@ def cosine_topk(
                 parts.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.repeat(q_ids[j], take),
+                            "query_id": np.repeat(b_ids[j], take),
                             "neighbor_id": c_ids[order],
                             "cosine": cos[order, j],
                         }

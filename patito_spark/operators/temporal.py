@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 # ---------------------------------------------------------------------- #
 # As-of join                                                              #
@@ -66,8 +66,9 @@ def asof_join(
             timestamp; ``nearest`` requires numeric for the distance
             comparison).
         by: equi-join key columns (the partition of the window).
-        tolerance: optional max allowed time distance (same units as
-            ``on``); matches farther than this become NULL.
+        tolerance: optional max allowed time distance — same units as
+            ``on`` for numeric columns, **seconds** for timestamp
+            columns; matches farther than this become NULL.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -136,12 +137,20 @@ def asof_join(
 
     out = carried.filter(F.col("__side") == 1)
 
+    # Timestamp minus timestamp is a DayTimeInterval, which cannot be
+    # compared to a numeric tolerance literal — cast through epoch seconds
+    # so `tolerance` means "seconds" for timestamp `on` columns.
+    on_is_temporal = isinstance(
+        left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+
     def _valid(side: str) -> Column:
         t = F.col(f"__{side}_t")
-        distance = (
-            F.col("__t") - t if side == "b" else t - F.col("__t")
-        )
-        ok = t.isNotNull()
+        lt = F.col("__t")
+        if tolerance is not None and on_is_temporal:
+            t, lt = t.cast("double"), lt.cast("double")
+        distance = lt - t if side == "b" else t - lt
+        ok = F.col(f"__{side}_t").isNotNull()
         if tolerance is not None:
             ok = ok & (distance <= F.lit(tolerance))
         return ok
@@ -186,6 +195,23 @@ def asof_join(
 # ---------------------------------------------------------------------- #
 
 
+def _estimate_bucket_width(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Deterministic default bucket width: max interval length.
+
+    Max over the FULL table — merge-order-independent, so the chosen
+    width (and hence the replication factor and join cost) is a pure
+    function of the data, identical across runs. One pruned-two-column
+    agg scan; production pipelines should pass ``bucket_width``
+    explicitly and skip it.
+    """
+    row = intervals.agg(
+        F.max(F.col(end_col) - F.col(start_col)).alias("mx")
+    ).first()
+    return int(row["mx"] or 1) or 1
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -215,11 +241,7 @@ def range_join(
     by = list(by or [])
 
     if bucket_width is None:
-        sample = intervals.select(
-            (F.col(end_col) - F.col(start_col)).alias("__len")
-        ).limit(1000)
-        row = sample.agg(F.max("__len").alias("mx")).first()
-        bucket_width = int(row["mx"] or 1) or 1
+        bucket_width = _estimate_bucket_width(intervals, start_col, end_col)
 
     # floor (not truncating cast): negative coordinates must round DOWN
     # or points just below zero land in the wrong bucket.
@@ -250,20 +272,34 @@ def range_join(
         return out
     # left: keep unmatched points — join then null-out non-matches is
     # wrong (a point can match several intervals); use inner + anti union.
-    inner = p_bucketed.join(i_bucketed, [*cond, in_range], "inner")
+    # Anti-join on a surrogate row id, NOT the point columns: NULL never
+    # equals NULL, so a matched row containing a NULL would reappear as
+    # "unmatched", and shared column names with intervals would be
+    # ambiguous.
+    tagged = points.withColumn("__pid", F.monotonically_increasing_id())
+    tp_bucketed = tagged.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    cond = [tp_bucketed["__bucket"] == i_bucketed["__bucket"]] + [
+        tp_bucketed[c] == i_bucketed[c] for c in by
+    ]
+    in_range = (i_bucketed[start_col] <= tp_bucketed[point_col]) & (
+        tp_bucketed[point_col] < i_bucketed[end_col]
+    )
+    inner = tp_bucketed.join(i_bucketed, [*cond, in_range], "inner")
     inner = (
         inner.drop("__bucket").drop(*[i_bucketed[c] for c in by])
         if by
         else inner.drop("__bucket")
     )
-    matched_keys = inner.select(*points.columns).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    matched_ids = inner.select("__pid").distinct()
+    unmatched = tagged.join(matched_ids, "__pid", "left_anti")
     for c in intervals.columns:
         if c not in by:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(intervals.schema[c].dataType)
             )
-    return inner.unionByName(unmatched)
+    return inner.unionByName(unmatched).drop("__pid")
 
 
 # ---------------------------------------------------------------------- #

@@ -148,6 +148,7 @@ def fill_gaps(
     step: int,
     group_cols: Optional[Sequence[str]] = None,
     fill: Optional[dict] = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Densify a bucketed series: emit a row for every ``step`` between
     each group's min and max bucket.
@@ -156,8 +157,21 @@ def fill_gaps(
     the shape window interpolation / charting needs. The dense axis is
     generated per group with ``sequence`` + ``explode`` (no driver-side
     range, no cross join); a group's axis length is (max-min)/step + 1.
+
+    ``bucket_col`` values are expected on the min-anchored ``step`` grid
+    (as produced by :func:`time_bucket`); the join is a FULL OUTER so an
+    off-grid row is *kept* alongside the dense axis rather than silently
+    dropped, but it does not suppress the grid row it falls between.
+
+    The input feeds two plan branches (the bounds agg and the join);
+    ``materialize=True`` persists it so the source is scanned once —
+    the 100 TB path. The cache is left for the caller's session (release
+    with ``df.unpersist()`` / ``spark.catalog.clearCache()``); default
+    ``False`` re-scans lazily.
     """
     group_cols = list(group_cols or [])
+    if materialize:
+        df = df.persist()
     bounds = df.groupBy(*group_cols).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
@@ -167,7 +181,7 @@ def fill_gaps(
             F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
         ).alias(bucket_col),
     )
-    out = axis.join(df, on=[*group_cols, bucket_col], how="left")
+    out = axis.join(df, on=[*group_cols, bucket_col], how="outer")
     if fill:
         out = out.na.fill(fill)
     return out

@@ -212,3 +212,128 @@ def test_detect_hot_keys_small_data_falls_back_exact(spark):
     # fallback exact pass must still find the hot key.
     hot = detect_hot_keys(skewed, "k", min_count=100)
     assert hot == [7]
+
+
+# --------------------------------------------------------------------- #
+# Round 4: advisor-reported bug fixes                                   #
+# --------------------------------------------------------------------- #
+
+
+def test_embedding_dedup_diagonal_pairs_are_id_ordered(spark):
+    # Same-block (diagonal) pairs used to come out in pandas *row* order,
+    # so descending-id input produced (id_a > id_b) rows.
+    from patito_spark.operators.dedup import embedding_dedup_pairs
+
+    vec = [1.0, 0.5, 0.25, 0.125]
+    df = spark.createDataFrame(
+        [(i, vec) for i in (9, 7, 3, 1)], "vec_id long, embedding array<double>"
+    )
+    rows = embedding_dedup_pairs(
+        df, threshold=0.9, n_blocks=1
+    ).collect()
+    assert len(rows) == 6  # all 4-choose-2 pairs of identical vectors
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_range_join_left_null_point_column(spark):
+    # A matched point with a NULL payload column must not ALSO reappear as
+    # an unmatched row (the old anti-join compared point columns with `=`,
+    # and NULL never equals NULL).
+    from patito_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame(
+        [(5, None), (50, "x")], "t long, tag string"
+    )
+    intervals = spark.createDataFrame(
+        [(0, 10, "iv1")], "s long, e long, name string"
+    )
+    out = range_join(points, intervals, "t", "s", "e", how="left").collect()
+    assert len(out) == 2
+    by_t = {r["t"]: r for r in out}
+    assert by_t[5]["name"] == "iv1"
+    assert by_t[50]["name"] is None
+
+
+def test_range_join_left_shared_column_names(spark):
+    # Point/interval sides sharing a non-`by` column name used to make the
+    # unmatched-recovery select ambiguous.
+    from patito_spark.operators.temporal import range_join
+
+    points = spark.createDataFrame([(5,), (50,)], "t long")
+    intervals = spark.createDataFrame([(0, 10)], "s long, e long")
+    out = range_join(points, intervals, "t", "s", "e", how="left").collect()
+    assert len(out) == 2
+
+
+def test_asof_tolerance_with_timestamp_on(spark):
+    # timestamp - timestamp is a DayTimeInterval; tolerance (seconds) used
+    # to raise AnalysisException comparing it to an int literal.
+    from patito_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("2024-01-01 10:00:30",), ("2024-01-01 10:05:00",)], "ts string"
+    ).selectExpr("cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0)], "ts string, v double"
+    ).selectExpr("cast(ts as timestamp) as ts", "v")
+    out = asof_join(left, right, on="ts", tolerance=60)
+    rows = {str(r["ts"]): r["right_v"] for r in out.collect()}
+    assert rows["2024-01-01 10:00:30"] == 1.0
+    assert rows["2024-01-01 10:05:00"] is None  # 300 s > 60 s tolerance
+
+
+def test_fill_gaps_keeps_off_grid_rows(spark):
+    # Buckets {0, 5, 7} with step 5: 7 is off the min-anchored grid and
+    # used to be silently dropped by the left join onto the dense axis.
+    from patito_spark.operators.timeseries import fill_gaps
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (5, 2.0), (7, 3.0)], "bucket long, v double"
+    )
+    out = fill_gaps(df, "bucket", step=5)
+    got = {r["bucket"]: r["v"] for r in out.collect()}
+    assert got == {0: 1.0, 5: 2.0, 7: 3.0}
+
+
+def test_range_join_default_width_deterministic(spark):
+    from patito_spark.operators.temporal import _estimate_bucket_width
+
+    intervals = spark.createDataFrame(
+        [(0, 3), (10, 25), (100, 104)], "s long, e long"
+    ).repartition(7)
+    w1 = _estimate_bucket_width(intervals, "s", "e")
+    w2 = _estimate_bucket_width(intervals, "s", "e")
+    assert w1 == w2 == 15  # max interval length, a pure function of the data
+
+
+def _cache_manager_empty(spark):
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_minhash_caches_released_on_request(spark):
+    from patito_spark.operators.dedup import minhash_dedup_pairs
+    import patito_spark as pt
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    minhash_dedup_pairs(df, num_hashes=16, bands=4).count()
+    assert not _cache_manager_empty(spark)  # intermediates are cached...
+    assert pt.release_caches() >= 1  # ...until the caller releases them
+    assert _cache_manager_empty(spark)
+
+
+def test_dedup_corpus_leaves_no_cache_residue(spark):
+    from patito_spark.operators.dedup import dedup_corpus
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 5} jumps over") for i in range(40)],
+        "doc_id long, text string",
+    )
+    dedup_corpus(df, threshold=0.5, num_hashes=16, bands=4).count()
+    # dedup_corpus materializes internally (components loop), so it cleans
+    # up its own persisted intermediates before returning.
+    assert _cache_manager_empty(spark)
