@@ -42,13 +42,56 @@ TABLES = (
 ).split()
 
 
+# Wall-clock timestamp → epoch-nanos, with NO session-timezone dependence
+# (timestampdiff on TIMESTAMP_NTZ is pure calendar arithmetic). Exact for
+# micro-precision inputs; `* 1000` stays well inside int64 for any
+# realistic date.
+_TS_TO_NS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+    "cast(ts as timestamp_ntz)) * 1000"
+)
+
+
+def _events_ts_to_ns(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to epoch-nanos BIGINT whatever the file type.
+
+    The driver's testdata has shipped `ts` both as parquet TIMESTAMP(NANOS)
+    (readable only via nanosAsLong → already epoch-nanos long) and as
+    timestamp[us] (reads as TIMESTAMP_NTZ). Every query downstream does
+    integer time math in epoch-nanos and every oracle uses epoch_ns(ts),
+    so both representations funnel to the same numeric column here.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)):
+        df = df.withColumn("ts", F.expr(_TS_TO_NS))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), unreadable as a Spark
-        # timestamp; read as epoch-nanos long and do numeric time math
-        # (exact, and immune to session-timezone differences).
+        # Harmless when ts is already micros/timestamp; required when the
+        # file carries TIMESTAMP(NANOS), which Spark can't read natively.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _events_ts_to_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with ts normalized to epoch-nanos.
+
+    Streaming sources need an explicit schema — take it from a batch read
+    of the same file (one footer read, no data scan), then apply the same
+    ts normalization as the batch path.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _events_ts_to_ns(stream)
 
 
 def _rel(spark: SparkSession, sf_dir: str, name: str):
@@ -234,17 +277,8 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
     # streaming file source requires a directory; glob-filter to the table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     hour_ns = 3_600_000_000_000
     agg = (
         stream.withColumn("hour_bucket", F.expr(f"ts div {hour_ns}"))
@@ -849,16 +883,7 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from patito_spark.streaming import streaming_apply_changes
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     changes = stream.select(
         "user_id",
         F.expr("ts div 1000").alias("ts"),  # epoch-micros
