@@ -377,19 +377,23 @@ def rel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT, EXCEPT and ``+`` (UNION ALL) through the Relation layer
+    in one entry (keeps the suite inside the driver's 50-entry budget)."""
     customer = _rel(spark, sf_dir, "customer")
     supplier = _rel(spark, sf_dir, "supplier")
     nation = _rel(spark, sf_dir, "nation")
+    region = _rel(spark, sf_dir, "region")
     customer_nations = customer.select("c_nationkey as nationkey")
     supplier_nations = supplier.select("s_nationkey as nationkey")
     africa_nations = nation.filter("n_regionkey = 0").select(
         "n_nationkey as nationkey"
     )
-    return (
-        customer_nations.intersect(supplier_nations)
-        .except_(africa_nations)
-        .dataframe
+    both = customer_nations.intersect(supplier_nations).except_(africa_nations)
+    # UNION ALL branch: region keys offset so the rows are attributable
+    offset_regions = region.select(
+        "cast(r_regionkey + 100 as bigint) as nationkey"
     )
+    return (both + offset_regions).dataframe
 
 
 def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,13 +432,6 @@ def rel_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20, offset=10)
         .dataframe
     )
-
-
-def rel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL with column-name reconciliation via the Relation layer."""
-    nation = _rel(spark, sf_dir, "nation").select("n_name as name")
-    region = _rel(spark, sf_dir, "region").select("r_name as name")
-    return (nation + region).dataframe
 
 
 def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,25 +1020,27 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from patito_spark.operators.text import quality_score
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile: quality score + fingerprint + language ID.
+
+    One entry exercising three operators (quality_score, fingerprint,
+    detect_language_agg) — merged so the whole suite fits the driver's
+    50-entry correctness budget with every operator still value-oracled.
+    The projection branch and the langid hash-agg branch join on doc_id.
+    """
+    from patito_spark.operators.text import (
+        detect_language_agg,
+        fingerprint,
+        quality_score,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score("text").alias("quality"))
-
-
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from patito_spark.operators.text import detect_language_agg
-
-    docs = _t(spark, sf_dir, "documents")
-    return detect_language_agg(docs)
-
-
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from patito_spark.operators.text import fingerprint
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint("text").alias("fp"))
+    per_doc = docs.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+    return per_doc.join(detect_language_agg(docs), "doc_id")
 
 
 # ---------------------------------------------------------------------- #
@@ -1071,7 +1070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_setops": rel_setops,
         "q_semi_anti_customers": q_semi_anti_customers,
         "rel_limit_offset": rel_limit_offset,
-        "rel_union": rel_union,
         "rel_distinct": rel_distinct,
         "rel_from_parquet_path": rel_from_parquet_path,
         "rel_left_join_coalesce": rel_left_join_coalesce,
@@ -1106,9 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": contamination_check,
         "text_bpe_tokens": text_bpe_tokens,
         "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_langid": text_langid,
-        "text_fingerprint": text_fingerprint,
+        "text_profile": text_profile,
     }
 
 
@@ -1379,12 +1375,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_setops": """
             SELECT * FROM (
-                SELECT c_nationkey AS nationkey FROM customer
-                INTERSECT
-                SELECT s_nationkey AS nationkey FROM supplier
+                SELECT * FROM (
+                    SELECT c_nationkey AS nationkey FROM customer
+                    INTERSECT
+                    SELECT s_nationkey AS nationkey FROM supplier
+                )
+                EXCEPT
+                SELECT n_nationkey AS nationkey FROM nation
+                WHERE n_regionkey = 0
             )
-            EXCEPT
-            SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT (r_regionkey + 100)::BIGINT AS nationkey FROM region
         """,
         "q_semi_anti_customers": """
             WITH w AS (
@@ -1413,11 +1414,6 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             ORDER BY p_retailprice DESC, p_partkey ASC
             LIMIT 20 OFFSET 10
-        """,
-        "rel_union": """
-            SELECT n_name AS name FROM nation
-            UNION ALL
-            SELECT r_name AS name FROM region
         """,
         "rel_distinct": """
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
@@ -1920,7 +1916,7 @@ def oracle_sql() -> dict[str, str]:
                    n_chars
             FROM documents
         """,
-        "text_quality": """
+        "text_profile": f"""
             WITH feats AS (
                 SELECT doc_id,
                        len(string_split(text, ' '))::DOUBLE AS n,
@@ -1930,31 +1926,34 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
                            / length(text)::DOUBLE AS punct
                 FROM documents
-            )
-            SELECT doc_id,
-                   least(n / 100.0, 1.0) * 0.5
-                   + (1.0 - least(abs(total_len / n - 5.0) / 5.0, 1.0)) * 0.5
-                   - least(punct * 4.0, 1.0) * 0.25 AS quality
-            FROM feats
-        """,
-        "text_langid": f"""
-            WITH scores AS (
+            ),
+            q AS (
+                SELECT doc_id,
+                       least(n / 100.0, 1.0) * 0.5
+                       + (1.0 - least(abs(total_len / n - 5.0) / 5.0, 1.0)) * 0.5
+                       - least(punct * 4.0, 1.0) * 0.25 AS quality
+                FROM feats
+            ),
+            scores AS (
                 SELECT doc_id, {_lang_scores_sql()}
                 FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       CASE
+                           WHEN s_en >= s_de AND s_en >= s_fr
+                                AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                           WHEN s_de >= s_fr AND s_de >= s_es
+                                AND s_de >= s_zh THEN 'de'
+                           WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                           WHEN s_es >= s_zh THEN 'es'
+                           ELSE 'zh'
+                       END AS lang_pred
+                FROM scores
             )
-            SELECT doc_id,
-                   CASE
-                       WHEN s_en >= s_de AND s_en >= s_fr
-                            AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-                       WHEN s_de >= s_fr AND s_de >= s_es
-                            AND s_de >= s_zh THEN 'de'
-                       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-                       WHEN s_es >= s_zh THEN 'es'
-                       ELSE 'zh'
-                   END AS lang_pred
-            FROM scores
-        """,
-        "text_fingerprint": """
-            SELECT doc_id, md5(lower(text)) AS fp FROM documents
+            SELECT d.doc_id, q.quality, md5(lower(d.text)) AS fp, l.lang_pred
+            FROM documents d
+            JOIN q USING (doc_id)
+            JOIN l USING (doc_id)
         """,
     }
