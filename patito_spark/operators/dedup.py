@@ -600,6 +600,7 @@ def embedding_dedup_pairs_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """Scalable embedding near-dup: LSH buckets + vectorized verification.
 
@@ -630,9 +631,20 @@ def embedding_dedup_pairs_lsh(
     )
     from patito_spark.operators.similarity import _deterministic_hyperplanes
 
-    planes = _deterministic_hyperplanes(dim, n_planes, seed)
-    pruned = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bucketed = sign_projection_buckets(pruned, planes, vec_col="vec")
+    if index is not None:
+        # Prebuilt LshIndex (see similarity.build_lsh_index): reuse its
+        # bucket assignments — one corpus scan serves dedup AND ann search.
+        bucketed = index.table.select(
+            F.col("neighbor_id").alias("id"),
+            F.col("__cvec").alias("vec"),
+            "bucket",
+        )
+    else:
+        planes = _deterministic_hyperplanes(dim, n_planes, seed)
+        pruned = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        bucketed = sign_projection_buckets(pruned, planes, vec_col="vec")
 
     pair_schema = T.StructType(
         [

@@ -201,7 +201,7 @@ def hyperplane_lsh_buckets(
 
 
 def ann_lsh_topk(
-    corpus: DataFrame,
+    corpus: Optional[DataFrame],
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
@@ -210,6 +210,7 @@ def ann_lsh_topk(
     dim: int = 64,
     seed: int = 42,
     multi_probe_bits: int = 0,
+    index: Optional["LshIndex"] = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each query's bucket.
 
@@ -227,14 +228,22 @@ def ann_lsh_topk(
     """
     if multi_probe_bits not in (0, 1):
         raise ValueError("multi_probe_bits must be 0 or 1")
-    planes = _deterministic_hyperplanes(dim, n_planes, seed)
-    c = sign_projection_buckets(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        ),
-        planes,
-        vec_col="__cvec",
-    )
+    if index is not None:
+        # Prebuilt index: skip the corpus projection; the query side must
+        # hash with the SAME hyperplanes the index was built with.
+        planes = index.planes
+        n_planes = index.n_planes
+        c = index.table
+    else:
+        planes = _deterministic_hyperplanes(dim, n_planes, seed)
+        c = sign_projection_buckets(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            ),
+            planes,
+            vec_col="__cvec",
+        )
     q = sign_projection_buckets(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -271,45 +280,144 @@ def ann_lsh_topk(
     )
 
 
-def ann_ivf_topk(
+class LshIndex:
+    """Reusable LSH index: the bucketed corpus table + its hyperplanes.
+
+    Build once per corpus with :func:`build_lsh_index`, query many times
+    with :func:`ann_lsh_topk`; ``write``/``read`` round-trip the index
+    through parquet so a 100 TB pipeline pays the bucket projection once,
+    not once per query batch.
+    """
+
+    def __init__(self, table: DataFrame, planes, n_planes: int, seed: int):
+        self.table = table  # (bucket, neighbor_id, __cvec)
+        self.planes = planes
+        self.n_planes = n_planes
+        self.seed = seed
+
+    def unpersist(self) -> "LshIndex":
+        self.table.unpersist()
+        return self
+
+    def write(self, path: str, mode: str = "error") -> None:
+        """Persist the index: assignments + hyperplanes as parquet."""
+        spark = self.table.sparkSession
+        self.table.write.mode(mode).parquet(f"{path}/assignments")
+        meta = [
+            (i, [float(x) for x in plane], self.seed)
+            for i, plane in enumerate(self.planes)
+        ]
+        spark.createDataFrame(
+            meta, "plane_id int, plane array<double>, seed int"
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/planes")
+
+    @classmethod
+    def read(cls, spark, path: str) -> "LshIndex":
+        table = spark.read.parquet(f"{path}/assignments")
+        meta = spark.read.parquet(f"{path}/planes").orderBy("plane_id").collect()
+        planes = [row["plane"] for row in meta]
+        seed = meta[0]["seed"] if meta else 42
+        return cls(table, planes, n_planes=len(planes), seed=seed)
+
+
+def build_lsh_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    materialize: bool = True,
+) -> LshIndex:
+    """Bucket the corpus once; returns a reusable :class:`LshIndex`.
+
+    ``materialize=True`` persists the assignment table (tracked — release
+    with ``patito_spark.release_caches()`` or ``index.unpersist()``), so N
+    query batches cost N bucket joins but ONE corpus scan + projection.
+    """
+    from patito_spark.functions.cache import tracked_persist
+
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
+    table = sign_projection_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ),
+        planes,
+        vec_col="__cvec",
+    )
+    if materialize:
+        table = tracked_persist(table)
+    return LshIndex(table, planes, n_planes=n_planes, seed=seed)
+
+
+class IvfIndex:
+    """Reusable IVF index: centroid matrix + the inverted-file table."""
+
+    def __init__(self, table: DataFrame, centroids, assign_metric: str):
+        self.table = table  # (cell, neighbor_id, __cvec)
+        self.centroids = centroids  # (n_cells, dim) numpy
+        self.assign_metric = assign_metric
+
+    def unpersist(self) -> "IvfIndex":
+        self.table.unpersist()
+        return self
+
+    def write(self, path: str, mode: str = "error") -> None:
+        spark = self.table.sparkSession
+        self.table.write.mode(mode).parquet(f"{path}/assignments")
+        meta = [
+            (i, [float(x) for x in c], self.assign_metric)
+            for i, c in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            meta, "cell int, centroid array<double>, assign_metric string"
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+
+    @classmethod
+    def read(cls, spark, path: str) -> "IvfIndex":
+        import numpy as np
+
+        table = spark.read.parquet(f"{path}/assignments")
+        meta = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+        centroids = np.array([row["centroid"] for row in meta])
+        metric = meta[0]["assign_metric"] if meta else "l2"
+        return cls(table, centroids, assign_metric=metric)
+
+
+def _cell_affinity(mat, centroids, cent_norm, assign_metric: str):
+    """(n, n_cells) affinity matrix; HIGHER is closer for both metrics."""
+    if assign_metric == "cosine":
+        return seq_dot_matrix(mat, centroids) / (
+            seq_norm(mat)[:, None] * cent_norm[None, :]
+        )
+    return -((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 3,
     seed: int = 42,
     max_train_vectors: int = 100_000,
     centroids_df: Optional[DataFrame] = None,
     assign_metric: str = "l2",
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search.
+    materialize: bool = True,
+) -> IvfIndex:
+    """Fit the coarse quantizer and build the inverted file ONCE.
 
-    1. A coarse quantizer learns/defines ``n_centroids`` cells. Default: a
-       KMeans fit (Spark ML, seeded) on a *deterministic hash-sample*
-       capped at ``max_train_vectors`` (a multi-pass ML fit over the full
-       corpus would dominate at 100 TB; centroid quality saturates long
-       before 100k training points for coarse quantizers). Alternatively
-       pass ``centroids_df`` — a small DataFrame of (id, vector) rows used
-       verbatim as centroids (cell = rank of the centroid id). Sampled
-       corpus points are the standard "IVF-flat, random coarse quantizer"
-       baseline, and a fixed quantizer makes the whole search replayable
-       by a SQL oracle.
-    2. Each corpus vector is assigned to its nearest cell — one vectorized
-       numpy pass via ``mapInPandas`` (the inverted file).
-       ``assign_metric``: ``"l2"`` (squared euclidean, KMeans-consistent)
-       or ``"cosine"`` (sequential-fold dots, bit-reproducible by SQL
-       engines; ties break to the lowest cell).
-    3. Each query probes its ``n_probe`` nearest cells only; exact cosine
-       ranking runs inside the probed cells.
-
-    Scanned fraction ≈ n_probe/n_centroids of the corpus per query — the
-    standard IVF recall/speed dial. Recall loss comes from true neighbors
-    living in unprobed cells.
+    Everything per-corpus lives here — the ``count()``, the hash-sampled
+    KMeans fit (or the fixed ``centroids_df``), and the map-only cell
+    assignment. :func:`ann_ivf_topk` then only probes + scores, so N query
+    batches over one corpus pay these costs once. ``materialize=True``
+    persists the inverted file (tracked; release via
+    ``patito_spark.release_caches()`` or ``index.unpersist()``);
+    ``index.write(path)`` makes it durable across sessions.
     """
     import numpy as np
     import pandas as pd
+
+    from patito_spark.functions.cache import tracked_persist
 
     if centroids_df is not None:
         c_pdf = (
@@ -342,17 +450,16 @@ def ann_ivf_topk(
                 "features"
             )
         )
-        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+        # Cache the (bounded) training slice: KMeans is a multi-pass fit,
+        # and without this each of its ~10 iterations re-reads the sample
+        # from the source scan.
+        train = train.persist()
+        try:
+            model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+        finally:
+            train.unpersist()
         centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
     cent_norm = seq_norm(centroids)
-
-    def _cell_scores(mat):
-        """(n, n_cells) affinity matrix; HIGHER is closer for both metrics."""
-        if assign_metric == "cosine":
-            return seq_dot_matrix(mat, centroids) / (
-                seq_norm(mat)[:, None] * cent_norm[None, :]
-            )
-        return -((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
 
     assign_schema = T.StructType(
         [
@@ -371,7 +478,7 @@ def ann_ivf_topk(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["vec"].to_numpy())
-            scores = _cell_scores(mat)
+            scores = _cell_affinity(mat, centroids, cent_norm, assign_metric)
             # argmax returns the FIRST max — ties break to the lowest cell,
             # matching the oracle's (score desc, cell asc) row_number.
             yield pd.DataFrame(
@@ -383,6 +490,75 @@ def ann_ivf_topk(
             )
 
     inverted = pruned.mapInPandas(assign, schema=assign_schema)
+    if materialize:
+        inverted = tracked_persist(inverted)
+    return IvfIndex(inverted, centroids, assign_metric=assign_metric)
+
+
+def ann_ivf_topk(
+    corpus: Optional[DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    max_train_vectors: int = 100_000,
+    centroids_df: Optional[DataFrame] = None,
+    assign_metric: str = "l2",
+    index: Optional[IvfIndex] = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    1. A coarse quantizer learns/defines ``n_centroids`` cells. Default: a
+       KMeans fit (Spark ML, seeded) on a *deterministic hash-sample*
+       capped at ``max_train_vectors`` (a multi-pass ML fit over the full
+       corpus would dominate at 100 TB; centroid quality saturates long
+       before 100k training points for coarse quantizers). Alternatively
+       pass ``centroids_df`` — a small DataFrame of (id, vector) rows used
+       verbatim as centroids (cell = rank of the centroid id). Sampled
+       corpus points are the standard "IVF-flat, random coarse quantizer"
+       baseline, and a fixed quantizer makes the whole search replayable
+       by a SQL oracle.
+    2. Each corpus vector is assigned to its nearest cell — one vectorized
+       numpy pass via ``mapInPandas`` (the inverted file).
+       ``assign_metric``: ``"l2"`` (squared euclidean, KMeans-consistent)
+       or ``"cosine"`` (sequential-fold dots, bit-reproducible by SQL
+       engines; ties break to the lowest cell).
+    3. Each query probes its ``n_probe`` nearest cells only; exact cosine
+       ranking runs inside the probed cells.
+
+    Scanned fraction ≈ n_probe/n_centroids of the corpus per query — the
+    standard IVF recall/speed dial. Recall loss comes from true neighbors
+    living in unprobed cells.
+
+    Pass ``index`` (from :func:`build_ivf_index`) to skip the quantizer
+    fit and corpus assignment entirely — the production shape for repeated
+    query batches over one corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if index is None:
+        index = build_ivf_index(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            seed=seed,
+            max_train_vectors=max_train_vectors,
+            centroids_df=centroids_df,
+            assign_metric=assign_metric,
+            materialize=False,
+        )
+    centroids = index.centroids
+    assign_metric = index.assign_metric
+    inverted = index.table
+    cent_norm = seq_norm(centroids)
+
+    def _cell_scores(mat):
+        return _cell_affinity(mat, centroids, cent_norm, assign_metric)
 
     probe_schema = T.StructType(
         [

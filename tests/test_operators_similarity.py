@@ -132,3 +132,109 @@ def test_multi_probe_bits_validation(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="multi_probe_bits"):
         ann_lsh_topk(emb, emb.limit(1), multi_probe_bits=2)
+
+
+# ---------------------------------------------------------------------- #
+# Reusable index artifacts (build once, query many)                       #
+# ---------------------------------------------------------------------- #
+
+
+def _topk_rows(df):
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in df.collect()
+    )
+
+
+def test_lsh_index_matches_direct(emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 5)
+    direct = similarity.ann_lsh_topk(df, queries, k=5, dim=16)
+    idx = similarity.build_lsh_index(df, dim=16)
+    try:
+        via_index = similarity.ann_lsh_topk(None, queries, k=5, index=idx)
+        assert _topk_rows(via_index) == _topk_rows(direct)
+    finally:
+        idx.unpersist()
+
+
+def test_ivf_index_two_queries_one_corpus_scan(emb):
+    df, _ = emb
+    centroids = df.filter(F.col("vec_id") < 8)
+    idx = similarity.build_ivf_index(
+        df, centroids_df=centroids, assign_metric="cosine"
+    )
+    try:
+        q1 = df.filter(F.col("vec_id") < 3)
+        q2 = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 6))
+        out1 = similarity.ann_ivf_topk(None, q1, k=5, n_probe=2, index=idx)
+        r1 = _topk_rows(out1)  # first action materializes the index cache
+        out2 = similarity.ann_ivf_topk(None, q2, k=5, n_probe=2, index=idx)
+        # Second query reads the cached inverted file, not the corpus.
+        plan = out2._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        r2 = _topk_rows(out2)
+        direct = similarity.ann_ivf_topk(
+            df, q2, k=5, n_probe=2,
+            centroids_df=centroids, assign_metric="cosine",
+        )
+        assert r2 == _topk_rows(direct)
+        assert len(r1) == 3 * 5 and len(r2) == 3 * 5
+    finally:
+        idx.unpersist()
+
+
+def test_lsh_index_write_read_roundtrip(emb, tmp_path):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 4)
+    idx = similarity.build_lsh_index(df, dim=16, materialize=False)
+    path = str(tmp_path / "lsh_index")
+    idx.write(path)
+    loaded = similarity.LshIndex.read(df.sparkSession, path)
+    got = similarity.ann_lsh_topk(None, queries, k=5, index=loaded)
+    want = similarity.ann_lsh_topk(df, queries, k=5, dim=16)
+    assert _topk_rows(got) == _topk_rows(want)
+
+
+def test_ivf_index_write_read_roundtrip(emb, tmp_path):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 4)
+    centroids = df.filter(F.col("vec_id") < 8)
+    idx = similarity.build_ivf_index(
+        df, centroids_df=centroids, assign_metric="cosine",
+        materialize=False,
+    )
+    path = str(tmp_path / "ivf_index")
+    idx.write(path)
+    loaded = similarity.IvfIndex.read(df.sparkSession, path)
+    assert loaded.assign_metric == "cosine"
+    assert np.allclose(loaded.centroids, idx.centroids)
+    got = similarity.ann_ivf_topk(None, queries, k=5, index=loaded)
+    want = similarity.ann_ivf_topk(
+        df, queries, k=5, centroids_df=centroids, assign_metric="cosine"
+    )
+    assert _topk_rows(got) == _topk_rows(want)
+
+
+def test_embedding_dedup_accepts_lsh_index(emb):
+    from patito_spark.operators import dedup
+
+    df, _ = emb
+    # Plant an exact duplicate pair so the threshold filter keeps rows.
+    dup = df.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    full = df.unionByName(dup)
+    direct = dedup.embedding_dedup_pairs_lsh(full, threshold=0.99, dim=16)
+    idx = similarity.build_lsh_index(full, dim=16)
+    try:
+        via_index = dedup.embedding_dedup_pairs_lsh(
+            full, threshold=0.99, index=idx
+        )
+        key = lambda df_: sorted(
+            (r.id_a, r.id_b, round(r.cosine, 9)) for r in df_.collect()
+        )
+        assert key(via_index) == key(direct)
+        assert (0, 1000) in {(r.id_a, r.id_b) for r in direct.collect()}
+    finally:
+        idx.unpersist()
