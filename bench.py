@@ -57,6 +57,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query regression flags vs the committed floor (best time ever
+    # committed at this SF). A regression is > 1.3× the floor AND > 0.2 s
+    # absolute — both guards needed, or scheduler jitter on sub-second
+    # entries produces phantom flags. Update the floor with
+    # `python tools/update_bench_floor.py <bench.json>` after a good run.
+    regressions: dict[str, dict[str, float]] = {}
+    floor_path = os.path.join(os.path.dirname(__file__), "BENCH_FLOOR.json")
+    if os.path.exists(floor_path):
+        with open(floor_path) as fh:
+            floors = json.load(fh).get("queries", {})
+        for name, t in timings.items():
+            floor = floors.get(name)
+            if floor and t > floor * 1.3 and t - floor > 0.2:
+                regressions[name] = {
+                    "t": t,
+                    "floor": floor,
+                    "ratio": round(t / floor, 2),
+                }
+
     print(
         json.dumps(
             {
@@ -65,6 +85,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )

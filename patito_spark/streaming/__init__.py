@@ -7,6 +7,7 @@ from patito_spark.streaming.validate import (
     stream_stream_join,
     streaming_apply_changes,
     windowed_aggregate,
+    write_stream_merge,
     write_stream_validated,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "stream_stream_join",
     "streaming_apply_changes",
     "windowed_aggregate",
+    "write_stream_merge",
     "write_stream_validated",
 ]

@@ -418,3 +418,90 @@ def write_stream_validated(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_merge(
+    changes: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    trigger_available_now: bool = False,
+    query_name: Optional[str] = None,
+):
+    """CDC stream → continuously maintained table via foreachBatch MERGE.
+
+    Each micro-batch is merged onto the target with the same semantics as
+    the batch operator :func:`patito_spark.operators.temporal.apply_changes`:
+    per key the greatest ``seq_col`` wins, a winning ``delete_op`` removes
+    the key, and a late change older than the target's current row is
+    rejected (the target row re-enters the merge carrying its own seq and
+    wins ties — identical to the `state >= batch` guard in
+    :func:`streaming_apply_changes`). The seq column must therefore be
+    part of the change payload, as it is in any CDC feed.
+
+    The target is plain parquet: merge = read + combine + atomic-ish
+    overwrite. ``localCheckpoint(eager=True)`` materializes the merged
+    result BEFORE the overwrite deletes the files it was derived from —
+    without it the lazy plan would read the target mid-overwrite. On a
+    real deployment the same callback body targets a table format with a
+    native MERGE (Delta/Iceberg); the batch-reduction and late-data
+    semantics here are the part those formats don't give you.
+
+    Known limitation (inherent to tombstone-free targets): a delete
+    leaves no marker, so a later micro-batch carrying an OLDER change for
+    the deleted key re-inserts it. Feeds that can replay that pattern
+    need a tombstone column on the target, not a plain parquet table.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from patito_spark.operators.temporal import apply_changes
+
+    spark = changes.sparkSession
+    payload_cols = [c for c in changes.columns if c != op_col]
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        try:
+            target = spark.read.parquet(path)
+            have_target = True
+        except Exception:
+            have_target = False
+        if have_target:
+            # Target rows re-enter the merge as pseudo-changes with
+            # source-priority 1: on a seq tie the target (already-applied
+            # state) wins, matching streaming_apply_changes' >= guard.
+            pseudo = target.select(*payload_cols).withColumn(
+                op_col, F.lit("U")
+            ).withColumn("__src", F.lit(1))
+            combined = pseudo.unionByName(
+                batch.select(*payload_cols, op_col).withColumn(
+                    "__src", F.lit(0)
+                )
+            )
+        else:
+            combined = batch.select(*payload_cols, op_col).withColumn(
+                "__src", F.lit(0)
+            )
+        merged = apply_changes(
+            None,
+            combined,
+            key_cols=key_cols,
+            seq_col=[seq_col, "__src"],
+            op_col=op_col,
+            delete_op=delete_op,
+        ).drop("__src")
+        # Materialize BEFORE overwrite: the plan reads the files the
+        # overwrite is about to delete.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+    writer = changes.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -306,3 +306,67 @@ def test_stream_stream_join_left_outer(spark, tmp_path):
     # unmatched left row emitted with NULL right side after the day-later
     # batch advanced both watermarks past its join window
     assert (9, "Lonely", None) in rows
+
+
+# ---------------------------------------------------------------------- #
+# foreachBatch MERGE sink                                                 #
+# ---------------------------------------------------------------------- #
+
+
+def _cdc_batches():
+    # (user_id, ts, value, op) — three files so maxFilesPerTrigger=1
+    # forces multiple micro-batches, exercising target-merge + late data.
+    return [
+        [(1, 10, 1.0, "U"), (2, 10, 2.0, "U"), (3, 10, 3.0, "U")],
+        [(1, 20, 1.5, "U"), (3, 20, 0.0, "D"), (4, 20, 4.0, "U")],
+        # late change for user 1 (ts 15 < applied 20) must be rejected;
+        # user 2 upserted again with a newer seq.
+        [(1, 15, 9.9, "U"), (2, 30, 2.5, "U")],
+    ]
+
+
+def test_write_stream_merge_matches_batch_apply_changes(spark, tmp_path):
+    from patito_spark.operators.temporal import apply_changes
+    from patito_spark.streaming import write_stream_merge
+
+    schema = "user_id long, ts long, value double, op string"
+    src = str(tmp_path / "cdc_src")
+    for i, rows in enumerate(_cdc_batches()):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    target = str(tmp_path / "cdc_target")
+    query = write_stream_merge(
+        stream,
+        path=target,
+        checkpoint=str(tmp_path / "ckpt"),
+        key_cols=["user_id"],
+        seq_col="ts",
+        trigger_available_now=True,
+    )
+    query.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.ts, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+
+    all_changes = spark.createDataFrame(
+        [r for rows in _cdc_batches() for r in rows], schema
+    )
+    want = {
+        r.user_id: (r.ts, r.value)
+        for r in apply_changes(
+            None, all_changes, key_cols=["user_id"], seq_col="ts"
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == (20, 1.5)   # late ts=15 rejected
+    assert 3 not in got          # delete applied
+    assert got[2] == (30, 2.5)   # re-upsert across batches

@@ -1,0 +1,53 @@
+"""Merge a bench run into BENCH_FLOOR.json (per-query best-ever times).
+
+Usage: python tools/update_bench_floor.py BENCH_rN.json [...]
+
+The floor is the min over all supplied runs and the existing floor, kept
+per scale factor — bench.py flags any future run that exceeds a floor by
+more than noise (see bench.py for the thresholds). Commit the updated
+floor alongside the change that achieved it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOOR_PATH = os.path.join(REPO, "BENCH_FLOOR.json")
+
+
+def main(paths: list[str]) -> None:
+    floor: dict = {"sf": None, "queries": {}}
+    if os.path.exists(FLOOR_PATH):
+        with open(FLOOR_PATH) as fh:
+            floor = json.load(fh)
+
+    for path in paths:
+        with open(path) as fh:
+            run = json.load(fh)
+        queries = run.get("queries")
+        if not queries:
+            print(f"skip {path}: no per-query timings", file=sys.stderr)
+            continue
+        if floor["sf"] is None:
+            floor["sf"] = run.get("sf")
+        elif run.get("sf") != floor["sf"]:
+            print(
+                f"skip {path}: sf={run.get('sf')} != floor sf={floor['sf']}",
+                file=sys.stderr,
+            )
+            continue
+        for name, t in queries.items():
+            prev = floor["queries"].get(name)
+            floor["queries"][name] = min(t, prev) if prev else t
+
+    with open(FLOOR_PATH, "w") as fh:
+        json.dump(floor, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {FLOOR_PATH} ({len(floor['queries'])} queries)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
