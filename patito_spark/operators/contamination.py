@@ -41,11 +41,17 @@ def ngram_contamination(
     tokens contribute their whole text as one gram (so short exact copies
     are still caught).
     """
+    # distinct=False on BOTH sides: the corpus side's duplicates collapse
+    # in the post-join count_distinct (so the full corpus gram stream is
+    # never shuffled — the contract of this operator), and the benchmark
+    # side dedups on __h alone below.
     corpus_grams = shingle_hash_rows(
-        corpus, id_col=id_col, text_col=text_col, n=n, hash_mode=hash_mode
+        corpus, id_col=id_col, text_col=text_col, n=n, hash_mode=hash_mode,
+        distinct=False,
     )
     bench_grams = shingle_hash_rows(
-        benchmark, id_col=id_col, text_col=text_col, n=n, hash_mode=hash_mode
+        benchmark, id_col=id_col, text_col=text_col, n=n, hash_mode=hash_mode,
+        distinct=False,
     ).select("__h").distinct()
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)

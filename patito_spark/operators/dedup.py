@@ -131,6 +131,7 @@ def shingle_hash_rows(
     text_col: str = "text",
     n: int = 3,
     hash_mode: str = "xxhash64",
+    distinct: bool = True,
 ) -> DataFrame:
     """(``__id``, ``__h``) rows: 64-bit hash of each distinct word n-gram.
 
@@ -168,9 +169,11 @@ def shingle_hash_rows(
         .when(is_short_doc, F.col("__text"))
         .alias("__gram"),
     ).filter(F.col("__gram").isNotNull())
-    return grams.select(
-        "__id", hash64("__gram", mode=hash_mode).alias("__h")
-    ).distinct()
+    out = grams.select("__id", hash64("__gram", mode=hash_mode).alias("__h"))
+    # ``distinct=False`` skips the dedup shuffle for consumers whose
+    # downstream aggregate is duplicate-insensitive (min, count_distinct):
+    # at 100 TB the distinct exchanges the full gram stream a second time.
+    return out.distinct() if distinct else out
 
 
 def minhash_lsh_candidates(
