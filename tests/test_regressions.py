@@ -337,3 +337,45 @@ def test_dedup_corpus_leaves_no_cache_residue(spark):
     # dedup_corpus materializes internally (components loop), so it cleans
     # up its own persisted intermediates before returning.
     assert _cache_manager_empty(spark)
+
+
+# ---------------------------------------------------------------------- #
+# Cache hygiene: operators must not leak persisted intermediates          #
+# ---------------------------------------------------------------------- #
+
+
+def _n_persistent_rdds(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_dedup_corpus_leaves_no_cache_residue(spark):
+    """dedup_corpus materializes internally (cache_scope): after it
+    returns, every intermediate it persisted must already be released."""
+    from patito_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"common shared text piece number {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    before = _n_persistent_rdds(spark)
+    result = dedup_corpus(docs, threshold=0.5)
+    result.count()
+    assert _n_persistent_rdds(spark) == before
+
+
+def test_release_caches_clears_minhash_persists(spark):
+    """Lazy operators register persists in the tracked registry;
+    release_caches() frees them all after the caller's action."""
+    import patito_spark as pt
+    from patito_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated words for document {i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    before = _n_persistent_rdds(spark)
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    pairs.count()
+    assert _n_persistent_rdds(spark) > before  # persists are live mid-use
+    pt.release_caches()
+    assert _n_persistent_rdds(spark) == before
