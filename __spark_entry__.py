@@ -649,7 +649,9 @@ _ANN_INDEX_CACHE: dict = {}
 def _lsh_index(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.similarity import build_lsh_index
 
-    key = ("lsh", sf_dir)
+    # applicationId in the key: a cached index holds DataFrames of ONE
+    # session — a restarted session must rebuild, not hit stale handles.
+    key = ("lsh", spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         _ANN_INDEX_CACHE[key] = build_lsh_index(emb, n_planes=6)
@@ -659,7 +661,7 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
 def _ivf_index(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.similarity import build_ivf_index
 
-    key = ("ivf", sf_dir)
+    key = ("ivf", spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         _ANN_INDEX_CACHE[key] = build_ivf_index(
