@@ -60,6 +60,17 @@ HEADLINERS = {
         "component loop; the final step is a LEFT ANTI join against the "
         "(small) drop set."
     ),
+    "ann_ivf": (
+        "Prebuilt IVF index: the inverted file reads from "
+        "InMemoryTableScan (built once per corpus by build_ivf_index), "
+        "probes broadcast to it, WindowGroupLimit prunes the top-k "
+        "map-side."
+    ),
+    "contamination_check": (
+        "Benchmark grams distinct + BroadcastExchange — the corpus gram "
+        "stream is joined map-side and never dedup-shuffled "
+        "(count_distinct collapses duplicates after the join)."
+    ),
 }
 
 
