@@ -10,6 +10,7 @@ from patito_spark.operators import (
     dedup,
     graph,
     multimodal,
+    packing,
     sampling,
     similarity,
     sketch,
@@ -24,6 +25,7 @@ __all__ = [
     "dedup",
     "graph",
     "multimodal",
+    "packing",
     "sampling",
     "similarity",
     "sketch",

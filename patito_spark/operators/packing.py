@@ -1,0 +1,171 @@
+"""Context-window preparation: document chunking and sequence packing.
+
+The last mile of a training-data pipeline: documents become fixed-budget
+token windows (``chunk_documents``), and short documents are packed
+together to fill the context window instead of wasting it on padding
+(``pack_sequences`` — the standard "sequence packing" trick).
+
+Scale shapes:
+
+* ``chunk_documents`` is a pure projection + explode — map-only, no
+  shuffle, whole-stage codegen except the per-chunk slice/join (bounded
+  by chunks-per-doc, not tokens).
+* ``pack_sequences`` packs **per partition** via ``mapInPandas`` — greedy
+  first-fit inside each Arrow batch stream. Packing is a bin-packing
+  heuristic by nature; partition-local packing loses at most one
+  underfull sequence per partition versus a global pass, and in exchange
+  needs NO shuffle and no driver state. At 100 TB a global pack would
+  serialize the corpus through one node — never acceptable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 0,
+    min_chunk_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into whitespace-token windows of ``max_tokens``.
+
+    Returns ``<id_col>, chunk_id, chunk_text, n_tokens`` — one row per
+    chunk, ``chunk_id`` 0-based within the document. ``overlap`` tokens
+    are repeated between consecutive chunks (context continuity for
+    retrieval indexing); trailing chunks shorter than
+    ``min_chunk_tokens`` are dropped.
+
+    Map-only: tokens come from one ``split``, chunk starts from one
+    ``sequence``, and each chunk is a ``slice`` + ``array_join`` — cost
+    is O(chunks) interpreted ops per document, the token stream itself
+    never leaves the row.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens "
+            f"({max_tokens}) or chunking cannot advance"
+        )
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # chunk starts: 0, step, 2*step, ... strictly below n
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        n.alias("__n"),
+        toks.alias("__toks"),
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(max_tokens)
+    )
+    return (
+        chunks.select(
+            id_col,
+            "chunk_id",
+            F.array_join(chunk_toks, " ").alias("chunk_text"),
+            F.size(chunk_toks).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_chunk_tokens)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    length_col: Optional[str] = None,
+    text_col: str = "text",
+    max_len: int = 2048,
+    sort_within_partition: bool = True,
+) -> DataFrame:
+    """Greedy first-fit packing of documents into training sequences.
+
+    Returns ``seq_id, doc_ids (array), total_tokens, n_docs,
+    fill_ratio`` — each output row is one packed training sequence whose
+    member documents' token counts sum to ≤ ``max_len``. Documents
+    longer than ``max_len`` get a sequence of their own (chunk first via
+    :func:`chunk_documents` if that is not what you want).
+
+    ``length_col`` supplies precomputed token counts; otherwise
+    whitespace token counts of ``text_col`` are used (codegen, before
+    the Python stage).
+
+    Packing runs independently inside each partition (greedy first-fit
+    over the partition's rows, sorted by ``id_col`` when
+    ``sort_within_partition`` for reproducibility given a fixed
+    partitioning). Per-partition waste is at most one underfull tail
+    sequence; global packing would need a full shuffle (or a driver
+    pass) for a ~1/partition-count fill improvement — the wrong trade at
+    scale. ``seq_id`` is globally unique (partition id in the high
+    bits).
+    """
+    import pandas as pd
+
+    if length_col is None:
+        src = df.select(
+            F.col(id_col).alias("__id"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("__len"),
+        )
+    else:
+        src = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(length_col).cast("long").alias("__len"),
+        )
+    src = src.withColumn("__pid", F.spark_partition_id())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("seq_id", T.LongType(), False),
+            T.StructField(
+                "doc_ids", T.ArrayType(df.schema[id_col].dataType), False
+            ),
+            T.StructField("total_tokens", T.LongType(), False),
+            T.StructField("n_docs", T.LongType(), False),
+            T.StructField("fill_ratio", T.DoubleType(), False),
+        ]
+    )
+
+    def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        rows = pd.concat(list(batches), ignore_index=True)
+        if len(rows) == 0:
+            return
+        if sort_within_partition:
+            rows = rows.sort_values("__id")
+        pid = int(rows["__pid"].iloc[0])
+        # First-fit over open bins; docs longer than max_len become
+        # singleton sequences (callers chunk first when that matters).
+        bins: list[tuple[int, list, int]] = []  # (remaining, ids, total)
+        for doc, ln in zip(rows["__id"], rows["__len"]):
+            ln = int(ln)
+            placed = False
+            if ln <= max_len:
+                for i, (rem, ids, tot) in enumerate(bins):
+                    if ln <= rem:
+                        ids.append(doc)
+                        bins[i] = (rem - ln, ids, tot + ln)
+                        placed = True
+                        break
+            if not placed:
+                bins.append((max(max_len - ln, 0), [doc], ln))
+        yield pd.DataFrame(
+            {
+                "seq_id": [(pid << 32) | i for i in range(len(bins))],
+                "doc_ids": [ids for _, ids, _ in bins],
+                "total_tokens": [tot for _, _, tot in bins],
+                "n_docs": [len(ids) for _, ids, _ in bins],
+                "fill_ratio": [
+                    min(tot / max_len, 1.0) for _, _, tot in bins
+                ],
+            }
+        )
+
+    return src.mapInPandas(pack, schema=out_schema)

@@ -1,0 +1,110 @@
+"""Chunking + sequence packing (context-window prep) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.operators.packing import chunk_documents, pack_sequences
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    words = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    return spark.createDataFrame(
+        [
+            (1, words(10, "a")),
+            (2, words(25, "b")),
+            (3, words(3, "c")),
+            (4, words(40, "d")),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_chunk_documents_covers_all_tokens(docs):
+    out = chunk_documents(docs, max_tokens=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2 has 25 tokens -> chunks of 10/10/5
+    sizes = [r.n_tokens for r in sorted(by_doc[2], key=lambda r: r.chunk_id)]
+    assert sizes == [10, 10, 5]
+    # reassembling the chunks in order restores the document
+    for doc_id, rows in by_doc.items():
+        joined = " ".join(
+            r.chunk_text for r in sorted(rows, key=lambda r: r.chunk_id)
+        )
+        original = {r.doc_id: r.text for r in docs.collect()}[doc_id]
+        assert joined == original
+
+
+def test_chunk_documents_overlap(docs):
+    out = chunk_documents(
+        docs.filter(F.col("doc_id") == 2), max_tokens=10, overlap=2
+    ).collect()
+    rows = sorted(out, key=lambda r: r.chunk_id)
+    # step = 8: starts 0, 8, 16, 24 -> sizes 10, 10, 9, 1
+    assert [r.n_tokens for r in rows] == [10, 10, 9, 1]
+    first = rows[0].chunk_text.split(" ")
+    second = rows[1].chunk_text.split(" ")
+    assert first[-2:] == second[:2]  # 2-token overlap
+
+
+def test_chunk_documents_overlap_validation(docs):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_tokens=5, overlap=5)
+
+
+def test_chunk_documents_min_tokens(docs):
+    out = chunk_documents(
+        docs.filter(F.col("doc_id") == 2), max_tokens=10, min_chunk_tokens=6
+    ).collect()
+    assert [r.n_tokens for r in out] == [10, 10]  # 5-token tail dropped
+
+
+def test_chunk_is_map_only(docs):
+    plan = (
+        chunk_documents(docs, max_tokens=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_respects_budget_and_partition(docs):
+    packed = pack_sequences(docs.repartition(1), max_len=30).collect()
+    # every sequence within budget unless it is a single long doc
+    for r in packed:
+        assert r.total_tokens <= 30 or r.n_docs == 1
+        assert r.fill_ratio <= 1.0
+    # every doc appears exactly once
+    seen = sorted(d for r in packed for d in r.doc_ids)
+    assert seen == [1, 2, 3, 4]
+    # greedy first-fit on sorted ids with budget 30:
+    # doc1(10) -> bin0; doc2(25) -> bin1; doc3(3) -> bin0 (13); doc4(40)
+    # oversize singleton
+    by_docs = {tuple(r.doc_ids): r for r in packed}
+    assert (1, 3) in by_docs and by_docs[(1, 3)].total_tokens == 13
+    assert (2,) in by_docs and (4,) in by_docs
+
+
+def test_pack_sequences_precomputed_lengths(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 200)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(
+        df.repartition(1), length_col="n_tok", max_len=1024
+    ).collect()
+    assert len(packed) == 1 or all(r.total_tokens <= 1024 for r in packed)
+    total = sum(r.total_tokens for r in packed)
+    assert total == 1200
+
+
+def test_pack_sequences_seq_ids_unique(spark):
+    df = spark.range(200).selectExpr(
+        "id as doc_id", "repeat('w ', 100) as text"
+    )
+    packed = pack_sequences(df, max_len=512).collect()
+    ids = [r.seq_id for r in packed]
+    assert len(ids) == len(set(ids))
+    assert sorted(d for r in packed for d in r.doc_ids) == list(range(200))
