@@ -16,17 +16,60 @@ import warnings
 from pyspark.sql import DataFrame, functions as F
 
 
+def _driver_union_find(rows) -> list[tuple]:
+    """Exact min-label components of a small edge list, driver-side.
+
+    Path-compressed union-find; the component label is the minimum node
+    id of each set (identical semantics to the distributed loop,
+    independent of union order).
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in rows:
+        for v in (src, dst):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Assign each node the minimum id reachable from it.
+
+    Adaptive strategy: near-dup edge lists are tiny relative to the
+    corpus that produced them (LSH already pruned the n² space), so when
+    the edge count is ≤ ``driver_threshold`` (a BOUNDED collect — ~16 MB
+    of longs at the default) the components are solved exactly with
+    driver-side union-find in one pass instead of O(log d) distributed
+    join rounds (~3 jobs per round). Larger graphs take the distributed
+    min-label + pointer-jumping loop. Both paths produce identical
+    labels. Set ``driver_threshold=0`` to force the distributed loop.
 
     Args:
         pairs: undirected edge list (one row per pair).
         max_iterations: safety bound; propagation stops early at fixpoint.
+        driver_threshold: max edges solved driver-side.
 
     Returns:
         ``node, component`` — component is the min node id of the cluster.
@@ -37,6 +80,25 @@ def connected_components(
     base = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).persist()
+
+    if driver_threshold > 0:
+        head = base.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            labels = _driver_union_find(
+                [(r["src"], r["dst"]) for r in head]
+            )
+            spark = pairs.sparkSession
+            schema = (
+                "node "
+                + pairs.schema[id_a].dataType.simpleString()
+                + ", component "
+                + pairs.schema[id_b].dataType.simpleString()
+            )
+            base.unpersist()
+            return spark.createDataFrame(labels, schema)
+        # over threshold: fall through to the distributed loop (the
+        # persisted base is reused below, so the probe isn't wasted work)
+
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -1,15 +1,29 @@
-"""Connected-components correctness on known graph shapes."""
+"""Connected-components correctness on known graph shapes.
+
+Every shape runs through BOTH paths: the adaptive driver-side
+union-find (default for small edge lists) and the distributed
+min-label loop (forced with driver_threshold=0). Labels must agree.
+"""
 
 import pytest
 
-from patito_spark.operators.graph import connected_components
+from patito_spark.operators import graph
+
+
+@pytest.fixture(params=[1_000_000, 0], ids=["driver", "distributed"])
+def connected_components(request):
+    def run(pairs, **kw):
+        kw.setdefault("driver_threshold", request.param)
+        return graph.connected_components(pairs, **kw)
+
+    return run
 
 
 def components_map(df):
     return {r.node: r.component for r in df.collect()}
 
 
-def test_simple_chain(spark):
+def test_simple_chain(spark, connected_components):
     # 1-2-3 chain plus isolated pair 10-11: two components
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], schema="id_a long, id_b long"
@@ -18,7 +32,7 @@ def test_simple_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_long_path_converges(spark):
+def test_long_path_converges(spark, connected_components):
     # path 0-1-2-...-19: diameter 19, needs multiple propagation rounds
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(19)], schema="id_a long, id_b long"
@@ -28,7 +42,7 @@ def test_long_path_converges(spark):
     assert len(got) == 20
 
 
-def test_cycle_and_star(spark):
+def test_cycle_and_star(spark, connected_components):
     pairs = spark.createDataFrame(
         [(5, 6), (6, 7), (7, 5), (100, 101), (100, 102), (100, 103)],
         schema="id_a long, id_b long",
@@ -38,7 +52,7 @@ def test_cycle_and_star(spark):
     assert {got[100], got[101], got[102], got[103]} == {100}
 
 
-def test_reversed_edge_direction(spark):
+def test_reversed_edge_direction(spark, connected_components):
     # min id on the right side of the pair must still win
     pairs = spark.createDataFrame([(9, 1)], schema="id_a long, id_b long")
     got = components_map(connected_components(pairs))

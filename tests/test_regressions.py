@@ -114,7 +114,9 @@ def test_connected_components_warns_when_iterations_exhausted(spark):
     from patito_spark.operators.graph import connected_components
 
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        out = connected_components(_chain(spark, 40), max_iterations=1)
+        out = connected_components(
+            _chain(spark, 40), max_iterations=1, driver_threshold=0
+        )
     assert out.count() == 41  # still returns a (possibly split) labeling
 
 
@@ -122,7 +124,9 @@ def test_connected_components_zero_iterations_warns_not_raises(spark):
     from patito_spark.operators.graph import connected_components
 
     with pytest.warns(RuntimeWarning, match="loop never ran"):
-        out = connected_components(_chain(spark, 3), max_iterations=0)
+        out = connected_components(
+            _chain(spark, 3), max_iterations=0, driver_threshold=0
+        )
     assert out.count() == 4
 
 
@@ -131,7 +135,9 @@ def test_connected_components_long_chain_converges(spark):
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # no convergence warning allowed
-        out = connected_components(_chain(spark, 64), max_iterations=10)
+        out = connected_components(
+            _chain(spark, 64), max_iterations=10, driver_threshold=0
+        )
     rows = out.collect()
     assert all(r["component"] == 0 for r in rows)  # O(log n) via jumping
 
