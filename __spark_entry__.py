@@ -280,6 +280,12 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming file source requires a directory; glob-filter to the table
     stream = _events_stream(spark, sf_dir)
     hour_ns = 3_600_000_000_000
+    # State-store count is fixed at query start from shuffle.partitions:
+    # size it to the keyspace (a few thousand hour×type groups here — 32
+    # near-empty stores just add per-batch overhead). A production
+    # deployment sizes this to its throughput instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     agg = (
         stream.withColumn("hour_bucket", F.expr(f"ts div {hour_ns}"))
         .groupBy("hour_bucket", "event_type")
@@ -289,14 +295,17 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"pt_stream_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -933,14 +942,22 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = streaming_apply_changes(changes, key_cols=["user_id"], seq_col="ts")
     name = f"pt_cdc_{uuid.uuid4().hex[:8]}"
-    query = (
-        merged.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(300)
+    # State stores = shuffle.partitions at query start; a few hundred user
+    # keys don't need 32 python state workers per batch (see
+    # q_stream_hourly_counts).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            merged.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
     return (
