@@ -135,9 +135,10 @@ def pack_sequences(
     )
 
     def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rows = pd.concat(list(batches), ignore_index=True)
-        if len(rows) == 0:
+        parts = [p for p in batches if len(p)]
+        if not parts:  # empty partition: no sequences
             return
+        rows = pd.concat(parts, ignore_index=True)
         if sort_within_partition:
             rows = rows.sort_values("__id")
         pid = int(rows["__pid"].iloc[0])

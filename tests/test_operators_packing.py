@@ -108,3 +108,78 @@ def test_pack_sequences_seq_ids_unique(spark):
     ids = [r.seq_id for r in packed]
     assert len(ids) == len(set(ids))
     assert sorted(d for r in packed for d in r.doc_ids) == list(range(200))
+
+
+# ---------------------------------------------------------------------- #
+# Property tests                                                          #
+# ---------------------------------------------------------------------- #
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=8),
+    max_tokens=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_properties(spark, lengths, max_tokens, overlap_frac):
+    overlap = int(max_tokens * overlap_frac)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+    step = max_tokens - overlap
+    by_doc = {}
+    for r in out:
+        assert r.n_tokens <= max_tokens
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for (doc_id, text), n in zip(rows, lengths):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        toks = text.split(" ")
+        # chunk c covers tokens [c*step, c*step + max_tokens)
+        for c, r in enumerate(chunks):
+            assert r.chunk_text.split(" ") == toks[
+                c * step : c * step + max_tokens
+            ]
+        # union of chunks covers every token (overlap ensures no gaps)
+        covered = set()
+        for c in range(len(chunks)):
+            covered.update(range(c * step, min(c * step + max_tokens, n)))
+        assert covered == set(range(n))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(
+        st.integers(min_value=1, max_value=100), min_size=1, max_size=20
+    ),
+    max_len=st.integers(min_value=10, max_value=120),
+)
+def test_pack_sequences_properties(spark, lengths, max_len):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(
+        df.repartition(2), length_col="n_tok", max_len=max_len
+    ).collect()
+    # every doc exactly once
+    seen = sorted(d for r in packed for d in r.doc_ids)
+    assert seen == list(range(len(lengths)))
+    # budget respected except oversize singletons; totals are exact
+    for r in packed:
+        assert r.total_tokens == sum(lengths[d] for d in r.doc_ids)
+        assert r.total_tokens <= max_len or r.n_docs == 1
+    # token mass conserved
+    assert sum(r.total_tokens for r in packed) == sum(lengths)
