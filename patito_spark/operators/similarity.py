@@ -572,24 +572,54 @@ def ann_ivf_topk(
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
 
-    def probe(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(pdf["vec"].to_numpy())
-            # Stable sort on -score: (score desc, cell asc) — deterministic
-            # and oracle-consistent under ties.
-            probed = np.argsort(
-                -_cell_scores(mat), axis=1, kind="stable"
-            )[:, :n_probe]
-            rows = {
-                "cell": probed.reshape(-1).astype("int32"),
-                "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
-                "__qvec": [v for v in mat for _ in range(n_probe)],
-            }
-            yield pd.DataFrame(rows)
+    def _probe_rows(q_ids, mat):
+        # Stable sort on -score: (score desc, cell asc) — deterministic
+        # and oracle-consistent under ties.
+        probed = np.argsort(-_cell_scores(mat), axis=1, kind="stable")[
+            :, :n_probe
+        ]
+        return {
+            "cell": probed.reshape(-1).astype("int32"),
+            "query_id": np.repeat(q_ids, n_probe),
+            "__qvec": [v for v in mat for _ in range(n_probe)],
+        }
 
-    probes = q_pruned.mapInPandas(probe, schema=probe_schema)
+    # The probe side always ends up broadcast, so a driver-sized query
+    # set (the cosine_topk cap) is probed ON the driver — the same numpy
+    # arithmetic, minus one Python-worker stage. Larger query sets keep
+    # the distributed mapInPandas probe.
+    q_head = q_pruned.limit(MAX_BROADCAST_QUERIES + 1).toPandas()
+    if len(q_head) <= MAX_BROADCAST_QUERIES:
+        if len(q_head) == 0:
+            probes = q_pruned.sparkSession.createDataFrame([], probe_schema)
+        else:
+            rows = _probe_rows(
+                q_head["query_id"].to_numpy(),
+                np.stack(q_head["vec"].to_numpy()),
+            )
+            # plain-python rows: createDataFrame's verifier rejects numpy
+            # scalars inside array fields
+            data = [
+                (int(c), q.item() if hasattr(q, "item") else q, list(map(float, v)))
+                for c, q, v in zip(
+                    rows["cell"], rows["query_id"], rows["__qvec"]
+                )
+            ]
+            probes = q_pruned.sparkSession.createDataFrame(data, probe_schema)
+    else:
+
+        def probe(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield pd.DataFrame(
+                    _probe_rows(
+                        pdf["query_id"].to_numpy(),
+                        np.stack(pdf["vec"].to_numpy()),
+                    )
+                )
+
+        probes = q_pruned.mapInPandas(probe, schema=probe_schema)
 
     candidates = inverted.join(F.broadcast(probes), on="cell")
     scored = cosine_score_pairs(
