@@ -569,14 +569,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup over the full table. Value-oracled: the oracle
-    SQL re-derives the sign-projection buckets from the same hyperplane
-    constants (sequential-fold dots on both engines), so bucketing AND
-    scoring are compared bit-exactly."""
+    """LSH-bucketed near-dup over the full table, via a prebuilt index
+    (4-plane LshIndex shared across calls — one corpus projection per
+    session). Value-oracled: the oracle SQL re-derives the
+    sign-projection buckets from the same hyperplane constants
+    (sequential-fold dots on both engines), so bucketing AND scoring are
+    compared bit-exactly."""
     from patito_spark.operators.dedup import embedding_dedup_pairs_lsh
+    from patito_spark.operators.similarity import build_lsh_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs_lsh(emb, threshold=0.35, n_planes=4)
+    key = ("lsh4", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = build_lsh_index(emb, n_planes=4)
+    return embedding_dedup_pairs_lsh(
+        emb, threshold=0.35, index=_ANN_INDEX_CACHE[key]
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

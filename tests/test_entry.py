@@ -96,3 +96,32 @@ def test_query_against_oracle(name, spark, duck):
     duck_cols = [d[0] for d in result.description]
     duck_rows = result.fetchall()
     assert_results_match(name, spark_rows, spark_cols, duck_rows, duck_cols)
+
+
+def test_events_ts_normalizes_both_representations(spark, tmp_path):
+    """_t('events') must yield epoch-nanos BIGINT whether the parquet
+    carries ts as int64 epoch-nanos or as a timestamp type (the driver's
+    testdata has shipped both across rounds)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ns = int(base.timestamp()) * 1_000_000_000  # UTC midnight epoch-nanos
+
+    as_long = str(tmp_path / "long_rep")
+    spark.createDataFrame(
+        [(1, ns, 7, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{as_long}/events.parquet")
+
+    as_ts = str(tmp_path / "ts_rep")
+    spark.createDataFrame(
+        [(1, base, 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{as_ts}/events.parquet")
+
+    for rep in (as_long, as_ts):
+        df = entry_mod._t(spark, rep, "events")
+        assert dict(df.dtypes)["ts"] == "bigint", rep
+        assert df.first()["ts"] == ns, rep
