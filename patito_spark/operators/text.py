@@ -7,7 +7,7 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -249,3 +249,123 @@ def repetition_stats(
             "top_gram_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------- #
+# Corpus cleaning (all codegen regexp/translate — no UDFs)                #
+# ---------------------------------------------------------------------- #
+
+
+def strip_html(text: Union[str, Column]) -> Column:
+    """Remove HTML/XML tags and decode the common entities.
+
+    Tag regex is non-greedy and newline-safe; entities beyond the common
+    five decode to a space (lossy but boilerplate-safe). Pure
+    ``regexp_replace`` chain — whole-stage codegen.
+    """
+    col = _text(text)
+    col = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        col = F.regexp_replace(col, ent, rep)
+    return F.regexp_replace(col, r"&[a-zA-Z#0-9]+;", " ")
+
+
+def normalize_whitespace(text: Union[str, Column]) -> Column:
+    """Collapse all whitespace runs to single spaces and trim."""
+    return F.trim(F.regexp_replace(_text(text), r"\s+", " "))
+
+
+def remove_control_chars(text: Union[str, Column]) -> Column:
+    """Drop C0/C1 control characters except tab/newline/carriage-return."""
+    return F.regexp_replace(
+        _text(text), r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", ""
+    )
+
+
+def clean_text(text: Union[str, Column]) -> Column:
+    """Standard pre-training text cleanup: strip HTML, drop control
+    characters, normalize whitespace — one codegen projection."""
+    return normalize_whitespace(remove_control_chars(strip_html(text)))
+
+
+def filter_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: Optional[float] = None,
+    languages: Optional[Sequence[str]] = None,
+    max_dup_gram_frac: Optional[float] = None,
+    min_tokens: Optional[int] = None,
+    max_tokens: Optional[int] = None,
+    repetition_ngram: int = 2,
+) -> DataFrame:
+    """One-call quality gate: keep documents passing every enabled check.
+
+    Composes the individual scorers (quality_score, detect_language,
+    repetition_stats, token_count) into a single filtered projection of
+    the input — the Gopher-style rule stack. Only the repetition check
+    costs a shuffle (its per-gram aggregate); everything else stays in
+    the scan's projection, so with ``max_dup_gram_frac=None`` the whole
+    gate is map-only. Returns the input rows (all columns) that pass.
+    """
+    out = df
+    if min_tokens is not None or max_tokens is not None:
+        n = token_count(text_col)
+        if min_tokens is not None:
+            out = out.filter(n >= min_tokens)
+        if max_tokens is not None:
+            out = out.filter(n <= max_tokens)
+    if min_quality is not None:
+        out = out.filter(quality_score(text_col) >= min_quality)
+    if languages is not None:
+        out = out.filter(detect_language(text_col).isin(*languages))
+    if max_dup_gram_frac is not None:
+        reps = repetition_stats(
+            out.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            ngram=repetition_ngram,
+        )
+        keep = reps.filter(
+            F.col("dup_gram_frac") <= max_dup_gram_frac
+        ).select(id_col)
+        out = out.join(keep, on=id_col, how="left_semi")
+    return out
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-group corpus report: doc/token counts and quality quantiles.
+
+    One hash aggregate over a map-only projection (token counts and
+    quality are scan-side expressions; quantiles via approx_percentile —
+    the mergeable sketch, never a sort). The standard dataset-card
+    table, per source/language at any scale.
+    """
+    group_cols = list(group_cols or [])
+    scored = df.select(
+        *group_cols,
+        token_count(text_col).alias("__n_tok"),
+        quality_score(text_col).alias("__q"),
+    )
+    agg = [
+        F.count("*").alias("n_docs"),
+        F.sum("__n_tok").alias("n_tokens"),
+        F.round(F.avg("__n_tok"), 2).alias("avg_tokens"),
+        F.expr(
+            "percentile_approx(__n_tok, array(0.5, 0.95), 10000)"
+        ).alias("tokens_p50_p95"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+        F.expr(
+            "percentile_approx(__q, array(0.1, 0.5, 0.9), 10000)"
+        ).alias("quality_p10_p50_p90"),
+    ]
+    if group_cols:
+        return scored.groupBy(*group_cols).agg(*agg)
+    return scored.agg(*agg)

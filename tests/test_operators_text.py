@@ -169,3 +169,99 @@ def test_repetition_stats_unigram(spark):
     row = repetition_stats(df, ngram=1).first()
     assert row["n_grams"] == 3
     assert row["top_gram_frac"] == 2.0 / 3.0
+
+
+# ---------------------------------------------------------------------- #
+# Corpus cleaning / filtering / reporting                                 #
+# ---------------------------------------------------------------------- #
+
+
+def test_clean_text_pipeline(spark):
+    from patito_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            ("<p>Hello &amp; <b>world</b></p>",),
+            ("tabs\t\tand\n\nnewlines   squash",),
+            ("ctrl\x00chars\x1fgone",),
+            ("&lt;kept as text&gt; &unknown;",),
+        ],
+        "text string",
+    )
+    got = [r.c for r in df.select(clean_text("text").alias("c")).collect()]
+    assert got[0] == "Hello & world"
+    assert got[1] == "tabs and newlines squash"
+    assert got[2] == "ctrlcharsgone"
+    assert got[3] == "<kept as text>"
+
+
+def test_clean_text_is_map_only(spark):
+    from patito_spark.operators.text import clean_text
+
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        df.select(clean_text("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_filter_corpus_token_and_quality_gates(spark):
+    from patito_spark.operators.text import filter_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the " + "good words here " * 10),       # long enough
+            (2, "tiny"),                                  # too short
+            (3, "!!! ??? ;;; " * 30),                     # punct-heavy
+        ],
+        "doc_id long, text string",
+    )
+    # threshold midway between the two long docs' actual scores, so the
+    # test pins gate behavior rather than the scorer's absolute scale
+    from patito_spark.operators.text import quality_score
+
+    scores = {
+        r.doc_id: r.q
+        for r in df.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert scores[1] > scores[3]
+    cut = (scores[1] + scores[3]) / 2
+    out = filter_corpus(df, min_tokens=5, min_quality=cut)
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_filter_corpus_repetition_gate(spark):
+    from patito_spark.operators.text import filter_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "all words differ across this entire sentence"),
+            (2, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = filter_corpus(df, max_dup_gram_frac=0.5)
+    assert [r.doc_id for r in out.collect()] == [1]
+    # disabled gate keeps everything (and stays map-only)
+    assert filter_corpus(df).count() == 2
+
+
+def test_corpus_stats_grouped(spark):
+    from patito_spark.operators.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            ("en", "one two three"),
+            ("en", "four five"),
+            ("de", "sechs"),
+        ],
+        "lang string, text string",
+    )
+    rows = {r.lang: r for r in corpus_stats(df, group_cols=["lang"]).collect()}
+    assert rows["en"].n_docs == 2 and rows["en"].n_tokens == 5
+    assert rows["de"].n_docs == 1 and rows["de"].n_tokens == 1
+    assert len(rows["en"].tokens_p50_p95) == 2
+    assert len(rows["en"].quality_p10_p50_p90) == 3
