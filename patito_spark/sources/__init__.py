@@ -2,6 +2,7 @@
 
 from patito_spark.sources.readers import (
     read_csv,
+    read_binary_files,
     read_json,
     read_orc,
     read_parquet,
@@ -12,6 +13,7 @@ from patito_spark.sources.readers import (
 
 __all__ = [
     "read_csv",
+    "read_binary_files",
     "read_json",
     "read_orc",
     "read_parquet",

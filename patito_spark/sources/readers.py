@@ -159,6 +159,46 @@ def read_json(
     return _finalize(sdf, model)
 
 
+def read_binary_files(
+    path: str,
+    glob: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    with_metadata: bool = True,
+    **options: Any,
+):
+    """Ingest raw files (images/audio/video/docs) as binary rows.
+
+    Spark's ``binaryFile`` source: each file becomes one row of
+    ``path, modificationTime, length, content (binary)`` — the input
+    shape for :mod:`patito_spark.operators.multimodal` (decode /
+    feature-extract run as Arrow-batched ``mapInPandas`` over
+    ``content``). ``with_metadata`` appends ``file_name`` and
+    ``file_ext`` columns parsed from the path (codegen projection).
+
+    Scale notes: the source parallelizes per file and supports
+    ``pathGlobFilter`` pushdown (pass ``glob``); files larger than
+    ``spark.sql.sources.binaryFile.maxLength`` (default 2 GiB) raise —
+    shard such assets upstream.
+    """
+    from pyspark.sql import functions as F
+
+    spark = _session(spark)
+    reader = spark.read.format("binaryFile").options(**options)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    sdf = reader.load(path)
+    if with_metadata:
+        name = F.element_at(F.split(F.col("path"), "/"), -1)
+        sdf = sdf.withColumn("file_name", name).withColumn(
+            "file_ext",
+            F.when(
+                name.contains("."),
+                F.element_at(F.split(name, r"\."), -1),
+            ).otherwise(F.lit(None).cast("string")),
+        )
+    return sdf
+
+
 def write_parquet(
     df,
     path: str,

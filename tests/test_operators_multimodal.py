@@ -69,3 +69,50 @@ def test_real_codec_gate_is_import_try(spark):
     else:
         out = extract_image_features(df, use_real_codecs=True)
         assert out.columns == ["doc_id", "sha256", "n_bytes", "features"]
+
+
+# ---------------------------------------------------------------------- #
+# binaryFile ingestion -> multimodal pipeline                             #
+# ---------------------------------------------------------------------- #
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    from patito_spark.sources import read_binary_files
+
+    payloads = {
+        "a.jpg": b"\xff\xd8fakejpeg",
+        "b.png": b"\x89PNGfake",
+        "notes.txt": b"hello",
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(str(tmp_path), spark=spark)
+    rows = {r.file_name: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, blob in payloads.items():
+        assert bytes(rows[name].content) == blob
+        assert rows[name].length == len(blob)
+    assert rows["a.jpg"].file_ext == "jpg"
+    assert rows["notes.txt"].file_ext == "txt"
+
+    only_images = read_binary_files(str(tmp_path), glob="*.jpg", spark=spark)
+    assert [r.file_name for r in only_images.collect()] == ["a.jpg"]
+
+
+def test_read_binary_files_feeds_image_features(spark, tmp_path):
+    """The binaryFile shape plugs straight into the multimodal operator."""
+    from patito_spark.operators.multimodal import extract_image_features
+    from patito_spark.sources import read_binary_files
+
+    (tmp_path / "x.jpg").write_bytes(b"\xff\xd8" + b"z" * 30)
+    df = read_binary_files(str(tmp_path), glob="*.jpg", spark=spark)
+    from pyspark.sql import functions as F
+
+    with_id = df.select(
+        F.xxhash64("path").alias("doc_id"), df.content.alias("blob")
+    )
+    feats = extract_image_features(with_id)
+    row = feats.first()
+    assert row.n_bytes == 32
+    assert len(row.features) == 8
