@@ -428,6 +428,7 @@ def write_stream_merge(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
     trigger_available_now: bool = False,
     query_name: Optional[str] = None,
 ):
@@ -450,14 +451,17 @@ def write_stream_merge(
     native MERGE (Delta/Iceberg); the batch-reduction and late-data
     semantics here are the part those formats don't give you.
 
-    Known limitation (inherent to tombstone-free targets): a delete
-    leaves no marker, so a later micro-batch carrying an OLDER change for
-    the deleted key re-inserts it. Feeds that can replay that pattern
-    need a tombstone column on the target, not a plain parquet table.
+    Tombstones: with ``keep_tombstones=False`` (default) a delete simply
+    removes the row — so a later micro-batch carrying an OLDER change for
+    a deleted key re-inserts it (the target kept no marker). In-order
+    feeds never hit this. ``keep_tombstones=True`` stores delete winners
+    as rows flagged ``is_deleted=true`` instead: any batch arrival order
+    then converges to the batch MERGE over the full stream (readers
+    filter ``NOT is_deleted``).
 
     Returns the started ``StreamingQuery``.
     """
-    from patito_spark.operators.temporal import apply_changes
+    from pyspark.sql import Window
 
     spark = changes.sparkSession
     payload_cols = [c for c in changes.columns if c != op_col]
@@ -472,9 +476,20 @@ def write_stream_merge(
             # Target rows re-enter the merge as pseudo-changes with
             # source-priority 1: on a seq tie the target (already-applied
             # state) wins, matching streaming_apply_changes' >= guard.
-            pseudo = target.select(*payload_cols).withColumn(
-                op_col, F.lit("U")
-            ).withColumn("__src", F.lit(1))
+            # Tombstone rows re-enter as deletes, so their seq keeps
+            # guarding against late lower-seq re-inserts.
+            if keep_tombstones:
+                pseudo = target.select(
+                    *payload_cols,
+                    F.when(F.col("is_deleted"), F.lit(delete_op))
+                    .otherwise(F.lit("U"))
+                    .alias(op_col),
+                )
+            else:
+                pseudo = target.select(*payload_cols).withColumn(
+                    op_col, F.lit("U")
+                )
+            pseudo = pseudo.withColumn("__src", F.lit(1))
             combined = pseudo.unionByName(
                 batch.select(*payload_cols, op_col).withColumn(
                     "__src", F.lit(0)
@@ -484,14 +499,23 @@ def write_stream_merge(
             combined = batch.select(*payload_cols, op_col).withColumn(
                 "__src", F.lit(0)
             )
-        merged = apply_changes(
-            None,
-            combined,
-            key_cols=key_cols,
-            seq_col=[seq_col, "__src"],
-            op_col=op_col,
-            delete_op=delete_op,
-        ).drop("__src")
+        # Latest change per key: greatest (seq, source-priority) wins —
+        # the same reduction apply_changes performs, inlined so delete
+        # winners can be KEPT as tombstones instead of dropped.
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.col("__src").desc()
+        )
+        latest = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+        if keep_tombstones:
+            merged = latest.withColumn(
+                "is_deleted", F.col(op_col) == delete_op
+            ).drop(op_col)
+        else:
+            merged = latest.filter(F.col(op_col) != delete_op).drop(op_col)
         # Materialize BEFORE overwrite: the plan reads the files the
         # overwrite is about to delete.
         merged = merged.localCheckpoint(eager=True)

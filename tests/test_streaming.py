@@ -370,3 +370,64 @@ def test_write_stream_merge_matches_batch_apply_changes(spark, tmp_path):
     assert got[1] == (20, 1.5)   # late ts=15 rejected
     assert 3 not in got          # delete applied
     assert got[2] == (30, 2.5)   # re-upsert across batches
+
+
+def test_write_stream_merge_random_streams(spark, tmp_path):
+    """Randomized CDC equivalence: with tombstones on, ANY batch split of
+    any change stream (including deletes arriving before older upserts)
+    converges the target to batch apply_changes over the full stream.
+    (Deterministic seeded cases — a hypothesis strategy would spin up a
+    streaming query per example.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.temporal import apply_changes
+    from patito_spark.streaming import write_stream_merge
+
+    rng = random.Random(1234)
+    schema = "user_id long, ts long, value double, op string"
+    for case in range(3):
+        # unique (key, seq): sample without replacement from a grid
+        cells = [(k, s) for k in range(1, 6) for s in range(1, 30)]
+        rng.shuffle(cells)
+        changes = [
+            (k, s, round(rng.random() * 10, 2), rng.choice(["U", "U", "D"]))
+            for k, s in cells[: rng.randint(5, 40)]
+        ]
+        n_batches = rng.randint(1, 4)
+        src = str(tmp_path / f"src_{case}")
+        for i in range(n_batches):
+            batch = changes[i::n_batches]
+            if not batch:
+                continue
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        target = str(tmp_path / f"target_{case}")
+        q = write_stream_merge(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            path=target,
+            checkpoint=str(tmp_path / f"ckpt_{case}"),
+            key_cols=["user_id"],
+            seq_col="ts",
+            keep_tombstones=True,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+        live = spark.read.parquet(target).filter(~F.col("is_deleted"))
+        got = {r.user_id: (r.ts, r.value) for r in live.collect()}
+        want = {
+            r.user_id: (r.ts, r.value)
+            for r in apply_changes(
+                None,
+                spark.createDataFrame(changes, schema),
+                key_cols=["user_id"],
+                seq_col="ts",
+            ).collect()
+        }
+        assert got == want, f"case {case}: {got} != {want}"
