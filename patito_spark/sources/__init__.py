@@ -7,6 +7,7 @@ from patito_spark.sources.readers import (
     read_orc,
     read_parquet,
     write_bucketed,
+    write_clustered,
     write_orc,
     write_parquet,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "read_orc",
     "read_parquet",
     "write_bucketed",
+    "write_clustered",
     "write_orc",
     "write_parquet",
 ]

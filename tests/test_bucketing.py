@@ -50,3 +50,42 @@ def test_unbucketed_join_would_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+# ---------------------------------------------------------------------- #
+# Range-clustered writes (file-skipping layout)                           #
+# ---------------------------------------------------------------------- #
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from patito_spark.sources import write_clustered
+
+    df = spark.range(100_000).selectExpr(
+        "cast(rand(7) * 1000000 as long) as k", "id as payload"
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, cluster_by=["k"], num_files=8)
+
+    import glob as globmod
+
+    ranges = []
+    for f in sorted(globmod.glob(f"{path}/part-*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # k is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    # files cover non-overlapping key ranges -> selective reads skip files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # round-trip intact
+    back = spark.read.parquet(path)
+    assert back.count() == 100_000
+    assert back.agg({"payload": "sum"}).first()[0] == sum(range(100_000))
