@@ -11,6 +11,7 @@ from patito_spark.operators import (
     graph,
     multimodal,
     packing,
+    pipeline,
     sampling,
     similarity,
     sketch,
@@ -26,6 +27,7 @@ __all__ = [
     "graph",
     "multimodal",
     "packing",
+    "pipeline",
     "sampling",
     "similarity",
     "sketch",

@@ -1,0 +1,118 @@
+"""One-call training-corpus preparation: the whole engine, composed.
+
+``prepare_training_corpus`` chains the pipeline a pretraining-data run
+actually executes — clean → quality/language filter → near-dup
+deduplicate → decontaminate → chunk → pack — each stage the operator
+documented in its own module, composed so intermediate results flow as
+lazy DataFrames (one action at the end materializes the whole graph,
+letting Catalyst fuse the map-only stages).
+
+Stage costs at scale (details in docs/scale.md):
+
+* clean + filter: fused into the first scan's projection (map-only
+  unless the repetition gate is on);
+* dedup: MinHash LSH candidates + verification + components — the only
+  all-corpus shuffles in the pipeline;
+* decontamination: benchmark n-grams broadcast, corpus never shuffled;
+* chunk: map-only explode;
+* pack: partition-local first-fit, no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: Optional[DataFrame] = None,
+    min_quality: Optional[float] = None,
+    languages: Optional[Sequence[str]] = None,
+    min_tokens: Optional[int] = 5,
+    dedup_threshold: Optional[float] = 0.7,
+    contamination_ngram: int = 8,
+    max_tokens_per_chunk: Optional[int] = None,
+    pack_max_len: Optional[int] = None,
+    hash_mode: str = "xxhash64",
+) -> dict:
+    """Run the standard pretraining-data pipeline over a document table.
+
+    Returns a dict of DataFrames (all lazy except the dedup stage, which
+    materializes its component labels internally):
+
+    * ``documents`` — cleaned, filtered, deduplicated, decontaminated
+      docs (``id_col``, ``text`` cleaned, original columns preserved);
+    * ``chunks`` — present when ``max_tokens_per_chunk`` is set;
+    * ``sequences`` — present when ``pack_max_len`` is set (packs chunks
+      when chunking is on, else whole documents).
+
+    Stages are skipped when their parameter is None — the minimal call
+    ``prepare_training_corpus(df)`` just cleans, length-filters, and
+    near-dup-dedups.
+    """
+    from patito_spark.operators.dedup import dedup_corpus
+    from patito_spark.operators.contamination import ngram_contamination
+    from patito_spark.operators.packing import chunk_documents, pack_sequences
+    from patito_spark.operators.text import clean_text, filter_corpus
+
+    cleaned = df.withColumn(text_col, clean_text(text_col)).filter(
+        F.length(F.col(text_col)) > 0
+    )
+    gated = filter_corpus(
+        cleaned,
+        id_col=id_col,
+        text_col=text_col,
+        min_quality=min_quality,
+        languages=languages,
+        min_tokens=min_tokens,
+    )
+    if dedup_threshold is not None:
+        gated = dedup_corpus(
+            gated,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=dedup_threshold,
+            hash_mode=hash_mode,
+        )
+    if benchmark is not None:
+        contaminated = ngram_contamination(
+            gated,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            n=contamination_ngram,
+            hash_mode=hash_mode,
+        ).select(id_col)
+        gated = gated.join(contaminated, on=id_col, how="left_anti")
+
+    out = {"documents": gated}
+    pack_src, pack_id = gated, id_col
+    if max_tokens_per_chunk is not None:
+        chunks = chunk_documents(
+            gated,
+            id_col=id_col,
+            text_col=text_col,
+            max_tokens=max_tokens_per_chunk,
+        ).withColumn(
+            "chunk_key",
+            F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_id")),
+        )
+        out["chunks"] = chunks
+        pack_src, pack_id = chunks.withColumnRenamed(
+            "chunk_text", "__pack_text"
+        ), "chunk_key"
+        pack_text = "__pack_text"
+    else:
+        pack_text = text_col
+    if pack_max_len is not None:
+        out["sequences"] = pack_sequences(
+            pack_src,
+            id_col=pack_id,
+            text_col=pack_text,
+            max_len=pack_max_len,
+        )
+    return out

@@ -1,0 +1,63 @@
+"""End-to-end training-corpus preparation pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.operators.pipeline import prepare_training_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    body = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"<p>{body} one</p>"),            # html to strip
+        (2, f"{body} one"),                    # near-dup of 1 post-clean
+        (3, "completely different sentence about spark pipelines at scale"),
+        (4, "tiny"),                           # fails min_tokens
+        (5, "benchmark overlap " + "shared eval gram text " * 4),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prepare_training_corpus_stages(spark, corpus):
+    benchmark = spark.createDataFrame(
+        [(100, "benchmark overlap " + "shared eval gram text " * 4)],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus,
+        benchmark=benchmark,
+        min_tokens=5,
+        dedup_threshold=0.5,
+        contamination_ngram=5,
+        max_tokens_per_chunk=6,
+        pack_max_len=12,
+    )
+    docs = out["documents"]
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    # 4 dropped (short), 5 dropped (contaminated), 1/2 deduped to one
+    assert 3 in ids
+    assert 4 not in ids and 5 not in ids
+    assert len([i for i in ids if i in (1, 2)]) == 1
+    # cleaning stripped the html tags from the survivor
+    surviving_text = {r.doc_id: r.text for r in docs.collect()}
+    for t in surviving_text.values():
+        assert "<p>" not in t
+
+    chunks = out["chunks"].collect()
+    assert all(r.n_tokens <= 6 for r in chunks)
+    assert {r.doc_id for r in chunks} == set(ids)
+
+    seqs = out["sequences"].collect()
+    packed = sorted(k for r in seqs for k in r.doc_ids)
+    assert packed == sorted(r.chunk_key for r in chunks)
+    for r in seqs:
+        assert r.total_tokens <= 12 or r.n_docs == 1
+
+
+def test_prepare_minimal_call_is_lazy_until_dedup(spark, corpus):
+    out = prepare_training_corpus(corpus, dedup_threshold=None)
+    # no dedup/benchmark: fully lazy, single dict entry
+    assert set(out) == {"documents"}
+    ids = sorted(r.doc_id for r in out["documents"].select("doc_id").collect())
+    assert ids == [1, 2, 3, 5]  # only the short doc is gated
