@@ -61,3 +61,26 @@ def test_prepare_minimal_call_is_lazy_until_dedup(spark, corpus):
     assert set(out) == {"documents"}
     ids = sorted(r.doc_id for r in out["documents"].select("doc_id").collect())
     assert ids == [1, 2, 3, 5]  # only the short doc is gated
+
+
+def test_prepare_training_corpus_on_testdata(spark):
+    """Integration over the real documents table at sf0.001: the full
+    stack runs, shrinks the corpus, and emits within-budget sequences."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_in = docs.count()
+    out = prepare_training_corpus(
+        docs,
+        min_tokens=3,
+        dedup_threshold=0.7,
+        max_tokens_per_chunk=64,
+        pack_max_len=256,
+    )
+    n_docs = out["documents"].count()
+    assert 0 < n_docs <= n_in
+    seqs = out["sequences"]
+    rows = seqs.collect()
+    assert all(r.total_tokens <= 256 or r.n_docs == 1 for r in rows)
+    # chunking to 64 tokens means nothing is oversize for a 256 budget
+    assert all(r.total_tokens <= 256 for r in rows)
+    n_chunks = out["chunks"].count()
+    assert sum(r.n_docs for r in rows) == n_chunks
