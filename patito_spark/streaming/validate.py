@@ -467,10 +467,16 @@ def write_stream_merge(
     payload_cols = [c for c in changes.columns if c != op_col]
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         try:
             target = spark.read.parquet(path)
             have_target = True
-        except Exception:
+        except AnalysisException:
+            # Path missing / no footers yet (first batch): start fresh.
+            # Anything else (corrupt target, permission error) must
+            # propagate — treating it as "no target" would overwrite the
+            # table with this batch's state alone.
             have_target = False
         if have_target:
             # Target rows re-enter the merge as pseudo-changes with
