@@ -43,8 +43,20 @@ def main() -> None:
     # phantom regressions on untouched code in earlier rounds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = entry_mod.queries()
+
+    # Operator-internal intermediates (tracked persists) are released
+    # after every run: without this, run N's persisted shingles/signatures
+    # satisfy run N+1's structurally identical plan from cache, and the
+    # "best of N" times a cache hit instead of the operator (this
+    # manufactured the round-5 dedup_minhash floor). Session-lived index
+    # artifacts (_ANN_INDEX_CACHE) are owned by the entries, live outside
+    # the tracked registry, and deliberately survive — build-once /
+    # query-many IS their steady state.
+    from patito_spark.functions.cache import release_caches
+
     for fn in queries.values():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_caches()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
@@ -54,6 +66,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            release_caches()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

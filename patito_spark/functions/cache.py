@@ -34,10 +34,36 @@ from pyspark.storagelevel import StorageLevel
 _TRACKED: List[DataFrame] = []
 
 
+def _plan_already_cached(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan already has a cache entry.
+
+    Spark's cache manager is keyed by plan *structure*, so two independent
+    calls
+    building the same pipeline share one cache entry — and an unpersist
+    through either handle drops it for both. Checking before persisting
+    lets tracked releases skip entries this operator did not create
+    (otherwise e.g. ``dedup_corpus``'s internal cache_scope would evict a
+    sibling ``minhash_dedup_pairs``'s still-live intermediates).
+    """
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        return bool(cm.lookupCachedData(df._jdf).isDefined())
+    except Exception:  # non-classic sessions: fall back to always-track
+        return False
+
+
 def tracked_persist(
     df: DataFrame, level: Optional[StorageLevel] = None
 ) -> DataFrame:
-    """``df.persist()`` + register the handle for later bulk release."""
+    """``df.persist()`` + register the handle for later bulk release.
+
+    If the plan is already cached (by a sibling operator or the caller),
+    the persist is a no-op share and the handle is NOT registered — a
+    later :func:`release_caches`/:class:`cache_scope` exit must only drop
+    caches it created.
+    """
+    if _plan_already_cached(df):
+        return df
     df = df.persist(level) if level is not None else df.persist()
     _TRACKED.append(df)
     return df

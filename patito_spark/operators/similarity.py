@@ -331,12 +331,14 @@ def build_lsh_index(
 ) -> LshIndex:
     """Bucket the corpus once; returns a reusable :class:`LshIndex`.
 
-    ``materialize=True`` persists the assignment table (tracked — release
-    with ``patito_spark.release_caches()`` or ``index.unpersist()``), so N
-    query batches cost N bucket joins but ONE corpus scan + projection.
+    ``materialize=True`` persists the assignment table, so N query batches
+    cost N bucket joins but ONE corpus scan + projection. The cache is a
+    *session-lived artifact* owned by the index (release with
+    ``index.unpersist()``), deliberately NOT in the
+    ``patito_spark.release_caches()`` registry — a bulk release of
+    operator-internal intermediates must not tear down an index the
+    caller intends to query again.
     """
-    from patito_spark.functions.cache import tracked_persist
-
     planes = _deterministic_hyperplanes(dim, n_planes, seed)
     table = sign_projection_buckets(
         corpus.select(
@@ -346,7 +348,7 @@ def build_lsh_index(
         vec_col="__cvec",
     )
     if materialize:
-        table = tracked_persist(table)
+        table = table.persist()
     return LshIndex(table, planes, n_planes=n_planes, seed=seed)
 
 
@@ -410,14 +412,13 @@ def build_ivf_index(
     KMeans fit (or the fixed ``centroids_df``), and the map-only cell
     assignment. :func:`ann_ivf_topk` then only probes + scores, so N query
     batches over one corpus pay these costs once. ``materialize=True``
-    persists the inverted file (tracked; release via
-    ``patito_spark.release_caches()`` or ``index.unpersist()``);
-    ``index.write(path)`` makes it durable across sessions.
+    persists the inverted file — a session-lived artifact owned by the
+    index (release via ``index.unpersist()``), deliberately NOT in the
+    ``patito_spark.release_caches()`` registry; ``index.write(path)``
+    makes it durable across sessions.
     """
     import numpy as np
     import pandas as pd
-
-    from patito_spark.functions.cache import tracked_persist
 
     if centroids_df is not None:
         c_pdf = (
@@ -491,7 +492,7 @@ def build_ivf_index(
 
     inverted = pruned.mapInPandas(assign, schema=assign_schema)
     if materialize:
-        inverted = tracked_persist(inverted)
+        inverted = inverted.persist()
     return IvfIndex(inverted, centroids, assign_metric=assign_metric)
 
 

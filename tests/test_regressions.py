@@ -331,17 +331,28 @@ def test_minhash_caches_released_on_request(spark):
     assert _cache_manager_empty(spark)
 
 
-def test_dedup_corpus_leaves_no_cache_residue(spark):
-    from patito_spark.operators.dedup import dedup_corpus
+def test_cache_scope_does_not_evict_sibling_caches(spark):
+    """Spark's cache manager is keyed by plan structure, so a structurally
+    identical pipeline in two operator calls shares ONE cache entry.
+    dedup_corpus's internal cache_scope must therefore skip releasing
+    plans that were already cached when it ran — otherwise it would evict
+    a sibling minhash_dedup_pairs call's still-live intermediates (the
+    round-5 bench-floor regression)."""
+    import patito_spark as pt
+    from patito_spark.operators.dedup import dedup_corpus, minhash_dedup_pairs
 
     spark.catalog.clearCache()
+    pt.release_caches()
     df = spark.createDataFrame(
-        [(i, f"the quick brown fox {i % 5} jumps over") for i in range(40)],
+        [(i, f"alpha beta gamma delta {i % 3}") for i in range(40)],
         "doc_id long, text string",
     )
-    dedup_corpus(df, threshold=0.5, num_hashes=16, bands=4).count()
-    # dedup_corpus materializes internally (components loop), so it cleans
-    # up its own persisted intermediates before returning.
+    minhash_dedup_pairs(df, num_hashes=16, bands=4).count()
+    assert not _cache_manager_empty(spark)  # sibling's shingle cache live
+    # same shingle plan inside — its cache_scope must leave it alone
+    dedup_corpus(df, num_hashes=16, bands=4).count()
+    assert not _cache_manager_empty(spark)
+    assert pt.release_caches() >= 1
     assert _cache_manager_empty(spark)
 
 

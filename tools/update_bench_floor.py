@@ -1,11 +1,16 @@
 """Merge a bench run into BENCH_FLOOR.json (per-query best-ever times).
 
-Usage: python tools/update_bench_floor.py BENCH_rN.json [...]
+Usage: python tools/update_bench_floor.py [--reset q1,q2,...] BENCH_rN.json [...]
 
 The floor is the min over all supplied runs and the existing floor, kept
 per scale factor — bench.py flags any future run that exceeds a floor by
 more than noise (see bench.py for the thresholds). Commit the updated
 floor alongside the change that achieved it.
+
+``--reset`` names queries whose committed floor is known-dishonest (e.g.
+recorded under cross-run cache hits before bench.py released tracked
+persists per run): their floors are REPLACED by the supplied run's
+times instead of min-merged. Document every reset in docs/perf.md.
 """
 
 from __future__ import annotations
@@ -18,11 +23,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR_PATH = os.path.join(REPO, "BENCH_FLOOR.json")
 
 
-def main(paths: list[str]) -> None:
+def main(argv: list[str]) -> None:
+    reset: set[str] = set()
+    paths: list[str] = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--reset":
+            reset.update(next(it).split(","))
+        else:
+            paths.append(arg)
+
     floor: dict = {"sf": None, "queries": {}}
     if os.path.exists(FLOOR_PATH):
         with open(FLOOR_PATH) as fh:
             floor = json.load(fh)
+    for name in reset:
+        floor["queries"].pop(name, None)
 
     for path in paths:
         with open(path) as fh:
