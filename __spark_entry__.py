@@ -42,10 +42,13 @@ TABLES = (
 ).split()
 
 
-# Wall-clock timestamp → epoch-nanos, with NO session-timezone dependence
-# (timestampdiff on TIMESTAMP_NTZ is pure calendar arithmetic). Exact for
-# micro-precision inputs; `* 1000` stays well inside int64 for any
-# realistic date.
+# Wall-clock TIMESTAMP_NTZ → epoch-nanos: timestampdiff on TIMESTAMP_NTZ
+# is pure calendar arithmetic, so this leg has no session-timezone
+# dependence. Exact for micro-precision inputs; `* 1000` stays well
+# inside int64 for any realistic date. Instant-typed TIMESTAMP input
+# takes the `unix_micros` leg instead (see _events_ts_to_ns): casting an
+# instant to TIMESTAMP_NTZ renders it in the session timezone first,
+# which would only be correct with the session pinned to UTC.
 _TS_TO_NS = (
     "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
     "cast(ts as timestamp_ntz)) * 1000"
@@ -57,13 +60,19 @@ def _events_ts_to_ns(df: DataFrame) -> DataFrame:
 
     The driver's testdata has shipped `ts` both as parquet TIMESTAMP(NANOS)
     (readable only via nanosAsLong → already epoch-nanos long) and as
-    timestamp[us] (reads as TIMESTAMP_NTZ). Every query downstream does
-    integer time math in epoch-nanos and every oracle uses epoch_ns(ts),
-    so both representations funnel to the same numeric column here.
+    timestamp[us] (reads as TIMESTAMP_NTZ, or as TIMESTAMP when the file
+    marks isAdjustedToUTC). Every query downstream does integer time math
+    in epoch-nanos and every oracle uses epoch_ns(ts), so all
+    representations funnel to the same numeric column here — via
+    `unix_micros` for instants (session-timezone-free by construction)
+    and calendar arithmetic for wall-clock values.
     """
     from pyspark.sql import types as T
 
-    if isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.TimestampType):
+        df = df.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+    elif isinstance(dt, T.TimestampNTZType):
         df = df.withColumn("ts", F.expr(_TS_TO_NS))
     return df
 

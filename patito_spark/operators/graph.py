@@ -59,12 +59,20 @@ def connected_components(
 
     Adaptive strategy: near-dup edge lists are tiny relative to the
     corpus that produced them (LSH already pruned the n² space), so when
-    the edge count is ≤ ``driver_threshold`` (a BOUNDED collect — ~16 MB
-    of longs at the default) the components are solved exactly with
-    driver-side union-find in one pass instead of O(log d) distributed
-    join rounds (~3 jobs per round). Larger graphs take the distributed
-    min-label + pointer-jumping loop. Both paths produce identical
-    labels. Set ``driver_threshold=0`` to force the distributed loop.
+    the edge count is ≤ ``driver_threshold`` the components are solved
+    exactly with driver-side union-find in one pass instead of O(log d)
+    distributed join rounds (~3 jobs per round). Larger graphs take the
+    distributed min-label + pointer-jumping loop. Both paths produce
+    identical labels. Set ``driver_threshold=0`` to force the
+    distributed loop.
+
+    Driver memory for the probe is bounded and Arrow-shaped: the edge
+    slice arrives as a pandas frame (two int64 columns — ~16 MB at the
+    1M default, measured in docs/scale.md), NOT as Python ``Row``
+    objects; the union-find's label dicts add ~100–200 MB transiently at
+    1M edges, freed when the probe returns. Oversized graphs pay the
+    same bounded transfer before falling back (the persisted ``base``
+    keeps the probe from re-running the pair pipeline).
 
     Args:
         pairs: undirected edge list (one row per pair).
@@ -82,10 +90,12 @@ def connected_components(
     ).persist()
 
     if driver_threshold > 0:
-        head = base.limit(driver_threshold + 1).collect()
+        # Arrow path: ~10× lighter on the driver than collect() (two
+        # int64 numpy columns vs a list of Python Row objects).
+        head = base.limit(driver_threshold + 1).toPandas()
         if len(head) <= driver_threshold:
             labels = _driver_union_find(
-                [(r["src"], r["dst"]) for r in head]
+                zip(head["src"].tolist(), head["dst"].tolist())
             )
             spark = pairs.sparkSession
             schema = (

@@ -11,7 +11,7 @@ Scale shapes:
   shuffle, whole-stage codegen except the per-chunk slice/join (bounded
   by chunks-per-doc, not tokens).
 * ``pack_sequences`` packs **per partition** via ``mapInPandas`` — greedy
-  first-fit inside each Arrow batch stream. Packing is a bin-packing
+  best-fit inside each Arrow batch stream. Packing is a bin-packing
   heuristic by nature; partition-local packing loses at most one
   underfull sequence per partition versus a global pass, and in exchange
   needs NO shuffle and no driver state. At 100 TB a global pack would
@@ -55,9 +55,14 @@ def chunk_documents(
     step = max_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    # chunk starts: 0, step, 2*step, ... strictly below n
+    # chunk starts: 0, step, 2*step, ... — capped so every chunk after
+    # the first contains at least one token its predecessor did not
+    # (start + overlap < n); otherwise overlap > 0 could emit a trailing
+    # chunk entirely contained in the previous one (duplicated training
+    # data, e.g. 10 tokens / max 8 / overlap 4 → a chunk at 8 would
+    # repeat tokens 8-9 already covered by the chunk at 4).
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+        F.lit(0), F.greatest(n - 1 - F.lit(overlap), F.lit(0)), F.lit(step)
     )
     chunks = df.select(
         F.col(id_col),
@@ -87,7 +92,7 @@ def pack_sequences(
     max_len: int = 2048,
     sort_within_partition: bool = True,
 ) -> DataFrame:
-    """Greedy first-fit packing of documents into training sequences.
+    """Greedy best-fit packing of documents into training sequences.
 
     Returns ``seq_id, doc_ids (array), total_tokens, n_docs,
     fill_ratio`` — each output row is one packed training sequence whose
@@ -99,14 +104,14 @@ def pack_sequences(
     whitespace token counts of ``text_col`` are used (codegen, before
     the Python stage).
 
-    Packing runs independently inside each partition (greedy first-fit
-    over the partition's rows, sorted by ``id_col`` when
-    ``sort_within_partition`` for reproducibility given a fixed
-    partitioning). Per-partition waste is at most one underfull tail
-    sequence; global packing would need a full shuffle (or a driver
-    pass) for a ~1/partition-count fill improvement — the wrong trade at
-    scale. ``seq_id`` is globally unique (partition id in the high
-    bits).
+    Packing runs independently inside each partition (greedy best-fit
+    over the partition's rows — bisect on remaining capacity, O(docs ×
+    log bins) — sorted by ``id_col`` when ``sort_within_partition`` for
+    reproducibility given a fixed partitioning). Per-partition waste is
+    at most one underfull tail sequence; global packing would need a
+    full shuffle (or a driver pass) for a ~1/partition-count fill
+    improvement — the wrong trade at scale. ``seq_id`` is globally
+    unique (partition id in the high bits).
     """
     import pandas as pd
 
@@ -142,29 +147,37 @@ def pack_sequences(
         if sort_within_partition:
             rows = rows.sort_values("__id")
         pid = int(rows["__pid"].iloc[0])
-        # First-fit over open bins; docs longer than max_len become
+        # Best-fit over open bins via bisect on remaining capacity:
+        # each doc goes to the tightest bin that still fits it —
+        # O(docs × log bins) instead of first-fit's linear scan
+        # (quadratic when a partition holds millions of tiny docs), and
+        # typically a better fill. Docs longer than max_len become
         # singleton sequences (callers chunk first when that matters).
-        bins: list[tuple[int, list, int]] = []  # (remaining, ids, total)
+        import bisect
+
+        bins: list[tuple[list, int]] = []  # (ids, total)
+        order: list[tuple[int, int]] = []  # sorted (remaining, bin idx)
         for doc, ln in zip(rows["__id"], rows["__len"]):
             ln = int(ln)
-            placed = False
             if ln <= max_len:
-                for i, (rem, ids, tot) in enumerate(bins):
-                    if ln <= rem:
-                        ids.append(doc)
-                        bins[i] = (rem - ln, ids, tot + ln)
-                        placed = True
-                        break
-            if not placed:
-                bins.append((max(max_len - ln, 0), [doc], ln))
+                j = bisect.bisect_left(order, (ln, -1))
+                if j < len(order):
+                    rem, bi = order.pop(j)
+                    ids, tot = bins[bi]
+                    ids.append(doc)
+                    bins[bi] = (ids, tot + ln)
+                    bisect.insort(order, (rem - ln, bi))
+                    continue
+            bins.append(([doc], ln))
+            bisect.insort(order, (max(max_len - ln, 0), len(bins) - 1))
         yield pd.DataFrame(
             {
                 "seq_id": [(pid << 32) | i for i in range(len(bins))],
-                "doc_ids": [ids for _, ids, _ in bins],
-                "total_tokens": [tot for _, _, tot in bins],
-                "n_docs": [len(ids) for _, ids, _ in bins],
+                "doc_ids": [ids for ids, _ in bins],
+                "total_tokens": [tot for _, tot in bins],
+                "n_docs": [len(ids) for ids, _ in bins],
                 "fill_ratio": [
-                    min(tot / max_len, 1.0) for _, _, tot in bins
+                    min(tot / max_len, 1.0) for _, tot in bins
                 ],
             }
         )

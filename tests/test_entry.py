@@ -121,7 +121,26 @@ def test_events_ts_normalizes_both_representations(spark, tmp_path):
         "event_type string, value double, props string",
     ).write.parquet(f"{as_ts}/events.parquet")
 
-    for rep in (as_long, as_ts):
+    # instant-typed TIMESTAMP (parquet isAdjustedToUTC): the normalization
+    # must go through unix_micros, not a session-timezone-dependent cast
+    as_instant = str(tmp_path / "instant_rep")
+    spark.createDataFrame(
+        [(1, base.replace(tzinfo=dt.timezone.utc), 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{as_instant}/events.parquet")
+
+    for rep in (as_long, as_ts, as_instant):
         df = entry_mod._t(spark, rep, "events")
         assert dict(df.dtypes)["ts"] == "bigint", rep
         assert df.first()["ts"] == ns, rep
+
+    # the instant leg must be session-timezone-free (the harness pins
+    # UTC, but the entry must not depend on that)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        df = entry_mod._t(spark, as_instant, "events")
+        assert df.first()["ts"] == ns
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

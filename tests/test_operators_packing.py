@@ -42,8 +42,10 @@ def test_chunk_documents_overlap(docs):
         docs.filter(F.col("doc_id") == 2), max_tokens=10, overlap=2
     ).collect()
     rows = sorted(out, key=lambda r: r.chunk_id)
-    # step = 8: starts 0, 8, 16, 24 -> sizes 10, 10, 9, 1
-    assert [r.n_tokens for r in rows] == [10, 10, 9, 1]
+    # step = 8: starts 0, 8, 16 -> sizes 10, 10, 9. A start at 24 would
+    # duplicate a chunk-3-covered token (24 + overlap >= 25), so it is
+    # not emitted — every chunk contains at least one novel token.
+    assert [r.n_tokens for r in rows] == [10, 10, 9]
     first = rows[0].chunk_text.split(" ")
     second = rows[1].chunk_text.split(" ")
     assert first[-2:] == second[:2]  # 2-token overlap
@@ -80,12 +82,13 @@ def test_pack_sequences_respects_budget_and_partition(docs):
     # every doc appears exactly once
     seen = sorted(d for r in packed for d in r.doc_ids)
     assert seen == [1, 2, 3, 4]
-    # greedy first-fit on sorted ids with budget 30:
-    # doc1(10) -> bin0; doc2(25) -> bin1; doc3(3) -> bin0 (13); doc4(40)
-    # oversize singleton
+    # greedy best-fit on sorted ids with budget 30:
+    # doc1(10) -> bin0 (rem 20); doc2(25) -> bin1 (rem 5); doc3(3) ->
+    # tightest fitting bin = bin1 (rem 5 < rem 20); doc4(40) oversize
+    # singleton
     by_docs = {tuple(r.doc_ids): r for r in packed}
-    assert (1, 3) in by_docs and by_docs[(1, 3)].total_tokens == 13
-    assert (2,) in by_docs and (4,) in by_docs
+    assert (2, 3) in by_docs and by_docs[(2, 3)].total_tokens == 28
+    assert (1,) in by_docs and (4,) in by_docs
 
 
 def test_pack_sequences_precomputed_lengths(spark):
@@ -154,6 +157,17 @@ def test_chunk_documents_properties(spark, lengths, max_tokens, overlap_frac):
         for c in range(len(chunks)):
             covered.update(range(c * step, min(c * step + max_tokens, n)))
         assert covered == set(range(n))
+        # no chunk is a subset of its predecessor: every chunk after the
+        # first contributes at least one token the previous one did not
+        prev_end = None
+        for c, r in enumerate(chunks):
+            start, end = c * step, min(c * step + max_tokens, n)
+            if prev_end is not None:
+                assert end > prev_end, (
+                    f"chunk {c} [{start},{end}) adds nothing beyond "
+                    f"{prev_end}"
+                )
+            prev_end = end
 
 
 @settings(

@@ -146,3 +146,26 @@ def test_contamination_1m_docs(spark):
     )
     out = ngram_contamination(corpus, benchmark, n=5)
     assert out.count() > 0  # constructed overlaps exist
+
+
+def test_pack_sequences_1m_docs(spark):
+    """1M docs packed per-partition: the best-fit bisect lookup must keep
+    partitions with many small docs from going quadratic (the first-fit
+    linear scan did), and seq ids must stay globally unique."""
+    from patito_spark.operators.packing import pack_sequences
+
+    df = spark.range(1_000_000).selectExpr(
+        "id as doc_id", "cast(1 + id % 97 as long) as n_tok"
+    )
+    packed = pack_sequences(df, length_col="n_tok", max_len=2048)
+    agg = packed.agg(
+        F.sum("total_tokens").alias("toks"),
+        F.sum("n_docs").alias("docs"),
+        F.count("*").alias("seqs"),
+        F.count_distinct("seq_id").alias("uniq"),
+    ).first()
+    assert agg["docs"] == 1_000_000
+    assert agg["uniq"] == agg["seqs"]
+    # token mass conserved: sum over 0..999999 of (1 + id % 97)
+    expected = 1_000_000 + sum(i % 97 for i in range(1_000_000))
+    assert agg["toks"] == expected
