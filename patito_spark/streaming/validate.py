@@ -431,6 +431,7 @@ def write_stream_merge(
     keep_tombstones: bool = False,
     trigger_available_now: bool = False,
     query_name: Optional[str] = None,
+    n_buckets: int = 64,
 ):
     """CDC stream → continuously maintained table via foreachBatch MERGE.
 
@@ -443,13 +444,18 @@ def write_stream_merge(
     :func:`streaming_apply_changes`). The seq column must therefore be
     part of the change payload, as it is in any CDC feed.
 
-    The target is plain parquet: merge = read + combine + atomic-ish
-    overwrite. ``localCheckpoint(eager=True)`` materializes the merged
-    result BEFORE the overwrite deletes the files it was derived from —
-    without it the lazy plan would read the target mid-overwrite. On a
-    real deployment the same callback body targets a table format with a
-    native MERGE (Delta/Iceberg); the batch-reduction and late-data
-    semantics here are the part those formats don't give you.
+    The target is parquet **hash-partitioned on a key bucket**
+    (directory column ``__kb`` = ``xxhash64(keys) mod n_buckets``, an
+    internal layout column readers should drop): because the bucket is a
+    pure function of the key, a micro-batch can only change state inside
+    the buckets its own keys hash to, so the merge reads the target
+    pruned to those partitions and rewrites ONLY them (dynamic partition
+    overwrite). Per-batch I/O is therefore O(state touched by the
+    batch), not O(|target|) — the property a native MERGE (Delta/
+    Iceberg) gives you, reproduced on plain parquet; those formats also
+    add snapshot isolation, which plain parquet cannot.
+    ``localCheckpoint(eager=True)`` materializes the merged result
+    BEFORE the overwrite deletes the files it was derived from.
 
     Tombstones: with ``keep_tombstones=False`` (default) a delete simply
     removes the row — so a later micro-batch carrying an OLDER change for
@@ -465,12 +471,26 @@ def write_stream_merge(
 
     spark = changes.sparkSession
     payload_cols = [c for c in changes.columns if c != op_col]
+    bucket_expr = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        # The batch's keys can only live in these buckets — a bounded
+        # driver list (≤ n_buckets ints) that drives partition pruning
+        # on the target read AND scopes the rewrite.
+        touched = {
+            r["__kb"]
+            for r in batch.select(bucket_expr.alias("__kb"))
+            .distinct()
+            .collect()
+        }
+        if not touched:  # empty micro-batch: nothing to merge
+            return
         try:
-            target = spark.read.parquet(path)
+            target = spark.read.parquet(path).filter(
+                F.col("__kb").isin(*touched)
+            )
             have_target = True
         except AnalysisException:
             # Path missing / no footers yet (first batch): start fresh.
@@ -522,10 +542,39 @@ def write_stream_merge(
             ).drop(op_col)
         else:
             merged = latest.filter(F.col(op_col) != delete_op).drop(op_col)
+        merged = merged.withColumn("__kb", bucket_expr)
         # Materialize BEFORE overwrite: the plan reads the files the
         # overwrite is about to delete.
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(path)
+        # Dynamic partition overwrite replaces exactly the __kb
+        # directories present in `merged`; everything else is untouched.
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("__kb").parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        # A touched bucket whose keys were ALL deleted produces no rows,
+        # so dynamic overwrite never replaces its directory — drop the
+        # stale partition explicitly (driver-side fs, bounded by
+        # n_buckets).
+        if have_target and not keep_tombstones:
+            present = {
+                r["__kb"] for r in merged.select("__kb").distinct().collect()
+            }
+            stale = touched - present
+            if stale:
+                jvm = spark._jvm
+                hconf = spark._jsc.hadoopConfiguration()
+                for kb in stale:
+                    p = jvm.org.apache.hadoop.fs.Path(f"{path}/__kb={kb}")
+                    fs = p.getFileSystem(hconf)
+                    if fs.exists(p):
+                        fs.delete(p, True)
 
     writer = changes.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint

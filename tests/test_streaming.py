@@ -431,3 +431,83 @@ def test_write_stream_merge_random_streams(spark, tmp_path):
             ).collect()
         }
         assert got == want, f"case {case}: {got} != {want}"
+
+
+def test_write_stream_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The parquet target is hash-partitioned on __kb and merged with
+    dynamic partition overwrite: a micro-batch must rewrite ONLY the
+    bucket directories its keys hash to (per-batch I/O proportional to
+    touched state, not table size), and a bucket whose keys were all
+    deleted must lose its directory."""
+    import os
+
+    from patito_spark.streaming import write_stream_merge
+
+    schema = "user_id long, ts long, value double, op string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = write_stream_merge(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            path=target,
+            checkpoint=ckpt,
+            key_cols=["user_id"],
+            seq_col="ts",
+            trigger_available_now=True,
+            n_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    def files_by_bucket():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith("__kb="):
+                out[d] = sorted(os.listdir(os.path.join(target, d)))
+        return out
+
+    # batch 1: 80 keys spread over all 8 buckets
+    spark.createDataFrame(
+        [(k, 10, float(k), "U") for k in range(80)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    before = files_by_bucket()
+    assert len(before) == 8  # all buckets populated
+
+    # batch 2: update ONE key -> exactly one bucket dir may change
+    spark.createDataFrame(
+        [(7, 20, 7.5, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    after = files_by_bucket()
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert len(changed) == 1, f"rewrote {changed}"
+    got = {
+        r.user_id: r.value for r in spark.read.parquet(target).collect()
+    }
+    assert got[7] == 7.5 and len(got) == 80  # merge, not truncate
+
+    # batch 3: delete every key of bucket(user_id=7) -> that directory
+    # must disappear; nothing else rewritten
+    kb7 = next(iter(changed))
+    victims = [
+        k for k in range(80)
+        if spark.sql(
+            f"select pmod(xxhash64(cast({k} as bigint)), 8) = "
+            f"{kb7.split('=')[1]} as m"
+        ).first()["m"]
+    ]
+    spark.createDataFrame(
+        [(k, 30, 0.0, "D") for k in victims], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    before3 = files_by_bucket()
+    run_stream()
+    after3 = files_by_bucket()
+    assert kb7 not in after3  # stale bucket dir dropped
+    unchanged = {d for d in after3 if after3[d] == before3.get(d)}
+    assert unchanged == set(after3)  # no other bucket rewritten
+    got = {r.user_id for r in spark.read.parquet(target).collect()}
+    assert got == set(range(80)) - set(victims)
