@@ -476,6 +476,22 @@ def write_stream_merge(
     def merge(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+
+        def _hpath(p: str):
+            jp = jvm.org.apache.hadoop.fs.Path(p)
+            return jp, jp.getFileSystem(hconf)
+
+        # Marker distinguishing "first batch, no target yet" from "target
+        # vanished after a prior commit" (e.g. a crash between dynamic
+        # overwrite's delete and write). Without it, a missing target
+        # would silently rebuild the table from this batch alone,
+        # discarding all previously merged state. Written once after the
+        # first successful merge; dynamic partition overwrite only
+        # touches __kb=* directories, so the root-level marker survives.
+        marker, marker_fs = _hpath(f"{path}/_patito_merge_initialized")
+
         # The batch's keys can only live in these buckets — a bounded
         # driver list (≤ n_buckets ints) that drives partition pruning
         # on the target read AND scopes the rewrite.
@@ -493,10 +509,18 @@ def write_stream_merge(
             )
             have_target = True
         except AnalysisException:
-            # Path missing / no footers yet (first batch): start fresh.
-            # Anything else (corrupt target, permission error) must
-            # propagate — treating it as "no target" would overwrite the
-            # table with this batch's state alone.
+            # Path missing / no footers yet. Legitimate ONLY before the
+            # first successful merge — if the marker says we previously
+            # committed state, the target has been lost and rebuilding
+            # from this batch alone would silently discard it.
+            if marker_fs.exists(marker):
+                raise RuntimeError(
+                    f"write_stream_merge target {path!r} is unreadable but "
+                    "_patito_merge_initialized exists: previously merged "
+                    "state has been lost (crash mid-overwrite or external "
+                    "deletion). Refusing to rebuild from one micro-batch; "
+                    "restore the target or remove the marker to re-seed."
+                )
             have_target = False
         if have_target:
             # Target rows re-enter the merge as pseudo-changes with
@@ -558,6 +582,8 @@ def write_stream_merge(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
+        if not marker_fs.exists(marker):
+            marker_fs.create(marker, True).close()
         # A touched bucket whose keys were ALL deleted produces no rows,
         # so dynamic overwrite never replaces its directory — drop the
         # stale partition explicitly (driver-side fs, bounded by
@@ -567,14 +593,10 @@ def write_stream_merge(
                 r["__kb"] for r in merged.select("__kb").distinct().collect()
             }
             stale = touched - present
-            if stale:
-                jvm = spark._jvm
-                hconf = spark._jsc.hadoopConfiguration()
-                for kb in stale:
-                    p = jvm.org.apache.hadoop.fs.Path(f"{path}/__kb={kb}")
-                    fs = p.getFileSystem(hconf)
-                    if fs.exists(p):
-                        fs.delete(p, True)
+            for kb in stale:
+                p, fs = _hpath(f"{path}/__kb={kb}")
+                if fs.exists(p):
+                    fs.delete(p, True)
 
     writer = changes.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint

@@ -433,6 +433,52 @@ def test_write_stream_merge_random_streams(spark, tmp_path):
         assert got == want, f"case {case}: {got} != {want}"
 
 
+def test_write_stream_merge_detects_lost_target(spark, tmp_path):
+    """A missing target is legitimate only before the first successful
+    merge. Afterward the _patito_merge_initialized marker exists, and a
+    vanished target (crash mid-overwrite, external rm) must fail loudly
+    instead of silently rebuilding the table from one micro-batch."""
+    import os
+    import shutil
+
+    from patito_spark.streaming import write_stream_merge
+
+    schema = "user_id long, ts long, value double, op string"
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "tgt")
+
+    def run_stream(ckpt):
+        q = write_stream_merge(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            path=target,
+            checkpoint=str(tmp_path / ckpt),
+            key_cols=["user_id"],
+            seq_col="ts",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, 10, 1.0, "U"), (2, 10, 2.0, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream("ckpt1")
+    assert os.path.exists(os.path.join(target, "_patito_merge_initialized"))
+
+    # Simulate losing the merged state but keeping the marker.
+    for d in os.listdir(target):
+        if d.startswith("__kb="):
+            shutil.rmtree(os.path.join(target, d))
+    spark.createDataFrame(
+        [(3, 20, 3.0, "U")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="previously merged state"):
+        run_stream("ckpt2")
+
+
 def test_write_stream_merge_rewrites_only_touched_buckets(spark, tmp_path):
     """The parquet target is hash-partitioned on __kb and merged with
     dynamic partition overwrite: a micro-batch must rewrite ONLY the
