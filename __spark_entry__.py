@@ -1096,6 +1096,86 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AND forward as-of join in one entry (merged so the suite
+    stays within the driver's 50-entry budget with both directions still
+    value-oracled). Each purchase carries its latest prior click and its
+    next click; the two asof results join back on the purchase key."""
+    back = q_asof_purchases(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.col("right_click_id").alias("prev_click_id"),
+        F.col("right_click_value").alias("prev_click_value"),
+        F.col("right_ts").alias("prev_ts"),
+    )
+    fwd = q_asof_forward(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("right_click_id").alias("next_click_id"),
+        F.col("right_ts").alias("next_ts"),
+    )
+    return back.join(fwd, ["user_id", "ts", "event_id"])
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts (two operators, one entry).
+
+    The Spark side splits on Java-regex lookarounds for the BPE-ish
+    count; RE2 (DuckDB) has no lookarounds, so the oracle uses the
+    equivalent closed form ``#[A-Za-z0-9_]+ runs + #[^A-Za-z0-9_ ]
+    chars`` — an independent re-specification, which is a stronger check
+    than a replay.
+    """
+    from patito_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        "n_chars",
+    )
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_documents over the documents table (max 32 tokens, overlap
+    8) — exactly replayable in DuckDB with list slicing over the same
+    whitespace split."""
+    from patito_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=8).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        "n_tokens",
+    )
+
+
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_stats dataset-card aggregate, grouped by language.
+
+    The oracle covers the exactly-replayable columns: counts and
+    long-sums, plus averages whose accumulation is exact in IEEE double
+    (sums of small integers — representable exactly, so partial-agg
+    order cannot change the bits). The approx-percentile sketch columns
+    are order/implementation-defined by design and are pinned in unit
+    tests instead (tests/test_operators_text.py)."""
+    from patito_spark.operators.text import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = corpus_stats(docs, group_cols=["lang"])
+    return stats.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "avg_tokens",
+    )
+
+
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text profile: quality score + fingerprint + language ID.
 
@@ -1165,8 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
         "sample_split_documents": sample_split_documents,
-        "q_asof_purchases": q_asof_purchases,
-        "q_asof_forward": q_asof_forward,
+        "q_asof_bidirectional": q_asof_bidirectional,
         "q_range_join_orders": q_range_join_orders,
         "q_cdc_user_state": q_cdc_user_state,
         "multimodal_image_features": multimodal_image_features,
@@ -1178,8 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": text_redact,
         "text_repetition": text_repetition,
         "contamination_check": contamination_check,
-        "text_bpe_tokens": text_bpe_tokens,
-        "text_token_count": text_token_count,
+        "text_token_counts": text_token_counts,
+        "doc_chunks": doc_chunks,
+        "corpus_stats_by_lang": corpus_stats_by_lang,
         "text_profile": text_profile,
     }
 
@@ -1794,7 +1874,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 8
             ) WHERE rank <= 10
         """,
-        "q_asof_purchases": """
+        "q_asof_bidirectional": """
             WITH purchases AS (
                 SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id, value
                 FROM events WHERE event_type = 'purchase'
@@ -1807,32 +1887,27 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY user_id, epoch_ns(ts) // 1000
                     ORDER BY event_id DESC
                 ) = 1
-            )
-            SELECT p.user_id, p.ts, p.event_id, p.value,
-                   c.click_id AS right_click_id,
-                   c.click_value AS right_click_value,
-                   c.ts AS right_ts
-            FROM purchases p ASOF LEFT JOIN clicks c
-              ON p.user_id = c.user_id AND p.ts >= c.ts
-        """,
-        "q_asof_forward": """
-            WITH purchases AS (
-                SELECT user_id, epoch_ns(ts) // 1000 AS ts, event_id
-                FROM events WHERE event_type = 'purchase'
             ),
-            clicks AS (
-                SELECT user_id, epoch_ns(ts) // 1000 AS ts,
-                       event_id AS click_id
-                FROM events WHERE event_type = 'click'
-                QUALIFY row_number() OVER (
-                    PARTITION BY user_id, epoch_ns(ts) // 1000
-                    ORDER BY event_id DESC
-                ) = 1
+            back AS (
+                SELECT p.user_id, p.ts, p.event_id, p.value,
+                       c.click_id AS prev_click_id,
+                       c.click_value AS prev_click_value,
+                       c.ts AS prev_ts
+                FROM purchases p ASOF LEFT JOIN clicks c
+                  ON p.user_id = c.user_id AND p.ts >= c.ts
+            ),
+            fwd AS (
+                SELECT p.user_id, p.ts, p.event_id,
+                       c.click_id AS next_click_id, c.ts AS next_ts
+                FROM purchases p ASOF LEFT JOIN clicks c
+                  ON p.user_id = c.user_id AND p.ts <= c.ts
             )
-            SELECT p.user_id, p.ts, p.event_id,
-                   c.click_id AS right_click_id, c.ts AS right_ts
-            FROM purchases p ASOF LEFT JOIN clicks c
-              ON p.user_id = c.user_id AND p.ts <= c.ts
+            SELECT b.user_id, b.ts, b.event_id, b.value,
+                   b.prev_click_id, b.prev_click_value, b.prev_ts,
+                   f.next_click_id, f.next_ts
+            FROM back b JOIN fwd f
+              ON b.user_id = f.user_id AND b.ts = f.ts
+             AND b.event_id = f.event_id
         """,
         "q_range_join_orders": """
             SELECT l_orderkey, l_linenumber,
@@ -1979,18 +2054,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cg.doc_id
             HAVING count(DISTINCT cg.h) >= 1
         """,
-        "text_bpe_tokens": """
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
-                   + len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))
-                       AS n_bpe_tokens
-            FROM documents
-        """,
-        "text_token_count": """
+        "text_token_counts": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                   + len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))
+                       AS n_bpe_tokens,
                    n_chars
             FROM documents
+        """,
+        # Replays chunk_documents(max_tokens=32, overlap=8): starts are
+        # 0, 24, 48, ... capped so every chunk past the first adds at
+        # least one novel token (start + overlap < n); each chunk is a
+        # 1-based inclusive list slice of the whitespace split.
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            starts AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, greatest(n - 1 - 8, 0) + 1, 24))
+                           AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   (s // 24)::BIGINT AS chunk_id,
+                   array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+                   len(t[s + 1 : s + 32])::BIGINT AS n_tokens
+            FROM starts
+        """,
+        # Exactly-replayable dataset-card columns: counts, long sums, and
+        # an average whose double accumulation is exact (integer-valued
+        # terms). The approx-percentile sketches are pinned in unit tests
+        # instead — sketch output is implementation-defined by design.
+        "corpus_stats_by_lang": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+                   round(sum(len(string_split(text, ' ')))::DOUBLE
+                         / count(*), 2) AS avg_tokens
+            FROM documents
+            GROUP BY lang
         """,
         "text_profile": f"""
             WITH feats AS (

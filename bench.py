@@ -58,16 +58,21 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         release_caches()
 
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        best = float("inf")
-        for _ in range(runs):
+    # Best-of-N over INTERLEAVED full passes (pass 1 runs every query,
+    # then pass 2, ...): a query's N attempts are spread minutes apart,
+    # so a transient slow window (host throttling, GC storm) cannot
+    # poison all attempts of any one query — consecutive per-query
+    # attempts did exactly that and produced phantom regressions on
+    # untouched code.
+    best: dict[str, float] = {name: float("inf") for name in queries}
+    for _ in range(runs):
+        for name, fn in queries.items():
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            best[name] = min(best[name], time.perf_counter() - start)
             release_caches()
-        timings[name] = round(best, 3)
+    timings = {name: round(t, 3) for name, t in best.items()}
 
     total = round(sum(timings.values()), 3)
 

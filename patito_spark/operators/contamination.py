@@ -2,23 +2,24 @@
 
 A document is contaminated when it shares long n-grams with an evaluation
 benchmark — the standard decontamination test (e.g. GPT-3's 13-gram
-filter) run before training. Expressed Spark-first:
+filter) run before training. The benchmark side is tiny by definition
+(an eval set), so both physical strategies broadcast it and stream the
+corpus exactly once with no corpus shuffle before the result:
 
-* both corpora run through the SAME shingle pipeline as MinHash
-  (:func:`patito_spark.operators.dedup.shingle_hash_rows` — codegen
-  lead-window n-grams, one 64-bit hash per distinct gram);
-* the benchmark side is tiny by definition (an eval set), so the overlap
-  resolves as a **broadcast** hash equi-join on the gram hash — the
-  corpus is never shuffled;
-* one map-side-combined aggregate counts distinct shared grams per
-  corpus document.
+* ``"set"`` (default via ``"auto"``) — broadcast the benchmark's
+  distinct gram set, intersect per document in one Arrow-batched
+  ``mapInPandas`` stage (zero shuffles, zero joins);
+* ``"join"`` — gram-hash both sides with
+  :func:`patito_spark.operators.dedup.shingle_hash_rows` and resolve the
+  overlap as a broadcast hash equi-join + per-doc count (all-JVM).
 
-``hash_mode="portable"`` makes the whole pipeline SQL-replayable.
+``hash_mode="portable"`` makes the join pipeline SQL-replayable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from patito_spark.operators.dedup import shingle_hash_rows
 
@@ -32,6 +33,9 @@ def ngram_contamination(
     min_shared: int = 1,
     hash_mode: str = "xxhash64",
     broadcast_benchmark: bool = True,
+    gram_mode: str = "window",
+    strategy: str = "auto",
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """Corpus documents sharing ≥ ``min_shared`` distinct n-grams with the
     benchmark.
@@ -40,24 +44,122 @@ def ngram_contamination(
     document). Grams are word ``n``-grams; documents shorter than ``n``
     tokens contribute their whole text as one gram (so short exact copies
     are still caught).
+
+    ``strategy`` picks the physical shape (A/B-raced at sf0.1,
+    docs/perf.md):
+
+    * ``"set"`` (0.27 s) — the benchmark's distinct grams are collected
+      once (bounded by ``max_broadcast_grams``) and shipped as a
+      broadcast variable; the corpus runs ONE Arrow-batched
+      ``mapInPandas`` stage intersecting each document's gram set
+      in-batch. Zero shuffles, no join: the corpus is a pure map-only
+      scan — the GPT-3-style decontamination shape (broadcast the eval
+      set, stream the corpus). Exact string matching (no hash
+      collisions at all).
+    * ``"join"`` (0.72 s) — all-JVM: both sides through
+      :func:`shingle_hash_rows`, broadcast hash equi-join on the gram
+      hash, map-side-combined per-doc count. Use when Python worker
+      lanes are saturated, or the benchmark exceeds the broadcast cap.
+    * ``"auto"`` (default) — ``"set"`` unless the benchmark's distinct
+      gram count exceeds ``max_broadcast_grams`` (each Python worker
+      holds one copy of the set — at the default 2M cap that is a few
+      hundred MB per worker), else ``"join"``.
+
+    ``hash_mode``/``gram_mode``/``broadcast_benchmark`` only affect the
+    join strategy.
     """
     # distinct=False on BOTH sides: the corpus side's duplicates collapse
     # in the post-join count_distinct (so the full corpus gram stream is
     # never shuffled — the contract of this operator), and the benchmark
-    # side dedups on __h alone below.
-    corpus_grams = shingle_hash_rows(
-        corpus, id_col=id_col, text_col=text_col, n=n, hash_mode=hash_mode,
-        distinct=False,
-    )
+    # side dedups on __h alone below. gram_mode="map" (default) builds
+    # grams per row with no exchange at all, so the corpus flows
+    # scan → gram explode → broadcast join → one map-side-combined
+    # aggregate: a single shuffle (the final per-doc combine) end to end.
+    if strategy in ("auto", "set"):
+        from patito_spark.operators.dedup import gram_array
+
+        # Distinct benchmark grams, bounded collect: an eval set is tiny
+        # by definition — if it is not, fall back to the join strategy
+        # ("auto") or fail loudly ("set").
+        bench_grams_df = (
+            benchmark.select(
+                F.explode(
+                    gram_array(F.col(text_col), n, distinct=True)
+                ).alias("__g")
+            )
+            .distinct()
+            .limit(max_broadcast_grams + 1)
+        )
+        bench_pdf = bench_grams_df.toPandas()
+        if len(bench_pdf) > max_broadcast_grams:
+            if strategy == "set":
+                raise ValueError(
+                    f"benchmark has more than {max_broadcast_grams} "
+                    "distinct grams; raise max_broadcast_grams or use "
+                    "strategy='join'"
+                )
+        else:
+            import pandas as pd
+
+            bench_set = set(bench_pdf["__g"])
+            bc = corpus.sparkSession.sparkContext.broadcast(bench_set)
+            out_schema = T.StructType(
+                [
+                    T.StructField(id_col, corpus.schema[id_col].dataType),
+                    T.StructField("n_shared_grams", T.LongType()),
+                ]
+            )
+
+            def shared_counts(batches):
+                bs = bc.value
+                for pdf in batches:
+                    ids, counts = [], []
+                    for i, txt in zip(pdf[id_col], pdf[text_col]):
+                        toks = txt.split(" ")
+                        if len(toks) < n:
+                            grams = {txt}
+                        else:
+                            grams = {
+                                " ".join(toks[j : j + n])
+                                for j in range(len(toks) - n + 1)
+                            }
+                        k = len(grams & bs)
+                        if k >= min_shared:
+                            ids.append(i)
+                            counts.append(k)
+                    yield pd.DataFrame(
+                        {id_col: ids, "n_shared_grams": counts}
+                    )
+
+            return corpus.select(id_col, text_col).mapInPandas(
+                shared_counts, out_schema
+            )
+
+    if gram_mode == "map":
+        # Per-row array_distinct makes each doc's hash stream unique
+        # BEFORE the join, so the post-join count is count(*) instead of
+        # count_distinct — Spark plans count_distinct as TWO exchanges
+        # ((id, h) dedup then (id) count); this shape has exactly one.
+        corpus_grams = shingle_hash_rows(
+            corpus, id_col=id_col, text_col=text_col, n=n,
+            hash_mode=hash_mode, distinct=True, gram_mode="map",
+        )
+        count_expr = F.count("*")
+    else:
+        corpus_grams = shingle_hash_rows(
+            corpus, id_col=id_col, text_col=text_col, n=n,
+            hash_mode=hash_mode, distinct=False, gram_mode=gram_mode,
+        )
+        count_expr = F.count_distinct("__h")
     bench_grams = shingle_hash_rows(
         benchmark, id_col=id_col, text_col=text_col, n=n, hash_mode=hash_mode,
-        distinct=False,
+        distinct=False, gram_mode=gram_mode,
     ).select("__h").distinct()
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     shared = corpus_grams.join(bench_grams, on="__h")
     return (
         shared.groupBy(F.col("__id").alias(id_col))
-        .agg(F.count_distinct("__h").alias("n_shared_grams"))
+        .agg(count_expr.alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
     )

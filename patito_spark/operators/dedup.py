@@ -125,6 +125,28 @@ def minhash_signature_expr(base_col: str, perms_col: str = "__perms") -> Column:
     )
 
 
+def gram_array(
+    text: Union[str, Column], n: int, distinct: bool = False
+) -> Column:
+    """All word ``n``-grams of a text column as an array (map-only).
+
+    Like :func:`shingles` but keeps duplicate grams by default (repetition
+    statistics need occurrence counts). Documents shorter than ``n``
+    tokens contribute their whole text as the single gram.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(text, " ")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams) if distinct else grams
+
+
 def shingle_hash_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,13 +154,26 @@ def shingle_hash_rows(
     n: int = 3,
     hash_mode: str = "xxhash64",
     distinct: bool = True,
+    gram_mode: str = "window",
 ) -> DataFrame:
     """(``__id``, ``__h``) rows: 64-bit hash of each distinct word n-gram.
 
-    Codegen formulation: tokens are exploded to rows and n-grams built with
-    ``lead()`` windows — no interpreted array lambdas anywhere. The window
-    partitions by document, so it parallelizes across docs and never holds
-    more than one document's tokens per group.
+    Two formulations, selected by ``gram_mode``:
+
+    * ``"window"`` (default) — tokens explode to rows and n-grams build
+      with ``lead()`` windows: everything stays codegen, at the cost of
+      one exchange+sort of the token stream (partitioned by document) and,
+      with ``distinct=True``, a second exchange for the dedup.
+    * ``"map"`` — n-grams build per row with an interpreted
+      ``transform``/``slice`` lambda (:func:`gram_array`) and explode:
+      ZERO exchanges — ``distinct`` resolves per row via
+      ``array_distinct`` (per-document distinct ≡ the (id, gram)
+      distinct the window path shuffles for). Interpreted lambdas cost
+      more CPU per gram, but no shuffle: the right trade when grams feed
+      a broadcast join or map-side-combined aggregate directly.
+
+    Both orders of magnitude agree A/B at sf0.1 within ~15% for the
+    MinHash consumer (docs/perf.md); consumers choose per shape.
 
     ``hash_mode="portable"`` (md5-derived, engine-reproducible — see
     :mod:`patito_spark.functions.hashing`) lets a SQL oracle replay the
@@ -147,6 +182,24 @@ def shingle_hash_rows(
     from pyspark.sql import Window
 
     from patito_spark.functions.hashing import hash64
+
+    if gram_mode == "map":
+        # Hash INSIDE the array and distinct the hash array per row:
+        # identical semantics to the window path's (__id, __h) distinct
+        # (distinct-by-hash), with zero exchanges. Consumers can then
+        # treat a document's hash stream as already-unique — e.g.
+        # count(*) after a join ≡ count_distinct (distinctness survives
+        # filtering).
+        hashes = F.transform(
+            gram_array(F.col(text_col), n, distinct=False),
+            lambda g: hash64(g, mode=hash_mode),
+        )
+        if distinct:
+            hashes = F.array_distinct(hashes)
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(hashes).alias("__h"),
+        )
 
     toks = df.select(
         F.col(id_col).alias("__id"),

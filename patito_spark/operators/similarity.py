@@ -509,6 +509,7 @@ def ann_ivf_topk(
     centroids_df: Optional[DataFrame] = None,
     assign_metric: str = "l2",
     index: Optional[IvfIndex] = None,
+    score_mode: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
@@ -537,6 +538,19 @@ def ann_ivf_topk(
     Pass ``index`` (from :func:`build_ivf_index`) to skip the quantizer
     fit and corpus assignment entirely — the production shape for repeated
     query batches over one corpus.
+
+    ``score_mode`` picks how probed candidates are scored:
+
+    * ``"arrow"`` (the ``"auto"`` default) — numpy over ``mapInPandas``
+      (one Python-worker stage).
+    * ``"expr"`` — an unrolled JVM expression
+      (:func:`patito_spark.functions.vector.cosine_similarity_unrolled`),
+      eliminating the Python round-trip. Bit-identical to the Arrow path
+      (same left-fold accumulation order), but MEASURED SLOWER at
+      dim=64/sf0.1: 1.84 s steady-state vs 0.80 s (docs/perf.md) — the
+      ~6·dim-node expression tree is too large for effective codegen.
+      Retained for measurement and for clusters whose Python lanes are
+      saturated.
     """
     import numpy as np
     import pandas as pd
@@ -623,12 +637,26 @@ def ann_ivf_topk(
         probes = q_pruned.mapInPandas(probe, schema=probe_schema)
 
     candidates = inverted.join(F.broadcast(probes), on="cell")
-    scored = cosine_score_pairs(
-        candidates,
-        vec_a="__qvec",
-        vec_b="__cvec",
-        keep_cols=["query_id", "neighbor_id"],
-    )
+    dim = int(centroids.shape[1])
+    if score_mode == "auto":
+        score_mode = "arrow"
+    if score_mode == "expr":
+        from patito_spark.functions.vector import cosine_similarity_unrolled
+
+        scored = candidates.select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity_unrolled("__qvec", "__cvec", dim).alias(
+                "cosine"
+            ),
+        )
+    else:
+        scored = cosine_score_pairs(
+            candidates,
+            vec_a="__qvec",
+            vec_b="__cvec",
+            keep_cols=["query_id", "neighbor_id"],
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -98,6 +98,76 @@ def test_ann_ivf_recall(emb):
         assert (q, q) in ivf_set  # self always lands in own probed cell
 
 
+def test_unrolled_vector_functions_bit_exact(spark):
+    """The unrolled (codegen) dot/norm/cosine must be BIT-identical to
+    the HOF formulation and to the numpy seq_* helpers — same
+    left-folded accumulation order in all three."""
+    from patito_spark.functions.vector import (
+        cosine_similarity_unrolled,
+        dot_product_unrolled,
+        l2_norm_unrolled,
+    )
+    from patito_spark.functions.vector_numpy import seq_dot_matrix, seq_norm
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(size=(20, 16))
+    b = rng.normal(size=(20, 16))
+    df = spark.createDataFrame(
+        [(a[i].tolist(), b[i].tolist()) for i in range(20)],
+        schema="a array<double>, b array<double>",
+    )
+    rows = df.select(
+        dot_product("a", "b").alias("dot_hof"),
+        dot_product_unrolled("a", "b", 16).alias("dot_unr"),
+        l2_norm("a").alias("norm_hof"),
+        l2_norm_unrolled("a", 16).alias("norm_unr"),
+        cosine_similarity("a", "b").alias("cos_hof"),
+        cosine_similarity_unrolled("a", "b", 16).alias("cos_unr"),
+    ).collect()
+    for i, r in enumerate(rows):
+        assert r.dot_hof == r.dot_unr  # bit-exact, no approx
+        assert r.norm_hof == r.norm_unr
+        assert r.cos_hof == r.cos_unr
+    # vs numpy sequential fold (the Arrow scoring path)
+    np_dot = np.array([seq_dot_matrix(a[i : i + 1], b[i : i + 1])[0, 0] for i in range(20)])
+    np_norm = seq_norm(a)
+    got_dot = np.array([r.dot_unr for r in rows])
+    got_norm = np.array([r.norm_unr for r in rows])
+    assert (np_dot == got_dot).all()
+    assert (np_norm == got_norm).all()
+
+
+def test_ann_ivf_score_modes_bit_identical(emb):
+    """expr (codegen) and arrow (numpy) scoring must return identical
+    rows INCLUDING the cosine bits — the ranking ties depend on them."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, n_centroids=8, n_probe=3)
+    ex = similarity.ann_ivf_topk(df, queries, score_mode="expr", **kw)
+    ar = similarity.ann_ivf_topk(df, queries, score_mode="arrow", **kw)
+    ex_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in ex.collect()}
+    ar_rows = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in ar.collect()}
+    assert ex_rows == ar_rows
+
+
+def test_ann_ivf_expr_mode_no_python_stage(emb):
+    """score_mode='expr' keeps candidate scoring JVM-side: the plan after
+    the probe join must contain no Python/Arrow eval stage."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    index = similarity.build_ivf_index(df, n_centroids=8)
+    out = similarity.ann_ivf_topk(
+        None, queries, k=5, n_probe=3, index=index, score_mode="expr"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The QUERY path must be free of Python stages. The one MapInPandas
+    # allowed is the inverted-file ASSIGNMENT inside the cached index
+    # build (InMemoryRelation subtree) — the query reads it via
+    # InMemoryTableScan and scores with a codegen projection.
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.index("InMemoryRelation") < plan.index("MapInPandas"), plan
+
+
 def test_multi_probe_raises_recall(spark, sf_dir):
     """Hamming-1 probing must find at least as many true neighbors as
     single-bucket probing (and strictly more candidates)."""

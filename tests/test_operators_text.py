@@ -162,6 +162,42 @@ def test_repetition_stats(spark):
     assert 3 not in out
 
 
+def test_repetition_stats_gram_modes_agree(spark):
+    """All three formulations (pandas Counter stage — the default —
+    interpreted map build, lead-window build) must produce identical
+    stats: same gram multiset, same IEEE divisions."""
+    from patito_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x y z w"),
+            (3, "q"),
+            (4, ""),
+            (5, "one two three one two three one"),
+        ],
+        "doc_id long, text string",
+    )
+    for ngram in (1, 2, 3):
+        by_mode = []
+        for mode in ("pandas", "map", "window"):
+            by_mode.append(
+                {
+                    r["doc_id"]: (
+                        r["n_grams"],
+                        r["dup_gram_frac"],
+                        r["top_gram_frac"],
+                    )
+                    for r in repetition_stats(
+                        df, ngram=ngram, gram_mode=mode
+                    ).collect()
+                }
+            )
+        assert by_mode[0] == by_mode[1] == by_mode[2], (
+            f"ngram={ngram}: {by_mode}"
+        )
+
+
 def test_repetition_stats_unigram(spark):
     from patito_spark.operators.text import repetition_stats
 
