@@ -85,7 +85,15 @@ def main() -> None:
     floor_path = os.path.join(os.path.dirname(__file__), "BENCH_FLOOR.json")
     if os.path.exists(floor_path):
         with open(floor_path) as fh:
-            floors = json.load(fh).get("queries", {})
+            floor_doc = json.load(fh)
+        # Floors are per scale factor: comparing an sf1 run against sf0.1
+        # floors flags every data-proportional entry as a phantom
+        # regression. No floors committed at this SF -> no guard.
+        floors = (
+            floor_doc.get("queries", {})
+            if floor_doc.get("sf") == sf
+            else {}
+        )
         for name, t in timings.items():
             floor = floors.get(name)
             if floor and t > floor * 1.3 and t - floor > 0.2:
