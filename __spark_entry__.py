@@ -959,11 +959,17 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = streaming_apply_changes(changes, key_cols=["user_id"], seq_col="ts")
     name = f"pt_cdc_{uuid.uuid4().hex[:8]}"
-    # State stores = shuffle.partitions at query start; a few hundred user
-    # keys don't need 32 python state workers per batch (see
-    # q_stream_hourly_counts).
+    # State stores = shuffle.partitions at query start. With the
+    # vectorized state merge (one argmax per Arrow batch) the remaining
+    # cost is per-KEY Python invocation overhead, which parallelizes:
+    # full core count wins at every measured SF (sf1: 2.8 s at 32 vs
+    # 5.1 s at 8; sf0.1: parity — the old 8-partition choice was tuned
+    # around the per-row loop the merge no longer has).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     try:
         query = (
             merged.writeStream.format("memory")

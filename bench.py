@@ -43,6 +43,12 @@ def main() -> None:
     # phantom regressions on untouched code in earlier rounds.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = entry_mod.queries()
+    # Comma-separated subset for development (profile one entry in the
+    # exact harness context without paying the full suite).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
 
     # Operator-internal intermediates (tracked persists) are released
     # after every run: without this, run N's persisted shingles/signatures

@@ -293,11 +293,18 @@ def streaming_apply_changes(
         best = None  # tuple of value_cols
         best_deleted = False
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                values = tuple(_py(getattr(row, c)) for c in value_cols)
-                if best is None or values[seq_idx] > best[seq_idx]:
-                    best = values
-                    best_deleted = getattr(row, op_col) == delete_op
+            if not len(pdf):
+                continue
+            # Vectorized winner scan: one numpy argmax per Arrow batch
+            # instead of a Python loop per row (itertuples over a
+            # million-event batch was the entry's hot spot). idxmax
+            # keeps the FIRST occurrence of the max — same winner as
+            # the strict `>` row loop it replaces.
+            row = pdf.loc[pdf[seq_col].idxmax()]
+            values = tuple(_py(row[c]) for c in value_cols)
+            if best is None or values[seq_idx] > best[seq_idx]:
+                best = values
+                best_deleted = _py(row[op_col]) == delete_op
         if best is None:
             return
         if state.exists:
