@@ -29,6 +29,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # Scan splits are min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/parallelism)); the 4 MB openCost default caps a
+        # single 5 MB text-heavy file (documents) at 2 splits -> a
+        # near-single-threaded scan feeding every corpus entry. 256 KB
+        # reflects local-SSD open cost and lets small single-file tables
+        # split to core count; multi-file 100 TB layouts never hit this.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -55,8 +55,14 @@ def _copy_sql(con: duckdb.DuckDBPyConnection, out: str, table: str,
               select_tmpl: str, copies: int) -> None:
     parts = [select_tmpl.format(i=i) for i in range(copies)]
     sql = " UNION ALL ".join(parts)
+    # Explicit row groups: parquet scan splits align to row-group
+    # boundaries in every engine, and DuckDB's default (122,880 rows)
+    # writes small tables as ONE group — a single-threaded scan for both
+    # engines no matter the core count. Real multi-file datasets don't
+    # have this artifact; ~100k-row groups restore honest parallelism.
     con.execute(
-        f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        f"COPY ({sql}) TO '{out}/{table}.parquet' "
+        "(FORMAT PARQUET, ROW_GROUP_SIZE 100000)"
     )
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')"
@@ -138,6 +144,7 @@ def gen(out: str, copies: int) -> None:
     pq.write_table(
         pa.Table.from_pandas(docs, preserve_index=False),
         f"{out}/documents.parquet",
+        row_group_size=2000,  # 25 groups at 10 copies: parallel text scans
     )
     print(f"documents: {len(docs)} rows")
 
@@ -167,7 +174,7 @@ def gen(out: str, copies: int) -> None:
             "label": pa.array(np.concatenate(labels), pa.int32()),
         }
     )
-    pq.write_table(table, f"{out}/embeddings.parquet")
+    pq.write_table(table, f"{out}/embeddings.parquet", row_group_size=1000)
     print(f"embeddings: {table.num_rows} rows")
 
 
