@@ -1107,7 +1107,35 @@ def q_asof_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays within the driver's 50-entry budget with both directions still
     value-oracled). Each purchase carries its latest prior click and its
     next click; the two asof results join back on the purchase key."""
-    back = q_asof_purchases(spark, sf_dir).select(
+    from pyspark.sql import Window
+
+    from patito_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("ts div 1000")  # epoch-micros, see q_asof_purchases
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("click_id").desc())
+    clicks = (
+        clicks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # direction="both": backward and forward matches from ONE union +
+    # keyed shuffle (the forward window re-sorts the reused exchange) —
+    # replaces two asof passes re-joined on the purchase key.
+    out = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], direction="both"
+    )
+    return out.select(
         "user_id",
         "ts",
         "event_id",
@@ -1115,15 +1143,9 @@ def q_asof_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right_click_id").alias("prev_click_id"),
         F.col("right_click_value").alias("prev_click_value"),
         F.col("right_ts").alias("prev_ts"),
+        F.col("fwd_click_id").alias("next_click_id"),
+        F.col("fwd_ts").alias("next_ts"),
     )
-    fwd = q_asof_forward(spark, sf_dir).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.col("right_click_id").alias("next_click_id"),
-        F.col("right_ts").alias("next_ts"),
-    )
-    return back.join(fwd, ["user_id", "ts", "event_id"])
 
 
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,7 @@ def asof_join(
     right_prefix: str = "right_",
     tolerance: Optional[int] = None,
     direction: str = "backward",
+    forward_prefix: str = "fwd_",
 ) -> DataFrame:
     """As-of join: for each left row, one temporally-matched right row.
 
@@ -50,6 +51,10 @@ def asof_join(
       (DuckDB ``ASOF LEFT JOIN`` semantics).
     * ``forward`` — earliest right with ``right.on >= left.on``.
     * ``nearest`` — whichever of the two is closer; ties prefer backward.
+    * ``both`` — backward AND forward matches in one pass: backward
+      columns under ``right_prefix``, forward under ``forward_prefix``.
+      Same single shuffle as one direction (the second window re-sorts
+      the reused exchange).
 
     All non-``on``/``by`` right columns are carried with ``right_prefix``;
     unmatched left rows keep them NULL.
@@ -70,9 +75,10 @@ def asof_join(
             ``on`` for numeric columns, **seconds** for timestamp
             columns; matches farther than this become NULL.
     """
-    if direction not in ("backward", "forward", "nearest"):
+    if direction not in ("backward", "forward", "nearest", "both"):
         raise ValueError(
-            "asof_join direction must be 'backward', 'forward' or 'nearest'"
+            "asof_join direction must be 'backward', 'forward', 'nearest' "
+            "or 'both'"
         )
     by = list(by or [])
     carry_cols = [c for c in right.columns if c != on and c not in by]
@@ -116,7 +122,7 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = unioned
-    if direction in ("backward", "nearest"):
+    if direction in ("backward", "nearest", "both"):
         carried = carried.select(
             "*",
             *[
@@ -125,7 +131,7 @@ def asof_join(
             ],
             F.last("__r_t", ignorenulls=True).over(w_back).alias("__b_t"),
         )
-    if direction in ("forward", "nearest"):
+    if direction in ("forward", "nearest", "both"):
         carried = carried.select(
             "*",
             *[
@@ -155,7 +161,19 @@ def asof_join(
             ok = ok & (distance <= F.lit(tolerance))
         return ok
 
-    if direction == "backward":
+    fwd_pick = None
+    if direction == "both":
+        # Both directions from the ONE union + shuffle (the second window
+        # re-sorts the same exchange, it does not re-shuffle): backward
+        # matches emit under ``right_prefix``, forward under
+        # ``forward_prefix`` — replaces running two asof_joins and
+        # re-joining their outputs (two shuffles + a join) for callers
+        # that want the previous AND next observation per row.
+        pick = {c: F.when(_valid("b"), F.col(f"__b_{c}")) for c in carry_cols}
+        pick["__out_t"] = F.when(_valid("b"), F.col("__b_t"))
+        fwd_pick = {c: F.when(_valid("f"), F.col(f"__f_{c}")) for c in carry_cols}
+        fwd_pick["__out_t"] = F.when(_valid("f"), F.col("__f_t"))
+    elif direction == "backward":
         pick = {c: F.when(_valid("b"), F.col(f"__b_{c}")) for c in carry_cols}
         pick["__out_t"] = F.when(_valid("b"), F.col("__b_t"))
     elif direction == "forward":
@@ -187,6 +205,11 @@ def asof_join(
         *[pick[c].alias(f"{right_prefix}{c}") for c in carry_cols],
         pick["__out_t"].alias(f"{right_prefix}{on}"),
     ]
+    if fwd_pick is not None:
+        projection += [
+            *[fwd_pick[c].alias(f"{forward_prefix}{c}") for c in carry_cols],
+            fwd_pick["__out_t"].alias(f"{forward_prefix}{on}"),
+        ]
     return out.select(*projection)
 
 
