@@ -107,16 +107,20 @@ def lang_scores(text: Union[str, Column]) -> dict[str, Column]:
 
 
 def detect_language(text: Union[str, Column]) -> Column:
-    """Argmax language by marker-token votes, fixed tie order (en first)."""
+    """Argmax language by marker-token votes, fixed tie order (en first).
+
+    Array-argmax formulation: each language's vote expression appears
+    exactly once (a when-chain argmax nests each score into every later
+    comparison, so the interpreted filter lambdas re-evaluate O(langs)
+    times per row — measured 4× slower at sf1 for identical output).
+    ``array_position`` returns the FIRST index holding the max, which is
+    the same tie order as the strict ``>`` chain it replaces.
+    """
     scores = lang_scores(text)
     langs = list(LANG_MARKERS)
-    result = F.lit(langs[0])
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best
-        result = F.when(is_better, F.lit(lang)).otherwise(result)
-        best = F.when(is_better, scores[lang]).otherwise(best)
-    return result
+    votes = F.array(*[scores[lang] for lang in langs])
+    idx = F.array_position(votes, F.array_max(votes)).cast("int")
+    return F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
 
 
 def detect_language_agg(
