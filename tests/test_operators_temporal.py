@@ -224,3 +224,58 @@ def test_apply_changes_base_with_composite_seq(spark):
     out = apply_changes(base, changes, key_cols=["k"], seq_col=["ts", "sub"])
     got = {(r["k"], r["v"]) for r in out.collect()}
     assert got == {(1, "b"), (2, "c")}
+
+
+def test_asof_join_both_directions(trades, quotes):
+    """direction='both' equals backward + forward run separately."""
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="both")
+    got = {
+        (r["sym"], r["t"]): (r["right_px"], r["right_t"], r["fwd_px"], r["fwd_t"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("A", 5): (None, None, 1.0, 10),
+        ("A", 20): (2.0, 20, 2.0, 20),   # equality matches both directions
+        ("A", 25): (2.0, 20, 3.0, 30),
+        ("A", 99): (3.0, 30, None, None),
+        ("B", 14): (None, None, 10.0, 15),
+        ("C", 50): (None, None, None, None),
+    }
+    assert out.count() == trades.count()
+
+
+def test_asof_join_both_matches_separate_passes(trades, quotes):
+    both = asof_join(trades, quotes, on="t", by=["sym"], direction="both")
+    back = asof_join(trades, quotes, on="t", by=["sym"], direction="backward")
+    fwd = asof_join(trades, quotes, on="t", by=["sym"], direction="forward")
+    b = {(r["sym"], r["t"]): (r["right_px"], r["right_t"]) for r in back.collect()}
+    f = {(r["sym"], r["t"]): (r["right_px"], r["right_t"]) for r in fwd.collect()}
+    for r in both.collect():
+        key = (r["sym"], r["t"])
+        assert (r["right_px"], r["right_t"]) == b[key]
+        assert (r["fwd_px"], r["fwd_t"]) == f[key]
+
+
+def test_asof_join_both_tolerance(trades, quotes):
+    out = asof_join(
+        trades, quotes, on="t", by=["sym"], direction="both", tolerance=5
+    )
+    got = {
+        (r["sym"], r["t"]): (r["right_t"], r["fwd_t"]) for r in out.collect()
+    }
+    # backward match valid iff left-right <= 5; forward iff right-left <= 5
+    assert got == {
+        ("A", 5): (None, 10),
+        ("A", 20): (20, 20),
+        ("A", 25): (20, 30),
+        ("A", 99): (None, None),
+        ("B", 14): (None, 15),
+        ("C", 50): (None, None),
+    }
+
+
+def test_asof_join_both_single_shuffle(trades, quotes):
+    """Both directions must reuse ONE exchange (the design contract)."""
+    out = asof_join(trades, quotes, on="t", by=["sym"], direction="both")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
