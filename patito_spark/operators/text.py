@@ -452,3 +452,52 @@ def corpus_stats(
     if group_cols:
         return scored.groupBy(*group_cols).agg(*agg)
     return scored.agg(*agg)
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: Optional[int] = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token vocabulary: term counts, document frequencies, ranks.
+
+    Returns ``token, count, doc_freq`` (plus ``rank`` when ``top_n`` is
+    given) — the input to tokenizer-vocab construction and IDF weighting
+    in a training-data pipeline.
+
+    Scale shape: one (token, doc) partial aggregate with map-side combine
+    collapses each partition to its distinct (token, doc) counts before
+    the shuffle, then a second map-side-combined aggregate reduces to one
+    row per token — the same two-stage cascade a 100 TB word count uses.
+    No Python stages, no distinct-expand. ``rank`` (dense by ``count``
+    desc, ``token`` asc — deterministic across engines) is only computed
+    under ``top_n``, where the surviving vocabulary is small enough for
+    the single-partition window it requires; an unbounded ranked vocab
+    would serialize the sort.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    per_doc = pairs.groupBy("token", "__doc").agg(
+        F.count("*").alias("__n")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("__n").alias("count"),
+        F.count("*").alias("doc_freq"),
+    )
+    if min_count > 1:
+        vocab = vocab.filter(F.col("count") >= min_count)
+    if top_n is not None:
+        vocab = vocab.orderBy(
+            F.col("count").desc(), F.col("token").asc()
+        ).limit(top_n)
+        w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+        vocab = vocab.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+    return vocab

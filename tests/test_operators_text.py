@@ -301,3 +301,59 @@ def test_corpus_stats_grouped(spark):
     assert rows["de"].n_docs == 1 and rows["de"].n_tokens == 1
     assert len(rows["en"].tokens_p50_p95) == 2
     assert len(rows["en"].quality_p10_p50_p90) == 3
+
+
+class TestBuildVocab:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a b a c"),
+                (2, "b b d"),
+                (3, "a"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_counts_and_doc_freq(self, spark):
+        from patito_spark.operators.text import build_vocab
+
+        got = {
+            r["token"]: (r["count"], r["doc_freq"])
+            for r in build_vocab(self._docs(spark)).collect()
+        }
+        assert got == {
+            "a": (3, 2),
+            "b": (3, 2),
+            "c": (1, 1),
+            "d": (1, 1),
+        }
+
+    def test_min_count_filters(self, spark):
+        from patito_spark.operators.text import build_vocab
+
+        got = {
+            r["token"]
+            for r in build_vocab(self._docs(spark), min_count=2).collect()
+        }
+        assert got == {"a", "b"}
+
+    def test_top_n_rank_deterministic(self, spark):
+        from patito_spark.operators.text import build_vocab
+
+        rows = build_vocab(self._docs(spark), top_n=3).collect()
+        assert [(r["token"], r["rank"]) for r in rows] == [
+            ("a", 1),  # count 3, token asc beats b
+            ("b", 2),
+            ("c", 3),  # count 1, token asc beats d
+        ]
+
+    def test_no_python_stages(self, spark):
+        from patito_spark.operators.text import build_vocab
+
+        plan = (
+            build_vocab(self._docs(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan and "BatchEval" not in plan
