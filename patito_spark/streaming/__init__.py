@@ -1,5 +1,6 @@
 """Structured Streaming integration."""
 
+from patito_spark.streaming.dedup import streaming_dedup_lsh
 from patito_spark.streaming.validate import (
     read_stream,
     sessionize_stream,
@@ -17,6 +18,7 @@ __all__ = [
     "stateful_dedup_stream",
     "stream_stream_join",
     "streaming_apply_changes",
+    "streaming_dedup_lsh",
     "windowed_aggregate",
     "write_stream_merge",
     "write_stream_validated",

@@ -1,0 +1,175 @@
+"""Streaming near-duplicate detection (MinHash + banded LSH over a stream).
+
+The ingestion-time counterpart of
+:func:`patito_spark.operators.dedup.minhash_dedup_pairs`: documents
+arrive as a stream, and each arrival is flagged if it collides with ANY
+previously-seen document in at least one LSH band bucket. The reference
+engine (patito) has no streaming surface at all; this fills the gap a
+training-data pipeline actually has — deduplicating against all history
+WHILE ingesting, without re-scanning the corpus per batch.
+
+Two stages, both scale-shaped:
+
+1. **Stateless signature stage** (``mapInPandas``, Arrow-batched): each
+   document's one-permutation-hashing banded bucket keys are computed
+   in-batch from the *portable* 60-bit md5 hash — byte-identical to the
+   batch pipeline's ``hash_mode="portable"`` values
+   (``functions/hashing.py``), so batch and stream agree on every bucket
+   and the equivalence is testable value-for-value. Map-only: no
+   shuffle, no state.
+2. **Stateful flag stage** (``applyInPandasWithState`` on
+   ``(band, bucket)``): state holds ONE representative id per occupied
+   bucket — O(occupied buckets) memory, independent of stream length.
+   Arrivals that find their bucket occupied emit
+   ``(id, dup_of, band, bucket)``; the first arrival claims the bucket
+   silently. Within a micro-batch, rows are processed in ascending id
+   order so the representative choice is deterministic; across batches
+   it is first-arrival (the production semantics: history wins).
+
+A document colliding in k bands emits up to k rows — ``distinct`` per
+(id, dup_of) downstream if one verdict per document is wanted. The
+output is the *candidate* stream; callers verify with true Jaccard on
+the flagged pairs (cost proportional to near-dupes) or, at GPT-3-style
+scale, drop candidates unverified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from patito_spark.functions.hashing import PORTABLE_HEX_CHARS
+
+
+def _portable_hash_py(s: str) -> int:
+    """Python replica of functions.hashing.portable_hash64 (top 60 md5
+    bits; non-negative, inside signed int64 on every engine)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:PORTABLE_HEX_CHARS], 16)
+
+
+def _banded_buckets(
+    text: str, shingle_size: int, num_hashes: int, bands: int
+) -> list[tuple[int, str]]:
+    """(band, bucket-key) list for one document.
+
+    Same semantics as the batch pipeline: distinct word n-grams (a doc
+    shorter than ``shingle_size`` tokens contributes its whole text as
+    the single shingle), OPH bin-mins (``hash % num_hashes`` routing),
+    bucket key = the sorted ``bin:min`` pairs of the band. The batch
+    side xxhash64-compresses this string JVM-side; the string itself IS
+    the grouping key here — identical collision structure, no JVM hash
+    needed in Python.
+    """
+    toks = text.split(" ")
+    if len(toks) >= shingle_size:
+        grams = {
+            " ".join(toks[i : i + shingle_size])
+            for i in range(len(toks) - shingle_size + 1)
+        }
+    else:
+        grams = {text}
+    rows_per_band = num_hashes // bands
+    mins: dict[int, int] = {}
+    for g in grams:
+        h = _portable_hash_py(g)
+        b = h % num_hashes
+        if b not in mins or h < mins[b]:
+            mins[b] = h
+    out: list[tuple[int, str]] = []
+    for band in range(bands):
+        pairs = sorted(
+            (b, m) for b, m in mins.items() if b // rows_per_band == band
+        )
+        if not pairs:
+            continue
+        out.append((band, ",".join(f"{b}:{m}" for b, m in pairs)))
+    return out
+
+
+def streaming_dedup_lsh(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Flag streamed documents that LSH-collide with any earlier document.
+
+    Returns a streaming DataFrame ``(<id_col>, dup_of, band, bucket)``
+    in ``append`` mode semantics (each flagged arrival emits once per
+    colliding band). See the module docstring for the two-stage design
+    and determinism contract.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    assert num_hashes % bands == 0
+    id_type = stream.schema[id_col].dataType
+
+    sig_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.StringType(), False),
+        ]
+    )
+
+    def sig(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, bnds, bkts = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for band, bucket in _banded_buckets(
+                    text or "", shingle_size, num_hashes, bands
+                ):
+                    ids.append(doc_id)
+                    bnds.append(band)
+                    bkts.append(bucket)
+            yield pd.DataFrame({id_col: ids, "band": bnds, "bucket": bkts})
+
+    sigs = stream.select(id_col, text_col).mapInPandas(sig, schema=sig_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, False),
+            T.StructField("dup_of", id_type, False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bucket", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("rep", id_type, False)])
+
+    def flag(key, batches, state: GroupState):
+        band, bucket = key
+        rep = state.get[0] if state.exists else None
+        flagged_ids, reps = [], []
+        for pdf in batches:
+            for doc_id in sorted(pdf[id_col]):
+                doc_id = doc_id.item() if hasattr(doc_id, "item") else doc_id
+                if rep is None:
+                    rep = doc_id
+                elif doc_id != rep:
+                    flagged_ids.append(doc_id)
+                    reps.append(rep)
+        if rep is not None:
+            state.update((rep,))
+        if flagged_ids:
+            yield pd.DataFrame(
+                {
+                    id_col: flagged_ids,
+                    "dup_of": reps,
+                    "band": band,
+                    "bucket": bucket,
+                }
+            )
+
+    return sigs.groupBy("band", "bucket").applyInPandasWithState(
+        flag,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,145 @@
+"""streaming_dedup_lsh: batch equivalence, multi-batch history, hash parity."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from patito_spark.streaming.dedup import (
+    _banded_buckets,
+    _portable_hash_py,
+    streaming_dedup_lsh,
+)
+
+PARAMS = dict(num_hashes=16, bands=4, shingle_size=2)
+
+
+def _run(stream_df, spark):
+    name = f"t_sdl_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _docs(spark, rows, path):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_portable_hash_matches_spark(spark):
+    from patito_spark.functions.hashing import portable_hash64
+
+    words = ["alpha beta", "gamma", "x y z"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash64("s").alias("h")).collect()}
+    for w in words:
+        assert _portable_hash_py(w) == got[w]
+
+
+def test_short_doc_single_shingle():
+    # fewer tokens than shingle_size -> whole text is the shingle
+    buckets = _banded_buckets("solo", 3, 16, 4)
+    h = _portable_hash_py("solo")
+    assert buckets == [(h % 16 // 4, f"{h % 16}:{h}")]
+
+
+def test_flags_match_batch_lsh_candidates(spark, tmp_path):
+    """Single batch: flagged ids == batch docs sharing a bucket with a
+    smaller doc id (minhash_lsh_candidates on the same portable hashes)."""
+    from patito_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "spark shuffles partition data across executors for joins"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " with adaptive query execution enabled"),
+        (4, "completely different text about nothing shared at all ok"),
+        (5, "another unrelated document mentioning only novel words here"),
+    ]
+    path = str(tmp_path / "docs")
+    _docs(spark, rows, path)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    got = _run(streaming_dedup_lsh(stream, **PARAMS), spark)
+    flagged = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(
+        batch,
+        num_hashes=PARAMS["num_hashes"],
+        bands=PARAMS["bands"],
+        shingle_size=PARAMS["shingle_size"],
+        hash_mode="portable",
+        max_bucket_size=10**6,
+    )
+    expected = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    assert flagged == expected
+    assert 2 in flagged  # the exact dup must be caught
+
+
+def test_dup_of_points_to_bucket_representative(spark, tmp_path):
+    text = "identical documents collide in every single band obviously yes"
+    path = str(tmp_path / "docs")
+    _docs(spark, [(10, text), (20, text), (30, text)], path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    got = _run(streaming_dedup_lsh(stream, **PARAMS), spark)
+    verdicts = {(r["doc_id"], r["dup_of"]) for r in got.collect()}
+    # ascending-id processing within the batch: 10 claims every bucket
+    assert verdicts == {(20, 10), (30, 10)}
+
+
+def test_history_wins_across_batches(spark, tmp_path):
+    """A later batch's doc is flagged against the EARLIER batch's
+    representative even when the later id is smaller."""
+    text = "first arrival owns the bucket forever in streaming dedup land"
+    path = str(tmp_path / "docs")
+    _docs(spark, [(100, text)], path)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    flagged = streaming_dedup_lsh(stream, **PARAMS)
+    checkpoint = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; collect via
+        # foreachBatch so the second run resumes the state store.
+        q = (
+            flagged.writeStream.foreachBatch(
+                lambda df, _id: seen.extend(
+                    (r["doc_id"], r["dup_of"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert seen == []  # first doc claims silently
+
+    _docs(spark, [(5, text)], path)  # smaller id, later arrival
+    run_once()
+    assert set(seen) == {(5, 100)}
+
+
+def test_unique_docs_emit_nothing(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "entirely disjoint vocabulary tokens without any overlap"),
+        ],
+        path,
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    got = _run(streaming_dedup_lsh(stream, **PARAMS), spark)
+    assert got.count() == 0
