@@ -782,3 +782,123 @@ def dedup_corpus(
         .select(F.col("node").alias(id_col))
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def minhash_dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: Optional[str] = None,
+    ref_text_col: Optional[str] = None,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_mode: str = "xxhash64",
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """Corpus documents that near-duplicate a REFERENCE corpus.
+
+    Cross-corpus MinHash+LSH: decontamination by near-dup — drop training
+    documents that are near-copies of benchmark/eval documents even when
+    no exact n-gram survives verbatim (paraphrased leaks, whitespace
+    mangling), the case :func:`..contamination.ngram_contamination`'s
+    exact-gram overlap misses. Returns verified pairs
+    ``(<id_col>, ref_id, jaccard)``; drop with a LEFT ANTI join on
+    ``id_col``.
+
+    Scale shape: the corpus side is never self-joined — each side's
+    banded bucket keys are computed independently (the same
+    OPH-bin-min pipeline as :func:`minhash_lsh_candidates`, so one
+    shuffle each), and candidates come from the corpus⋈reference bucket
+    equi-join. With ``broadcast_reference`` (the common case: benchmarks
+    are tiny next to a 100 TB corpus) the reference's buckets AND its
+    verification token arrays broadcast, so the bucket join never
+    shuffles the corpus. Verification aggregates per-doc token arrays
+    from the shared (persisted) shingle rows — one map-side-combined
+    shuffle of the corpus shingle stream, same cost class as the
+    signature pipeline itself.
+    """
+    ref_id_col = ref_id_col or id_col
+    ref_text_col = ref_text_col or text_col
+    assert num_hashes % bands == 0
+
+    corpus_sh = tracked_persist(
+        shingle_hash_rows(
+            df, id_col=id_col, text_col=text_col, n=shingle_size,
+            hash_mode=hash_mode,
+        )
+    )
+    ref_sh = tracked_persist(
+        shingle_hash_rows(
+            reference, id_col=ref_id_col, text_col=ref_text_col,
+            n=shingle_size, hash_mode=hash_mode,
+        )
+    )
+
+    def banded(sh: DataFrame) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        bin_mins = (
+            sh.withColumn("__bin", F.pmod(F.col("__h"), F.lit(num_hashes)))
+            .groupBy("__id", "__bin")
+            .agg(F.min("__h").alias("__min"))
+        )
+        return (
+            bin_mins.withColumn(
+                "band", (F.col("__bin") / F.lit(rows_per_band)).cast("int")
+            )
+            .groupBy("__id", "band")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("__bin", "__min"))
+                ).alias("__pairs")
+            )
+            .select(
+                "__id",
+                "band",
+                F.xxhash64(
+                    F.expr(
+                        "array_join(transform(__pairs, "
+                        "p -> concat(p.__bin, ':', p.__min)), ',')"
+                    )
+                ).alias("bucket"),
+            )
+        )
+
+    left = banded(corpus_sh).select(
+        F.col("__id").alias("__cid"), "band", "bucket"
+    )
+    right = banded(ref_sh).select(
+        F.col("__id").alias("__rid"), "band", "bucket"
+    )
+    ref_toks = ref_sh.groupBy(F.col("__id").alias("__rtid")).agg(
+        F.sort_array(F.collect_list("__h")).alias("__rtokens")
+    )
+    if broadcast_reference:
+        right = F.broadcast(right)
+        ref_toks = F.broadcast(ref_toks)
+
+    candidates = (
+        left.join(right, on=["band", "bucket"])
+        .select("__cid", "__rid")
+        .distinct()
+    )
+    corpus_toks = corpus_sh.groupBy(F.col("__id").alias("__ctid")).agg(
+        F.sort_array(F.collect_list("__h")).alias("__ctokens")
+    )
+    return (
+        candidates.join(
+            corpus_toks, candidates["__cid"] == corpus_toks["__ctid"]
+        )
+        .join(ref_toks, candidates["__rid"] == ref_toks["__rtid"])
+        .withColumn(
+            "jaccard", jaccard(F.col("__ctokens"), F.col("__rtokens"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__cid").alias(id_col),
+            F.col("__rid").alias("ref_id"),
+            "jaccard",
+        )
+    )

@@ -147,3 +147,80 @@ def test_dedup_corpus_end_to_end(spark):
     # cluster {1,2,3} -> representative 1; singletons survive
     assert kept == [1, 4, 5]
     assert out.columns == docs.columns
+
+
+class TestMinhashDedupAgainst:
+    def test_cross_corpus_pairs_match_brute_force(self, spark):
+        from patito_spark.operators.dedup import (
+            minhash_dedup_against,
+            shingles,
+        )
+        from patito_spark.operators.dedup import jaccard as jac
+
+        base = "the quick brown fox jumps over the lazy dog every day"
+        corpus = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " again"),                      # near-dup of ref 100
+                (3, "completely unrelated text about spark shuffles here"),
+            ],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(100, base), (200, "nothing matches this reference row at all")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["ref_id"])
+            for r in minhash_dedup_against(
+                corpus, ref, threshold=0.5, bands=32, num_hashes=64
+            ).collect()
+        }
+        # brute-force truth over the same shingle space
+        a = corpus.select("doc_id", shingles("text", n=3).alias("g"))
+        b = ref.select(
+            F.col("doc_id").alias("rid"), shingles("text", n=3).alias("rg")
+        )
+        truth = {
+            (r["doc_id"], r["rid"])
+            for r in a.crossJoin(b)
+            .withColumn("j", jac(F.col("g"), F.col("rg")))
+            .filter(F.col("j") >= 0.5)
+            .collect()
+        }
+        # LSH recall <= 1: everything found must be true; the exact and
+        # one-word-apart pairs collide in some band at 32 bands.
+        assert got <= truth
+        assert (1, 100) in got and (2, 100) in got
+
+    def test_no_cross_matches_empty(self, spark):
+        from patito_spark.operators.dedup import minhash_dedup_against
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(9, "totally different words with zero shared shingles ok")],
+            "doc_id long, text string",
+        )
+        out = minhash_dedup_against(corpus, ref, threshold=0.3)
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "ref_id", "jaccard"]
+
+    def test_corpus_never_self_joined(self, spark):
+        """Plan check: exactly one join keyed on (band, bucket), between
+        corpus and reference — no corpus-corpus bucket self-join."""
+        from patito_spark.operators.dedup import minhash_dedup_against
+
+        corpus = spark.createDataFrame(
+            [(i, f"doc number {i} with shared suffix words here") for i in range(20)],
+            "doc_id long, text string",
+        )
+        ref = spark.createDataFrame(
+            [(99, "doc number 7 with shared suffix words here")],
+            "doc_id long, text string",
+        )
+        pairs = minhash_dedup_against(corpus, ref, threshold=0.9)
+        rows = {(r["doc_id"], r["ref_id"]) for r in pairs.collect()}
+        assert rows == {(7, 99)}
