@@ -169,3 +169,32 @@ def test_pack_sequences_1m_docs(spark):
     # token mass conserved: sum over 0..999999 of (1 + id % 97)
     expected = 1_000_000 + sum(i % 97 for i in range(1_000_000))
     assert agg["toks"] == expected
+
+
+def test_streaming_dedup_lsh_100k_docs(spark, tmp_path):
+    """100k synthetic docs through the streaming near-dup path: bounded
+    state (one rep per occupied bucket), no driver collects, and the
+    planted duplicate cohort is flagged."""
+    from patito_spark.streaming.dedup import streaming_dedup_lsh
+
+    path = str(tmp_path / "stream_docs")
+    # 1000 cohorts with fully disjoint token sets (every token carries the
+    # cohort id), each repeated 100x with a distinct doc id: exactly the
+    # non-first cohort members should be flagged, nothing across cohorts.
+    spark.range(100_000).selectExpr(
+        "id as doc_id",
+        "array_join(transform(sequence(1, 12), "
+        "i -> concat('w', id % 1000, 'x', i)), ' ') as text",
+    ).write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    flagged = streaming_dedup_lsh(stream, num_hashes=16, bands=4)
+    q = (
+        flagged.select("doc_id").writeStream.format("memory")
+        .queryName("t_sdl_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    n = spark.sql("select count(distinct doc_id) as n from t_sdl_smoke").first()["n"]
+    assert n == 100_000 - 1000  # everyone but the 1000 representatives
