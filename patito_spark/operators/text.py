@@ -501,3 +501,48 @@ def build_vocab(
             "rank", F.row_number().over(w).cast("long")
         )
     return vocab
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    n_docs: Optional[int] = None,
+) -> DataFrame:
+    """Sparse TF-IDF document vectors.
+
+    Returns ``<id_col>, token, tf, idf, tf_idf`` rows — the sparse
+    representation (dense vectors only materialize at the consumer, if
+    ever; a 100 TB corpus's vocabulary makes dense rows absurd).
+    ``tf`` is the within-document frequency (count / doc tokens, the
+    denominator computed map-side from the text itself — no second
+    aggregate), ``idf = ln((N + 1) / (doc_freq + 1)) + 1`` (smoothed,
+    scikit-learn convention, natural log on every engine).
+
+    Scale shape: one (doc, token) hash aggregate with map-side combine,
+    then a broadcast join against the :func:`build_vocab` document
+    frequencies (vocabulary ≪ corpus). ``n_docs`` skips the corpus
+    count when the caller already knows it.
+    """
+    n = n_docs if n_docs is not None else df.count()
+    pairs = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__total"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = pairs.groupBy(id_col, "token", "__total").agg(
+        F.count("*").alias("__n")
+    )
+    vocab = build_vocab(df, text_col=text_col, id_col=id_col, min_count=min_count)
+    idf = F.log((F.lit(float(n)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
+    return (
+        counts.join(F.broadcast(vocab.select("token", "doc_freq")), on="token")
+        .select(
+            F.col(id_col),
+            "token",
+            (F.col("__n") / F.col("__total")).alias("tf"),
+            idf.alias("idf"),
+            ((F.col("__n") / F.col("__total")) * idf).alias("tf_idf"),
+        )
+    )

@@ -357,3 +357,48 @@ class TestBuildVocab:
             .toString()
         )
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestTfIdf:
+    def test_values_hand_checked(self, spark):
+        import math
+
+        from patito_spark.operators.text import tf_idf
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["token"]): (r["tf"], r["idf"], r["tf_idf"])
+            for r in tf_idf(df).collect()
+        }
+        idf_a = math.log(3 / 2) + 1  # df=1, N=2
+        idf_b = math.log(3 / 3) + 1  # df=2
+        idf_c = math.log(3 / 2) + 1
+        assert got[(1, "a")] == (2 / 3, idf_a, (2 / 3) * idf_a)
+        assert got[(1, "b")] == (1 / 3, idf_b, (1 / 3) * idf_b)
+        assert got[(2, "b")] == (1 / 2, idf_b, (1 / 2) * idf_b)
+        assert got[(2, "c")] == (1 / 2, idf_c, (1 / 2) * idf_c)
+        assert len(got) == 4
+
+    def test_min_count_prunes_vocab(self, spark):
+        from patito_spark.operators.text import tf_idf
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        )
+        toks = {r["token"] for r in tf_idf(df, min_count=2).collect()}
+        assert toks == {"a", "b"}
+
+    def test_n_docs_override_matches_count(self, spark):
+        from patito_spark.operators.text import tf_idf
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string"
+        )
+        auto = {(r["doc_id"], r["token"]): r["tf_idf"] for r in tf_idf(df).collect()}
+        manual = {
+            (r["doc_id"], r["token"]): r["tf_idf"]
+            for r in tf_idf(df, n_docs=2).collect()
+        }
+        assert auto == manual
