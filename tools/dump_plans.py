@@ -40,10 +40,11 @@ HEADLINERS = {
         "partial_min (map-side combine) -> band-bucket equi-join; no "
         "cross product anywhere."
     ),
-    "q_asof_purchases": (
-        "As-of join via union + keyed window: ZERO join operators, "
-        "WindowGroupLimit prunes the click dedup map-side, filters "
-        "pushed to both scans."
+    "q_asof_bidirectional": (
+        "As-of join via union + keyed window, direction='both': ZERO "
+        "join operators for the temporal match, ONE hash exchange serves "
+        "both window directions (the forward window re-sorts the reused "
+        "shuffle), filters pushed to both scans."
     ),
     "q_range_join_orders": (
         "Bucketed range join resolves as a hash equi-join on the bucket "
