@@ -320,16 +320,44 @@ class LshIndex:
         return cls(table, planes, n_planes=len(planes), seed=seed)
 
 
+def auto_n_planes(
+    n_vectors: int, target_bucket_size: int = 200,
+    min_planes: int = 2, max_planes: int = 24,
+) -> int:
+    """Plane count that keeps the EXPECTED bucket size constant.
+
+    Sign-projection LSH has 2^planes buckets; with a FIXED plane count
+    the per-bucket pair verification grows QUADRATICALLY as the corpus
+    grows (the round-6 scaling audit measured dedup_embedding_lsh's
+    top-decade marginal at 3.7x per 10x data for exactly this reason).
+    ceil(log2(n / target)) planes holds expected bucket size — and thus
+    verification cost per vector — flat at any corpus size.
+    """
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return min_planes
+    return max(min_planes, min(max_planes,
+               math.ceil(math.log2(n_vectors / target_bucket_size))))
+
+
 def build_lsh_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: Optional[int] = 8,
     dim: int = 64,
     seed: int = 42,
     materialize: bool = True,
+    target_bucket_size: int = 200,
 ) -> LshIndex:
     """Bucket the corpus once; returns a reusable :class:`LshIndex`.
+
+    ``n_planes=None`` auto-sizes the plane count from the corpus count
+    via :func:`auto_n_planes` (one count() job) so bucket sizes — and
+    the quadratic in-bucket verification — stay constant as the corpus
+    grows; pass an explicit count for reproducible bucketing (the
+    oracle-replayed bench entries do).
 
     ``materialize=True`` persists the assignment table, so N query batches
     cost N bucket joins but ONE corpus scan + projection. The cache is a
@@ -339,6 +367,8 @@ def build_lsh_index(
     operator-internal intermediates must not tear down an index the
     caller intends to query again.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count(), target_bucket_size)
     planes = _deterministic_hyperplanes(dim, n_planes, seed)
     table = sign_projection_buckets(
         corpus.select(

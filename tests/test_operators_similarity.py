@@ -308,3 +308,31 @@ def test_embedding_dedup_accepts_lsh_index(emb):
         assert (0, 1000) in {(r.id_a, r.id_b) for r in direct.collect()}
     finally:
         idx.unpersist()
+
+
+class TestAutoPlanes:
+    def test_auto_n_planes_holds_bucket_size(self):
+        from patito_spark.operators.similarity import auto_n_planes
+
+        assert auto_n_planes(100) == 2            # tiny corpus -> floor
+        assert auto_n_planes(2_000) == 4          # 2000/200 -> 2^4 buckets
+        assert auto_n_planes(20_000) == 7         # 10x data -> +~3 planes
+        assert auto_n_planes(20_000_000) == 17
+        assert auto_n_planes(10**12) == 24        # capped
+
+    def test_build_index_auto_sizes(self, spark, emb):
+        from patito_spark.operators.similarity import (
+            auto_n_planes,
+            build_lsh_index,
+        )
+
+        df, _ = emb
+        n = df.count()
+        idx = build_lsh_index(
+            df, n_planes=None, dim=16, target_bucket_size=max(n // 4, 1)
+        )
+        try:
+            assert idx.n_planes == auto_n_planes(n, max(n // 4, 1))
+            assert idx.table.count() == n
+        finally:
+            idx.unpersist()
