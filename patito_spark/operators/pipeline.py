@@ -35,6 +35,7 @@ def prepare_training_corpus(
     min_tokens: Optional[int] = 5,
     dedup_threshold: Optional[float] = 0.7,
     contamination_ngram: int = 8,
+    contamination_neardup_threshold: Optional[float] = None,
     max_tokens_per_chunk: Optional[int] = None,
     pack_max_len: Optional[int] = None,
     hash_mode: str = "xxhash64",
@@ -54,7 +55,7 @@ def prepare_training_corpus(
     ``prepare_training_corpus(df)`` just cleans, length-filters, and
     near-dup-dedups.
     """
-    from patito_spark.operators.dedup import dedup_corpus
+    from patito_spark.operators.dedup import dedup_corpus, minhash_dedup_against
     from patito_spark.operators.contamination import ngram_contamination
     from patito_spark.operators.packing import chunk_documents, pack_sequences
     from patito_spark.operators.text import clean_text, filter_corpus
@@ -88,6 +89,19 @@ def prepare_training_corpus(
             hash_mode=hash_mode,
         ).select(id_col)
         gated = gated.join(contaminated, on=id_col, how="left_anti")
+        if contamination_neardup_threshold is not None:
+            # Second pass: paraphrased/mangled benchmark leaks that share
+            # no verbatim n-gram — cross-corpus MinHash (benchmark side
+            # broadcast; the corpus is never self-joined).
+            near = minhash_dedup_against(
+                gated,
+                benchmark,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=contamination_neardup_threshold,
+                hash_mode=hash_mode,
+            ).select(id_col)
+            gated = gated.join(near, on=id_col, how="left_anti")
 
     out = {"documents": gated}
     pack_src, pack_id = gated, id_col

@@ -84,3 +84,35 @@ def test_prepare_training_corpus_on_testdata(spark):
     assert all(r.total_tokens <= 256 for r in rows)
     n_chunks = out["chunks"].count()
     assert sum(r.n_docs for r in rows) == n_chunks
+
+
+def test_prepare_neardup_decontamination(spark):
+    """Leaks no verbatim n-gram can catch (gram longer than any shared
+    run) survive exact decontamination but fall to the near-dup pass."""
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo").split()
+    leak = " ".join(words[1:] + words[:1])  # rotated: near-dup, not equal
+    rows = [
+        (1, " ".join(words)),  # verbatim benchmark copy
+        (2, leak),             # paraphrased leak
+        (3, "entirely unrelated text with completely novel vocabulary here"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = spark.createDataFrame(
+        [(9, " ".join(words))], "doc_id long, text string"
+    )
+    # contamination_ngram longer than the text: short docs gram as their
+    # WHOLE text, so the exact pass catches the verbatim copy (doc 1)
+    # but cannot see the rotated leak (doc 2).
+    exact_only = prepare_training_corpus(
+        corpus, benchmark=benchmark, dedup_threshold=None,
+        contamination_ngram=25, min_tokens=3,
+    )["documents"]
+    assert {r["doc_id"] for r in exact_only.collect()} == {2, 3}
+
+    both = prepare_training_corpus(
+        corpus, benchmark=benchmark, dedup_threshold=None,
+        contamination_ngram=25, min_tokens=3,
+        contamination_neardup_threshold=0.6,
+    )["documents"]
+    assert {r["doc_id"] for r in both.collect()} == {3}
