@@ -90,11 +90,18 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # Per-query regression flags vs the committed floor (best time ever
-    # committed at this SF). A regression is > 1.3× the floor AND > 0.2 s
-    # absolute — both guards needed, or scheduler jitter on sub-second
-    # entries produces phantom flags. Update the floor with
-    # `python tools/update_bench_floor.py <bench.json>` after a good run.
+    # committed at this SF), DRIFT-NORMALIZED: this container's host has
+    # external load the in-container loadavg doesn't see, and whole-run
+    # throughput swings ~1.5× between sessions (docs/perf.md, round 6).
+    # An absolute 1.3× threshold therefore flags half the suite on a
+    # slow-host day. The run's MEDIAN ratio-to-floor estimates the
+    # machine drift; a regression is an entry > 1.3× the drift-adjusted
+    # floor AND > 0.2 s absolute — a code regression moves one entry
+    # against the pack, host weather moves the whole pack together.
+    # Update floors with `python tools/update_bench_floor.py <run.json>`
+    # after a good run.
     regressions: dict[str, dict[str, float]] = {}
+    drift = 1.0
     floor_path = os.path.join(os.path.dirname(__file__), "BENCH_FLOOR.json")
     if os.path.exists(floor_path):
         with open(floor_path) as fh:
@@ -107,13 +114,20 @@ def main() -> None:
             if floor_doc.get("sf") == sf
             else {}
         )
+        ratios = sorted(
+            timings[n] / f for n, f in floors.items() if f and n in timings
+        )
+        if ratios:
+            drift = max(1.0, ratios[len(ratios) // 2])
         for name, t in timings.items():
             floor = floors.get(name)
-            if floor and t > floor * 1.3 and t - floor > 0.2:
+            adj = floor * drift if floor else None
+            if floor and t > adj * 1.3 and t - adj > 0.2:
                 regressions[name] = {
                     "t": t,
                     "floor": floor,
-                    "ratio": round(t / floor, 2),
+                    "drift_adjusted_floor": round(adj, 3),
+                    "ratio": round(t / adj, 2),
                 }
 
     print(
@@ -124,6 +138,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_drift": round(drift, 3),
                 "regressions": regressions,
             }
         )
