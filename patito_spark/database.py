@@ -677,6 +677,7 @@ class Database:
         self.spark = spark or active_session()
         self.tables: dict[str, SparkDataFrame] = {}
         self.views: set[str] = set()
+        self.enum_types: set[str] = set()
 
     @classmethod
     def default(cls) -> "Database":
@@ -711,6 +712,41 @@ class Database:
     def query(self, query: str, alias: str = "query_relation") -> Relation:
         """Run an arbitrary SQL query and wrap the result (ref duckdb.py:2576)."""
         return Relation(self.spark.sql(query), database=self, alias=alias)
+
+    def create_enum_types(self, model) -> None:
+        """Register enum DOMAIN views for a model's string enums
+        (ref duckdb.py:2762 ``create_enum_types``).
+
+        Spark SQL has no ``CREATE TYPE ... AS ENUM`` DDL, so the
+        relational encoding is used instead: each distinct enum value
+        set becomes a single-column temp view (``value string``) named
+        ``enum__<md5-of-sorted-values>`` — the same deterministic,
+        order-independent name the reference derives, so DDL scripts
+        that reference these names keep working. The views serve the
+        same roles the reference's enum types do: domain checks via
+        semi/anti joins, and a queryable catalog of allowed values
+        (``SELECT value FROM enum__...``). Row-level Literal/Enum
+        validation itself never needed these — it compiles into the
+        single-pass validator — so this is the DDL-compat surface only.
+        Non-string enums are skipped, matching DuckDB's enum support.
+        """
+        import hashlib
+
+        for props in model._schema_properties().values():
+            values_ = props.get("enum")
+            if not values_ or not all(isinstance(v, str) for v in values_):
+                # string enums only, matching DuckDB's enum support
+                continue
+            values = sorted(values_)
+            joined = ", ".join(repr(v) for v in values)
+            name = f"enum__{hashlib.md5(joined.encode()).hexdigest()}"
+            if name in self.enum_types:
+                continue
+            self.spark.createDataFrame(
+                [(v,) for v in values], "value string"
+            ).createOrReplaceTempView(name)
+            self.enum_types.add(name)
+            self.views.add(name)
 
     def execute(self, query: str) -> None:
         """Execute SQL for side effects (DDL etc.)."""

@@ -133,3 +133,60 @@ def test_get_on_untyped_relation_uses_inferred_model(spark, db):
 
     assert type(row).model_fields["column_1"].annotation == Optional[int]
     assert "column_1" in type(row).columns
+
+
+class TestCreateEnumTypes:
+    def test_creates_domain_views_with_reference_names(self, spark):
+        import hashlib
+        from typing import Literal, Optional
+
+        import patito_spark as pt
+
+        class EnumModel(pt.Model):
+            zone: Literal["dry", "cold", "frozen"]
+            other: Optional[int] = None
+
+        db = pt.Database(spark)
+        db.create_enum_types(EnumModel)
+        joined = ", ".join(repr(v) for v in sorted(["dry", "cold", "frozen"]))
+        expected = f"enum__{hashlib.md5(joined.encode()).hexdigest()}"
+        assert db.enum_types == {expected}
+        vals = {r["value"] for r in spark.table(expected).collect()}
+        assert vals == {"dry", "cold", "frozen"}
+
+    def test_same_values_same_name_and_idempotent(self, spark):
+        from typing import Literal
+
+        import patito_spark as pt
+
+        class A(pt.Model):
+            c: Literal["x", "y"]
+
+        class B(pt.Model):
+            d: Literal["y", "x"]  # same value set, different order
+
+        db = pt.Database(spark)
+        db.create_enum_types(A)
+        db.create_enum_types(B)
+        db.create_enum_types(A)
+        assert len(db.enum_types) == 1
+
+    def test_domain_check_via_anti_join(self, spark):
+        """The views serve the enum-type role: domain violations surface
+        with one anti join against the enum view."""
+        from typing import Literal
+
+        import patito_spark as pt
+        from pyspark.sql import functions as F
+
+        class M(pt.Model):
+            zone: Literal["a", "b"]
+
+        db = pt.Database(spark)
+        db.create_enum_types(M)
+        (name,) = db.enum_types
+        data = spark.createDataFrame([("a",), ("zzz",)], "zone string")
+        bad = data.join(
+            spark.table(name), data["zone"] == F.col("value"), "left_anti"
+        )
+        assert [r["zone"] for r in bad.collect()] == ["zzz"]
