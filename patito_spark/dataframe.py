@@ -177,6 +177,23 @@ class DataFrame:
         """Associate a model with this dataframe (ref polars.py:175)."""
         return DataFrame(self._df, model=model)
 
+    def filter(self, condition: Any) -> "DataFrame":
+        """Model-preserving filter (ref polars.py ``LazyFrame.filter``
+        passthrough). Accepts a Column or SQL-string predicate; the
+        attached model survives, so ``validate()`` still works
+        downstream. Explicit (rather than ``__getattr__`` delegation)
+        for IDE/API discoverability — behavior is identical.
+        """
+        return self._wrap(self._df.filter(condition))
+
+    def select(self, *cols: Any) -> "DataFrame":
+        """Model-preserving projection (ref polars.py ``select``
+        passthrough). Explicit counterpart of the delegated method; the
+        model is kept attached — call ``validate()`` only while the
+        model's required columns are still present.
+        """
+        return self._wrap(self._df.select(*cols))
+
     def validate(self, **kwargs: Any) -> "DataFrame":
         """Validate schema + contents against the model; returns self."""
         if self.model is None:
