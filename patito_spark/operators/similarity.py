@@ -425,11 +425,23 @@ def _cell_affinity(mat, centroids, cent_norm, assign_metric: str):
     return -((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
 
 
+def auto_n_centroids(n_vectors: int, min_cells: int = 16,
+                     max_cells: int = 65_536) -> int:
+    """IVF cell count scaling as ~sqrt(n) (the FAISS nlist rule of
+    thumb): cells AND expected cell size both grow as sqrt(n), so probe
+    cost and per-cell scoring stay balanced as the corpus grows — a
+    fixed nlist turns cell scans linear in corpus size, the same failure
+    mode auto_n_planes fixes for LSH."""
+    import math
+
+    return max(min_cells, min(max_cells, int(math.sqrt(max(n_vectors, 1)))))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = 16,
     seed: int = 42,
     max_train_vectors: int = 100_000,
     centroids_df: Optional[DataFrame] = None,
@@ -467,6 +479,8 @@ def build_ivf_index(
 
         train_src = corpus
         n_corpus = corpus.count()
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(n_corpus)
         if n_corpus > max_train_vectors:
             # Hash-sample (reproducible under retries/AQE) — parquet count()
             # is metadata-cheap, and the fit then touches a bounded slice.

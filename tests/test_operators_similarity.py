@@ -336,3 +336,22 @@ class TestAutoPlanes:
             assert idx.table.count() == n
         finally:
             idx.unpersist()
+
+    def test_auto_n_centroids_sqrt_rule(self):
+        from patito_spark.operators.similarity import auto_n_centroids
+
+        assert auto_n_centroids(100) == 16          # floor
+        assert auto_n_centroids(1_000_000) == 1000  # sqrt
+        assert auto_n_centroids(10**12) == 65_536   # capped
+
+    def test_build_ivf_auto_sizes(self, spark, emb):
+        from patito_spark.operators.similarity import build_ivf_index
+
+        df, _ = emb
+        idx = build_ivf_index(df, n_centroids=None, max_train_vectors=100)
+        try:
+            # 100 vectors -> floor of 16 cells; every vector assigned
+            assert idx.centroids.shape[0] == 16
+            assert idx.table.count() == 100
+        finally:
+            idx.unpersist()
