@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import itertools
 import re
-from typing import Any, Iterable, Iterator, Optional, TYPE_CHECKING, Union
+from typing import Any, Iterable, Iterator, Optional, Sequence, TYPE_CHECKING, Union
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, functions as F
 from pyspark.sql import SparkSession
@@ -569,6 +569,47 @@ class Relation:
         self, other: RelationSource, on: str, **kwargs: Any
     ) -> "Relation":
         return self.join(other, on=on, how="left", **kwargs)
+
+    def asof_join(
+        self,
+        other: RelationSource,
+        on: str,
+        by: Optional[Sequence[str]] = None,
+        **kwargs: Any,
+    ) -> "Relation":
+        """Temporal as-of join (Spark-first extension; the reference's
+        DuckDB engine exposes ASOF JOIN in SQL — this is the Relation-API
+        counterpart). Composes :func:`patito_spark.operators.temporal.
+        asof_join` (union + ONE keyed window, no nested loop); accepts
+        ``direction`` backward/forward/nearest/both and ``tolerance``.
+        """
+        from patito_spark.operators.temporal import asof_join as _asof
+
+        other_rel = self.database.to_relation(other)
+        return Relation(
+            _asof(self._df, other_rel._df, on=on, by=by, **kwargs),
+            database=self.database,
+        )
+
+    def range_join(
+        self,
+        intervals: RelationSource,
+        point_col: str,
+        start_col: str,
+        end_col: str,
+        **kwargs: Any,
+    ) -> "Relation":
+        """Point-in-interval join (Spark-first extension): bucketed
+        equi-join formulation of :func:`patito_spark.operators.temporal.
+        range_join` — never a nested-loop cross product."""
+        from patito_spark.operators.temporal import range_join as _range
+
+        iv = self.database.to_relation(intervals)
+        return Relation(
+            _range(self._df, iv._df, point_col, start_col,
+                   end_col, **kwargs),
+            database=self.database,
+        )
 
     def union(self, other: RelationSource) -> "Relation":
         """UNION ALL with column-name reconciliation (ref duckdb.py:1844)."""

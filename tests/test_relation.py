@@ -259,3 +259,38 @@ def test_materialization_hints(spark, db):
     assert checkpointed.count() == 1
     assert "ExistingRDD" in checkpointed._df._jdf.queryExecution().optimizedPlan().toString() or \
            "LogicalRDD" in checkpointed._df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_relation_asof_join(spark):
+    import patito_spark as pt
+
+    db = pt.Database(spark)
+    trades = db.to_relation(
+        spark.createDataFrame([("A", 25, 300)], "sym string, t long, qty long")
+    )
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("A", 30, 3.0)],
+        "sym string, t long, px double",
+    )
+    row = trades.asof_join(quotes, on="t", by=["sym"]).to_df().first()
+    assert (row["right_px"], row["right_t"]) == (2.0, 20)
+    both = trades.asof_join(
+        quotes, on="t", by=["sym"], direction="both"
+    ).to_df().first()
+    assert (both["right_t"], both["fwd_t"]) == (20, 30)
+
+
+def test_relation_range_join(spark):
+    import patito_spark as pt
+
+    db = pt.Database(spark)
+    points = db.to_relation(
+        spark.createDataFrame([(5,), (25,)], "p long")
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10)], "iv_id long, s long, e long"
+    )
+    got = sorted(
+        r.p for r in points.range_join(intervals, "p", "s", "e")
+    )
+    assert got == [5]
