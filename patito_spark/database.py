@@ -820,6 +820,11 @@ class Database:
         a persistent catalog, saveAsTable would replace this (the Relation
         API is unchanged).
         """
+        if model is not None:
+            # Parity with the reference, which defines enum types before
+            # creating model-backed tables (ref duckdb.py:1607, 2029):
+            # the enum DOMAIN views exist as soon as the table does.
+            self.create_enum_types(model)
         if data is not None:
             df = self.to_relation(data)._df
         elif model is not None:

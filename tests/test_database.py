@@ -190,3 +190,18 @@ class TestCreateEnumTypes:
             spark.table(name), data["zone"] == F.col("value"), "left_anti"
         )
         assert [r["zone"] for r in bad.collect()] == ["zzz"]
+
+    def test_create_table_registers_enum_views(self, spark):
+        from typing import Literal
+
+        import patito_spark as pt
+
+        class M(pt.Model):
+            k: int
+            zone: Literal["a", "b"]
+
+        db = pt.Database(spark)
+        db.create_table("enum_backed", model=M)
+        assert len(db.enum_types) == 1
+        (name,) = db.enum_types
+        assert {r["value"] for r in spark.table(name).collect()} == {"a", "b"}
