@@ -200,6 +200,47 @@ def hyperplane_lsh_buckets(
     return sign_projection_buckets(df, planes, vec_col=vec_col)
 
 
+def _multi_table_buckets(
+    df: DataFrame, planes, n_planes: int, n_tables: int, vec_col: str
+) -> DataFrame:
+    """(tbl, bucket) rows per input row: ONE Arrow pass computes every
+    table's sign-projection bucket (stacked plane matrix), then a
+    posexplode fans out — n_tables hash tables for one corpus scan."""
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.asarray(planes, dtype=np.float64)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("__buckets", T.ArrayType(T.LongType()), False)]
+    )
+
+    def assign(batches):
+        from patito_spark.functions.vector_numpy import (
+            _as_matrix,
+            seq_dot_matrix,
+        )
+
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            signs = seq_dot_matrix(mat, plane_mat) > 0
+            buckets = [
+                (signs[:, t * n_planes : (t + 1) * n_planes] @ weights)
+                for t in range(n_tables)
+            ]
+            out = pdf.copy()
+            out["__buckets"] = list(np.stack(buckets, axis=1))
+            yield out
+
+    exploded = df.mapInPandas(assign, schema=out_schema).select(
+        *df.columns, F.posexplode("__buckets").alias("tbl", "bucket")
+    )
+    return exploded
+
+
 def ann_lsh_topk(
     corpus: Optional[DataFrame],
     queries: DataFrame,
@@ -210,6 +251,7 @@ def ann_lsh_topk(
     dim: int = 64,
     seed: int = 42,
     multi_probe_bits: int = 0,
+    n_tables: int = 1,
     index: Optional["LshIndex"] = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* each query's bucket.
@@ -228,6 +270,60 @@ def ann_lsh_topk(
     """
     if multi_probe_bits not in (0, 1):
         raise ValueError("multi_probe_bits must be 0 or 1")
+    if n_tables > 1:
+        # Multi-table LSH — the recall lever measured in
+        # docs/ann_quality.md: L independent hash tables (disjoint plane
+        # blocks of one stacked matrix, one Arrow pass per side) OR-ed
+        # together. A true neighbor is missed only if it straddles a
+        # hyperplane in EVERY table (miss^L), at L× candidate volume.
+        if index is not None:
+            raise ValueError(
+                "n_tables applies to the direct path; build a wider "
+                "single-table index (or multiple indexes) for "
+                "build-once/query-many multi-table search"
+            )
+        planes = _deterministic_hyperplanes(dim, n_planes * n_tables, seed)
+        c = _multi_table_buckets(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            ),
+            planes, n_planes, n_tables, "__cvec",
+        )
+        q = _multi_table_buckets(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            ),
+            planes, n_planes, n_tables, "__qvec",
+        )
+        if multi_probe_bits == 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
+            q = q.withColumn("bucket", F.explode(probes))
+        candidates = (
+            c.join(F.broadcast(q), on=["tbl", "bucket"])
+            # a pair can meet in several tables; score it once
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = cosine_score_pairs(
+            candidates,
+            vec_a="__qvec",
+            vec_b="__cvec",
+            keep_cols=["query_id", "neighbor_id"],
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
     if index is not None:
         # Prebuilt index: skip the corpus projection; the query side must
         # hash with the SAME hyperplanes the index was built with.

@@ -355,3 +355,54 @@ class TestAutoPlanes:
             assert idx.table.count() == 100
         finally:
             idx.unpersist()
+
+    def test_multi_table_lsh_recall_dominates_single(self, spark, emb):
+        """n_tables=L unions candidates: recall vs exact truth is at
+        least the single-table recall, and strictly better here."""
+        from patito_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+        df, _ = emb
+        queries = df.filter("vec_id < 8")
+        truth = {}
+        for r in cosine_topk(df, queries, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+        def recall(out):
+            got = {}
+            for r in out.collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return sum(
+                len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+            ) / len(truth)
+
+        one = recall(ann_lsh_topk(df, queries, k=5, n_planes=6, dim=16))
+        four = recall(
+            ann_lsh_topk(df, queries, k=5, n_planes=6, dim=16, n_tables=4)
+        )
+        assert four >= one
+        assert four > 0.3  # four tables must find real structure
+
+    def test_multi_table_pairs_scored_once(self, spark, emb):
+        from patito_spark.operators.similarity import ann_lsh_topk
+
+        df, _ = emb
+        queries = df.filter("vec_id < 4")
+        out = ann_lsh_topk(df, queries, k=50, n_planes=2, dim=16, n_tables=3)
+        pairs = out.select("query_id", "neighbor_id")
+        assert pairs.count() == pairs.distinct().count()
+
+    def test_multi_table_index_rejected(self, spark, emb):
+        import pytest as _pytest
+
+        from patito_spark.operators.similarity import (
+            ann_lsh_topk,
+            build_lsh_index,
+        )
+
+        df, _ = emb
+        idx = build_lsh_index(df, n_planes=4, dim=16)
+        try:
+            with _pytest.raises(ValueError, match="n_tables"):
+                ann_lsh_topk(None, df.limit(1), n_tables=2, index=idx)
+        finally:
+            idx.unpersist()
