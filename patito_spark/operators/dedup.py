@@ -656,6 +656,7 @@ def embedding_dedup_pairs_lsh(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
     index=None,
 ) -> DataFrame:
     """Scalable embedding near-dup: LSH buckets + vectorized verification.
@@ -669,8 +670,13 @@ def embedding_dedup_pairs_lsh(
        matrix and emits only pairs ≥ threshold.
 
     Candidates never leave their bucket, so total work is Σ bucket² instead
-    of n²; recall follows the hyperplane collision bound (raise recall with
-    fewer planes or multiple seeds, trading bucket size).
+    of n²; recall follows the hyperplane collision bound. Recall levers:
+    fewer planes (bigger buckets) or ``n_tables > 1`` — L independent
+    hash tables OR-ed together (a dup pair is missed only if split in
+    EVERY table, miss^L), with cross-table duplicate pairs collapsed by
+    a distinct on (id_a, id_b). Measured for the search path in
+    docs/ann_quality.md; for DEDUP recall is the one that matters — a
+    missed duplicate is contamination.
 
     Both stages use sequential-fold accumulation, so a SQL oracle can
     replay the pipeline exactly from the same plane constants (bucket =
@@ -695,6 +701,18 @@ def embedding_dedup_pairs_lsh(
             F.col("__cvec").alias("vec"),
             "bucket",
         )
+    elif n_tables > 1:
+        from patito_spark.operators.similarity import _multi_table_buckets
+
+        planes = _deterministic_hyperplanes(dim, n_planes * n_tables, seed)
+        pruned = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        # (tbl, bucket) fan-out; groups below key on both so each table
+        # contributes its own buckets.
+        bucketed = _multi_table_buckets(
+            pruned, planes, n_planes, n_tables, "vec"
+        ).withColumn("bucket", F.concat_ws(":", "tbl", "bucket")).drop("tbl")
     else:
         planes = _deterministic_hyperplanes(dim, n_planes, seed)
         pruned = df.select(
@@ -732,7 +750,11 @@ def embedding_dedup_pairs_lsh(
             }
         )
 
-    return bucketed.groupBy("bucket").applyInPandas(bucket_pairs, pair_schema)
+    pairs = bucketed.groupBy("bucket").applyInPandas(bucket_pairs, pair_schema)
+    if n_tables > 1 and index is None:
+        # the same dup pair can surface from several tables
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 # ---------------------------------------------------------------------- #

@@ -224,3 +224,47 @@ class TestMinhashDedupAgainst:
         pairs = minhash_dedup_against(corpus, ref, threshold=0.9)
         rows = {(r["doc_id"], r["ref_id"]) for r in pairs.collect()}
         assert rows == {(7, 99)}
+
+
+class TestMultiTableEmbeddingDedup:
+    def test_multi_table_superset_of_single(self, spark):
+        import numpy as np
+
+        from patito_spark.operators.dedup import embedding_dedup_pairs_lsh
+
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(40, 16))
+        # plant 5 near-dup pairs: vec i+100 ~= vec i
+        rows = [(i, base[i].tolist()) for i in range(40)]
+        for i in range(5):
+            v = base[i] + rng.normal(scale=0.01, size=16)
+            rows.append((100 + i, v.tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        def pairs(**kw):
+            return {
+                (r["id_a"], r["id_b"])
+                for r in embedding_dedup_pairs_lsh(
+                    df, threshold=0.98, dim=16, n_planes=6, **kw
+                ).collect()
+            }
+
+        single = pairs()
+        multi = pairs(n_tables=4)
+        assert single <= multi  # OR of tables can only add recall
+        # with 4 tables every planted pair must be found
+        assert {(i, 100 + i) for i in range(5)} <= multi
+
+    def test_multi_table_pairs_unique(self, spark):
+        import numpy as np
+
+        from patito_spark.operators.dedup import embedding_dedup_pairs_lsh
+
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_dedup_pairs_lsh(
+            df, threshold=-1.0, dim=8, n_planes=2, n_tables=3
+        )
+        got = out.select("id_a", "id_b")
+        assert got.count() == got.distinct().count()
