@@ -924,3 +924,68 @@ def minhash_dedup_against(
             "jaccard",
         )
     )
+
+
+def embedding_dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_id_col: Optional[str] = None,
+    ref_vec_col: Optional[str] = None,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Corpus vectors that near-duplicate a REFERENCE set (semantic
+    decontamination — the embedding-space counterpart of
+    :func:`minhash_dedup_against`).
+
+    Returns ``(<id_col>, ref_id, cosine)`` pairs with cosine ≥
+    ``threshold``. Both sides are LSH-bucketed (``n_tables`` independent
+    tables OR-ed for recall — see docs/ann_quality.md); candidates come
+    from the corpus⋈reference bucket equi-join with the reference side
+    broadcast (benchmarks/eval sets are tiny next to the corpus, so the
+    corpus is never shuffled), and exact cosine verification runs only
+    on candidates — cost proportional to near-dupes, never |corpus|×|ref|.
+    """
+    from patito_spark.functions.vector_numpy import sign_projection_buckets
+    from patito_spark.operators.similarity import (
+        _deterministic_hyperplanes,
+        _multi_table_buckets,
+        cosine_score_pairs,
+    )
+
+    ref_id_col = ref_id_col or id_col
+    ref_vec_col = ref_vec_col or vec_col
+    planes = _deterministic_hyperplanes(dim, n_planes * n_tables, seed)
+
+    corpus_side = df.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    ref_side = reference.select(
+        F.col(ref_id_col).alias("ref_id"), F.col(ref_vec_col).alias("__rvec")
+    )
+    if n_tables > 1:
+        c = _multi_table_buckets(corpus_side, planes, n_planes, n_tables, "__cvec")
+        r = _multi_table_buckets(ref_side, planes, n_planes, n_tables, "__rvec")
+        on = ["tbl", "bucket"]
+    else:
+        c = sign_projection_buckets(corpus_side, planes, vec_col="__cvec")
+        r = sign_projection_buckets(ref_side, planes, vec_col="__rvec")
+        on = ["bucket"]
+
+    candidates = c.join(F.broadcast(r), on=on)
+    if n_tables > 1:
+        candidates = candidates.dropDuplicates(["__cid", "ref_id"])
+    scored = cosine_score_pairs(
+        candidates,
+        vec_a="__cvec",
+        vec_b="__rvec",
+        keep_cols=["__cid", "ref_id"],
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("__cid").alias(id_col), "ref_id", "cosine"
+    )

@@ -268,3 +268,52 @@ class TestMultiTableEmbeddingDedup:
         )
         got = out.select("id_a", "id_b")
         assert got.count() == got.distinct().count()
+
+
+class TestEmbeddingDedupAgainst:
+    def test_cross_corpus_semantic_match(self, spark):
+        import numpy as np
+
+        from patito_spark.operators.dedup import embedding_dedup_against
+
+        rng = np.random.RandomState(11)
+        ref_vecs = rng.normal(size=(4, 16))
+        corpus_rows = [
+            (0, (ref_vecs[0] + rng.normal(scale=0.01, size=16)).tolist()),
+            (1, (ref_vecs[1] + rng.normal(scale=0.01, size=16)).tolist()),
+        ] + [(10 + i, rng.normal(size=16).tolist()) for i in range(20)]
+        corpus = spark.createDataFrame(
+            corpus_rows, "vec_id long, embedding array<double>"
+        )
+        ref = spark.createDataFrame(
+            [(100 + i, ref_vecs[i].tolist()) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["vec_id"], r["ref_id"])
+            for r in embedding_dedup_against(
+                corpus, ref, threshold=0.98, dim=16, n_planes=4, n_tables=4
+            ).collect()
+        }
+        assert {(0, 100), (1, 101)} <= got
+        assert all(cid in (0, 1) for cid, _ in got)  # random vecs never match
+
+    def test_threshold_filters_everything(self, spark):
+        import numpy as np
+
+        from patito_spark.operators.dedup import embedding_dedup_against
+
+        rng = np.random.RandomState(5)
+        corpus = spark.createDataFrame(
+            [(i, rng.normal(size=8).tolist()) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        ref = spark.createDataFrame(
+            [(99, rng.normal(size=8).tolist())],
+            "vec_id long, embedding array<double>",
+        )
+        out = embedding_dedup_against(
+            corpus, ref, threshold=0.9999, dim=8, n_planes=2
+        )
+        assert out.count() == 0
+        assert out.columns == ["vec_id", "ref_id", "cosine"]
