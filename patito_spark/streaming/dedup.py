@@ -36,7 +36,7 @@ scale, drop candidates unverified.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -96,6 +96,7 @@ def streaming_dedup_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    state_ttl_ms: Optional[int] = None,
 ) -> DataFrame:
     """Flag streamed documents that LSH-collide with any earlier document.
 
@@ -103,6 +104,14 @@ def streaming_dedup_lsh(
     in ``append`` mode semantics (each flagged arrival emits once per
     colliding band). See the module docstring for the two-stage design
     and determinism contract.
+
+    ``state_ttl_ms`` bounds the dedup HORIZON: a bucket whose
+    representative has not been touched for the TTL is evicted
+    (processing-time timeout), so state is O(buckets occupied within the
+    horizon) instead of growing with all history — the right knob for an
+    infinite stream with drifting content (mirrors
+    ``stateful_dedup_stream``'s watermark horizon). Default ``None``
+    keeps full-history semantics.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -144,6 +153,10 @@ def streaming_dedup_lsh(
 
     def flag(key, batches, state: GroupState):
         band, bucket = key
+        if state.hasTimedOut:
+            # horizon passed with no arrivals: forget the representative
+            state.remove()
+            return
         rep = state.get[0] if state.exists else None
         flagged_ids, reps = [], []
         for pdf in batches:
@@ -156,6 +169,8 @@ def streaming_dedup_lsh(
                     reps.append(rep)
         if rep is not None:
             state.update((rep,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
         if flagged_ids:
             yield pd.DataFrame(
                 {
@@ -166,10 +181,15 @@ def streaming_dedup_lsh(
                 }
             )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return sigs.groupBy("band", "bucket").applyInPandasWithState(
         flag,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -143,3 +143,58 @@ def test_unique_docs_emit_nothing(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(path)
     got = _run(streaming_dedup_lsh(stream, **PARAMS), spark)
     assert got.count() == 0
+
+
+def test_state_ttl_forgets_old_representatives(spark, tmp_path):
+    """With a tiny TTL, a bucket claimed in batch 1 is forgotten by the
+    time batch 2 runs: the later duplicate is NOT flagged (it re-claims),
+    bounding state to the dedup horizon."""
+    import time as _time
+
+    text = "horizon bounded dedup forgets what it saw too long ago okay"
+    path = str(tmp_path / "docs")
+    _docs(spark, [(1, text)], path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    flagged = streaming_dedup_lsh(stream, state_ttl_ms=1, **PARAMS)
+    checkpoint = str(tmp_path / "ckpt")
+    seen: list[tuple] = []
+
+    def run_once():
+        q = (
+            flagged.writeStream.foreachBatch(
+                lambda df, _id: seen.extend(
+                    (r["doc_id"], r["dup_of"]) for r in df.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert seen == []
+    _time.sleep(2)  # TTL (1 ms) long expired
+    _docs(spark, [(2, text)], path)
+    run_once()
+    # doc 2's buckets were evicted between batches: it re-claims, no flag
+    assert seen == []
+
+    # control: without TTL the same replay flags doc 2
+    flagged_no_ttl = streaming_dedup_lsh(stream, **PARAMS)
+    ck2 = str(tmp_path / "ckpt2")
+    seen2: list[tuple] = []
+    q = (
+        flagged_no_ttl.writeStream.foreachBatch(
+            lambda df, _id: seen2.extend(
+                (r["doc_id"], r["dup_of"]) for r in df.collect()
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(seen2) == {(2, 1)}
