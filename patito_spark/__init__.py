@@ -23,15 +23,20 @@ from patito_spark.session import active_session, get_session
 from patito_spark import functions, operators, plans, sources, streaming  # noqa: E402
 
 # Self-reference alias usable inside Field(constraints=...), like the
-# reference's `pt.field` (ref src/patito/__init__.py:11). Resolved lazily via
-# __getattr__ because classic PySpark cannot build a Column before a
-# SparkContext exists; prefer the SQL-string form "_ > 0" which needs no
-# session at class-definition time.
+# reference's `pt.field` (ref src/patito/__init__.py:11). A sessionless SQL
+# builder (sql.FieldRef), NOT a Column: classic PySpark cannot build a
+# Column before a SparkContext exists, so a Column-based alias made models
+# undefinable at import time (the reference's project/models.py convention)
+# — and Column lacks the polars-style .sum()/.mean() the reference tutorial
+# uses. Renders to SQL strings over `_`, which the validator binds to the
+# field's own column.
 
 
 def __getattr__(name: str):
     if name == "field":
-        return col("_")
+        from patito_spark.sql import FieldRef
+
+        return FieldRef()
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __version__ = "0.1.0"
