@@ -280,6 +280,17 @@ def _find_errors(
                     name,
                 )
             else:
+                # Count semantics deviate from the reference DELIBERATELY:
+                # is_duplicated().sum() (ref validators.py:225) counts every
+                # row whose value appears more than once (a pair counts 2);
+                # count - count_distinct counts the EXTRA rows (a pair
+                # counts 1). The reference's number needs the count of
+                # singleton values — a second aggregation level over the
+                # per-value counts, i.e. a second shuffle — which would
+                # break this validator's single-pass design. The message
+                # wording ("N duplicated rows" vs "N rows with duplicated
+                # values") differs on purpose so the numbers aren't
+                # mistaken for each other.
                 # count/count_distinct both skip NULLs, so duplicated nulls in
                 # a nullable unique column would otherwise validate clean; the
                 # reference's is_duplicated() counts them (ref validators.py:225).
