@@ -87,3 +87,19 @@ def test_aggregate_constraint_broadcasts_like_polars(spark):
     with pytest.raises(DataFrameValidationError) as exc:
         Share.validate(pt.DataFrame({"v": [0.25, 0.5]}))
     assert "2 rows" in str(exc.value)  # both rows flagged, polars-style
+
+
+def test_anonymous_column_constraints(spark):
+    """ref tests/test_validators.py:506 — `_` refers to the field's own
+    column; pt.field is an alias for it (both spellings)."""
+    from pyspark.sql import functions as F
+
+    class Pair(pt.Model):
+        odd_number: int = pt.Field(constraints=F.col("_") % 2 == 1)
+        even_number: int = pt.Field(constraints=pt.field % 2 == 0)
+
+    pairs = pt.DataFrame({"odd_number": [1, 3, 5], "even_number": [2, 4, 6]})
+    Pair.validate(pairs)
+    swapped = pt.DataFrame({"odd_number": [2, 4, 6], "even_number": [1, 3, 5]})
+    with pytest.raises(DataFrameValidationError):
+        Pair.validate(swapped)
