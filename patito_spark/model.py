@@ -80,9 +80,12 @@ def Field(
         dtype: Required ``pyspark.sql.types.DataType`` for the column
             (e.g. ``IntegerType()``); otherwise the default dtype for the
             annotation is used and any compatible dtype validates.
-        constraints: One or more row-level constraints, each either a Spark
-            ``Column`` boolean expression or a SQL string. Use ``_`` to refer
-            to the field's own column (like the reference's ``pt.field``).
+        constraints: One or more constraints, each a Spark ``Column``
+            boolean expression, a SQL string, or an expression built from
+            ``patito_spark.field`` (a sessionless SQL builder — usable at
+            import time, supports the reference tutorial's
+            ``pt.field.sum() == 100.0`` spelling with polars broadcast
+            semantics). Use ``_`` to refer to the field's own column.
         derived_from: Source for ``DataFrame.derive()``: a column name string
             or a Spark ``Column`` expression.
         const: All values must equal the provided default.

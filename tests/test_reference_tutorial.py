@@ -103,3 +103,35 @@ def test_anonymous_column_constraints(spark):
     swapped = pt.DataFrame({"odd_number": [2, 4, 6], "even_number": [1, 3, 5]})
     with pytest.raises(DataFrameValidationError):
         Pair.validate(swapped)
+
+
+def test_fieldref_constraints_agree_with_duckdb(spark):
+    """FieldRef renders plain ANSI SQL: the same constraint string must
+    evaluate identically in Spark and DuckDB over the same rows (the
+    property the correctness oracles rely on)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    values = [1.0, 2.0, 3.5, -4.0, 0.0]
+    constraints = [
+        pt.field > 0,
+        (pt.field * 2) <= 4.0,
+        pt.field.abs() >= 1.0,
+        pt.field.is_in([1.0, 2.0]),
+        ((pt.field + 1) % 2) != 0,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in values], "_ double")
+    con = duckdb.connect()
+    for c in constraints:
+        got_spark = [
+            bool(r["ok"]) for r in
+            sdf.select(F.expr(c).alias("ok")).collect()
+        ]
+        got_duck = [
+            bool(row[0])
+            for v in values
+            for row in [con.execute(
+                f"select {c.replace('_', str(v))}"
+            ).fetchone()]
+        ]
+        assert got_spark == got_duck, c
