@@ -546,3 +546,56 @@ def tf_idf(
             ((F.col("__n") / F.col("__total")) * idf).alias("tf_idf"),
         )
     )
+
+
+def unigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: Optional[DataFrame] = None,
+    smoothing_k: float = 1.0,
+) -> DataFrame:
+    """Per-document unigram cross-entropy and perplexity (CCNet-style
+    quality signal: documents unlike the reference corpus score high).
+
+    ``lm`` is a language model as ``(token, count)`` rows — typically
+    :func:`build_vocab` over a trusted reference corpus; default is the
+    input corpus itself (self-perplexity: surfaces outlier documents).
+    Token probability is add-k smoothed over the LM vocabulary,
+    ``p(t) = (count(t) + k) / (total + k·(V + 1))``, with unseen tokens
+    falling to the ``count = 0`` floor — every document gets a finite
+    score. Returns ``<id_col>, n_tokens, cross_entropy, perplexity``
+    (natural log; perplexity = exp(H)).
+
+    Scale shape: the LM reduces to one (token, count) table — broadcast
+    (vocab ≪ corpus); the corpus explodes to token rows once and
+    aggregates per document with map-side combine. One shuffle, no
+    Python. Double summation order varies with partitioning, so scores
+    are reproducible to ~1e-12 relative, not bit-exact — compare with a
+    tolerance, not a hash.
+    """
+    lm = lm if lm is not None else build_vocab(df, text_col=text_col, id_col=id_col)
+    lm = lm.select("token", "count")
+    totals = lm.agg(
+        F.sum("count").alias("__total"), F.count("*").alias("__v")
+    ).first()
+    total, v = totals["__total"] or 0, totals["__v"]
+    denom = float(total) + smoothing_k * (v + 1)
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    with_p = toks.join(F.broadcast(lm), on="token", how="left").select(
+        id_col,
+        (
+            -F.log(
+                (F.coalesce(F.col("count"), F.lit(0)) + F.lit(smoothing_k))
+                / F.lit(denom)
+            )
+        ).alias("__nll"),
+    )
+    return with_p.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("__nll").alias("cross_entropy"),
+        F.exp(F.avg("__nll")).alias("perplexity"),
+    )

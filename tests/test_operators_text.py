@@ -402,3 +402,54 @@ class TestTfIdf:
             for r in tf_idf(df, n_docs=2).collect()
         }
         assert auto == manual
+
+
+class TestUnigramLogloss:
+    def test_matches_python_recount(self, spark):
+        import math
+        from collections import Counter
+
+        from patito_spark.operators.text import unigram_logloss
+
+        texts = {1: "a b a", 2: "b c", 3: "z z z"}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["perplexity"])
+            for r in unigram_logloss(df).collect()
+        }
+        counts = Counter(t for s in texts.values() for t in s.split(" "))
+        total, v = sum(counts.values()), len(counts)
+        denom = total + 1.0 * (v + 1)
+
+        def nll(tok):
+            return -math.log((counts.get(tok, 0) + 1.0) / denom)
+
+        for doc_id, text in texts.items():
+            toks = text.split(" ")
+            h = sum(nll(t) for t in toks) / len(toks)
+            n, ce, ppl = got[doc_id]
+            assert n == len(toks)
+            assert ce == pytest.approx(h, rel=1e-12)
+            assert ppl == pytest.approx(math.exp(h), rel=1e-12)
+
+    def test_external_lm_and_oov_floor(self, spark):
+        from patito_spark.operators.text import build_vocab, unigram_logloss
+
+        reference = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the lazy dog")],
+            "doc_id long, text string",
+        )
+        lm = build_vocab(reference)
+        corpus = spark.createDataFrame(
+            [(10, "the the the"), (11, "zzz qqq vvv")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["perplexity"]
+            for r in unigram_logloss(corpus, lm=lm).collect()
+        }
+        # all-OOV text must be finite and much higher than in-vocab text
+        assert got[11] > got[10] * 2
+        assert got[11] < float("inf")
