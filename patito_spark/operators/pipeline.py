@@ -10,7 +10,9 @@ letting Catalyst fuse the map-only stages).
 Stage costs at scale (details in docs/scale.md):
 
 * clean + filter: fused into the first scan's projection (map-only
-  unless the repetition gate is on);
+  unless the repetition gate is on); the optional perplexity gate
+  (CCNet-style: drop documents unlike a trusted reference LM) adds one
+  broadcast join + per-doc aggregate;
 * dedup: MinHash LSH candidates + verification + components — the only
   all-corpus shuffles in the pipeline;
 * decontamination: benchmark n-grams broadcast, corpus never shuffled;
@@ -33,6 +35,8 @@ def prepare_training_corpus(
     min_quality: Optional[float] = None,
     languages: Optional[Sequence[str]] = None,
     min_tokens: Optional[int] = 5,
+    max_perplexity: Optional[float] = None,
+    perplexity_lm: Optional[DataFrame] = None,
     dedup_threshold: Optional[float] = 0.7,
     contamination_ngram: int = 8,
     contamination_neardup_threshold: Optional[float] = None,
@@ -71,6 +75,16 @@ def prepare_training_corpus(
         languages=languages,
         min_tokens=min_tokens,
     )
+    if max_perplexity is not None:
+        from patito_spark.operators.text import unigram_logloss
+
+        keep = (
+            unigram_logloss(gated, text_col=text_col, id_col=id_col,
+                            lm=perplexity_lm)
+            .filter(F.col("perplexity") <= max_perplexity)
+            .select(id_col)
+        )
+        gated = gated.join(keep, on=id_col, how="left_semi")
     if dedup_threshold is not None:
         gated = dedup_corpus(
             gated,

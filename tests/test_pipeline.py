@@ -116,3 +116,25 @@ def test_prepare_neardup_decontamination(spark):
         contamination_neardup_threshold=0.6,
     )["documents"]
     assert {r["doc_id"] for r in both.collect()} == {3}
+
+
+def test_prepare_perplexity_gate(spark):
+    """Documents unlike the reference LM fall to the perplexity gate."""
+    from patito_spark.operators.text import build_vocab
+
+    reference = spark.createDataFrame(
+        [(1, "spark runs queries over columnar data with hash joins"),
+         (2, "queries shuffle columnar data between hash partitions")],
+        "doc_id long, text string",
+    )
+    lm = build_vocab(reference)
+    corpus = spark.createDataFrame(
+        [(10, "spark queries shuffle columnar data with hash joins"),
+         (11, "xylophone quokka terrarium bizarre unrelated gibberish words")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus, dedup_threshold=None, min_tokens=3,
+        max_perplexity=20.0, perplexity_lm=lm,
+    )["documents"]
+    assert {r["doc_id"] for r in out.collect()} == {10}
