@@ -17,7 +17,7 @@ audio decode stays honestly stubbed.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -168,6 +168,82 @@ def sample_video_frames(
                     "doc_id": out_ids,
                     "frame_no": out_nos,
                     "frame_sha256": out_hashes,
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=schema)
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    window_samples: int = 1024,
+    hop_samples: Optional[int] = None,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Window a binary audio column: one row per (overlapping) window.
+
+    Completes the multimodal family (image features / video frames /
+    audio windows). The deterministic fake kernel interprets the payload
+    as raw 16-bit PCM — the windowing/hop mechanics, Arrow-batched
+    1→many fan-out, and feature shape (per-window RMS energy + content
+    hash) are the real plumbing; a real implementation swaps the PCM
+    interpretation for a decoder (soundfile/librosa — not in this
+    container, so ``use_real_codecs=True`` raises, same contract as the
+    image/video kernels). ``hop_samples`` defaults to ``window_samples``
+    (no overlap); smaller hops give standard overlapping analysis
+    windows. Windows shorter than ``window_samples`` at the tail are
+    emitted (flagged by ``n_samples``) so no audio is silently dropped.
+    """
+    if use_real_codecs:
+        raise NotImplementedError("Audio codecs not available; see module doc.")
+    hop = hop_samples or window_samples
+    if hop <= 0 or window_samples <= 0:
+        raise ValueError("window_samples and hop_samples must be positive")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("window_no", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("window_sha256", T.StringType(), False),
+        ]
+    )
+    pruned = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, nos, ns, rms, hashes = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(payload)
+                usable = len(data) - (len(data) % 2)
+                samples = np.frombuffer(data[:usable], dtype="<i2")
+                if len(samples) == 0:
+                    samples = np.zeros(1, dtype="<i2")
+                for window_no, start in enumerate(
+                    range(0, len(samples), hop)
+                ):
+                    win = samples[start : start + window_samples]
+                    if len(win) == 0:
+                        break
+                    ids.append(doc_id)
+                    nos.append(window_no)
+                    ns.append(len(win))
+                    rms.append(
+                        float(np.sqrt(np.mean(win.astype("f8") ** 2)))
+                    )
+                    hashes.append(hashlib.sha256(win.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_no": nos,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "window_sha256": hashes,
                 }
             )
 

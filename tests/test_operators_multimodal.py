@@ -116,3 +116,49 @@ def test_read_binary_files_feeds_image_features(spark, tmp_path):
     row = feats.first()
     assert row.n_bytes == 32
     assert len(row.features) == 8
+
+
+class TestAudioWindows:
+    def _blobs(self, spark):
+        import numpy as np
+
+        # doc 1: 2500 int16 samples (ramp); doc 2: 100 samples; doc 3: empty
+        a = np.arange(2500, dtype="<i2").tobytes()
+        b = (np.ones(100, dtype="<i2") * 1000).tobytes()
+        return spark.createDataFrame(
+            [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(b""))],
+            "doc_id long, blob binary",
+        )
+
+    def test_window_fanout_and_tail(self, spark):
+        from patito_spark.operators.multimodal import sample_audio_windows
+
+        out = sample_audio_windows(self._blobs(spark), window_samples=1024)
+        rows = {(r["doc_id"], r["window_no"]): r["n_samples"] for r in out.collect()}
+        # doc 1: 2500 samples -> 1024, 1024, 452-tail
+        assert rows[(1, 0)] == 1024 and rows[(1, 1)] == 1024 and rows[(1, 2)] == 452
+        assert rows[(2, 0)] == 100          # short doc: single tail window
+        assert rows[(3, 0)] == 1            # empty payload -> one zero sample
+        assert len(rows) == 5
+
+    def test_overlapping_hop(self, spark):
+        from patito_spark.operators.multimodal import sample_audio_windows
+
+        out = sample_audio_windows(
+            self._blobs(spark), window_samples=1024, hop_samples=512
+        )
+        doc1 = [r for r in out.collect() if r["doc_id"] == 1]
+        assert len(doc1) == 5  # starts 0,512,1024,1536,2048
+        import math
+
+        # constant-value doc: rms equals the value exactly
+        doc2 = [r for r in out.collect() if r["doc_id"] == 2]
+        assert all(math.isclose(r["rms"], 1000.0) for r in doc2)
+
+    def test_real_codecs_gated(self, spark):
+        import pytest as _pytest
+
+        from patito_spark.operators.multimodal import sample_audio_windows
+
+        with _pytest.raises(NotImplementedError):
+            sample_audio_windows(self._blobs(spark), use_real_codecs=True)
