@@ -694,6 +694,13 @@ def embedding_dedup_pairs_lsh(
     from patito_spark.operators.similarity import _deterministic_hyperplanes
 
     if index is not None:
+        if n_tables > 1:
+            # The index branch would silently win and deliver single-table
+            # recall; refuse, matching ann_lsh_topk's contract.
+            raise ValueError(
+                "n_tables > 1 cannot be combined with a prebuilt index; "
+                "build the index with the desired n_tables instead"
+            )
         # Prebuilt LshIndex (see similarity.build_lsh_index): reuse its
         # bucket assignments — one corpus scan serves dedup AND ann search.
         bucketed = index.table.select(

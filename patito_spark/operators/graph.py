@@ -53,7 +53,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Assign each node the minimum id reachable from it.
 
@@ -66,13 +66,15 @@ def connected_components(
     identical labels. Set ``driver_threshold=0`` to force the
     distributed loop.
 
-    Driver memory for the probe is bounded and Arrow-shaped: the edge
-    slice arrives as a pandas frame (two int64 columns — ~16 MB at the
-    1M default, measured in docs/scale.md), NOT as Python ``Row``
-    objects; the union-find's label dicts add ~100–200 MB transiently at
-    1M edges, freed when the probe returns. Oversized graphs pay the
-    same bounded transfer before falling back (the persisted ``base``
-    keeps the probe from re-running the pair pipeline).
+    The probe is count-gated: the edge list is persisted, COUNTED
+    (cheap on the cached two-int64-column frame — no data leaves the
+    executors), and only then collected via Arrow when the count fits.
+    An oversized graph therefore pays zero row transfer before the
+    distributed fallback — previously it shipped ``driver_threshold + 1``
+    rows just to discover it must fall back. When collected, the edges
+    arrive as a pandas frame (two int64 columns — ~4 MB at the 250k
+    default), NOT as Python ``Row`` objects; the union-find's label
+    dicts add tens of MB transiently, freed when the probe returns.
 
     Args:
         pairs: undirected edge list (one row per pair).
@@ -90,10 +92,11 @@ def connected_components(
     ).persist()
 
     if driver_threshold > 0:
+        # Count first (no row transfer), collect only when it fits.
         # Arrow path: ~10× lighter on the driver than collect() (two
         # int64 numpy columns vs a list of Python Row objects).
-        head = base.limit(driver_threshold + 1).toPandas()
-        if len(head) <= driver_threshold:
+        if base.count() <= driver_threshold:
+            head = base.toPandas()
             labels = _driver_union_find(
                 zip(head["src"].tolist(), head["dst"].tolist())
             )

@@ -198,7 +198,9 @@ def sample_audio_windows(
     """
     if use_real_codecs:
         raise NotImplementedError("Audio codecs not available; see module doc.")
-    hop = hop_samples or window_samples
+    # `or` would turn an explicit hop_samples=0 into no-overlap windowing
+    # instead of the ValueError below; only None means "default to window".
+    hop = window_samples if hop_samples is None else hop_samples
     if hop <= 0 or window_samples <= 0:
         raise ValueError("window_samples and hop_samples must be positive")
 

@@ -78,13 +78,19 @@ def prepare_training_corpus(
     if max_perplexity is not None:
         from patito_spark.operators.text import unigram_logloss
 
-        keep = (
+        # Anti-join against the EXCEEDING docs (not semi-join against the
+        # passing ones): documents that produce zero token rows are absent
+        # from unigram_logloss output entirely, and a semi-join would drop
+        # them regardless of max_perplexity. Token-less docs have no
+        # perplexity evidence, so the gate keeps them (min_tokens is the
+        # knob that removes empty docs).
+        reject = (
             unigram_logloss(gated, text_col=text_col, id_col=id_col,
                             lm=perplexity_lm)
-            .filter(F.col("perplexity") <= max_perplexity)
+            .filter(F.col("perplexity") > max_perplexity)
             .select(id_col)
         )
-        gated = gated.join(keep, on=id_col, how="left_semi")
+        gated = gated.join(reject, on=id_col, how="left_anti")
     if dedup_threshold is not None:
         gated = dedup_corpus(
             gated,

@@ -115,12 +115,18 @@ def detect_language(text: Union[str, Column]) -> Column:
     times per row — measured 4× slower at sf1 for identical output).
     ``array_position`` returns the FIRST index holding the max, which is
     the same tie order as the strict ``>`` chain it replaces.
+
+    NULL text returns the default language (``langs[0]``, 'en') — the same
+    behavior as the original when-chain, whose literal default survived
+    NULL comparisons. Without the guard, all-NULL votes hit an
+    ``array_position`` edge case and return the LAST language instead.
     """
     scores = lang_scores(text)
     langs = list(LANG_MARKERS)
     votes = F.array(*[scores[lang] for lang in langs])
     idx = F.array_position(votes, F.array_max(votes)).cast("int")
-    return F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
+    argmax = F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx)
+    return F.when(_text(text).isNull(), F.lit(langs[0])).otherwise(argmax)
 
 
 def detect_language_agg(
@@ -509,6 +515,7 @@ def tf_idf(
     id_col: str = "doc_id",
     min_count: int = 1,
     n_docs: Optional[int] = None,
+    max_broadcast_vocab: Optional[int] = 2_000_000,
 ) -> DataFrame:
     """Sparse TF-IDF document vectors.
 
@@ -521,9 +528,19 @@ def tf_idf(
     scikit-learn convention, natural log on every engine).
 
     Scale shape: one (doc, token) hash aggregate with map-side combine,
-    then a broadcast join against the :func:`build_vocab` document
-    frequencies (vocabulary ≪ corpus). ``n_docs`` skips the corpus
-    count when the caller already knows it.
+    then a join against the :func:`build_vocab` document frequencies —
+    broadcast ONLY while the vocabulary fits under
+    ``max_broadcast_vocab`` rows (default 2M ≈ low hundreds of MB per
+    executor). On web-scale text the distinct-token count is
+    data-dependent and unbounded (typos, URLs, code identifiers), so an
+    unconditional broadcast is a driver/executor OOM waiting to happen;
+    above the bound this falls back to a shuffle join, which AQE will
+    still convert back to broadcast if the runtime size allows. The
+    gate costs one extra linear count of the vocab aggregate; callers
+    who KNOW the vocabulary is small (e.g. ``min_count``/``top_n``
+    bounded upstream) pass ``max_broadcast_vocab=None`` to skip the
+    probe and force broadcast. ``n_docs`` skips the corpus count when
+    the caller already knows it.
     """
     n = n_docs if n_docs is not None else df.count()
     pairs = df.select(
@@ -534,10 +551,14 @@ def tf_idf(
     counts = pairs.groupBy(id_col, "token", "__total").agg(
         F.count("*").alias("__n")
     )
-    vocab = build_vocab(df, text_col=text_col, id_col=id_col, min_count=min_count)
+    vocab = build_vocab(
+        df, text_col=text_col, id_col=id_col, min_count=min_count
+    ).select("token", "doc_freq")
+    if max_broadcast_vocab is None or vocab.count() <= max_broadcast_vocab:
+        vocab = F.broadcast(vocab)
     idf = F.log((F.lit(float(n)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
     return (
-        counts.join(F.broadcast(vocab.select("token", "doc_freq")), on="token")
+        counts.join(vocab, on="token")
         .select(
             F.col(id_col),
             "token",
@@ -554,6 +575,7 @@ def unigram_logloss(
     id_col: str = "doc_id",
     lm: Optional[DataFrame] = None,
     smoothing_k: float = 1.0,
+    max_broadcast_vocab: int = 2_000_000,
 ) -> DataFrame:
     """Per-document unigram cross-entropy and perplexity (CCNet-style
     quality signal: documents unlike the reference corpus score high).
@@ -568,8 +590,13 @@ def unigram_logloss(
     (natural log; perplexity = exp(H)).
 
     Scale shape: the LM reduces to one (token, count) table — broadcast
-    (vocab ≪ corpus); the corpus explodes to token rows once and
-    aggregates per document with map-side combine. One shuffle, no
+    while it fits under ``max_broadcast_vocab`` rows (a curated LM is
+    normally a top-N vocab, but the default ``lm=None`` self-vocab path
+    is unbounded on web-scale text, so the gate matters there); above
+    the bound the probability lookup falls back to a shuffle join. The
+    gate is FREE here: the totals job below already materializes the
+    exact vocabulary size ``v``. The corpus explodes to token rows once
+    and aggregates per document with map-side combine. One shuffle, no
     Python. Double summation order varies with partitioning, so scores
     are reproducible to ~1e-12 relative, not bit-exact — compare with a
     tolerance, not a hash.
@@ -585,7 +612,8 @@ def unigram_logloss(
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("token")
     )
-    with_p = toks.join(F.broadcast(lm), on="token", how="left").select(
+    lm_side = F.broadcast(lm) if v <= max_broadcast_vocab else lm
+    with_p = toks.join(lm_side, on="token", how="left").select(
         id_col,
         (
             -F.log(

@@ -158,15 +158,23 @@ def streaming_dedup_lsh(
             state.remove()
             return
         rep = state.get[0] if state.exists else None
-        flagged_ids, reps = [], []
+        # Accumulate ALL Arrow chunks for the key before choosing the
+        # representative: a per-chunk sort would make the representative
+        # depend on chunk boundaries when one key's rows span chunks,
+        # breaking the "ascending id order within a micro-batch" contract.
+        arrivals: list = []
         for pdf in batches:
-            for doc_id in sorted(pdf[id_col]):
-                doc_id = doc_id.item() if hasattr(doc_id, "item") else doc_id
-                if rep is None:
-                    rep = doc_id
-                elif doc_id != rep:
-                    flagged_ids.append(doc_id)
-                    reps.append(rep)
+            for doc_id in pdf[id_col]:
+                arrivals.append(
+                    doc_id.item() if hasattr(doc_id, "item") else doc_id
+                )
+        flagged_ids, reps = [], []
+        for doc_id in sorted(arrivals):
+            if rep is None:
+                rep = doc_id
+            elif doc_id != rep:
+                flagged_ids.append(doc_id)
+                reps.append(rep)
         if rep is not None:
             state.update((rep,))
             if state_ttl_ms is not None:

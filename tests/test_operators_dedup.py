@@ -269,6 +269,28 @@ class TestMultiTableEmbeddingDedup:
         got = out.select("id_a", "id_b")
         assert got.count() == got.distinct().count()
 
+    def test_index_with_multi_table_rejected(self, spark):
+        """n_tables>1 with a prebuilt index must raise (the index branch
+        would otherwise silently win and deliver single-table recall),
+        matching ann_lsh_topk's contract."""
+        import numpy as np
+        import pytest as _pytest
+
+        from patito_spark.operators.dedup import embedding_dedup_pairs_lsh
+        from patito_spark.operators.similarity import build_lsh_index
+
+        rng = np.random.RandomState(7)
+        df = spark.createDataFrame(
+            [(i, rng.normal(size=16).tolist()) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        idx = build_lsh_index(df, n_planes=4, dim=16)
+        try:
+            with _pytest.raises(ValueError, match="n_tables"):
+                embedding_dedup_pairs_lsh(df, dim=16, n_tables=2, index=idx)
+        finally:
+            idx.unpersist()
+
 
 class TestEmbeddingDedupAgainst:
     def test_cross_corpus_semantic_match(self, spark):

@@ -57,3 +57,36 @@ def test_reversed_edge_direction(spark, connected_components):
     pairs = spark.createDataFrame([(9, 1)], schema="id_a long, id_b long")
     got = components_map(connected_components(pairs))
     assert got == {9: 1, 1: 1}
+
+
+def test_probe_is_count_gated(spark, monkeypatch):
+    """An edge list over driver_threshold must NEVER ship rows to the
+    driver before falling back to the distributed loop: the probe is a
+    count() on the persisted edges, not a limit(N+1).toPandas()."""
+    # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame to
+    # an abstract base whose toPandas the classic subclass overrides)
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDataFrame
+
+    calls = []
+    original = SparkDataFrame.toPandas
+    monkeypatch.setattr(
+        SparkDataFrame,
+        "toPandas",
+        lambda self: calls.append(1) or original(self),
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], schema="id_a long, id_b long"
+    )
+    # 10 edges > threshold 5 -> distributed path, zero toPandas calls
+    got = components_map(graph.connected_components(pairs, driver_threshold=5))
+    assert not calls
+    assert set(got.values()) == {0} and len(got) == 11
+
+    # under the threshold the Arrow probe fires exactly once
+    small = spark.createDataFrame([(1, 2), (2, 3)], schema="id_a long, id_b long")
+    got_small = components_map(
+        graph.connected_components(small, driver_threshold=5)
+    )
+    assert len(calls) == 1
+    assert got_small == {1: 1, 2: 1, 3: 1}

@@ -162,3 +162,16 @@ class TestAudioWindows:
 
         with _pytest.raises(NotImplementedError):
             sample_audio_windows(self._blobs(spark), use_real_codecs=True)
+
+    def test_explicit_zero_hop_rejected(self, spark):
+        """hop_samples=0 must hit the ValueError, not silently become
+        no-overlap windowing (regression: `hop_samples or window_samples`
+        swallowed the explicit 0)."""
+        import pytest as _pytest
+
+        from patito_spark.operators.multimodal import sample_audio_windows
+
+        with _pytest.raises(ValueError, match="positive"):
+            sample_audio_windows(
+                self._blobs(spark), window_samples=1024, hop_samples=0
+            )

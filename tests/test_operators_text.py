@@ -67,6 +67,19 @@ def test_detect_language_markers(spark):
     assert out == {1: "en", 2: "de", 3: "en"}
 
 
+def test_detect_language_null_and_empty_text(spark):
+    """NULL text must fall back to the default language ('en'), matching
+    the original when-chain whose literal default survived NULL
+    comparisons (regression: the array-argmax rewrite returned 'zh' for
+    all-NULL votes). Empty text has no markers -> 'en' by tie order."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")],
+        schema="doc_id long, text string",
+    )
+    out = collect_map(df.select("doc_id", ops.detect_language("text").alias("l")))
+    assert out == {1: "en", 2: "en", 3: "en"}
+
+
 def test_fingerprint_stability(spark):
     df = spark.createDataFrame(
         [(1, "Hello World"), (2, "hello world")],
@@ -403,6 +416,31 @@ class TestTfIdf:
         }
         assert auto == manual
 
+    def test_vocab_broadcast_bound_fallback_identical(self, spark):
+        """Above max_broadcast_vocab the join falls back to shuffle with
+        IDENTICAL output — the 100 TB safety against an unbounded
+        vocabulary broadcast. max_broadcast_vocab=None skips the probe
+        and forces broadcast (known-small escape hatch)."""
+        from patito_spark.operators.text import tf_idf
+
+        df = spark.createDataFrame(
+            [(1, "a b a c d"), (2, "b c e f")], "doc_id long, text string"
+        )
+
+        def vals(**kw):
+            return {
+                (r["doc_id"], r["token"]): (r["tf"], r["idf"], r["tf_idf"])
+                for r in tf_idf(df, **kw).collect()
+            }
+
+        assert vals(max_broadcast_vocab=1) == vals(max_broadcast_vocab=None)
+        # the fallback plan must not force a broadcast of the vocab side
+        # (AQE may still choose one at runtime from actual sizes — assert
+        # on the pre-AQE optimized plan, where only the hint shows up)
+        opt = lambda d: d._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" in opt(tf_idf(df, max_broadcast_vocab=None))
+        assert "strategy=broadcast" not in opt(tf_idf(df, max_broadcast_vocab=1))
+
 
 class TestUnigramLogloss:
     def test_matches_python_recount(self, spark):
@@ -453,3 +491,26 @@ class TestUnigramLogloss:
         # all-OOV text must be finite and much higher than in-vocab text
         assert got[11] > got[10] * 2
         assert got[11] < float("inf")
+
+    def test_vocab_broadcast_bound_fallback_identical(self, spark):
+        """LM lookup above max_broadcast_vocab shuffles instead of
+        broadcasting, with identical scores (gate is free: vocab size is
+        already materialized by the totals job)."""
+        from patito_spark.operators.text import unigram_logloss
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c"), (3, "z z z")],
+            "doc_id long, text string",
+        )
+
+        def vals(**kw):
+            return {
+                r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+                for r in unigram_logloss(df, **kw).collect()
+            }
+
+        bcast, shuffled = vals(), vals(max_broadcast_vocab=1)
+        assert set(bcast) == set(shuffled)
+        for k in bcast:
+            assert bcast[k][0] == shuffled[k][0]
+            assert bcast[k][1] == pytest.approx(shuffled[k][1], rel=1e-12)
