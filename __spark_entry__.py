@@ -1341,16 +1341,42 @@ _SIMHASH_BITS = 60
 
 
 def _minhash_pairs_sql_body() -> str:
-    """Shared CTE chain replaying minhash_dedup_pairs at threshold 0.6."""
+    """Shared CTE chain replaying minhash_dedup_pairs at threshold 0.6.
+
+    Replays densified one-permutation hashing (Shrivastava & Li 2014)
+    exactly as banded_signatures does: each of the 64 bins takes its own
+    min hash when occupied, otherwise borrows from the next occupied bin
+    at-or-after it (wrapping to the first occupied bin overall)."""
     return f"""sh AS ({_SHINGLE_SQL}),
             bin_mins AS (
                 SELECT doc_id, h % 64 AS bin, min(h) AS mn
                 FROM sh GROUP BY doc_id, h % 64
             ),
+            bin_grid AS (
+                SELECT d.doc_id, g.bin, bm.mn
+                FROM (SELECT DISTINCT doc_id FROM bin_mins) d
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) g
+                LEFT JOIN bin_mins bm
+                  ON bm.doc_id = d.doc_id AND bm.bin = g.bin
+            ),
+            dense AS (
+                SELECT doc_id, bin,
+                       coalesce(
+                           first_value(mn IGNORE NULLS) OVER (
+                               PARTITION BY doc_id ORDER BY bin
+                               ROWS BETWEEN CURRENT ROW
+                                        AND UNBOUNDED FOLLOWING),
+                           first_value(mn IGNORE NULLS) OVER (
+                               PARTITION BY doc_id ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+                       ) AS mn
+                FROM bin_grid
+            ),
             banded AS (
                 SELECT doc_id, (bin // 4) AS band,
                        string_agg(bin || ':' || mn, ',' ORDER BY bin) AS bkey
-                FROM bin_mins GROUP BY doc_id, (bin // 4)
+                FROM dense GROUP BY doc_id, (bin // 4)
             ),
             kept AS (
                 SELECT * FROM (

@@ -51,18 +51,27 @@ def _portable_hash_py(s: str) -> int:
 
 
 def _banded_buckets(
-    text: str, shingle_size: int, num_hashes: int, bands: int
+    text: str,
+    shingle_size: int,
+    num_hashes: int,
+    bands: int,
+    densify: bool = True,
 ) -> list[tuple[int, str]]:
     """(band, bucket-key) list for one document.
 
     Same semantics as the batch pipeline: distinct word n-grams (a doc
     shorter than ``shingle_size`` tokens contributes its whole text as
     the single shingle), OPH bin-mins (``hash % num_hashes`` routing),
-    bucket key = the sorted ``bin:min`` pairs of the band. The batch
-    side xxhash64-compresses this string JVM-side; the string itself IS
-    the grouping key here — identical collision structure, no JVM hash
+    rotation densification of empty bins (borrow from the next occupied
+    bin, circularly — matching
+    :func:`patito_spark.operators.dedup.banded_signatures`), bucket key
+    = the sorted ``bin:min`` pairs of the band. The batch side
+    xxhash64-compresses this string JVM-side; the string itself IS the
+    grouping key here — identical collision structure, no JVM hash
     needed in Python.
     """
+    import bisect
+
     toks = text.split(" ")
     if len(toks) >= shingle_size:
         grams = {
@@ -78,6 +87,16 @@ def _banded_buckets(
         b = h % num_hashes
         if b not in mins or h < mins[b]:
             mins[b] = h
+    if densify and mins:
+        occupied = sorted(mins)
+        dense: dict[int, int] = {}
+        for b in range(num_hashes):
+            if b in mins:
+                dense[b] = mins[b]
+            else:
+                i = bisect.bisect_left(occupied, b)
+                dense[b] = mins[occupied[i if i < len(occupied) else 0]]
+        mins = dense
     out: list[tuple[int, str]] = []
     for band in range(bands):
         pairs = sorted(
@@ -97,6 +116,7 @@ def streaming_dedup_lsh(
     bands: int = 16,
     shingle_size: int = 3,
     state_ttl_ms: Optional[int] = None,
+    densify: bool = True,
 ) -> DataFrame:
     """Flag streamed documents that LSH-collide with any earlier document.
 
@@ -132,7 +152,7 @@ def streaming_dedup_lsh(
             ids, bnds, bkts = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 for band, bucket in _banded_buckets(
-                    text or "", shingle_size, num_hashes, bands
+                    text or "", shingle_size, num_hashes, bands, densify
                 ):
                     ids.append(doc_id)
                     bnds.append(band)

@@ -43,10 +43,18 @@ def test_portable_hash_matches_spark(spark):
 
 
 def test_short_doc_single_shingle():
-    # fewer tokens than shingle_size -> whole text is the shingle
+    # fewer tokens than shingle_size -> whole text is the shingle; with
+    # densification the single occupied bin's value fills ALL 16 bins,
+    # so every band gets a full 4-entry key derived from that one hash
     buckets = _banded_buckets("solo", 3, 16, 4)
     h = _portable_hash_py("solo")
-    assert buckets == [(h % 16 // 4, f"{h % 16}:{h}")]
+    assert buckets == [
+        (band, ",".join(f"{4 * band + j}:{h}" for j in range(4)))
+        for band in range(4)
+    ]
+    # densify=False keeps the sparse single-band key (legacy shape)
+    sparse = _banded_buckets("solo", 3, 16, 4, densify=False)
+    assert sparse == [(h % 16 // 4, f"{h % 16}:{h}")]
 
 
 def test_flags_match_batch_lsh_candidates(spark, tmp_path):
