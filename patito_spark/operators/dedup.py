@@ -254,9 +254,16 @@ def banded_signatures(
     or any fixed-vocabulary synthetic set), those weak bands dominate:
     measured at sf0.1→sf1 (10× docs, 31-word vocabulary), non-densified
     candidates grew 88× (5.9k → 519k) while true duplicates stayed flat;
-    densified growth is ~linear — see docs/scaling.md. Densification is
-    two codegen window passes over the 64-rows-per-doc grid (no Python,
-    no extra data shuffled beyond one map per doc).
+    densified growth is ~linear — see docs/scaling.md §Densification.
+
+    Densification is computed IN PLACE on the one row per document that
+    the per-doc aggregate already produces: a single right-to-left
+    ``aggregate`` scan over a fixed ``num_hashes``-slot array (seeded
+    with the wrap value — the first occupied bin's min, which is just
+    the first entry of the bin-sorted map), then ``bands`` band keys are
+    emitted directly. No 64-row explode, no window sort, nothing extra
+    shuffled: the whole fill is a map-side expression over
+    ``n_docs`` rows.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -268,45 +275,45 @@ def banded_signatures(
         .agg(F.min("__h").alias("__min"))
     )
     if densify:
-        from pyspark.sql import Window
-
+        k, r = num_hashes, rows_per_band
         per_doc = bin_mins.groupBy("__id").agg(
             F.map_from_entries(
-                F.collect_list(F.struct("__bin", "__min"))
+                F.sort_array(F.collect_list(F.struct("__bin", "__min")))
             ).alias("__m")
         )
-        grid = per_doc.select(
-            "__id",
-            "__m",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias(
-                "__bin"
-            ),
-        ).withColumn("__raw", F.element_at("__m", F.col("__bin")))
-        # Borrow from the next occupied bin at-or-after this one; wrap to
-        # the first occupied bin overall. Both frames are deterministic
-        # (ordered, frame-bounded) — codegen window functions, no Python.
-        w_fwd = (
-            Window.partitionBy("__id")
-            .orderBy("__bin")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # Dense 64-slot array: scan the reversed raw grid left-to-right so
+        # each empty slot takes the value of the next occupied bin; the
+        # accumulator starts at the wrap value (first occupied bin's min =
+        # first value of the bin-sorted map), which is exactly the
+        # circular borrow for trailing empty bins. O(k) per doc.
+        dense = (
+            "reverse(aggregate("
+            f" reverse(transform(sequence(0, {k - 1}),"
+            "   i -> element_at(__m, cast(i as bigint)))),"
+            " struct(cast(array() as array<bigint>) as out,"
+            "        element_at(map_values(__m), 1) as last),"
+            " (acc, x) -> struct(array_append(acc.out, coalesce(x, acc.last)),"
+            "                    coalesce(x, acc.last)),"
+            " acc -> acc.out))"
         )
-        w_wrap = (
-            Window.partitionBy("__id")
-            .orderBy("__bin")
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        # One (band, bucket) row per band, keyed by the same
+        # 'bin:min,bin:min' string the sparse path builds — so bucket
+        # equality (all the LSH join sees) is identical by construction.
+        band_rows = (
+            f"transform(sequence(0, {bands - 1}), b -> struct("
+            " cast(b as int) as band,"
+            " xxhash64(array_join(transform("
+            f"  sequence(cast(b*{r} as bigint), cast(b*{r}+{r - 1} as bigint)),"
+            "  i -> concat(i, ':', element_at(__d, cast(i+1 as int)))), ','))"
+            " as bucket))"
         )
-        src = grid.select(
-            "__id",
-            "__bin",
-            F.coalesce(
-                F.first("__raw", ignorenulls=True).over(w_fwd),
-                F.first("__raw", ignorenulls=True).over(w_wrap),
-            ).alias("__min"),
+        return (
+            per_doc.withColumn("__d", F.expr(dense))
+            .select("__id", F.explode(F.expr(band_rows)).alias("__bb"))
+            .select("__id", "__bb.band", "__bb.bucket")
         )
-    else:
-        src = bin_mins
     return (
-        src.withColumn(
+        bin_mins.withColumn(
             "band", (F.col("__bin") / F.lit(rows_per_band)).cast("int")
         )
         .groupBy("__id", "band")

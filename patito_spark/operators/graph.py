@@ -53,7 +53,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
-    driver_threshold: int = 250_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Assign each node the minimum id reachable from it.
 
@@ -72,7 +72,7 @@ def connected_components(
     An oversized graph therefore pays zero row transfer before the
     distributed fallback — previously it shipped ``driver_threshold + 1``
     rows just to discover it must fall back. When collected, the edges
-    arrive as a pandas frame (two int64 columns — ~4 MB at the 250k
+    arrive as a pandas frame (two int64 columns — ~16 MB at the 1M
     default), NOT as Python ``Row`` objects; the union-find's label
     dicts add tens of MB transiently, freed when the probe returns.
 

@@ -536,7 +536,10 @@ def tf_idf(
     unconditional broadcast is a driver/executor OOM waiting to happen;
     above the bound this falls back to a shuffle join, which AQE will
     still convert back to broadcast if the runtime size allows. The
-    gate costs one extra linear count of the vocab aggregate; callers
+    vocab frame is persisted across the probe, so the underlying
+    tokenize + explode + aggregate runs ONCE (the count reads the
+    cached rows, the join reuses them); the gate's marginal cost is a
+    count over the already-materialized vocab table. Callers
     who KNOW the vocabulary is small (e.g. ``min_count``/``top_n``
     bounded upstream) pass ``max_broadcast_vocab=None`` to skip the
     probe and force broadcast. ``n_docs`` skips the corpus count when
@@ -554,6 +557,14 @@ def tf_idf(
     vocab = build_vocab(
         df, text_col=text_col, id_col=id_col, min_count=min_count
     ).select("token", "doc_freq")
+    if max_broadcast_vocab is not None:
+        # Persist BEFORE the probe count: otherwise the full build_vocab
+        # aggregation (tokenize + explode + agg over the whole corpus)
+        # executes twice — once for the count, once for the join below.
+        # Tracked: released by patito_spark.release_caches().
+        from patito_spark.functions.cache import tracked_persist
+
+        vocab = tracked_persist(vocab)
     if max_broadcast_vocab is None or vocab.count() <= max_broadcast_vocab:
         vocab = F.broadcast(vocab)
     idf = F.log((F.lit(float(n)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0

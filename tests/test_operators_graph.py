@@ -64,8 +64,9 @@ def test_probe_is_count_gated(spark, monkeypatch):
     driver before falling back to the distributed loop: the probe is a
     count() on the persisted edges, not a limit(N+1).toPandas()."""
     # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame to
-    # an abstract base whose toPandas the classic subclass overrides)
-    from pyspark.sql.classic.dataframe import DataFrame as SparkDataFrame
+    # an abstract base whose toPandas the classic subclass overrides;
+    # pyspark 3 has no classic module — resolve the class from a live df)
+    SparkDataFrame = type(spark.range(1))
 
     calls = []
     original = SparkDataFrame.toPandas
