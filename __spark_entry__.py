@@ -578,19 +578,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup over the full table, via a prebuilt index
-    (4-plane LshIndex shared across calls — one corpus projection per
-    session). Value-oracled: the oracle SQL re-derives the
-    sign-projection buckets from the same hyperplane constants
-    (sequential-fold dots on both engines), so bucketing AND scoring are
-    compared bit-exactly."""
+    """LSH-bucketed near-dup over the full table, via a prebuilt
+    AUTO-SIZED index (n_planes=None → auto_n_planes holds expected
+    bucket size ~200 at every SF, so the quadratic in-bucket verify
+    stays a constant per vector instead of growing n²/2^planes — the
+    fix for the round-6 audit's 3.7×/decade marginal). Shared across
+    calls: one corpus projection per session. Value-oracled: the oracle
+    SQL re-derives the sign-projection buckets from the same hyperplane
+    constants AND the same auto-sized plane count at the driver's
+    sf0.01 compare scale (sequential-fold dots on both engines), so
+    bucketing AND scoring are compared bit-exactly."""
     from patito_spark.operators.dedup import embedding_dedup_pairs_lsh
     from patito_spark.operators.similarity import build_lsh_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    key = ("lsh4", spark.sparkContext.applicationId, sf_dir)
+    key = ("lsh-auto", spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = build_lsh_index(emb, n_planes=4)
+        _ANN_INDEX_CACHE[key] = build_lsh_index(emb, n_planes=None)
     return embedding_dedup_pairs_lsh(
         emb, threshold=0.35, index=_ANN_INDEX_CACHE[key]
     )
@@ -1335,6 +1339,25 @@ def _bucket_sql(vec: str, n_planes: int, dim: int = 64, seed: int = 42) -> str:
     )
 
 
+def _lsh_auto_planes_at_compare_sf() -> int:
+    """The plane count dedup_embedding_lsh auto-sizes to at the driver's
+    sf0.01 compare scale — derived from the ACTUAL embeddings row count
+    (parquet footer read, no data scan) so the oracle replays the same
+    bucketing even if the driver regenerates testdata with a different
+    row count. Fallback matches the documented sf0.01 size (500 rows)."""
+    from patito_spark.operators.similarity import auto_n_planes
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        n = 500
+    return auto_n_planes(n)
+
+
 # The portable hash is 60-bit (top 4 bits constant 0), so SimHash bits
 # 60-63 can never win a vote — the oracle only materializes bits 0..59.
 _SIMHASH_BITS = 60
@@ -1737,7 +1760,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             b AS (
                 SELECT vec_id, v, norm,
-                       {_bucket_sql('v', n_planes=4)} AS bucket
+                       {_bucket_sql(
+                           'v', n_planes=_lsh_auto_planes_at_compare_sf()
+                       )} AS bucket
                 FROM e
             )
             SELECT a.vec_id AS id_a, c.vec_id AS id_b,

@@ -730,11 +730,12 @@ def embedding_dedup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: Optional[int] = None,
     dim: int = 64,
     seed: int = 42,
     n_tables: int = 1,
     index=None,
+    target_bucket_size: int = 200,
 ) -> DataFrame:
     """Scalable embedding near-dup: LSH buckets + vectorized verification.
 
@@ -747,7 +748,20 @@ def embedding_dedup_pairs_lsh(
        matrix and emits only pairs ≥ threshold.
 
     Candidates never leave their bucket, so total work is Σ bucket² instead
-    of n²; recall follows the hyperplane collision bound. Recall levers:
+    of n²; recall follows the hyperplane collision bound.
+
+    ``n_planes=None`` (default) auto-sizes the plane count from the
+    corpus count via :func:`~patito_spark.operators.similarity.auto_n_planes`
+    so the EXPECTED bucket size — and with it the quadratic in-bucket
+    verification cost per vector — stays constant as the corpus grows.
+    A FIXED plane count makes total verify work grow as n²/2^planes
+    (the round-6 scaling audit measured 3.7×-per-10×-data on exactly
+    this); auto-sizing restores the ~linear marginal at the price of
+    one count() job. Pass an explicit ``n_planes`` for reproducible
+    bucketing (the oracle-replayed bench entries do, deriving the same
+    auto-sized count on both engines).
+
+    Recall levers:
     fewer planes (bigger buckets) or ``n_tables > 1`` — L independent
     hash tables OR-ed together (a dup pair is missed only if split in
     EVERY table, miss^L), with cross-table duplicate pairs collapsed by
@@ -785,24 +799,34 @@ def embedding_dedup_pairs_lsh(
             F.col("__cvec").alias("vec"),
             "bucket",
         )
-    elif n_tables > 1:
-        from patito_spark.operators.similarity import _multi_table_buckets
-
-        planes = _deterministic_hyperplanes(dim, n_planes * n_tables, seed)
-        pruned = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        )
-        # (tbl, bucket) fan-out; groups below key on both so each table
-        # contributes its own buckets.
-        bucketed = _multi_table_buckets(
-            pruned, planes, n_planes, n_tables, "vec"
-        ).withColumn("bucket", F.concat_ws(":", "tbl", "bucket")).drop("tbl")
     else:
-        planes = _deterministic_hyperplanes(dim, n_planes, seed)
+        if n_planes is None:
+            from patito_spark.operators.similarity import auto_n_planes
+
+            n_planes = auto_n_planes(
+                df.count(), target_bucket_size=target_bucket_size
+            )
         pruned = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
-        bucketed = sign_projection_buckets(pruned, planes, vec_col="vec")
+        if n_tables > 1:
+            from patito_spark.operators.similarity import (
+                _multi_table_buckets,
+            )
+
+            planes = _deterministic_hyperplanes(
+                dim, n_planes * n_tables, seed
+            )
+            # (tbl, bucket) fan-out; groups below key on both so each
+            # table contributes its own buckets.
+            bucketed = _multi_table_buckets(
+                pruned, planes, n_planes, n_tables, "vec"
+            ).withColumn(
+                "bucket", F.concat_ws(":", "tbl", "bucket")
+            ).drop("tbl")
+        else:
+            planes = _deterministic_hyperplanes(dim, n_planes, seed)
+            bucketed = sign_projection_buckets(pruned, planes, vec_col="vec")
 
     pair_schema = T.StructType(
         [
