@@ -736,6 +736,7 @@ def embedding_dedup_pairs_lsh(
     n_tables: int = 1,
     index=None,
     target_bucket_size: int = 200,
+    n_vectors: Optional[int] = None,
 ) -> DataFrame:
     """Scalable embedding near-dup: LSH buckets + vectorized verification.
 
@@ -757,9 +758,14 @@ def embedding_dedup_pairs_lsh(
     A FIXED plane count makes total verify work grow as n²/2^planes
     (the round-6 scaling audit measured 3.7×-per-10×-data on exactly
     this); auto-sizing restores the ~linear marginal at the price of
-    one count() job. Pass an explicit ``n_planes`` for reproducible
-    bucketing (the oracle-replayed bench entries do, deriving the same
-    auto-sized count on both engines).
+    one count() job — an UNCACHED full scan paid on EVERY call that
+    reaches auto-sizing. Callers who already know the corpus size pass
+    ``n_vectors`` to skip it; callers who dedup the same corpus
+    repeatedly should build an :class:`~patito_spark.operators.similarity.LshIndex`
+    once and pass ``index=`` (the entry points do), which amortizes
+    both the count and the bucketing. Pass an explicit ``n_planes`` for
+    reproducible bucketing (the oracle-replayed bench entries do,
+    deriving the same auto-sized count on both engines).
 
     Recall levers:
     fewer planes (bigger buckets) or ``n_tables > 1`` — L independent
@@ -804,7 +810,8 @@ def embedding_dedup_pairs_lsh(
             from patito_spark.operators.similarity import auto_n_planes
 
             n_planes = auto_n_planes(
-                df.count(), target_bucket_size=target_bucket_size
+                n_vectors if n_vectors is not None else df.count(),
+                target_bucket_size=target_bucket_size,
             )
         pruned = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")

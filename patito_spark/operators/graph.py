@@ -16,12 +16,17 @@ import warnings
 from pyspark.sql import DataFrame, functions as F
 
 
-def _driver_union_find(rows) -> list[tuple]:
+def _driver_union_find(rows) -> tuple[list, list]:
     """Exact min-label components of a small edge list, driver-side.
 
     Path-compressed union-find; the component label is the minimum node
     id of each set (identical semantics to the distributed loop,
     independent of union order).
+
+    Returns two parallel column lists ``(nodes, components)`` rather
+    than row tuples — the caller hands them to Arrow as two columns, so
+    no per-row tuple objects are ever built (at the 1M-edge probe
+    default that avoids up to ~2M 64-byte tuples on top of the dicts).
     """
     parent: dict = {}
 
@@ -45,7 +50,8 @@ def _driver_union_find(rows) -> list[tuple]:
         r = find(v)
         if r not in comp_min or v < comp_min[r]:
             comp_min[r] = v
-    return [(v, comp_min[find(v)]) for v in parent]
+    nodes = list(parent)
+    return nodes, [comp_min[find(v)] for v in nodes]
 
 
 def connected_components(
@@ -73,8 +79,15 @@ def connected_components(
     distributed fallback — previously it shipped ``driver_threshold + 1``
     rows just to discover it must fall back. When collected, the edges
     arrive as a pandas frame (two int64 columns — ~16 MB at the 1M
-    default), NOT as Python ``Row`` objects; the union-find's label
-    dicts add tens of MB transiently, freed when the probe returns.
+    default), NOT as Python ``Row`` objects. The union-find itself is
+    the driver-memory ceiling: its parent/label dicts hold one Python
+    int per distinct node — up to ~2M entries at the 1M-edge default,
+    realistically low hundreds of MB transiently with dict + boxed-int
+    overhead — and the result goes back to Spark as two column lists
+    through Arrow (no per-row tuples). Size ``driver_threshold``
+    against driver memory accordingly: the configured 16 GiB driver has
+    ~50× headroom at the default; a 4 GiB driver should drop it to
+    ~250k.
 
     Args:
         pairs: undirected edge list (one row per pair).
@@ -96,8 +109,10 @@ def connected_components(
         # Arrow path: ~10× lighter on the driver than collect() (two
         # int64 numpy columns vs a list of Python Row objects).
         if base.count() <= driver_threshold:
+            import pandas as pd
+
             head = base.toPandas()
-            labels = _driver_union_find(
+            nodes, comps = _driver_union_find(
                 zip(head["src"].tolist(), head["dst"].tolist())
             )
             spark = pairs.sparkSession
@@ -108,7 +123,10 @@ def connected_components(
                 + pairs.schema[id_b].dataType.simpleString()
             )
             base.unpersist()
-            return spark.createDataFrame(labels, schema)
+            # pandas + Arrow path: two columns, zero row tuples.
+            return spark.createDataFrame(
+                pd.DataFrame({"node": nodes, "component": comps}), schema
+            )
         # over threshold: fall through to the distributed loop (the
         # persisted base is reused below, so the probe isn't wasted work)
 

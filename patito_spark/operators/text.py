@@ -509,6 +509,12 @@ def build_vocab(
     return vocab
 
 
+# tf_idf's probe cache, bounded to the most recent call — see the
+# comment inside tf_idf. Module-level so successive calls (possibly over
+# different corpora) can release each other's vocab tables.
+_TFIDF_VOCAB_CACHE: list = []
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",
@@ -561,10 +567,18 @@ def tf_idf(
         # Persist BEFORE the probe count: otherwise the full build_vocab
         # aggregation (tokenize + explode + agg over the whole corpus)
         # executes twice — once for the count, once for the join below.
-        # Tracked: released by patito_spark.release_caches().
+        # The return is lazy, so the cache cannot be dropped here — but
+        # accumulation is bounded to ONE vocab table per session: each
+        # new tf_idf call releases the previous call's vocab cache (by
+        # then its result has normally been consumed; if not, that older
+        # result just recomputes its vocab on next use — correct, slower).
+        # Also tracked: released early by patito_spark.release_caches().
         from patito_spark.functions.cache import tracked_persist
 
+        while _TFIDF_VOCAB_CACHE:
+            _TFIDF_VOCAB_CACHE.pop().unpersist()
         vocab = tracked_persist(vocab)
+        _TFIDF_VOCAB_CACHE.append(vocab)
     if max_broadcast_vocab is None or vocab.count() <= max_broadcast_vocab:
         vocab = F.broadcast(vocab)
     idf = F.log((F.lit(float(n)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0

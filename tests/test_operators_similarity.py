@@ -72,6 +72,50 @@ def test_ann_lsh_recall(emb):
         assert (q, q) in approx_set
 
 
+def test_ann_recall_pinned_at_documented_config(spark):
+    """Regression pin for docs/ann_quality.md (verdict r8 #5).
+
+    Re-measures recall@10 over the real sf0.1 embeddings at the two
+    headline configurations the docs recommend, with floors just under
+    the committed measurements (LSH 6-plane/4-table/multi-probe 0.728,
+    IVF 64-cell/16-probe 0.789). The old 0.2/0.4 sanity floors let a
+    silent recall collapse to 0.3 pass; these fail it. Both paths are
+    seed-deterministic, so the measured values are exactly reproducible
+    on this data — a failure means the algorithm changed, not noise.
+    """
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 64)
+    k = 10
+
+    exact = similarity.cosine_topk(emb, queries, k=k).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(by_q.get(q, set()) & ids) / k for q, ids in truth.items()
+        ) / len(truth)
+
+    lsh = similarity.ann_lsh_topk(
+        emb, queries, k=k, n_planes=6, n_tables=4, multi_probe_bits=1
+    ).collect()
+    assert recall(lsh) >= 0.65
+
+    ivf = similarity.ann_ivf_topk(
+        emb, queries, k=k, n_centroids=64, n_probe=16
+    ).collect()
+    assert recall(ivf) >= 0.70
+
+
 def test_bucket_determinism(emb):
     df, _ = emb
     b1 = similarity.hyperplane_lsh_buckets(df, n_planes=4, dim=16, seed=1)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -45,6 +46,11 @@ def main() -> None:
             f"read_parquet('{a.sf_dir}/{t}.parquet')"
         )
 
+    # Scale-dependent oracle fragments (the embedding-LSH plane count)
+    # must be derived from the SF being benchmarked, not the driver's
+    # sf0.01 compare default — otherwise the two engines bucket with
+    # different plane counts and the A/B is invalid (verdict r8 #1).
+    os.environ["PATITO_ORACLE_SF_DIR"] = a.sf_dir
     oracles = entry_mod.oracle_sql()
     if a.only:
         keep = set(a.only.split(","))
