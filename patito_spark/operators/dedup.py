@@ -733,7 +733,7 @@ def embedding_dedup_pairs_lsh(
     n_planes: Optional[int] = None,
     dim: int = 64,
     seed: int = 42,
-    n_tables: int = 1,
+    n_tables: Union[int, str] = 1,
     index=None,
     target_bucket_size: int = 200,
     n_vectors: Optional[int] = None,
@@ -771,9 +771,27 @@ def embedding_dedup_pairs_lsh(
     fewer planes (bigger buckets) or ``n_tables > 1`` — L independent
     hash tables OR-ed together (a dup pair is missed only if split in
     EVERY table, miss^L), with cross-table duplicate pairs collapsed by
-    a distinct on (id_a, id_b). Measured for the search path in
-    docs/ann_quality.md; for DEDUP recall is the one that matters — a
-    missed duplicate is contamination.
+    a distinct on (id_a, id_b). For DEDUP recall is the one that
+    matters — a missed duplicate is contamination. Measured against
+    planted ground truth at cosine U[0.92, 0.99], threshold 0.9
+    (tools/recall_embedding_lsh.py, docs/scaling.md §LSH-dedup recall):
+
+    ======================  =====  =====  =====  =====
+    corpus (auto planes)     L=1    L=2    L=4    L=8
+    ======================  =====  =====  =====  =====
+    4k vectors (5 planes)   0.626  0.854  0.977  1.000
+    40k vectors (8 planes)  0.470  0.707  0.904  0.987
+    ======================  =====  =====  =====  =====
+
+    Pairing policy: ``n_tables ≈ planes/2`` holds recall ≈ 0.85–0.90 at
+    any corpus size (``n_tables="auto"`` applies exactly this);
+    ``n_tables ≈ planes`` holds ≈ 0.98+. Cost is linear in L, so the
+    auto pairing keeps total work ~linear in n while recall stays flat
+    as :func:`~patito_spark.operators.similarity.auto_n_planes` grows
+    the plane count with log(n). The default stays ``n_tables=1``
+    (bit-reproducible single-table behavior, replayed by the SQL
+    oracle); dedup pipelines where a miss is contamination should pass
+    ``"auto"`` or an explicit count from the table.
 
     Both stages use sequential-fold accumulation, so a SQL oracle can
     replay the pipeline exactly from the same plane constants (bucket =
@@ -791,7 +809,7 @@ def embedding_dedup_pairs_lsh(
     from patito_spark.operators.similarity import _deterministic_hyperplanes
 
     if index is not None:
-        if n_tables > 1:
+        if n_tables == "auto" or n_tables > 1:
             # The index branch would silently win and deliver single-table
             # recall; refuse, matching ann_lsh_topk's contract.
             raise ValueError(
@@ -813,6 +831,10 @@ def embedding_dedup_pairs_lsh(
                 n_vectors if n_vectors is not None else df.count(),
                 target_bucket_size=target_bucket_size,
             )
+        if n_tables == "auto":
+            # The measured pairing (docstring table): L = p/2 holds
+            # planted-pair recall ≈ 0.85–0.90 at any auto-sized corpus.
+            n_tables = max(1, n_planes // 2)
         pruned = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )

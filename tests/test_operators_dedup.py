@@ -339,3 +339,66 @@ class TestEmbeddingDedupAgainst:
         )
         assert out.count() == 0
         assert out.columns == ["vec_id", "ref_id", "cosine"]
+
+
+def test_embedding_lsh_auto_tables_planted_recall(spark):
+    """Recall pin for the n_tables="auto" pairing (docs/scaling.md
+    §LSH-dedup recall): planted duplicates at cosine U[0.92, 0.99] over
+    the real sf0.001 embeddings must be recovered at ~0.9 with the
+    L = planes/2 pairing at 8 planes. Seeded planting + seeded
+    hyperplanes make the measured value a constant on this data; the
+    0.8 floor fails any silent recall collapse while ignoring the last
+    few percent of model noise.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.001 testdata not present")
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(7)
+    target_cos = rng.uniform(0.92, 0.99, size=len(mat))
+    w = rng.normal(size=mat.shape)
+    vnorm = np.linalg.norm(mat, axis=1, keepdims=True)
+    vhat = mat / vnorm
+    w -= (w * vhat).sum(axis=1, keepdims=True) * vhat
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    sin_a = np.sqrt(1.0 - target_cos**2)
+    dup = target_cos[:, None] * mat + (sin_a * vnorm[:, 0])[:, None] * w
+    offset = 10_000_000
+    both = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(pdf["vec_id"])
+                + [int(i) + offset for i in pdf["vec_id"]],
+                "embedding": [r.tolist() for r in mat]
+                + [r.tolist() for r in dup],
+            }
+        )
+    )
+    truth = {(int(i), int(i) + offset) for i in pdf["vec_id"]}
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_pairs_lsh(
+            both, threshold=0.9, n_planes=8, n_tables="auto"
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_embedding_lsh_auto_tables_rejects_index(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="prebuilt index"):
+        dedup.embedding_dedup_pairs_lsh(df, n_tables="auto", index=object())

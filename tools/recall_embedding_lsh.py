@@ -36,6 +36,53 @@ def pair_set(df):
     return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
 
 
+PLANT_OFFSET = 10_000_000
+
+
+def planted_corpus(spark, sf_dir, lo=0.92, hi=0.99):
+    """Corpus + one planted near-duplicate per vector at controlled cosine.
+
+    The synthetic embeddings have essentially NO true pairs above cosine
+    0.8 (measured: one pair at sf1), so corpus-only recall can only be
+    measured in the low-threshold search regime — not the high-threshold
+    regime dedup actually runs in. This plants ground truth there: for
+    each vector v, emit u = cos(a)·v + sin(a)·|v|·w with w a unit vector
+    orthogonal to v (Gram-Schmidt on a seeded Gaussian), so
+    cosine(u, v) = cos(a) exactly, drawn uniformly from [lo, hi]. The
+    duplicate's id is the original's + PLANT_OFFSET.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(7)
+    target_cos = rng.uniform(lo, hi, size=len(mat))
+    w = rng.normal(size=mat.shape)
+    # orthogonalize w against each row of mat, then unit-scale
+    vnorm = np.linalg.norm(mat, axis=1, keepdims=True)
+    vhat = mat / vnorm
+    w -= (w * vhat).sum(axis=1, keepdims=True) * vhat
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    sin_a = np.sqrt(1.0 - target_cos**2)
+    dup = target_cos[:, None] * mat + (sin_a * vnorm[:, 0])[:, None] * w
+    both = pd.DataFrame(
+        {
+            "vec_id": list(pdf["vec_id"])
+            + [int(i) + PLANT_OFFSET for i in pdf["vec_id"]],
+            "embedding": [r.tolist() for r in mat] + [r.tolist() for r in dup],
+        }
+    )
+    truth = {
+        (int(i), int(i) + PLANT_OFFSET) for i in pdf["vec_id"]
+    }
+    return spark.createDataFrame(both), truth
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--thresholds", default="0.35,0.8,0.95")
@@ -53,6 +100,7 @@ def main():
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,6 +137,25 @@ def main():
                     f"L={L}: {len(got)} recall={len(got) / len(exact):.3f}"
                 )
             print("  ".join(row))
+
+        # --- planted near-duplicates: the regime dedup runs in -------- #
+        planted, truth = planted_corpus(spark, sf_dir)
+        n2 = 2 * n
+        planes2 = auto_n_planes(n2)
+        print(
+            f"  planted: {len(truth)} pairs at cosine U[0.92,0.99], "
+            f"corpus 2n={n2}, auto_planes={planes2}"
+        )
+        for L in tables:
+            got = pair_set(
+                embedding_dedup_pairs_lsh(
+                    planted, threshold=0.9, n_tables=L, n_vectors=n2
+                )
+            )
+            hit = len(got & truth)
+            print(
+                f"    thr=0.9 L={L}: planted recall={hit / len(truth):.3f}"
+            )
     spark.stop()
 
 
