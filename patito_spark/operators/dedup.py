@@ -369,35 +369,35 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         exploded, num_hashes=num_hashes, bands=bands, densify=densify
     )
-    # Skew guard: drop buckets larger than max_bucket_size.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("__sz", F.count("*").over(w)).filter(
-        (F.col("__sz") > 1) & (F.col("__sz") <= max_bucket_size)
+    # ONE aggregate builds each bucket's sorted member list; the skew
+    # guard (1 < size <= max_bucket_size) and the pair expansion are
+    # map-side expressions over the bucket rows. This replaces the
+    # previous shape — window count (shuffle + sort over every banded
+    # row) feeding a bucket self-join (two more exchanges) — with a
+    # single shuffle on (band, bucket) before the distinct. The nested
+    # transform is interpreted, but it runs per BUCKET (≤ max_bucket_size
+    # members, sorted so id_a < id_b by construction), not per pair-join
+    # probe, and candidate buckets are orders of magnitude fewer than
+    # banded rows. Round-9 A/B at sf1: see docs/scaling.md.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter(
+            (F.size("__ids") > 1) & (F.size("__ids") <= max_bucket_size)
+        )
     )
-    # Feeds both sides of the bucket self-join below — persist so the
-    # signature pipeline isn't executed twice (no cross-branch subplan
-    # sharing in Catalyst). Tracked: long-lived sessions release with
-    # `patito_spark.release_caches()` after consuming the result.
-    banded = tracked_persist(banded)
-
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+                    "y -> struct(x as id_a, y as id_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
     )
-    right = banded.select(
-        F.col("band").alias("band_r"),
-        F.col("bucket").alias("bucket_r"),
-        F.col("__id").alias("id_b"),
-    )
-    pairs = left.join(
-        right,
-        on=[
-            left.band == right.band_r,
-            left.bucket == right.bucket_r,
-            left.id_a < right.id_b,
-        ],
-    ).select("id_a", "id_b")
     return pairs.distinct()
 
 
@@ -418,6 +418,7 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
     hash_mode: str = "xxhash64",
     materialize_shingles: bool = True,
+    broadcast_verify_max_docs: Optional[int] = 100_000,
     **lsh_kwargs,
 ) -> DataFrame:
     """Verified duplicate pairs: LSH candidates filtered by true Jaccard.
@@ -434,6 +435,16 @@ def minhash_dedup_pairs(
     re-shingled per branch. ``materialize_shingles`` (default) caches
     them (memory-and-disk, ~tokens × 16 bytes); disable it to trade
     recomputation for zero cache footprint.
+
+    The verify join attaches each doc's hash-gram array to its candidate
+    pairs. While the per-doc array table has ≤
+    ``broadcast_verify_max_docs`` rows (default 100k ≈ 50 MB of sorted
+    bigint arrays) it is BROADCAST, so candidate pairs never shuffle —
+    the whole verify is map-side against the (Spark-reused) broadcast.
+    Above the bound it falls back to two shuffle joins, the only shape
+    that scales to web-corpus doc counts; the probe count runs on the
+    persisted array table so the aggregate is not paid twice. Pass
+    ``broadcast_verify_max_docs=None`` to force the shuffle shape.
     """
     shingle_rows = shingle_hash_rows(
         df, id_col=id_col, text_col=text_col, n=shingle_size,
@@ -452,6 +463,10 @@ def minhash_dedup_pairs(
     toks = shingle_rows.groupBy(F.col("__id").alias("__jid")).agg(
         F.sort_array(F.collect_list("__h")).alias("__jtokens")
     )
+    if broadcast_verify_max_docs is not None:
+        toks = tracked_persist(toks)
+        if toks.count() <= broadcast_verify_max_docs:
+            toks = F.broadcast(toks)
     verified = (
         candidates.join(
             toks.withColumnsRenamed({"__jid": "id_a", "__jtokens": "tokens_a"}),

@@ -509,9 +509,9 @@ def build_vocab(
     return vocab
 
 
-# tf_idf's probe cache, bounded to the most recent call — see the
-# comment inside tf_idf. Module-level so successive calls (possibly over
-# different corpora) can release each other's vocab tables.
+# tf_idf's cached (doc, token) aggregate, bounded to the most recent
+# call — see the comment inside tf_idf. Module-level so successive calls
+# (possibly over different corpora) can release each other's caches.
 _TFIDF_VOCAB_CACHE: list = []
 
 
@@ -533,23 +533,28 @@ def tf_idf(
     aggregate), ``idf = ln((N + 1) / (doc_freq + 1)) + 1`` (smoothed,
     scikit-learn convention, natural log on every engine).
 
-    Scale shape: one (doc, token) hash aggregate with map-side combine,
-    then a join against the :func:`build_vocab` document frequencies —
-    broadcast ONLY while the vocabulary fits under
+    Scale shape: ONE tokenize + explode + (doc, token) hash aggregate
+    over the corpus — the vocabulary's document frequencies are derived
+    from that same aggregate (count of docs per token), not from a
+    second :func:`build_vocab` scan (round 9: the second scan was ~half
+    the operator's wall at sf1). The per-doc counts are persisted so the
+    derivation, the broadcast-gate probe, and the final join all read
+    one materialization; the cache is bounded to the most recent tf_idf
+    call (a new call releases the previous one) and released early by
+    ``patito_spark.release_caches()``.
+
+    The vocab side is broadcast ONLY while it fits under
     ``max_broadcast_vocab`` rows (default 2M ≈ low hundreds of MB per
     executor). On web-scale text the distinct-token count is
     data-dependent and unbounded (typos, URLs, code identifiers), so an
     unconditional broadcast is a driver/executor OOM waiting to happen;
     above the bound this falls back to a shuffle join, which AQE will
-    still convert back to broadcast if the runtime size allows. The
-    vocab frame is persisted across the probe, so the underlying
-    tokenize + explode + aggregate runs ONCE (the count reads the
-    cached rows, the join reuses them); the gate's marginal cost is a
-    count over the already-materialized vocab table. Callers
+    still convert back to broadcast if the runtime size allows. Callers
     who KNOW the vocabulary is small (e.g. ``min_count``/``top_n``
     bounded upstream) pass ``max_broadcast_vocab=None`` to skip the
-    probe and force broadcast. ``n_docs`` skips the corpus count when
-    the caller already knows it.
+    probe and force broadcast (no persist happens on that path — the
+    aggregate runs once per consuming branch instead). ``n_docs`` skips
+    the corpus count when the caller already knows it.
     """
     n = n_docs if n_docs is not None else df.count()
     pairs = df.select(
@@ -560,25 +565,31 @@ def tf_idf(
     counts = pairs.groupBy(id_col, "token", "__total").agg(
         F.count("*").alias("__n")
     )
-    vocab = build_vocab(
-        df, text_col=text_col, id_col=id_col, min_count=min_count
-    ).select("token", "doc_freq")
     if max_broadcast_vocab is not None:
-        # Persist BEFORE the probe count: otherwise the full build_vocab
-        # aggregation (tokenize + explode + agg over the whole corpus)
-        # executes twice — once for the count, once for the join below.
-        # The return is lazy, so the cache cannot be dropped here — but
-        # accumulation is bounded to ONE vocab table per session: each
-        # new tf_idf call releases the previous call's vocab cache (by
-        # then its result has normally been consumed; if not, that older
-        # result just recomputes its vocab on next use — correct, slower).
-        # Also tracked: released early by patito_spark.release_caches().
+        # Persist BEFORE anything consumes counts: the vocab derivation
+        # below, its probe count, and the final join are three branches
+        # over this one aggregate — uncached, each would re-run the
+        # whole tokenize + explode + agg. The return is lazy, so the
+        # cache cannot be dropped here; accumulation is bounded to ONE
+        # cached aggregate per session (each new tf_idf call releases
+        # the previous call's — by then its result has normally been
+        # consumed; if not, the older result just recomputes on next
+        # use — correct, slower).
         from patito_spark.functions.cache import tracked_persist
 
         while _TFIDF_VOCAB_CACHE:
             _TFIDF_VOCAB_CACHE.pop().unpersist()
-        vocab = tracked_persist(vocab)
-        _TFIDF_VOCAB_CACHE.append(vocab)
+        counts = tracked_persist(counts)
+        _TFIDF_VOCAB_CACHE.append(counts)
+    # Document frequency from the SAME aggregate: counts has exactly one
+    # row per (doc, token), so docs-per-token is a row count; the corpus
+    # term count for min_count is the sum of within-doc counts.
+    vocab = counts.groupBy("token").agg(
+        F.count("*").alias("doc_freq"), F.sum("__n").alias("__cnt")
+    )
+    if min_count > 1:
+        vocab = vocab.filter(F.col("__cnt") >= min_count)
+    vocab = vocab.drop("__cnt")
     if max_broadcast_vocab is None or vocab.count() <= max_broadcast_vocab:
         vocab = F.broadcast(vocab)
     idf = F.log((F.lit(float(n)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
