@@ -132,6 +132,20 @@ def streaming_dedup_lsh(
     infinite stream with drifting content (mirrors
     ``stateful_dedup_stream``'s watermark horizon). Default ``None``
     keeps full-history semantics.
+
+    .. warning::
+        A TTL registers a processing-time timeout per occupied bucket,
+        and a query with pending processing-time timeouts does NOT
+        self-terminate under ``trigger(availableNow=True)`` — the
+        engine keeps scheduling timeout-servicing batches (measured on
+        Spark 4.1: the query outlives the drain regardless of the TTL
+        value; round-9 tools/streaming_throughput.py hit this).
+        ``state_ttl_ms`` is for CONTINUOUS streams, where the query
+        runs until stopped anyway. For bounded drain-and-stop replays,
+        either leave the TTL off, or poll
+        ``query.recentProgress`` until the source rows are processed
+        and then call ``query.stop()`` (see
+        tests/test_streaming_dedup.py::_drain_and_stop).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

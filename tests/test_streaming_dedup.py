@@ -153,6 +153,46 @@ def test_unique_docs_emit_nothing(spark, tmp_path):
     assert got.count() == 0
 
 
+def _drain_and_stop(q, expected_rows, expect_evictions=0, timeout_s=60):
+    """Wait until the query has PROCESSED ``expected_rows`` source rows
+    (and, if requested, observed ``expect_evictions`` state-row
+    removals — the TTL timeout fires in a follow-up batch AFTER the
+    data batch), then stop it.
+
+    A query with pending processing-time timeouts (state TTL) never
+    self-terminates under availableNow — the engine keeps scheduling
+    timeout-servicing batches (see streaming_dedup_lsh's warning).
+    ``awaitTermination(t)`` would burn the full ``t`` and leave a
+    zombie query running for the rest of the session (this test did
+    exactly that for two rounds). Polling recentProgress is the drain
+    signal that does terminate.
+    """
+    import time as _time
+
+    def totals():
+        rows = evicted = 0
+        for p in q.recentProgress:
+            rows += p["numInputRows"]
+            for op in p.get("stateOperators") or []:
+                evicted += op.get("numRowsRemoved", 0)
+        return rows, evicted
+
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        rows, evicted = totals()
+        if rows >= expected_rows and evicted >= expect_evictions:
+            break
+        _time.sleep(0.3)
+    else:
+        q.stop()
+        raise AssertionError(
+            f"query saw rows={rows}/{expected_rows} "
+            f"evictions={evicted}/{expect_evictions} in {timeout_s}s"
+        )
+    q.stop()
+    q.awaitTermination(30)
+
+
 def test_state_ttl_forgets_old_representatives(spark, tmp_path):
     """With a tiny TTL, a bucket claimed in batch 1 is forgotten by the
     time batch 2 runs: the later duplicate is NOT flagged (it re-claims),
@@ -167,7 +207,7 @@ def test_state_ttl_forgets_old_representatives(spark, tmp_path):
     checkpoint = str(tmp_path / "ckpt")
     seen: list[tuple] = []
 
-    def run_once():
+    def run_once(expected_rows, expect_evictions=0):
         q = (
             flagged.writeStream.foreachBatch(
                 lambda df, _id: seen.extend(
@@ -179,13 +219,16 @@ def test_state_ttl_forgets_old_representatives(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain_and_stop(q, expected_rows, expect_evictions)
 
-    run_once()
+    # Run 1 must ALSO wait for the timeout-servicing batch that evicts
+    # doc 1's buckets — stopping right after the data batch would carry
+    # the state into run 2 and doc 2 WOULD be flagged.
+    run_once(expected_rows=1, expect_evictions=1)
     assert seen == []
     _time.sleep(2)  # TTL (1 ms) long expired
     _docs(spark, [(2, text)], path)
-    run_once()
+    run_once(expected_rows=1)  # second run reads only the new file
     # doc 2's buckets were evicted between batches: it re-claims, no flag
     assert seen == []
 

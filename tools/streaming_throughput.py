@@ -58,8 +58,31 @@ def run_dedup(spark, src, n_docs, num_hashes, bands, ttl_ms, name):
         .queryName(name)
         .start()
     )
-    q.awaitTermination(600)
-    wall = time.perf_counter() - t0
+    if ttl_ms is None:
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+    else:
+        # A TTL registers processing-time timeouts, and a query with
+        # pending timeouts never self-terminates under availableNow
+        # (see streaming_dedup_lsh's warning) — drain by input-rows
+        # progress, stop explicitly, and time the drain only.
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= n_docs:
+                break
+            time.sleep(0.5)
+        wall = time.perf_counter() - t0
+        st = state_rows(q)
+        q.stop()
+        q.awaitTermination(30)
+        return {
+            "config": f"hashes={num_hashes} bands={bands} ttl_ms={ttl_ms}",
+            "docs": n_docs,
+            "wall_s": round(wall, 2),
+            "docs_per_s": int(n_docs / wall),
+            "state_rows": st,
+        }
     return {
         "config": f"hashes={num_hashes} bands={bands} ttl_ms={ttl_ms}",
         "docs": n_docs,
