@@ -13,6 +13,7 @@ from patito_spark.operators import (
     packing,
     pipeline,
     sampling,
+    semdedup,
     similarity,
     sketch,
     skew,
@@ -29,6 +30,7 @@ __all__ = [
     "packing",
     "pipeline",
     "sampling",
+    "semdedup",
     "similarity",
     "sketch",
     "skew",
