@@ -36,6 +36,7 @@ def ngram_contamination(
     gram_mode: str = "window",
     strategy: str = "auto",
     max_broadcast_grams: int = 2_000_000,
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """Corpus documents sharing ≥ ``min_shared`` distinct n-grams with the
     benchmark.
@@ -60,14 +61,39 @@ def ngram_contamination(
       :func:`shingle_hash_rows`, broadcast hash equi-join on the gram
       hash, map-side-combined per-doc count. Use when Python worker
       lanes are saturated, or the benchmark exceeds the broadcast cap.
+    * ``"bloom"`` — the 100 TB shape for a LARGE benchmark suite (many
+      eval sets decontaminated at once): the benchmark's distinct gram
+      hashes are folded into a packed Bloom bitset
+      (:class:`patito_spark.functions.bloom.BloomBits`, ~1.2 bytes per
+      gram at the default 1% ``bloom_fpp`` — ~10× smaller than the
+      join's hash broadcast, ~50× smaller than the string set), built in
+      one distributed pass and broadcast once per executor; the corpus
+      runs scan → JVM gram-hash → vectorized-numpy membership → one
+      map-side-combined per-doc count. No false negatives (contaminated
+      documents are never missed); ``n_shared_grams`` may be inflated by
+      ≈ ``bloom_fpp`` per distinct gram, so a handful of clean documents
+      can be over-flagged at ``min_shared=1`` — the safe direction for
+      decontamination.
     * ``"auto"`` (default) — ``"set"`` unless the benchmark's distinct
       gram count exceeds ``max_broadcast_grams`` (each Python worker
       holds one copy of the set — at the default 2M cap that is a few
       hundred MB per worker), else ``"join"``.
 
     ``hash_mode``/``gram_mode``/``broadcast_benchmark`` only affect the
-    join strategy.
+    join and bloom strategies (both gram-hash JVM-side).
     """
+    if strategy == "bloom":
+        return _bloom_contamination(
+            corpus,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            min_shared=min_shared,
+            hash_mode=hash_mode,
+            gram_mode=gram_mode,
+            fpp=bloom_fpp,
+        )
     # distinct=False on BOTH sides: the corpus side's duplicates collapse
     # in the post-join count_distinct (so the full corpus gram stream is
     # never shuffled — the contract of this operator), and the benchmark
@@ -161,5 +187,68 @@ def ngram_contamination(
     return (
         shared.groupBy(F.col("__id").alias(id_col))
         .agg(count_expr.alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def _bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_shared: int,
+    hash_mode: str,
+    gram_mode: str,
+    fpp: float,
+) -> DataFrame:
+    """``strategy="bloom"`` body — see :func:`ngram_contamination`.
+
+    Both sides hash grams JVM-side (:func:`shingle_hash_rows`, the same
+    ``hash_mode`` the join strategy uses), so the Python stage touches
+    only int64 hash columns — the membership test is pure vectorized
+    numpy over Arrow batches, never per-gram string work.
+    """
+    import pandas as pd
+
+    from patito_spark.functions.bloom import BloomBits
+
+    bench_hashes = shingle_hash_rows(
+        benchmark, id_col=id_col, text_col=text_col, n=n,
+        hash_mode=hash_mode, distinct=False, gram_mode=gram_mode,
+    ).select("__h")
+    bloom = BloomBits.build(bench_hashes, "__h", fpp=fpp)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (bloom.words, bloom.m, bloom.k)
+    )
+
+    # distinct=True + gram_mode="map": each doc's hash stream is unique
+    # before the filter, so the per-doc tally is count(*) after ONE
+    # map-side-combined shuffle (same single-exchange shape as the join
+    # strategy).
+    corpus_hashes = shingle_hash_rows(
+        corpus, id_col=id_col, text_col=text_col, n=n,
+        hash_mode=hash_mode, distinct=True, gram_mode="map",
+    )
+    out_schema = T.StructType(
+        [T.StructField("__id", corpus.schema[id_col].dataType)]
+    )
+
+    def members(batches):
+        words, m, k = bc.value
+        probe = BloomBits(words, m=m, k=k, n_items=0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hit = probe.contains(pdf["__h"].to_numpy())
+            if hit.any():
+                yield pd.DataFrame({"__id": pdf["__id"].to_numpy()[hit]})
+
+    shared = corpus_hashes.select("__id", "__h").mapInPandas(
+        members, out_schema
+    )
+    return (
+        shared.groupBy(F.col("__id").alias(id_col))
+        .agg(F.count("*").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
     )
