@@ -3,6 +3,7 @@
 from patito_spark.streaming.dedup import streaming_dedup_lsh
 from patito_spark.streaming.validate import (
     read_stream,
+    session_window_aggregate,
     sessionize_stream,
     stateful_dedup_stream,
     stream_stream_join,
@@ -14,6 +15,7 @@ from patito_spark.streaming.validate import (
 
 __all__ = [
     "read_stream",
+    "session_window_aggregate",
     "sessionize_stream",
     "stateful_dedup_stream",
     "stream_stream_join",

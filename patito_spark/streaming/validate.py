@@ -102,6 +102,54 @@ def windowed_aggregate(
     return stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
 
 
+def session_window_aggregate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    *aggs: Column,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session window.
+
+    The declarative sibling of :func:`sessionize_stream`: the same
+    gap-merge semantics expressed as ``groupBy(user,
+    session_window(ts, gap))``, which Catalyst plans as the built-in
+    ``SessionWindowStateStoreSave`` operator — all-JVM session merging,
+    no Python state workers, watermark-bounded state eviction for free.
+    Prefer this whenever per-session output plus standard aggregates is
+    enough; reach for ``sessionize_stream`` only when the per-event
+    state transition genuinely needs custom Python.
+
+    Works on BATCH frames too (session_window is a plain aggregation
+    there — the watermark is skipped), so the same helper backs both
+    sides of an equivalence test or a backfill job.
+
+    Semantics are Spark's native ones: sessions merge while
+    ``ts <= prev_ts + gap`` (probed on this build — a delta of exactly
+    ``gap`` still merges; only ``delta > gap`` splits), the SAME
+    boundary rule as ``sessionize_stream`` and the batch lag-window
+    sessionizer. The one difference: ``session_end`` here is the window
+    end (``last event + gap``); ``sessionize_stream`` reports the last
+    event itself. Subtract ``gap`` to convert.
+
+    Output: ``user_col, session_start, session_end, n_events`` plus any
+    extra ``aggs``. ``ts_col`` must be a true timestamp column (cast
+    epoch-nanos with ``timestamp_micros(ns div 1000)`` first).
+    """
+    agg_list = [F.count("*").alias("n_events"), *aggs]
+    src = df if not df.isStreaming else df.withWatermark(ts_col, watermark)
+    out = src.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(*agg_list)
+    return out.select(
+        user_col,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c not in (user_col, "session_window")],
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     user_col: str = "user_id",
