@@ -14,7 +14,8 @@ Stage costs at scale (details in docs/scale.md):
   (CCNet-style: drop documents unlike a trusted reference LM) adds one
   broadcast join + per-doc aggregate;
 * dedup: MinHash LSH candidates + verification + components — the only
-  all-corpus shuffles in the pipeline;
+  all-corpus shuffles in the pipeline; the optional SemDeDup stage adds
+  one within-IVF-cell pass over a caller-supplied embedding table;
 * decontamination: benchmark n-grams broadcast, corpus never shuffled;
 * chunk: map-only explode;
 * pack: partition-local first-fit, no shuffle.
@@ -38,6 +39,10 @@ def prepare_training_corpus(
     max_perplexity: Optional[float] = None,
     perplexity_lm: Optional[DataFrame] = None,
     dedup_threshold: Optional[float] = 0.7,
+    semantic_threshold: Optional[float] = None,
+    embeddings: Optional[DataFrame] = None,
+    embedding_col: str = "embedding",
+    semantic_keep: str = "outlier",
     contamination_ngram: int = 8,
     contamination_neardup_threshold: Optional[float] = None,
     max_tokens_per_chunk: Optional[int] = None,
@@ -99,6 +104,35 @@ def prepare_training_corpus(
             threshold=dedup_threshold,
             hash_mode=hash_mode,
         )
+    if semantic_threshold is not None:
+        # SemDeDup stage: textual near-dups are already gone (MinHash
+        # stage above); this removes *semantic* duplicates — same
+        # content, different wording — using a caller-supplied
+        # embedding table keyed by ``id_col``. Documents WITHOUT an
+        # embedding row are kept (no evidence either way), which is why
+        # the drop set (embedded minus survivors) is anti-joined rather
+        # than semi-joining on survivors.
+        if embeddings is None:
+            raise ValueError(
+                "semantic_threshold requires an `embeddings` DataFrame "
+                f"keyed by {id_col!r} with an {embedding_col!r} column"
+            )
+        from patito_spark.operators.semdedup import semantic_dedup
+
+        emb = embeddings.join(
+            gated.select(id_col), on=id_col, how="left_semi"
+        )
+        kept = semantic_dedup(
+            emb,
+            id_col=id_col,
+            vec_col=embedding_col,
+            threshold=semantic_threshold,
+            keep=semantic_keep,
+        )
+        dropped = emb.select(id_col).join(
+            kept.select(id_col), on=id_col, how="left_anti"
+        )
+        gated = gated.join(dropped, on=id_col, how="left_anti")
     if benchmark is not None:
         contaminated = ngram_contamination(
             gated,

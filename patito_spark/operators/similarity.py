@@ -576,7 +576,27 @@ def build_ivf_index(
         train_src = corpus
         n_corpus = corpus.count()
         if n_centroids is None:
-            n_centroids = auto_n_centroids(n_corpus)
+            # Auto-sizing keeps expected cell size ≥ 4 on tiny corpora
+            # (min_cells=16 would otherwise give singleton cells — and a
+            # within-cell operator like semantic_dedup would see no
+            # pairs at all).
+            n_centroids = min(auto_n_centroids(n_corpus), max(2, n_corpus // 4))
+        # KMeans cannot fit more clusters than points — an explicit k
+        # larger than a tiny corpus degrades gracefully.
+        n_centroids = min(n_centroids, max(1, n_corpus))
+        if n_centroids < 2:
+            # Spark ML KMeans rejects k=1; a ≤1-cell corpus needs no fit
+            # at all — any centroid assigns everything to cell 0 (the
+            # first vector keeps centroid-similarity meaningful).
+            first = corpus.select(vec_col).first()
+            centroids = np.array(
+                [list(first[0])] if first is not None else [[0.0]]
+            )
+            cent_norm = seq_norm(centroids)
+            return _finish_ivf_build(
+                corpus, id_col, vec_col, centroids, cent_norm,
+                assign_metric, materialize,
+            )
         if n_corpus > max_train_vectors:
             # Hash-sample (reproducible under retries/AQE) — parquet count()
             # is metadata-cheap, and the fit then touches a bounded slice.
@@ -601,6 +621,25 @@ def build_ivf_index(
             train.unpersist()
         centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
     cent_norm = seq_norm(centroids)
+    return _finish_ivf_build(
+        corpus, id_col, vec_col, centroids, cent_norm, assign_metric,
+        materialize,
+    )
+
+
+def _finish_ivf_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    cent_norm,
+    assign_metric: str,
+    materialize: bool,
+) -> IvfIndex:
+    """Shared tail of :func:`build_ivf_index`: the map-only cell
+    assignment over fixed centroids."""
+    import numpy as np
+    import pandas as pd
 
     assign_schema = T.StructType(
         [

@@ -138,3 +138,46 @@ def test_prepare_perplexity_gate(spark):
         max_perplexity=20.0, perplexity_lm=lm,
     )["documents"]
     assert {r["doc_id"] for r in out.collect()} == {10}
+
+
+def test_prepare_semantic_dedup_stage(spark):
+    """Docs 10/11 are semantic duplicates (near-identical embeddings,
+    different wording — MinHash can't see it); 12 is distinct; 13 has NO
+    embedding row and must survive untouched."""
+    import numpy as np
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    rng = np.random.RandomState(1)
+    a = rng.normal(size=8)
+    b = rng.normal(size=8)
+    corpus = spark.createDataFrame(
+        [
+            (10, "the cat sat quietly on the warm windowsill today"),
+            (11, "a feline rested peacefully upon the sunny ledge there"),
+            (12, "completely unrelated discussion of distributed query engines"),
+            (13, "document that was never embedded but is long enough"),
+        ],
+        "doc_id long, text string",
+    )
+    embeddings = spark.createDataFrame(
+        [
+            (10, unit(a)),
+            (11, unit(a + 0.01 * rng.normal(size=8))),
+            (12, unit(b)),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = prepare_training_corpus(
+        corpus,
+        dedup_threshold=None,
+        semantic_threshold=0.95,
+        embeddings=embeddings,
+        semantic_keep="min_id",
+    )
+    ids = sorted(r.doc_id for r in out["documents"].collect())
+    assert ids == [10, 12, 13]
+
+    with pytest.raises(ValueError, match="embeddings"):
+        prepare_training_corpus(corpus, semantic_threshold=0.9)
