@@ -198,3 +198,86 @@ def test_streaming_dedup_lsh_100k_docs(spark, tmp_path):
     q.awaitTermination(300)
     n = spark.sql("select count(distinct doc_id) as n from t_sdl_smoke").first()["n"]
     assert n == 100_000 - 1000  # everyone but the 1000 representatives
+
+
+def test_bloom_contamination_1m_docs(spark):
+    """1M docs vs a 100k-gram benchmark through the Bloom path — the
+    regime the bitset exists for (too many grams to broadcast as a
+    set comfortably). Every planted contaminated doc must be flagged."""
+    from patito_spark.operators.contamination import ngram_contamination
+
+    bench = spark.range(12_500).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', 'b1x', id, 'b2', id, 'b3', id, 'b4', id, "
+        "'b5', id, 'b6', id, 'b7', id, 'b8') as text",
+    )
+    corpus = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "case when id % 100 = 0 then "
+        "concat_ws(' ', 'b1x', id % 12500, 'b2', id % 12500, 'b3', "
+        "id % 12500, 'b4', id % 12500, 'b5', id % 12500, 'b6', "
+        "id % 12500, 'b7', id % 12500, 'b8') "
+        "else concat_ws(' ', 'c1x', id, 'c2', id, 'c3', id, 'c4', id, "
+        "'c5', id, 'c6', id, 'c7', id, 'c8') end as text",
+    )
+    out = ngram_contamination(corpus, bench, n=8, strategy="bloom")
+    assert out.count() >= 10_000  # all planted hits (FPs may add a few)
+
+
+def test_semantic_dedup_100k_vectors(spark):
+    """100k unit vectors, 5k planted duplicate pairs, auto cell count
+    (~316 cells of ~316): the within-cell pass must stay bounded and the
+    planted pairs collapse."""
+    import numpy as np
+
+    from patito_spark.operators.semdedup import semantic_dedup
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rng = np.random.RandomState(int(pdf["id"].iloc[0]) % 2**31)
+            base = rng.normal(size=(len(pdf), 16))
+            base /= np.linalg.norm(base, axis=1, keepdims=True)
+            dup = pdf["id"].to_numpy() >= 95_000
+            # ids >= 95k duplicate the vector of (id - 95k) via shared seed
+            for j, (i, is_dup) in enumerate(zip(pdf["id"], dup)):
+                if is_dup:
+                    r2 = np.random.RandomState(int(i - 95_000))
+                    v = r2.normal(size=16)
+                    base[j] = v / np.linalg.norm(v)
+                else:
+                    r2 = np.random.RandomState(int(i))
+                    v = r2.normal(size=16)
+                    base[j] = v / np.linalg.norm(v)
+            yield pd.DataFrame({"vec_id": pdf["id"], "embedding": list(base)})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.range(100_000).mapInPandas(gen, schema)
+    out = semantic_dedup(df, threshold=0.999, keep="min_id")
+    n = out.count()
+    # exact duplicates land in the same cell (identical vectors -> same
+    # argmax), so all 5k collapse
+    assert n == 95_000
+
+
+def test_hll_rollup_10m(spark):
+    from patito_spark.operators.sketch import hll_distinct_rollup
+
+    df = spark.range(N).selectExpr(
+        "cast(id % 864000 as long) as ts",          # 10 'days' of seconds
+        "concat('u', cast(id % 1000000 as string)) as user",
+    )
+    out = hll_distinct_rollup(df, "ts", "user", widths=[3600, 86400])
+    rows = out.collect()
+    assert len(rows) == 240 + 10
+    total = [r for r in rows if r.resolution == 86400]
+    for r in total:
+        assert r.distinct_est > 0
