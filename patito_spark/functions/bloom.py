@@ -71,11 +71,17 @@ class BloomBits:
 
     @staticmethod
     def geometry(n_items: int, fpp: float) -> tuple:
-        """(m bits, k probes) for the target false-positive rate."""
+        """(m bits, k probes) for the target false-positive rate.
+
+        ``m`` is floored at 1024 bits (128 bytes — free) so tiny item
+        counts don't degenerate into a near-full bitset where individual
+        probes collide deterministically; ``k`` is capped at 24 (a
+        filter with spare bits gains nothing past ~2^-24 per probe and
+        each extra hash costs a vectorized pass)."""
         n = max(n_items, 1)
         m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-        m = max(m, 64)
-        k = max(1, int(round(m / n * math.log(2))))
+        m = max(m, 1024)
+        k = max(1, min(24, int(round(m / n * math.log(2)))))
         return m, k
 
     @classmethod

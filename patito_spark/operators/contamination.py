@@ -36,7 +36,7 @@ def ngram_contamination(
     gram_mode: str = "window",
     strategy: str = "auto",
     max_broadcast_grams: int = 2_000_000,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float = 1e-4,
 ) -> DataFrame:
     """Corpus documents sharing ≥ ``min_shared`` distinct n-grams with the
     benchmark.
@@ -61,19 +61,24 @@ def ngram_contamination(
       :func:`shingle_hash_rows`, broadcast hash equi-join on the gram
       hash, map-side-combined per-doc count. Use when Python worker
       lanes are saturated, or the benchmark exceeds the broadcast cap.
-    * ``"bloom"`` — the 100 TB shape for a LARGE benchmark suite (many
-      eval sets decontaminated at once): the benchmark's distinct gram
-      hashes are folded into a packed Bloom bitset
-      (:class:`patito_spark.functions.bloom.BloomBits`, ~1.2 bytes per
-      gram at the default 1% ``bloom_fpp`` — ~10× smaller than the
-      join's hash broadcast, ~50× smaller than the string set), built in
-      one distributed pass and broadcast once per executor; the corpus
-      runs scan → JVM gram-hash → vectorized-numpy membership → one
+    * ``"bloom"`` — the bounded-MEMORY shape for a LARGE benchmark
+      suite (many eval sets decontaminated at once): the benchmark's
+      distinct gram hashes are folded into a packed Bloom bitset
+      (:class:`patito_spark.functions.bloom.BloomBits`, ~2.4 bytes per
+      gram at the default ``bloom_fpp=1e-4`` — vs 8+ for the join's
+      hash broadcast, ~50× less than the string set), built in one
+      distributed pass and broadcast once per executor; the corpus runs
+      scan → JVM gram-hash → vectorized-numpy membership → one
       map-side-combined per-doc count. No false negatives (contaminated
-      documents are never missed); ``n_shared_grams`` may be inflated by
-      ≈ ``bloom_fpp`` per distinct gram, so a handful of clean documents
-      can be over-flagged at ``min_shared=1`` — the safe direction for
-      decontamination.
+      documents are never missed). Over-flagging is per-PROBE: expected
+      falsely-flagged docs ≈ total distinct corpus grams × fpp at
+      ``min_shared=1`` — at 1M docs × 8 grams the default 1e-4 costs
+      ~0.08% of the corpus, while fpp=0.01 costs 8% (measured; that is
+      why the default is 1e-4 — size fpp to the corpus gram count, not
+      to intuition). Measured at 1M docs / 100k-gram benchmark, where
+      the join still fits: join 3.4 s, bloom ~4.5 s — bloom trades ~1.3×
+      wall for an ~3× smaller broadcast that stays feasible when the
+      benchmark outgrows the join (docs/perf.md).
     * ``"auto"`` (default) — ``"set"`` unless the benchmark's distinct
       gram count exceeds ``max_broadcast_grams`` (each Python worker
       holds one copy of the set — at the default 2M cap that is a few
