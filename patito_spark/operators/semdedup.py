@@ -274,7 +274,12 @@ def semantic_dedup(
         # of every component appears in ≥1 pair by construction, so the
         # pair endpoints cover all candidate nodes (duplicates only —
         # this frame is sized by the duplicate count, not the corpus).
-        pairs = pairs.persist()
+        # tracked_persist, NOT raw persist: cache_scope only releases
+        # tracked handles on exit — a raw persist here would outlive
+        # the call.
+        from patito_spark.functions.cache import tracked_persist
+
+        pairs = tracked_persist(pairs)
         node_sims = (
             pairs.select(
                 F.col("id_a").alias("node"),

@@ -196,7 +196,11 @@ def hll_distinct_rollup(
     for width in widths[1:]:
         prev = levels[-1]
         if materialize:
-            prev.cache()  # feeds its own output row AND the next level
+            # tracked like cascade_rollup's levels: releasable by
+            # release_caches(), no silent cache-hit on re-invocation.
+            from patito_spark.functions.cache import tracked_persist
+
+            levels[-1] = prev = tracked_persist(prev)
         levels.append(
             hll_merge(
                 prev.withColumn("__bucket", time_bucket(F.col("__bucket"), width)),

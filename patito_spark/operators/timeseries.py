@@ -130,7 +130,15 @@ def cascade_rollup(
     for width in widths[1:]:
         prev = levels[-1]
         if materialize:
-            prev.cache()  # each level feeds its output row AND the next level
+            # tracked, not a raw .cache(): level caches must be
+            # releasable by release_caches()/cache_scope — an untracked
+            # cache outlives the call and, because Spark keys caches by
+            # plan structure, silently serves the next structurally
+            # identical invocation (the cache-hit-floor failure mode the
+            # bench guards against).
+            from patito_spark.functions.cache import tracked_persist
+
+            levels[-1] = prev = tracked_persist(prev)
         levels.append(
             prev.withColumn("__bucket", time_bucket(F.col("__bucket"), width))
             .groupBy("__bucket", *group_cols)
@@ -165,13 +173,15 @@ def fill_gaps(
 
     The input feeds two plan branches (the bounds agg and the join);
     ``materialize=True`` persists it so the source is scanned once —
-    the 100 TB path. The cache is left for the caller's session (release
-    with ``df.unpersist()`` / ``spark.catalog.clearCache()``); default
+    the 100 TB path. The cache is tracked: released by
+    ``patito_spark.release_caches()`` (or ``df.unpersist()``); default
     ``False`` re-scans lazily.
     """
     group_cols = list(group_cols or [])
     if materialize:
-        df = df.persist()
+        from patito_spark.functions.cache import tracked_persist
+
+        df = tracked_persist(df)
     bounds = df.groupBy(*group_cols).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )
