@@ -162,3 +162,46 @@ def test_no_duplicates_is_identity(spark):
     )
     out = semantic_dedup(df, threshold=0.999, n_centroids=4, keep="outlier")
     assert out.count() == 30
+
+
+def test_on_driver_embeddings_table(spark, sf_dir):
+    """Real table shape (vec_id, embedding from testdata parquet):
+    within-cell pairs are a SUBSET of the global exact pairs (the cell
+    restriction can only remove pairs, never invent or rescore them),
+    with bit-equal cosines on the shared ones."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.35  # synthetic embeddings are near-orthogonal; lower thr -> pairs exist
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(df, threshold=thr, n_centroids=4).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dedup_pairs(df, threshold=thr).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k]
+    out = semantic_dedup(df, threshold=thr, n_centroids=4, keep="outlier")
+    assert out.count() == df.count() - len(
+        {n for pair in got for n in pair}
+    ) + _n_components(got)
+
+
+def _n_components(pairs):
+    """Union-find over the pair keys (tiny, test-side only)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    nodes = {n for p in pairs for n in p}
+    return len({find(n) for n in nodes})
