@@ -97,6 +97,7 @@ def main():
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--changes", type=int, default=500_000)
     ap.add_argument("--keys", type=int, default=50_000)
+    ap.add_argument("--events", type=int, default=1_000_000)
     args = ap.parse_args()
 
     spark = (
@@ -164,6 +165,69 @@ def main():
         "wall_s": round(wall, 2),
         "changes_per_s": int(args.changes / wall),
         "target_rows": final_rows,
+    }
+
+    # --- sessionization: native session_window vs Python state -------- #
+    from patito_spark.streaming import (
+        session_window_aggregate,
+        sessionize_stream,
+    )
+
+    n_ev = args.events
+    ev_src = f"{work}/events"
+    # 10k users, ~n/10k events each, gaps 1-120 s (session gap 60 s)
+    spark.range(n_ev).selectExpr(
+        "id % 10000 as user_id",
+        "timestamp_seconds(1000000 + cast(id / 10000 as long) * "
+        "(1 + pmod(xxhash64(id), 120))) as ts",
+    ).write.parquet(ev_src)
+    stream = lambda: spark.readStream.schema(
+        "user_id long, ts timestamp"
+    ).parquet(ev_src)
+
+    t0 = time.perf_counter()
+    q = (
+        session_window_aggregate(
+            stream(), "user_id", "ts", "60 seconds", watermark="0 seconds"
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    native_wall = time.perf_counter() - t0
+
+    # The custom-state path registers processing-time timeouts, so it
+    # never self-terminates under availableNow — drain by progress.
+    t0 = time.perf_counter()
+    q = (
+        sessionize_stream(stream(), gap="60 seconds", watermark="1 hour")
+        .writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if sum(p["numInputRows"] for p in q.recentProgress) >= n_ev:
+            break
+        time.sleep(0.5)
+    custom_wall = time.perf_counter() - t0
+    q.stop()
+    q.awaitTermination(30)
+    out["sessionize"] = {
+        "events": n_ev,
+        "native_session_window": {
+            "wall_s": round(native_wall, 2),
+            "events_per_s": int(n_ev / native_wall),
+        },
+        "custom_applyInPandasWithState": {
+            "wall_s": round(custom_wall, 2),
+            "events_per_s": int(n_ev / custom_wall),
+        },
     }
 
     print(json.dumps(out, indent=2))
