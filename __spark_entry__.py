@@ -486,20 +486,19 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rel_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic order + limit/offset pagination via the Relation layer."""
-    part = _rel(spark, sf_dir, "part")
+def rel_distinct_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation.distinct + order + limit(offset) pagination in ONE driver
+    slot (merged from the former rel_distinct and rel_limit_offset
+    entries to free a slot under the 50-entry cap — round 9; both
+    methods stay unit-oracled standalone)."""
+    customer = _rel(spark, sf_dir, "customer")
     return (
-        part.select("p_partkey", "p_name", "p_retailprice")
-        .order(by=["p_retailprice desc", "p_partkey"])
-        .limit(20, offset=10)
+        customer.select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .order(by=["c_mktsegment", "c_nationkey"])
+        .limit(20, offset=5)
         .dataframe
     )
-
-
-def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _rel(spark, sf_dir, "customer")
-    return customer.select("c_mktsegment", "c_nationkey").distinct().dataframe
 
 
 def rel_from_parquet_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +785,21 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=_ivf_index(spark, sf_dir),
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster pairs over the SAME session-lived IvfIndex
+    that ann_ivf queries — one corpus scan and one quantizer serve ANN
+    search AND semantic dedup. Fixed 16-centroid cosine quantizer, so
+    the oracle SQL replays cell assignment, in-cell pairwise cosine, and
+    each endpoint's centroid similarity exactly (all sequential-fold,
+    compared unrounded)."""
+    from patito_spark.operators.semdedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, threshold=0.3, index=_ivf_index(spark, sf_dir)
+    )
 
 
 def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,8 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join": rel_join,
         "rel_setops": rel_setops,
         "q_semi_anti_customers": q_semi_anti_customers,
-        "rel_limit_offset": rel_limit_offset,
-        "rel_distinct": rel_distinct,
+        "rel_distinct_page": rel_distinct_page,
+        "dedup_semantic": dedup_semantic,
         "rel_from_parquet_path": rel_from_parquet_path,
         "rel_left_join_coalesce": rel_left_join_coalesce,
         "q_pivot_events": q_pivot_events,
@@ -1743,14 +1757,46 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_without_orders, 0) AS n_without_orders
             FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
         """,
-        "rel_limit_offset": """
-            SELECT p_partkey, p_name, p_retailprice
-            FROM part
-            ORDER BY p_retailprice DESC, p_partkey ASC
-            LIMIT 20 OFFSET 10
-        """,
-        "rel_distinct": """
+        "rel_distinct_page": """
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+            ORDER BY c_mktsegment, c_nationkey
+            LIMIT 20 OFFSET 5
+        """,
+        "dedup_semantic": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[]
+                       )) AS norm
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       v AS cv, norm AS cnorm
+                FROM e WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT e.vec_id, e.v, e.norm, cent.cell,
+                       list_dot_product(e.v, cent.cv)
+                           / (e.norm * cent.cnorm) AS cs,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, cent.cv)
+                                    / (e.norm * cent.cnorm) DESC,
+                                    cent.cell ASC
+                       ) AS rn
+                FROM e, cent
+            ),
+            assign AS (
+                SELECT vec_id, v, norm, cell, cs AS cent_sim
+                FROM scored WHERE rn = 1
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine,
+                   a.cent_sim AS cent_sim_a, b.cent_sim AS cent_sim_b
+            FROM assign a JOIN assign b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.3
         """,
         "rel_from_parquet_path": """
             SELECT * FROM region ORDER BY r_regionkey
