@@ -1791,12 +1791,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, v, norm, cell, cs AS cent_sim
                 FROM scored WHERE rn = 1
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cosine,
-                   a.cent_sim AS cent_sim_a, b.cent_sim AS cent_sim_b
-            FROM assign a JOIN assign b
-              ON a.cell = b.cell AND a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.3
+            SELECT id_a, id_b, cosine, cent_sim_a, cent_sim_b FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                           AS cosine,
+                       a.cent_sim AS cent_sim_a, b.cent_sim AS cent_sim_b
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.3
         """,
         "rel_from_parquet_path": """
             SELECT * FROM region ORDER BY r_regionkey
