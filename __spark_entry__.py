@@ -732,6 +732,32 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
     return _ANN_INDEX_CACHE[key]
 
 
+def _ivf_cells_for(sf_dir: str) -> int:
+    """Quantizer size for the fixed-centroid IVF entries at ``sf_dir``:
+    ``auto_n_centroids`` over the ACTUAL embeddings row count (parquet
+    footer read, no data scan). A pinned cell count turns the in-cell
+    stages quadratic as the corpus grows — at sf1 a 16-cell quantizer
+    puts ~1250 vectors per cell, 12.5M exact pair-scorings for
+    dedup_semantic on BOTH engines; sqrt-n cells keep assignment
+    (n*cells) and in-cell work (n^2/cells) balanced, the same
+    scale-fairness fix the LSH oracle got in round 9 (verdict r8 #1)."""
+    from patito_spark.operators.similarity import auto_n_centroids
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+    except (ImportError, OSError) as exc:
+        n = 500
+        print(
+            f"[_ivf_cells_for] cell-count fallback n={n}: "
+            f"cannot read {path} ({exc})",
+            file=sys.stderr,
+        )
+    return auto_n_centroids(n)
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.similarity import build_ivf_index
 
@@ -740,7 +766,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         emb = _t(spark, sf_dir, "embeddings")
         _ANN_INDEX_CACHE[key] = build_ivf_index(
             emb,
-            centroids_df=emb.filter(F.col("vec_id") < 16),
+            centroids_df=emb.filter(F.col("vec_id") < _ivf_cells_for(sf_dir)),
             assign_metric="cosine",
         )
     return _ANN_INDEX_CACHE[key]
@@ -768,11 +794,12 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over a prebuilt inverted file.
 
-    Centroids are 16 fixed corpus points (vec_id < 16) — the standard
-    "IVF-flat, sampled coarse quantizer" baseline — with cosine cell
-    assignment, so the oracle SQL replays assignment, probing, and ranking
-    exactly. The KMeans quantizer path stays the library default (unit
-    recall tests cover it)."""
+    Centroids are the first auto_n_centroids(n) fixed corpus points
+    (~sqrt(n): 22 at sf0.01, 141 at sf1 — a pinned count would make
+    cell scans linear in corpus size) with cosine cell assignment, so
+    the oracle SQL replays assignment, probing, and ranking exactly at
+    any SF (PATITO_ORACLE_SF_DIR contract). The KMeans quantizer path
+    stays the library default (unit recall tests cover it)."""
     from patito_spark.operators.similarity import ann_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -790,10 +817,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup within-cluster pairs over the SAME session-lived IvfIndex
     that ann_ivf queries — one corpus scan and one quantizer serve ANN
-    search AND semantic dedup. Fixed 16-centroid cosine quantizer, so
-    the oracle SQL replays cell assignment, in-cell pairwise cosine, and
-    each endpoint's centroid similarity exactly (all sequential-fold,
-    compared unrounded)."""
+    search AND semantic dedup. Fixed first-auto_n_centroids(n) cosine
+    quantizer (~sqrt(n) cells keeps assignment and in-cell pair work
+    balanced at any SF), so the oracle SQL replays cell assignment,
+    in-cell pairwise cosine, and each endpoint's centroid similarity
+    exactly (all sequential-fold, compared unrounded)."""
     from patito_spark.operators.semdedup import semantic_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1484,6 +1512,16 @@ def _lsh_auto_planes_at_compare_sf() -> int:
     return auto_n_planes(n)
 
 
+def _ivf_cells_at_compare_sf() -> int:
+    """The quantizer size the fixed-centroid IVF entries use at the SF
+    the oracle is being run against — same PATITO_ORACLE_SF_DIR contract
+    as :func:`_lsh_auto_planes_at_compare_sf`, so both engines assign
+    to the same cells at any scale."""
+    return _ivf_cells_for(
+        os.environ.get("PATITO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
+
+
 # The portable hash is 60-bit (top 4 bits constant 0), so SimHash bits
 # 60-63 can never win a vote — the oracle only materializes bits 0..59.
 _SIMHASH_BITS = 60
@@ -1618,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
     segment_case = " ".join(
         f"when '{seg}' then {code}" for seg, code in SEGMENT_CODES.items()
     )
+    ivf_k = _ivf_cells_at_compare_sf()
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1762,7 +1801,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_mktsegment, c_nationkey
             LIMIT 20 OFFSET 5
         """,
-        "dedup_semantic": """
+        "dedup_semantic": f"""
             WITH e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v,
                        sqrt(list_dot_product(
@@ -1773,19 +1812,20 @@ def oracle_sql() -> dict[str, str]:
             cent AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                        v AS cv, norm AS cnorm
-                FROM e WHERE vec_id < 16
+                FROM e WHERE vec_id < {ivf_k}
             ),
             scored AS (
-                SELECT e.vec_id, e.v, e.norm, cent.cell,
-                       list_dot_product(e.v, cent.cv)
-                           / (e.norm * cent.cnorm) AS cs,
+                SELECT vec_id, v, norm, cell, cs,
                        row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY list_dot_product(e.v, cent.cv)
-                                    / (e.norm * cent.cnorm) DESC,
-                                    cent.cell ASC
+                           PARTITION BY vec_id
+                           ORDER BY cs DESC, cell ASC
                        ) AS rn
-                FROM e, cent
+                FROM (
+                    SELECT e.vec_id, e.v, e.norm, cent.cell,
+                           list_dot_product(e.v, cent.cv)
+                               / (e.norm * cent.cnorm) AS cs
+                    FROM e, cent
+                )
             ),
             assign AS (
                 SELECT vec_id, v, norm, cell, cs AS cent_sim
@@ -2023,7 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         # vec_id < 16 (cell = id rank), cosine assignment with
         # (score desc, cell asc) ties, 3-probe search, exact ranking in the
         # probed cells.
-        "ann_ivf": """
+        "ann_ivf": f"""
             WITH e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v,
                        sqrt(list_dot_product(
@@ -2034,17 +2074,20 @@ def oracle_sql() -> dict[str, str]:
             cent AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                        v AS cv, norm AS cnorm
-                FROM e WHERE vec_id < 16
+                FROM e WHERE vec_id < {ivf_k}
             ),
             scored AS (
-                SELECT e.vec_id, e.v, e.norm, cent.cell,
+                SELECT vec_id, v, norm, cell, cs,
                        row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY list_dot_product(e.v, cent.cv)
-                                    / (e.norm * cent.cnorm) DESC,
-                                    cent.cell ASC
+                           PARTITION BY vec_id
+                           ORDER BY cs DESC, cell ASC
                        ) AS rn
-                FROM e, cent
+                FROM (
+                    SELECT e.vec_id, e.v, e.norm, cent.cell,
+                           list_dot_product(e.v, cent.cv)
+                               / (e.norm * cent.cnorm) AS cs
+                    FROM e, cent
+                )
             ),
             assign AS (
                 SELECT vec_id, v, norm, cell FROM scored WHERE rn = 1
