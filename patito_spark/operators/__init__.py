@@ -11,6 +11,7 @@ from patito_spark.operators import (
     graph,
     multimodal,
     packing,
+    paragraphs,
     pipeline,
     sampling,
     semdedup,
@@ -28,6 +29,7 @@ __all__ = [
     "graph",
     "multimodal",
     "packing",
+    "paragraphs",
     "pipeline",
     "sampling",
     "semdedup",

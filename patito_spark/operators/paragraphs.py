@@ -1,0 +1,190 @@
+"""Paragraph/line-level dedup and boilerplate removal (CCNet-style).
+
+Web-scale training corpora are deduplicated at PARAGRAPH granularity
+before (or in addition to) document-level near-dup: CCNet drops
+duplicated paragraphs across shards, and RefinedWeb/Gopher-class
+pipelines remove lines that repeat across many documents (navigation
+chrome, cookie banners, boilerplate). The reference engine (patito) has
+no corpus operators at all; this module is part of the pipeline layer
+this engine adds (SURVEY.md §2 [O]).
+
+Scale design (100 TB / 1000 executors):
+
+* ``split_paragraphs`` is map-only: ``posexplode(split(...))`` plus
+  codegen normalization — no shuffle, no Python. Reassembly extracts the
+  ordered paragraphs with ``array_sort(collect_list(struct)).getField``
+  — no interpreted higher-order-function lambda anywhere.
+* ``dedup_paragraphs(scope="corpus")`` costs exactly two shuffles on the
+  exploded paragraph table (occurrence ranking on the paragraph key,
+  then doc reassembly) plus one co-keyed join back to the input. The
+  ranking window partitions by the normalized paragraph text itself —
+  Spark hash-partitions the key internally, rows only compare within
+  identical keys, and (unlike a 64-bit pre-hash) collisions cannot merge
+  distinct paragraphs.
+* ``scope="document"`` needs no cross-doc state: rank and reassembly
+  share the ``(doc, paragraph)`` partitioning and AQE collapses them
+  into one exchange.
+* Boilerplate removal is one extra hash aggregate (distinct-doc counts
+  per paragraph, map-side combined) and a shuffle anti-join; no
+  broadcast of unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "split_paragraphs",
+    "dedup_paragraphs",
+    "drop_boilerplate_paragraphs",
+]
+
+
+def _norm_key(para: Column, normalize: bool) -> Column:
+    """Match key for a paragraph: trimmed, whitespace-collapsed, and
+    (optionally) lowercased — two paragraphs differing only in spacing
+    or case are the same boilerplate."""
+    key = F.regexp_replace(F.trim(para), r"\s+", " ")
+    return F.lower(key) if normalize else key
+
+
+def split_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_pattern: str = r"\n{2,}",
+    min_chars: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """Explode documents into ``(id, para_idx, paragraph, para_key)``.
+
+    Map-only (codegen split + posexplode): safe to run on the full
+    corpus. ``para_idx`` is the paragraph's position inside its document
+    (the reassembly order), ``para_key`` the normalized match key.
+    Whitespace-only fragments (empty splits) are dropped; ``min_chars``
+    applies to the normalized key.
+    """
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+            "para_idx", "paragraph"
+        ),
+    ).withColumn("para_key", _norm_key(F.col("paragraph"), normalize))
+    return out.filter(F.length("para_key") >= max(min_chars, 1))
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_pattern: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    scope: str = "corpus",
+    min_chars: int = 1,
+    normalize: bool = True,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Remove duplicated paragraphs, keeping each one's FIRST occurrence.
+
+    ``scope="corpus"``: a paragraph is kept only in the document where it
+    first appears — first by ``(id_col, para_idx)`` ordering, so the
+    result is deterministic and replayable in ANSI SQL (the in-test
+    DuckDB oracle re-derives it with a row_number window). This is the
+    CCNet paragraph-dedup semantics. ``scope="document"`` dedups only
+    within each document (repeated chorus/disclaimer inside one doc).
+
+    Returns ``df`` with ``text_col`` rebuilt from the surviving
+    paragraphs (original paragraph text, original order, joined with
+    ``join_sep``); all other columns pass through. Documents whose every
+    paragraph was removed are dropped when ``drop_empty`` (the CCNet
+    behavior), else kept with an empty string.
+    """
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+
+    paras = split_paragraphs(
+        df, id_col, text_col, sep_pattern, min_chars, normalize
+    )
+
+    part = ["para_key"] if scope == "corpus" else [id_col, "para_key"]
+    rank = Window.partitionBy(*part).orderBy(F.col(id_col), F.col("para_idx"))
+    kept = (
+        paras.withColumn("__occ", F.row_number().over(rank))
+        .filter(F.col("__occ") == 1)
+        .drop("__occ", "para_key")
+    )
+
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "paragraph"))
+            ).getField("paragraph"),
+        ).alias("__rebuilt")
+    )
+
+    how = "inner" if drop_empty else "left"
+    out = (
+        df.drop(text_col)
+        .join(rebuilt, on=id_col, how=how)
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
+    )
+    # Present columns in the input order (text back in its old slot).
+    return out.select(*df.columns)
+
+
+def drop_boilerplate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_pattern: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    min_docs: int = 3,
+    min_chars: int = 1,
+    normalize: bool = True,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Remove EVERY occurrence of paragraphs appearing in >= ``min_docs``
+    distinct documents (navigation chrome, cookie banners, license
+    footers). RefinedWeb-style boilerplate pruning: unlike
+    :func:`dedup_paragraphs` no copy survives, because a paragraph shared
+    by many documents is template text, not content.
+
+    One hash aggregate computes per-paragraph distinct-doc counts
+    (map-side combined); common paragraphs are removed with a shuffle
+    anti-join on the paragraph key. Returns ``df`` with ``text_col``
+    rebuilt (other columns untouched).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    paras = split_paragraphs(
+        df, id_col, text_col, sep_pattern, min_chars, normalize
+    )
+
+    common = (
+        paras.groupBy("para_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("para_key")
+    )
+    kept = paras.join(common, on="para_key", how="left_anti")
+
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "paragraph"))
+            ).getField("paragraph"),
+        ).alias("__rebuilt")
+    )
+
+    how = "inner" if drop_empty else "left"
+    out = (
+        df.drop(text_col)
+        .join(rebuilt, on=id_col, how=how)
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
+    )
+    return out.select(*df.columns)
