@@ -10,7 +10,10 @@ letting Catalyst fuse the map-only stages).
 Stage costs at scale (details in docs/scale.md):
 
 * clean + filter: fused into the first scan's projection (map-only
-  unless the repetition gate is on); the optional perplexity gate
+  unless the repetition gate is on); the optional paragraph stages
+  (``boilerplate_min_docs``, ``paragraph_dedup`` — CCNet-style, see
+  operators/paragraphs.py) each add two shuffles over the exploded
+  paragraph table; the optional perplexity gate
   (CCNet-style: drop documents unlike a trusted reference LM) adds one
   broadcast join + per-doc aggregate;
 * dedup: MinHash LSH candidates + verification + components — the only
@@ -36,6 +39,9 @@ def prepare_training_corpus(
     min_quality: Optional[float] = None,
     languages: Optional[Sequence[str]] = None,
     min_tokens: Optional[int] = 5,
+    paragraph_dedup: Optional[str] = None,
+    boilerplate_min_docs: Optional[int] = None,
+    paragraph_sep: str = r"\n{2,}",
     max_perplexity: Optional[float] = None,
     perplexity_lm: Optional[DataFrame] = None,
     dedup_threshold: Optional[float] = 0.7,
@@ -69,7 +75,37 @@ def prepare_training_corpus(
     from patito_spark.operators.packing import chunk_documents, pack_sequences
     from patito_spark.operators.text import clean_text, filter_corpus
 
-    cleaned = df.withColumn(text_col, clean_text(text_col)).filter(
+    # Paragraph stages run on the RAW text (CCNet order, and by
+    # necessity: clean_text collapses whitespace, which erases the
+    # \n\n paragraph boundaries these stages key on). Their match keys
+    # normalize case/spacing internally, so boilerplate still matches
+    # across formatting variants.
+    staged = df
+    if boilerplate_min_docs is not None:
+        # Template text repeated across >= k docs is removed BEFORE the
+        # quality/token gates, so the gates judge the actual content.
+        from patito_spark.operators.paragraphs import (
+            drop_boilerplate_paragraphs,
+        )
+
+        staged = drop_boilerplate_paragraphs(
+            staged,
+            id_col=id_col,
+            text_col=text_col,
+            sep_pattern=paragraph_sep,
+            min_docs=boilerplate_min_docs,
+        )
+    if paragraph_dedup is not None:
+        from patito_spark.operators.paragraphs import dedup_paragraphs
+
+        staged = dedup_paragraphs(
+            staged,
+            id_col=id_col,
+            text_col=text_col,
+            sep_pattern=paragraph_sep,
+            scope=paragraph_dedup,
+        )
+    cleaned = staged.withColumn(text_col, clean_text(text_col)).filter(
         F.length(F.col(text_col)) > 0
     )
     gated = filter_corpus(

@@ -181,3 +181,41 @@ def test_prepare_semantic_dedup_stage(spark):
 
     with pytest.raises(ValueError, match="embeddings"):
         prepare_training_corpus(corpus, semantic_threshold=0.9)
+
+
+def test_prepare_paragraph_stages(spark):
+    footer = "subscribe to our newsletter for updates"
+    corpus = spark.createDataFrame(
+        [
+            (20, f"unique article about spark internals\n\n{footer}"),
+            (21, f"another piece on duckdb oracle testing\n\n{footer}"),
+            (22, f"third story covering minhash dedup tricks\n\n{footer}"),
+            (23, f"shared paragraph body appears twice here\n\nfresh tail content for doc"),
+            (24, "shared paragraph body appears twice here\n\ndifferent ending for this one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus,
+        min_tokens=2,
+        dedup_threshold=None,
+        boilerplate_min_docs=3,
+        paragraph_dedup="corpus",
+    )
+    texts = {r.doc_id: r.text for r in out["documents"].collect()}
+    # The 3-doc footer is boilerplate: removed everywhere, incl. first copy.
+    assert all(footer not in t for t in texts.values())
+    # Corpus paragraph dedup keeps the first copy (doc 23), drops doc 24's.
+    assert "shared paragraph body" in texts[23]
+    assert "shared paragraph body" not in texts[24]
+    assert "different ending" in texts[24]
+
+
+def test_prepare_paragraph_scope_validated(spark):
+    corpus = spark.createDataFrame(
+        [(1, "one paragraph only")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="scope"):
+        prepare_training_corpus(
+            corpus, dedup_threshold=None, paragraph_dedup="everywhere"
+        )
