@@ -9,6 +9,7 @@ from patito_spark.operators import (
     contamination,
     dedup,
     graph,
+    mixing,
     multimodal,
     packing,
     paragraphs,
@@ -27,6 +28,7 @@ __all__ = [
     "contamination",
     "dedup",
     "graph",
+    "mixing",
     "multimodal",
     "packing",
     "paragraphs",

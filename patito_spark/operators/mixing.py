@@ -1,0 +1,152 @@
+"""Corpus mixing: weighted domain sampling to a token budget.
+
+Pretraining data is assembled from many domains with explicit mixture
+weights (The Pile's per-set epochs, DoReMi's reweighting): "books 30%,
+web 60%, code 10% of a 500B-token budget". ``mix_corpora`` turns those
+weights into a deterministic per-domain sampling plan and materializes
+the mixture lazily. The reference engine has no corpus layer; this is
+part of the pipeline surface this engine adds (SURVEY.md §2 [O]).
+
+Scale design (100 TB / 1000 executors):
+
+* Token totals are ONE codegen aggregate per domain (sum of
+  ``token_count``) — the only jobs this operator runs; everything else
+  is a lazy plan.
+* Selection is :func:`deterministic_sample`'s keyed hash — map-only,
+  no shuffle, stable across runs/partitionings, so two calls with the
+  same seed produce the identical mixture (reproducible data cards).
+* Undersized domains repeat (The Pile's "epochs > 1"): ``k`` full
+  copies plus a hash-sampled remainder, emitted via a map-only
+  ``explode(sequence(...))`` — no self-union of N scans, one scan per
+  domain regardless of epoch count. The ``epoch`` column keeps copies
+  distinguishable downstream (e.g. for shuffling or loss masking).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from patito_spark.operators.sampling import _hash_fraction
+
+__all__ = ["mix_corpora"]
+
+
+def mix_corpora(
+    corpora: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allow_repeat: bool = True,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> dict:
+    """Sample each domain so expected token counts match the weights.
+
+    Args:
+        corpora: ``{domain_name: documents_df}``; each frame needs
+            ``id_col`` and ``text_col``.
+        weights: relative mixture weights per domain (normalized
+            internally; every corpus key must be present).
+        token_budget: total token target for the mixture (whitespace
+            tokens, the same ``token_count`` the quality gates use).
+        allow_repeat: when a domain has fewer tokens than its share,
+            repeat it (epochs, Pile-style). With ``allow_repeat=False``
+            the domain is capped at one full epoch and the mixture
+            under-fills instead.
+        seed / hash_mode: passed to the deterministic hash selector
+            (``hash_mode="portable"`` makes the mixture replayable in
+            ANSI SQL, same contract as the sampling operators).
+
+    Returns a dict:
+
+    * ``"mixed"`` — lazy DataFrame: every selected document with
+      ``mix_source`` (domain) and ``epoch`` (0-based copy number)
+      columns; other columns pass through.
+    * ``"plan"`` — list of per-domain dicts (``source``,
+      ``total_tokens``, ``share``, ``target_tokens``, ``epochs``:
+      full copies, ``remainder_fraction``): the materialized sampling
+      decisions, ready for a dataset card.
+    """
+    from patito_spark.operators.text import token_count
+
+    if set(corpora) != set(weights):
+        raise ValueError(
+            f"corpora keys {sorted(corpora)} != weight keys {sorted(weights)}"
+        )
+    if not corpora:
+        raise ValueError("mix_corpora needs at least one corpus")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+
+    plan = []
+    parts = []
+    for name, df in corpora.items():
+        share = weights[name] / total_w
+        target = share * token_budget
+        total_tokens = (
+            df.agg(F.sum(token_count(text_col)).alias("t")).collect()[0]["t"]
+            or 0
+        )
+        if total_tokens == 0:
+            ratio = 0.0
+        else:
+            ratio = target / total_tokens
+        if not allow_repeat:
+            ratio = min(ratio, 1.0)
+        epochs = int(math.floor(ratio))
+        remainder = ratio - epochs
+
+        plan.append(
+            {
+                "source": name,
+                "total_tokens": int(total_tokens),
+                "share": share,
+                "target_tokens": int(round(target)),
+                "epochs": epochs,
+                "remainder_fraction": remainder,
+            }
+        )
+        if ratio <= 0:
+            continue
+
+        # One scan per domain: full epochs fan out map-only via
+        # explode(sequence(0, epochs-1)); the remainder epoch is the
+        # keyed hash sample. Different epochs use the SAME remainder
+        # membership only for the last partial copy, so no document
+        # appears twice within one epoch.
+        selected = df.withColumn(
+            "__keep_partial",
+            _hash_fraction(F.col(id_col), seed, hash_mode=hash_mode)
+            < F.lit(remainder),
+        )
+        n_copies = F.when(
+            F.col("__keep_partial"), F.lit(epochs + 1)
+        ).otherwise(F.lit(epochs))
+        # sequence(0, n-1) is DESCENDING (not empty) when n = 0, so gate
+        # the array behind when(): explode(null) drops the row, which is
+        # exactly "document not selected this mixture".
+        epoch_arr = F.when(
+            n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+        )
+        part = (
+            selected.withColumn("epoch", F.explode(epoch_arr))
+            .drop("__keep_partial")
+            .withColumn("mix_source", F.lit(name))
+        )
+        parts.append(part)
+
+    if not parts:
+        raise ValueError(
+            "empty mixture: every corpus is empty or has zero weight"
+        )
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p, allowMissingColumns=True)
+    return {"mixed": mixed, "plan": plan}
