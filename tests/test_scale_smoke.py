@@ -281,3 +281,44 @@ def test_hll_rollup_10m(spark):
     total = [r for r in rows if r.resolution == 86400]
     for r in total:
         assert r.distinct_est > 0
+
+
+def test_paragraph_dedup_1m_docs(spark):
+    from patito_spark.operators.paragraphs import dedup_paragraphs
+
+    # 1M docs x 4 paragraphs from a 100k-paragraph pool: heavy cross-doc
+    # duplication, ~4M exploded rows through the keep-first window.
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat_ws('\n\n',"
+        " concat('para ', cast(id % 100000 as string), ' body'),"
+        " concat('para ', cast((id * 7 + 1) % 100000 as string), ' body'),"
+        " concat('para ', cast((id * 13 + 2) % 100000 as string), ' body'),"
+        " concat('unique tail ', cast(id as string))) as text",
+    )
+    out = dedup_paragraphs(docs, drop_empty=True)
+    # Every doc keeps at least its unique tail paragraph.
+    assert out.count() == 1_000_000
+
+
+def test_mix_corpora_4m_docs(spark):
+    from patito_spark.operators.mixing import mix_corpora
+
+    big = spark.range(3_000_000).selectExpr(
+        "id as doc_id", "'web token text body here' as text"
+    )
+    small = spark.range(1_000_000).selectExpr(
+        "id as doc_id", "'book words' as text"
+    )
+    out = mix_corpora(
+        {"web": big, "books": small},
+        weights={"web": 3, "books": 2},
+        token_budget=9_000_000,
+    )
+    plan = {p["source"]: p for p in out["plan"]}
+    # books target 3.6M of 2M tokens -> repeats (1 full epoch + partial);
+    # web target 5.4M of 15M -> fraction 0.36. Expected docs:
+    # 3M*0.36 + 1M*1.8 = ~2.88M.
+    assert plan["books"]["epochs"] == 1
+    n = out["mixed"].count()
+    assert 2_700_000 < n < 3_100_000
