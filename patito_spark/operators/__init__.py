@@ -22,6 +22,7 @@ from patito_spark.operators import (
     temporal,
     text,
     timeseries,
+    urls,
 )
 
 __all__ = [
@@ -41,4 +42,5 @@ __all__ = [
     "temporal",
     "text",
     "timeseries",
+    "urls",
 ]

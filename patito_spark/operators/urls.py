@@ -1,0 +1,157 @@
+"""URL canonicalization and URL-level dedup for web corpora.
+
+Web-crawl pipelines dedup by canonical URL before any content-level
+pass: the same page is fetched as ``http://`` and ``https://``, with
+and without ``www.``, with tracking parameters appended, with session
+fragments — all one document. Canonicalization collapses those variants
+so the (cheap, exact) URL dedup removes refetches before the expensive
+content dedup runs.
+
+Scale design: :func:`canonicalize_url` is a single codegen projection —
+``parse_url`` component extraction plus a fixed ``regexp_replace``
+chain, no Python, no higher-order functions unless the opt-in query
+re-sorting is enabled (per-row JVM interpreted lambda, documented
+cost). :func:`dedup_urls` is exact dedup on the canonical key: one hash
+aggregate with map-side combine, same shape as ``dedup_exact``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["canonicalize_url", "dedup_urls", "TRACKING_PARAMS"]
+
+#: Query parameters that identify a campaign/click, not a resource.
+TRACKING_PARAMS = (
+    "utm_[^&=]*",
+    "fbclid",
+    "gclid",
+    "gclsrc",
+    "dclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "igshid",
+    "ref",
+    "ref_src",
+    "spm",
+)
+
+
+def canonicalize_url(
+    url: Column | str,
+    strip_www: bool = True,
+    tracking_params: Sequence[str] = TRACKING_PARAMS,
+    sort_query: bool = False,
+) -> Column:
+    """Canonical form of a URL, as one codegen expression.
+
+    Normalizations applied:
+
+    * scheme and host lowercased; ``www.`` prefix dropped (opt-out);
+    * default ports ``:80`` (http) / ``:443`` (https) removed;
+    * fragment (``#...``) removed;
+    * tracking query parameters removed (``utm_*``, ``fbclid``, ... —
+      extend via ``tracking_params``, each entry a regex for the
+      parameter NAME);
+    * empty query (``?`` left over) removed; trailing ``/`` on a
+      non-root path removed;
+    * ``sort_query=True`` additionally orders the surviving query
+      parameters byte-wise (``a=1&b=2`` == ``b=2&a=1``). This is the
+      one step that needs array ops (split → array_sort → rejoin) —
+      JVM-interpreted per row, so it is opt-in; everything else stays
+      in whole-stage codegen.
+
+    Malformed URLs (no scheme, garbage) pass through trimmed-lowercase
+    — a stable key is still a dedup key even when unparseable.
+    """
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    # HOST is hostname-only; the port lives in AUTHORITY. Re-attach it
+    # so ":8080" survives while the scheme-default ":80"/":443" drop.
+    authority = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    hostport = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(
+        host
+    )
+
+    # Strip tracking parameters from the query string, then collapse
+    # separator debris ("a=1&&b=2", leading "&").
+    for name in tracking_params:
+        query = F.regexp_replace(query, rf"(^|&){name}=[^&]*", "$1")
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&|&$", "")
+    if sort_query:
+        query = F.when(
+            (query.isNotNull()) & (query != ""),
+            F.array_join(F.array_sort(F.split(query, "&")), "&"),
+        ).otherwise(query)
+
+    # Non-root trailing slash: /a/b/ -> /a/b ; "/" and "" both mean root.
+    path = F.regexp_replace(path, r"(.+?)/+$", "$1")
+    path = F.when((path == "") | path.isNull(), F.lit("/")).otherwise(path)
+
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(
+            query.isNotNull() & (query != ""), F.concat(F.lit("?"), query)
+        ).otherwise(F.lit("")),
+    )
+    # Unparseable input (no scheme/host): fall back to a stable key.
+    return F.when(
+        scheme.isNotNull() & host.isNotNull(), rebuilt
+    ).otherwise(F.lower(u))
+
+
+def dedup_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+    canonical_col: Optional[str] = None,
+    **canon_kwargs,
+) -> DataFrame:
+    """Drop refetches of the same canonical URL (keep one row each).
+
+    ``keep="min_id"`` keeps the smallest ``id_col`` per canonical URL
+    (deterministic); ``keep="any"`` lets Spark keep an arbitrary row
+    (``dropDuplicates`` — one fewer sort, fine when rows are identical
+    refetches). The canonical key is added as ``canonical_col`` when a
+    name is given, else used transiently.
+    """
+    if keep not in ("min_id", "any"):
+        raise ValueError(f"keep must be 'min_id' or 'any', got {keep!r}")
+
+    key = canonical_col or "__canon_url"
+    with_key = df.withColumn(
+        key, canonicalize_url(F.col(url_col), **canon_kwargs)
+    )
+    if keep == "any":
+        out = with_key.dropDuplicates([key])
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(id_col))
+        out = (
+            with_key.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out if canonical_col else out.drop(key)

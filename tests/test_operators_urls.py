@@ -1,0 +1,111 @@
+"""URL canonicalization / dedup against hand-checked expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patito_spark.operators.urls import canonicalize_url, dedup_urls
+from patito_spark.plans.explain import executed_plan
+
+
+def canon(spark, url, **kw):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url("url", **kw).alias("c")).collect()[0]["c"]
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        ("HTTP://WWW.Example.COM/Path/", "http://example.com/Path"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a#section-2", "https://example.com/a"),
+        (
+            "https://example.com/a?utm_source=x&utm_medium=y&id=7",
+            "https://example.com/a?id=7",
+        ),
+        (
+            "https://example.com/a?fbclid=abc123",
+            "https://example.com/a",
+        ),
+        (
+            "https://example.com/a?id=7&gclid=z&page=2",
+            "https://example.com/a?id=7&page=2",
+        ),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com///", "https://example.com/"),
+        # Case preserved where it matters: path and query values.
+        ("https://example.com/CaseSensitive?Q=Val", "https://example.com/CaseSensitive?Q=Val"),
+    ],
+)
+def test_canonical_forms(spark, raw, expect):
+    assert canon(spark, raw) == expect
+
+
+def test_malformed_urls_get_stable_keys(spark):
+    assert canon(spark, "  Not A URL  ") == "not a url"
+    assert canon(spark, "example.com/path") == "example.com/path"
+
+
+def test_sort_query_opt_in(spark):
+    raw = "https://example.com/a?b=2&a=1"
+    assert canon(spark, raw) == "https://example.com/a?b=2&a=1"
+    assert canon(spark, raw, sort_query=True) == "https://example.com/a?a=1&b=2"
+    # Sorted variants collapse to one key.
+    assert canon(
+        spark, "https://example.com/a?a=1&b=2", sort_query=True
+    ) == canon(spark, raw, sort_query=True)
+
+
+def test_keep_www_opt_out(spark):
+    assert (
+        canon(spark, "https://www.example.com/", strip_www=False)
+        == "https://www.example.com/"
+    )
+
+
+def test_canonicalize_is_shuffle_free(spark):
+    df = spark.range(10).select(
+        F.concat(F.lit("https://example.com/p?utm_source=x&id="), "id").alias(
+            "url"
+        )
+    )
+    plan = executed_plan(df.select(canonicalize_url("url")))
+    assert "Exchange" not in plan
+
+
+def test_dedup_urls_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "https://example.com/a?utm_source=feed"),
+            (1, "HTTP://WWW.EXAMPLE.COM/b"),
+            (2, "https://example.com/a"),
+            (4, "https://example.com/b"),  # differs from 1: scheme
+            (5, "https://other.org/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = dedup_urls(df, keep="min_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # 2 beats 3 (same canonical URL); 1 vs 4 differ by scheme, both stay.
+    assert ids == [1, 2, 4, 5]
+    assert out.columns == ["doc_id", "url"]
+
+
+def test_dedup_urls_exposes_canonical_column(spark):
+    df = spark.createDataFrame(
+        [(1, "https://www.example.com/a/")], "doc_id long, url string"
+    )
+    out = dedup_urls(df, canonical_col="canon")
+    row = out.collect()[0]
+    assert row["canon"] == "https://example.com/a"
+
+
+def test_dedup_urls_any_keeps_one_per_key(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://example.com/p?utm_source=s{i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    assert dedup_urls(df, keep="any").count() == 1
+    with pytest.raises(ValueError, match="keep"):
+        dedup_urls(df, keep="last")
