@@ -9,6 +9,7 @@ from patito_spark.operators import (
     contamination,
     dedup,
     graph,
+    incremental,
     mixing,
     multimodal,
     packing,
@@ -29,6 +30,7 @@ __all__ = [
     "contamination",
     "dedup",
     "graph",
+    "incremental",
     "mixing",
     "multimodal",
     "packing",
