@@ -235,3 +235,38 @@ def streaming_dedup_lsh(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def dedup_urls_stream(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    canonical_col: Optional[str] = None,
+    **canon_kwargs,
+) -> DataFrame:
+    """Ingestion-time refetch removal: first fetch of each canonical URL
+    passes, later refetches within the watermark horizon are dropped.
+
+    The streaming counterpart of
+    :func:`patito_spark.operators.urls.dedup_urls`: the canonical key is
+    the same codegen :func:`..operators.urls.canonicalize_url`
+    projection (tracking params, www, default ports, fragments all
+    collapse), and the state is Spark's built-in
+    ``dropDuplicatesWithinWatermark`` — one entry per canonical URL,
+    evicted when the watermark passes, so memory is bounded by distinct
+    URLs per horizon rather than stream length. Exposes the key as
+    ``canonical_col`` when named, else drops it.
+    """
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.urls import canonicalize_url
+
+    key = canonical_col or "__canon_url"
+    keyed = stream.withColumn(
+        key, canonicalize_url(F.col(url_col), **canon_kwargs)
+    )
+    out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+    return out if canonical_col else out.drop(key)

@@ -249,3 +249,75 @@ def test_state_ttl_forgets_old_representatives(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert set(seen2) == {(2, 1)}
+
+
+def test_dedup_urls_stream_drops_refetches(spark, tmp_path):
+    """First fetch of each canonical URL passes; refetches (tracking
+    params, www, scheme-case variants) are dropped across micro-batches
+    — and batch dedup_urls agrees on the surviving canonical keys."""
+    import datetime as dt
+
+    from patito_spark.streaming.dedup import dedup_urls_stream
+
+    path = str(tmp_path / "fetches")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def fetches(rows):
+        spark.createDataFrame(
+            rows, "fetch_id long, url string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    fetches(
+        [
+            (1, "https://example.com/a", t0),
+            (2, "https://www.example.com/a?utm_source=feed", t0),
+            (3, "https://example.com/b", t0),
+        ]
+    )
+    stream = spark.readStream.schema(
+        "fetch_id long, url string, ts timestamp"
+    ).parquet(path)
+    out = dedup_urls_stream(stream, watermark="1 hour", canonical_col="canon")
+
+    name = f"t_dus_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = {r["canon"] for r in spark.table(name).collect()}
+    assert first == {"https://example.com/a", "https://example.com/b"}
+
+    # Second batch: refetch of /a again plus a new URL.
+    fetches(
+        [
+            (4, "HTTP://EXAMPLE.COM/a", t0 + dt.timedelta(minutes=5)),
+            (5, "https://example.com/c", t0 + dt.timedelta(minutes=5)),
+        ]
+    )
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName(name + "b")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    canons = [r["canon"] for r in spark.table(name + "b").collect()]
+    # Fresh query replays all files: /a appears once (state dedups the
+    # http-scheme variant only if canonical keys match — scheme differs,
+    # so http://example.com/a is a DIFFERENT canonical key and stays).
+    assert canons.count("https://example.com/a") == 1
+    assert "https://example.com/c" in canons
+    assert "http://example.com/a" in canons
+
+    # Batch operator agrees on the same canonical keys.
+    from patito_spark.operators.urls import dedup_urls
+
+    batch = dedup_urls(
+        spark.read.parquet(path), id_col="fetch_id", canonical_col="canon"
+    )
+    assert {r["canon"] for r in batch.collect()} == set(canons)
