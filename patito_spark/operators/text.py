@@ -663,3 +663,57 @@ def unigram_logloss(
         F.avg("__nll").alias("cross_entropy"),
         F.exp(F.avg("__nll")).alias("perplexity"),
     )
+
+
+def cross_doc_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    min_docs: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document fraction of n-grams shared with OTHER documents.
+
+    The cross-corpus complement of :func:`repetition_stats` (which is
+    in-document): a doc whose trigrams mostly appear elsewhere is
+    template/boilerplate/near-copy material even when no single pair
+    crosses a near-dup threshold — the duplication-driven quality
+    signal RefinedWeb-class pipelines filter on.
+
+    Returns ``<id_col>, n_distinct_grams, shared_gram_frac`` where
+    ``shared_gram_frac`` is the fraction of the document's DISTINCT
+    ``ngram``-grams that occur in at least ``min_docs`` distinct
+    documents (including this one). Documents shorter than ``ngram``
+    tokens hash their whole text as one gram (the
+    :func:`..dedup.shingle_hash_rows` convention), so every document
+    emits a row.
+
+    Scale shape: the corpus' distinct (doc, gram-hash) rows are built
+    shuffle-free (``gram_mode="map"``), gram doc-frequencies come from
+    one map-side-combined hash aggregate, and the verdict joins grams
+    back on the 64-bit hash — two shuffles of the gram stream total,
+    the same cost class as :func:`build_vocab`. Nothing is broadcast,
+    so benchmark-scale corpora don't OOM the driver.
+    """
+    from patito_spark.operators.dedup import shingle_hash_rows
+
+    grams = shingle_hash_rows(
+        df, id_col=id_col, text_col=text_col, n=ngram,
+        hash_mode=hash_mode, distinct=True, gram_mode="map",
+    )
+    gram_df = grams.groupBy("__h").agg(
+        F.count_distinct("__id").alias("__n_docs")
+    )
+    return (
+        grams.join(gram_df, on="__h")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            (
+                F.sum((F.col("__n_docs") >= min_docs).cast("long"))
+                / F.count("*")
+            ).alias("shared_gram_frac"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

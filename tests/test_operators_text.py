@@ -514,3 +514,68 @@ class TestUnigramLogloss:
         for k in bcast:
             assert bcast[k][0] == shuffled[k][0]
             assert bcast[k][1] == pytest.approx(shuffled[k][1], rel=1e-12)
+
+
+def test_cross_doc_repetition_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # trigrams: "a b c", "b c d"
+            (2, "a b c x"),        # shares "a b c" with doc 1
+            (3, "p q r s"),        # shares nothing
+            (4, "zz"),             # shorter than ngram -> whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_distinct_grams"], r["shared_gram_frac"])
+        for r in ops.cross_doc_repetition(df, ngram=3).collect()
+    }
+    assert out[1] == (2, 0.5)      # "a b c" shared, "b c d" unique
+    assert out[2] == (2, 0.5)
+    assert out[3] == (2, 0.0)
+    assert out[4] == (1, 0.0)      # lone whole-text gram, unshared
+
+
+def test_cross_doc_repetition_matches_duckdb(spark):
+    import duckdb
+
+    rows = [
+        (d, " ".join(f"w{(d * 3 + i * 5) % 40}" for i in range(12)))
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n_distinct_grams"]): r["shared_gram_frac"]
+        for r in ops.cross_doc_repetition(df, ngram=3).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM docs
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in generate_series(1, len(t) - 2)]) AS g
+                FROM toks
+            ),
+            df AS (
+                SELECT g, count(DISTINCT doc_id) AS n_docs
+                FROM grams GROUP BY g
+            )
+            SELECT grams.doc_id,
+                   count(*) AS n_distinct_grams,
+                   sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                       / count(*)::DOUBLE AS shared_gram_frac
+            FROM grams JOIN df USING (g)
+            GROUP BY grams.doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 60
