@@ -39,6 +39,7 @@ def prepare_training_corpus(
     min_quality: Optional[float] = None,
     languages: Optional[Sequence[str]] = None,
     min_tokens: Optional[int] = 5,
+    max_shared_gram_frac: Optional[float] = None,
     paragraph_dedup: Optional[str] = None,
     boilerplate_min_docs: Optional[int] = None,
     paragraph_sep: str = r"\n{2,}",
@@ -115,6 +116,7 @@ def prepare_training_corpus(
         min_quality=min_quality,
         languages=languages,
         min_tokens=min_tokens,
+        max_shared_gram_frac=max_shared_gram_frac,
     )
     if max_perplexity is not None:
         from patito_spark.operators.text import unigram_logloss

@@ -387,18 +387,22 @@ def filter_corpus(
     min_quality: Optional[float] = None,
     languages: Optional[Sequence[str]] = None,
     max_dup_gram_frac: Optional[float] = None,
+    max_shared_gram_frac: Optional[float] = None,
     min_tokens: Optional[int] = None,
     max_tokens: Optional[int] = None,
     repetition_ngram: int = 2,
+    shared_ngram: int = 3,
 ) -> DataFrame:
     """One-call quality gate: keep documents passing every enabled check.
 
     Composes the individual scorers (quality_score, detect_language,
-    repetition_stats, token_count) into a single filtered projection of
-    the input — the Gopher-style rule stack. Only the repetition check
-    costs a shuffle (its per-gram aggregate); everything else stays in
-    the scan's projection, so with ``max_dup_gram_frac=None`` the whole
-    gate is map-only. Returns the input rows (all columns) that pass.
+    repetition_stats, cross_doc_repetition, token_count) into a single
+    filtered projection of the input — the Gopher-style rule stack. Only
+    the repetition checks cost shuffles (their per-gram aggregates, and
+    ``max_shared_gram_frac`` is corpus-wide: its gram doc-frequencies
+    see every surviving document); everything else stays in the scan's
+    projection, so with both repetition gates None the whole gate is
+    map-only. Returns the input rows (all columns) that pass.
     """
     out = df
     if min_tokens is not None or max_tokens is not None:
@@ -420,6 +424,17 @@ def filter_corpus(
         )
         keep = reps.filter(
             F.col("dup_gram_frac") <= max_dup_gram_frac
+        ).select(id_col)
+        out = out.join(keep, on=id_col, how="left_semi")
+    if max_shared_gram_frac is not None:
+        shared = cross_doc_repetition(
+            out.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            ngram=shared_ngram,
+        )
+        keep = shared.filter(
+            F.col("shared_gram_frac") <= max_shared_gram_frac
         ).select(id_col)
         out = out.join(keep, on=id_col, how="left_semi")
     return out

@@ -579,3 +579,20 @@ def test_cross_doc_repetition_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want and len(got) == 60
+
+
+def test_filter_corpus_shared_gram_gate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            (1, base),                                  # template copy
+            (2, base),                                  # template copy
+            (3, base),                                  # template copy
+            (4, "totally original writing with its own words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ops.filter_corpus(df, max_shared_gram_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [4]
+    # Gate off -> untouched.
+    assert ops.filter_corpus(df).count() == 4

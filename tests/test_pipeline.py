@@ -219,3 +219,21 @@ def test_prepare_paragraph_scope_validated(spark):
         prepare_training_corpus(
             corpus, dedup_threshold=None, paragraph_dedup="everywhere"
         )
+
+
+def test_prepare_shared_gram_gate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (30, base),
+            (31, base),
+            (32, base),
+            (33, "totally original writing with its own words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus, min_tokens=2, dedup_threshold=None,
+        max_shared_gram_frac=0.5,
+    )
+    assert sorted(r.doc_id for r in out["documents"].collect()) == [33]
