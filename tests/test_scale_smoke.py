@@ -322,3 +322,18 @@ def test_mix_corpora_4m_docs(spark):
     assert plan["books"]["epochs"] == 1
     n = out["mixed"].count()
     assert 2_700_000 < n < 3_100_000
+
+
+def test_cross_doc_repetition_1m_docs(spark):
+    from patito_spark.operators.text import cross_doc_repetition
+
+    # 1M docs, 12 tokens each from a 50k-word pool -> every trigram
+    # stream flows through the doc-frequency aggregate (~10M gram rows).
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(0, 11),"
+        " i -> concat('w', cast((id * 17 + i * 7919) % 50000 as string))))"
+        " as text",
+    )
+    out = cross_doc_repetition(docs, ngram=3)
+    assert out.count() == 1_000_000
