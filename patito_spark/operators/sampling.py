@@ -141,3 +141,45 @@ def shuffle_rows(
         .sortWithinPartitions("__shuffle_key")
         .drop("__shuffle_key")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    target_fraction: Optional[float] = None,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row with probability proportional to its weight.
+
+    Importance sampling for training data: rows with twice the weight
+    (quality score, source trust, dedup cluster mass) are kept twice as
+    often. Membership is the same deterministic key hash as
+    :func:`deterministic_sample` — reproducible across runs and
+    partitionings, and map-only (no shuffle, no rand()).
+
+    With ``target_fraction`` the per-row probabilities are rescaled so
+    the EXPECTED kept fraction (weight-mean) matches it — one tiny
+    aggregate computes the corpus mean weight, then one filtered pass.
+    Rows whose scaled probability reaches 1 are always kept (the
+    standard truncation; the realized fraction then undershoots
+    ``target_fraction`` slightly on heavy-tailed weights). Without it,
+    weights are used as raw probabilities and must lie in [0, 1].
+
+    Nulls and negative weights never pass (probability 0).
+    """
+    w = F.col(weight_col).cast("double")
+    if target_fraction is not None:
+        if not 0 < target_fraction <= 1:
+            raise ValueError(
+                f"target_fraction must be in (0, 1], got {target_fraction}"
+            )
+        mean_w = df.agg(F.avg(w)).first()[0]
+        if mean_w is None or mean_w <= 0:
+            return df.filter(F.lit(False))
+        p = F.least(w * (float(target_fraction) / float(mean_w)), F.lit(1.0))
+    else:
+        p = w
+    frac = _hash_fraction(F.col(key_col), seed, hash_mode=hash_mode)
+    return df.filter(w.isNotNull() & (w > 0) & (frac < p))

@@ -61,3 +61,57 @@ def test_shuffle_rows_is_permutation(data):
     assert rows != list(range(10_000))  # order actually changed
     again = [r.id for r in sampling.shuffle_rows(data, "id", seed=3).toLocalIterator()]
     assert rows == again  # reproducible
+
+
+def test_weighted_sample_proportional(spark):
+    from patito_spark.operators.sampling import weighted_sample
+
+    # 20k rows, half weight 0.8 and half weight 0.2: kept fractions must
+    # track the weights (hash is uniform; binomial sd ~0.4%).
+    df = spark.range(20_000).selectExpr(
+        "id", "if(id % 2 = 0, 0.8d, 0.2d) as w"
+    )
+    out = weighted_sample(df, weight_col="w", key_col="id")
+    kept = {r[0]: r[1] for r in out.groupBy("w").count().collect()}
+    assert abs(kept[0.8] / 10_000 - 0.8) < 0.02
+    assert abs(kept[0.2] / 10_000 - 0.2) < 0.02
+
+
+def test_weighted_sample_target_fraction(spark):
+    from patito_spark.operators.sampling import weighted_sample
+
+    df = spark.range(20_000).selectExpr(
+        "id", "if(id % 2 = 0, 3.0d, 1.0d) as w"
+    )
+    out = weighted_sample(df, weight_col="w", key_col="id",
+                          target_fraction=0.5)
+    n = out.count()
+    # mean weight 2.0, scale 0.25 -> p = 0.75 / 0.25, expected 0.5.
+    assert abs(n / 20_000 - 0.5) < 0.02
+    ratios = {r[0]: r[1] for r in out.groupBy("w").count().collect()}
+    assert abs(ratios[3.0] / ratios[1.0] - 3.0) < 0.3
+
+
+def test_weighted_sample_determinism_and_edges(spark):
+    import pytest as _pytest
+
+    from patito_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1_000).selectExpr(
+        "id",
+        "case when id % 10 = 0 then cast(null as double) "
+        "when id % 10 = 1 then -0.5d else 0.5d end as w",
+    )
+    a = sorted(r["id"] for r in weighted_sample(df, "w", "id").collect())
+    b = sorted(r["id"] for r in weighted_sample(df, "w", "id").collect())
+    assert a == b and len(a) > 0
+    # null/negative weights never pass
+    assert all(i % 10 not in (0, 1) for i in a)
+    with _pytest.raises(ValueError, match="target_fraction"):
+        weighted_sample(df, "w", "id", target_fraction=1.5)
+    # all-null weights -> empty, stable schema
+    empty = weighted_sample(
+        spark.range(5).selectExpr("id", "cast(null as double) as w"),
+        "w", "id", target_fraction=0.5,
+    )
+    assert empty.count() == 0 and empty.columns == ["id", "w"]
