@@ -41,6 +41,7 @@ def mix_corpora(
     id_col: str = "doc_id",
     text_col: str = "text",
     allow_repeat: bool = True,
+    doc_weight_col: Optional[str] = None,
     seed: int = 42,
     hash_mode: str = "xxhash64",
 ) -> dict:
@@ -57,6 +58,16 @@ def mix_corpora(
             repeat it (epochs, Pile-style). With ``allow_repeat=False``
             the domain is capped at one full epoch and the mixture
             under-fills instead.
+        doc_weight_col: optional per-document weight column (quality
+            score, source trust) present in every corpus frame. The
+            partial-epoch membership probability becomes proportional
+            to the weight, rescaled (one extra weight×tokens aggregate
+            per domain) so the domain still hits its token share in
+            expectation — higher-quality documents fill the share more
+            often. Probabilities truncate at 1, so heavy-tailed weights
+            undershoot the share slightly. Full epochs are unaffected
+            (every doc repeats). Null/negative weights never enter the
+            partial epoch.
         seed / hash_mode: passed to the deterministic hash selector
             (``hash_mode="portable"`` makes the mixture replayable in
             ANSI SQL, same contract as the sampling operators).
@@ -121,10 +132,29 @@ def mix_corpora(
         # keyed hash sample. Different epochs use the SAME remainder
         # membership only for the last partial copy, so no document
         # appears twice within one epoch.
+        if doc_weight_col is not None and remainder > 0:
+            # Weighted partial epoch: p_i = min(1, w_i * c) with c set so
+            # sum(p_i * tokens_i) ~= remainder * total_tokens (expected
+            # token share preserved, higher-weight docs selected more).
+            w = F.col(doc_weight_col).cast("double")
+            wt_sum = df.agg(
+                F.sum(
+                    F.when(w > 0, w * token_count(text_col)).otherwise(0.0)
+                )
+            ).first()[0]
+            if not wt_sum:
+                keep_p = F.lit(0.0)
+            else:
+                c = remainder * total_tokens / float(wt_sum)
+                keep_p = F.when(
+                    w > 0, F.least(w * F.lit(c), F.lit(1.0))
+                ).otherwise(F.lit(0.0))
+        else:
+            keep_p = F.lit(remainder)
         selected = df.withColumn(
             "__keep_partial",
             _hash_fraction(F.col(id_col), seed, hash_mode=hash_mode)
-            < F.lit(remainder),
+            < keep_p,
         )
         n_copies = F.when(
             F.col("__keep_partial"), F.lit(epochs + 1)

@@ -151,3 +151,37 @@ def test_portable_mode_matches_duckdb(spark, corpora):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_weighted_partial_epoch(spark):
+    from patito_spark.operators.text import token_count
+
+    # 4000 docs x 5 tokens = 20k tokens; target 10k -> remainder 0.5.
+    # Weights 3:1 -> high-weight docs selected ~3x as often, and the
+    # realized token share still tracks the 0.5 target.
+    docs = spark.range(4000).selectExpr(
+        "id as doc_id",
+        "'five little tokens per doc' as text",
+        "if(id % 2 = 0, 3.0d, 1.0d) as quality",
+    )
+    out = mix_corpora(
+        {"web": docs},
+        weights={"web": 1},
+        token_budget=10_000,
+        doc_weight_col="quality",
+    )
+    mixed = out["mixed"]
+    toks = mixed.agg(F.sum(token_count("text"))).first()[0]
+    assert abs(toks / 10_000 - 1.0) < 0.08
+    kept = {
+        r["quality"]: r["n"]
+        for r in mixed.groupBy("quality").agg(F.count("*").alias("n")).collect()
+    }
+    assert 2.0 < kept[3.0] / kept[1.0] < 4.0
+    # Unweighted call unchanged: uniform membership.
+    uni = mix_corpora({"web": docs}, {"web": 1}, 10_000)["mixed"]
+    kept_u = {
+        r["quality"]: r["n"]
+        for r in uni.groupBy("quality").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(kept_u[3.0] / kept_u[1.0] - 1.0) < 0.2
