@@ -2059,10 +2059,11 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 8
             ) WHERE rank <= 10
         """,
-        # Replays ann_ivf with the deterministic quantizer: centroids are
-        # vec_id < 16 (cell = id rank), cosine assignment with
-        # (score desc, cell asc) ties, 3-probe search, exact ranking in the
-        # probed cells.
+        # Replays ann_ivf with the deterministic quantizer: centroids
+        # are the first auto_n_centroids(n) corpus points (cell = id
+        # rank, count derived from the benchmarked SF's embeddings
+        # footer), cosine assignment with (score desc, cell asc) ties,
+        # 3-probe search, exact ranking in the probed cells.
         "ann_ivf": f"""
             WITH e AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -61,8 +61,9 @@ def mix_corpora(
         doc_weight_col: optional per-document weight column (quality
             score, source trust) present in every corpus frame. The
             partial-epoch membership probability becomes proportional
-            to the weight, rescaled (one extra weight×tokens aggregate
-            per domain) so the domain still hits its token share in
+            to the weight, rescaled (the weight×tokens mass rides the
+            same per-domain aggregate) so the domain still hits its
+            token share in
             expectation — higher-quality documents fill the share more
             often. Probabilities truncate at 1, so heavy-tailed weights
             undershoot the share slightly. Full epochs are unaffected
@@ -101,10 +102,19 @@ def mix_corpora(
     for name, df in corpora.items():
         share = weights[name] / total_w
         target = share * token_budget
-        total_tokens = (
-            df.agg(F.sum(token_count(text_col)).alias("t")).collect()[0]["t"]
-            or 0
-        )
+        # One blocking aggregate per domain: token total, plus (on the
+        # weighted path) the weight-x-tokens mass in the same scan.
+        aggs = [F.sum(token_count(text_col)).alias("t")]
+        if doc_weight_col is not None:
+            w = F.col(doc_weight_col).cast("double")
+            aggs.append(
+                F.sum(
+                    F.when(w > 0, w * token_count(text_col)).otherwise(0.0)
+                ).alias("wt")
+            )
+        stats = df.agg(*aggs).first()
+        total_tokens = stats["t"] or 0
+        wt_sum = stats["wt"] if doc_weight_col is not None else None
         if total_tokens == 0:
             ratio = 0.0
         else:
@@ -137,11 +147,6 @@ def mix_corpora(
             # sum(p_i * tokens_i) ~= remainder * total_tokens (expected
             # token share preserved, higher-weight docs selected more).
             w = F.col(doc_weight_col).cast("double")
-            wt_sum = df.agg(
-                F.sum(
-                    F.when(w > 0, w * token_count(text_col)).otherwise(0.0)
-                )
-            ).first()[0]
             if not wt_sum:
                 keep_p = F.lit(0.0)
             else:

@@ -48,6 +48,34 @@ def _norm_key(para: Column, normalize: bool) -> Column:
     return F.lower(key) if normalize else key
 
 
+def _rebuild_docs(
+    df: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+    join_sep: str,
+    drop_empty: bool,
+) -> DataFrame:
+    """Reassemble ``text_col`` from surviving paragraph rows and graft it
+    back onto ``df``'s other columns (original column order)."""
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "paragraph"))
+            ).getField("paragraph"),
+        ).alias("__rebuilt")
+    )
+    how = "inner" if drop_empty else "left"
+    out = (
+        df.drop(text_col)
+        .join(rebuilt, on=id_col, how=how)
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
+    )
+    return out.select(*df.columns)
+
+
 def split_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -113,25 +141,7 @@ def dedup_paragraphs(
         .filter(F.col("__occ") == 1)
         .drop("__occ", "para_key")
     )
-
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            join_sep,
-            F.array_sort(
-                F.collect_list(F.struct("para_idx", "paragraph"))
-            ).getField("paragraph"),
-        ).alias("__rebuilt")
-    )
-
-    how = "inner" if drop_empty else "left"
-    out = (
-        df.drop(text_col)
-        .join(rebuilt, on=id_col, how=how)
-        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
-        .drop("__rebuilt")
-    )
-    # Present columns in the input order (text back in its old slot).
-    return out.select(*df.columns)
+    return _rebuild_docs(df, kept, id_col, text_col, join_sep, drop_empty)
 
 
 def drop_boilerplate_paragraphs(
@@ -170,21 +180,4 @@ def drop_boilerplate_paragraphs(
         .select("para_key")
     )
     kept = paras.join(common, on="para_key", how="left_anti")
-
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            join_sep,
-            F.array_sort(
-                F.collect_list(F.struct("para_idx", "paragraph"))
-            ).getField("paragraph"),
-        ).alias("__rebuilt")
-    )
-
-    how = "inner" if drop_empty else "left"
-    out = (
-        df.drop(text_col)
-        .join(rebuilt, on=id_col, how=how)
-        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
-        .drop("__rebuilt")
-    )
-    return out.select(*df.columns)
+    return _rebuild_docs(df, kept, id_col, text_col, join_sep, drop_empty)

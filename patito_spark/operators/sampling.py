@@ -175,8 +175,16 @@ def weighted_sample(
             raise ValueError(
                 f"target_fraction must be in (0, 1], got {target_fraction}"
             )
-        mean_w = df.agg(F.avg(w)).first()[0]
-        if mean_w is None or mean_w <= 0:
+        # Mean over ALL rows with ineligible (null/negative) weights
+        # counted as 0 — plain avg() would let negatives cancel positive
+        # mass (empty sample despite eligible rows) and would ignore
+        # nulls entirely (deflating the kept fraction below target).
+        row = df.agg(
+            F.sum(F.when(w > 0, w).otherwise(0.0)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        mean_w = (row["s"] or 0.0) / row["n"] if row["n"] else 0.0
+        if mean_w <= 0:
             return df.filter(F.lit(False))
         p = F.least(w * (float(target_fraction) / float(mean_w)), F.lit(1.0))
     else:

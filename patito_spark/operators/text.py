@@ -705,23 +705,25 @@ def cross_doc_repetition(
     emits a row.
 
     Scale shape: the corpus' distinct (doc, gram-hash) rows are built
-    shuffle-free (``gram_mode="map"``), gram doc-frequencies come from
-    one map-side-combined hash aggregate, and the verdict joins grams
-    back on the 64-bit hash — two shuffles of the gram stream total,
-    the same cost class as :func:`build_vocab`. Nothing is broadcast,
-    so benchmark-scale corpora don't OOM the driver.
+    shuffle-free (``gram_mode="map"``), and each gram's doc-frequency
+    is a ``count() over (partition by hash)`` window — rows are unique
+    per (doc, gram), so the row count IS the distinct-doc count. ONE
+    shuffle of the gram stream total (a groupBy + join-back replay
+    would rebuild the interpreted gram lambda stream twice and shuffle
+    twice). Nothing is broadcast, so benchmark-scale corpora don't OOM
+    the driver.
     """
+    from pyspark.sql import Window
+
     from patito_spark.operators.dedup import shingle_hash_rows
 
     grams = shingle_hash_rows(
         df, id_col=id_col, text_col=text_col, n=ngram,
         hash_mode=hash_mode, distinct=True, gram_mode="map",
     )
-    gram_df = grams.groupBy("__h").agg(
-        F.count_distinct("__id").alias("__n_docs")
-    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("__h"))
     return (
-        grams.join(gram_df, on="__h")
+        grams.withColumn("__n_docs", n_docs)
         .groupBy("__id")
         .agg(
             F.count("*").alias("n_distinct_grams"),

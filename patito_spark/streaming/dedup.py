@@ -262,11 +262,11 @@ def dedup_urls_stream(
 
     from patito_spark.operators.urls import canonicalize_url
 
+    from patito_spark.streaming.validate import stateful_dedup_stream
+
     key = canonical_col or "__canon_url"
     keyed = stream.withColumn(
         key, canonicalize_url(F.col(url_col), **canon_kwargs)
     )
-    out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        [key]
-    )
+    out = stateful_dedup_stream(keyed, [key], ts_col, watermark)
     return out if canonical_col else out.drop(key)

@@ -115,3 +115,26 @@ def test_weighted_sample_determinism_and_edges(spark):
         "w", "id", target_fraction=0.5,
     )
     assert empty.count() == 0 and empty.columns == ["id", "w"]
+
+
+def test_weighted_sample_negative_and_null_mean_handling(spark):
+    """Regression: avg() over raw weights let negatives cancel positive
+    mass (empty sample despite eligible rows) and ignored nulls
+    (deflating the kept fraction). The mean now counts ineligible rows
+    as weight 0."""
+    from patito_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, -6.0), (2, 1.0)], "id long, w double"
+    )
+    out = weighted_sample(df, "w", "id", target_fraction=0.5)
+    # avg(w) would be 0 -> old code returned empty; eligible rows remain.
+    assert out.count() > 0
+
+    # Half null weights, target 0.5: expected kept fraction of ALL rows
+    # is 0.5 (nulls count as 0 in the mean), not 0.25.
+    big = spark.range(20_000).selectExpr(
+        "id", "if(id % 2 = 0, 1.0d, cast(null as double)) as w"
+    )
+    n = weighted_sample(big, "w", "id", target_fraction=0.5).count()
+    assert abs(n / 20_000 - 0.5) < 0.02
