@@ -31,9 +31,16 @@ HEADLINERS = {
         "All four predicates in PushedFilters; ReadSchema is exactly the "
         "4 needed columns of 11."
     ),
-    "rel_filter": (
-        "SQL-string Relation filter still reaches the parquet scan — the "
+    "rel_pipeline": (
+        "SQL-string Relation filter -> case -> select -> aggregate chain "
+        "still reaches the parquet scan with pushed filters — the "
         "Relation layer compiles to Catalyst plans, not opaque strings."
+    ),
+    "dedup_semantic": (
+        "SemDeDup over the shared IVF index: in-cell exact scoring is a "
+        "(cell, block, block) equi-join on the inverted file — no corpus "
+        "cross product; the quantizer assignment is a map-only Arrow "
+        "stage over one corpus scan."
     ),
     "dedup_minhash": (
         "OPH MinHash: explode/shingle window -> hash aggregates with "
