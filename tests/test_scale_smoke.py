@@ -337,3 +337,27 @@ def test_cross_doc_repetition_1m_docs(spark):
     )
     out = cross_doc_repetition(docs, ngram=3)
     assert out.count() == 1_000_000
+
+
+def test_update_corpus_1m_history_100k_batch(spark):
+    from patito_spark.operators.incremental import update_corpus
+
+    history = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat('historic doc ', id, ' alpha beta gamma delta epsilon') as text",
+        "concat('https://example.com/h/', id) as url",
+    )
+    # 100k incoming: half are exact resubmissions of history docs (new
+    # ids, same text), half genuinely new.
+    incoming = spark.range(100_000).selectExpr(
+        "id + 2000000 as doc_id",
+        "if(id % 2 = 0,"
+        " concat('historic doc ', id, ' alpha beta gamma delta epsilon'),"
+        " concat('fresh doc ', id, ' zeta eta theta iota kappa')) as text",
+        "concat('https://example.com/n/', id) as url",
+    )
+    out = update_corpus(
+        history, incoming, url_col="url", neardup_threshold=None,
+        within_batch_threshold=None,
+    )["admitted"]
+    assert out.count() == 50_000
