@@ -1,6 +1,10 @@
 """Structured Streaming integration."""
 
-from patito_spark.streaming.dedup import dedup_urls_stream, streaming_dedup_lsh
+from patito_spark.streaming.dedup import (
+    dedup_paragraphs_stream,
+    dedup_urls_stream,
+    streaming_dedup_lsh,
+)
 from patito_spark.streaming.validate import (
     read_stream,
     session_window_aggregate,
@@ -20,6 +24,7 @@ __all__ = [
     "stateful_dedup_stream",
     "stream_stream_join",
     "streaming_apply_changes",
+    "dedup_paragraphs_stream",
     "dedup_urls_stream",
     "streaming_dedup_lsh",
     "windowed_aggregate",

@@ -270,3 +270,48 @@ def dedup_urls_stream(
     )
     out = stateful_dedup_stream(keyed, [key], ts_col, watermark)
     return out if canonical_col else out.drop(key)
+
+
+def dedup_paragraphs_stream(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    sep_pattern: str = r"\n{2,}",
+    min_chars: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """Ingestion-time paragraph-level dedup (CCNet keep-first, streamed).
+
+    The streaming counterpart of
+    :func:`patito_spark.operators.paragraphs.dedup_paragraphs`: incoming
+    documents explode into paragraphs (map-only, the same normalized
+    match key as the batch operator), and only the FIRST occurrence of
+    each paragraph key within the watermark horizon survives — state is
+    one entry per distinct paragraph, evicted as the watermark passes.
+
+    Returns the surviving paragraph rows
+    ``(<id_col>, para_idx, paragraph, <ts_col>)`` in append mode.
+    Document reassembly is deliberately NOT streamed: a second stateful
+    aggregation over the dedup output would hold every in-flight
+    document open until the watermark closes it; sink the paragraph
+    rows and rebuild with the batch reassembly
+    (``paragraphs._rebuild_docs`` via ``dedup_paragraphs`` semantics)
+    over the sink table instead.
+    """
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.paragraphs import _norm_key
+    from patito_spark.streaming.validate import stateful_dedup_stream
+
+    paras = stream.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+            "para_idx", "paragraph"
+        ),
+    ).withColumn("__para_key", _norm_key(F.col("paragraph"), normalize))
+    paras = paras.filter(F.length("__para_key") >= max(min_chars, 1))
+    out = stateful_dedup_stream(paras, ["__para_key"], ts_col, watermark)
+    return out.drop("__para_key")

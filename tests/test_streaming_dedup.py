@@ -321,3 +321,69 @@ def test_dedup_urls_stream_drops_refetches(spark, tmp_path):
         spark.read.parquet(path), id_col="fetch_id", canonical_col="canon"
     )
     assert {r["canon"] for r in batch.collect()} == set(canons)
+
+
+def test_dedup_paragraphs_stream_keep_first(spark, tmp_path):
+    """First occurrence of each paragraph key passes; later copies (any
+    case/spacing) drop across micro-batches. Reassembly is a batch
+    post-step over the sunk paragraph rows."""
+    import datetime as dt
+
+    from patito_spark.streaming.dedup import dedup_paragraphs_stream
+
+    path = str(tmp_path / "pdocs")
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    spark.createDataFrame(
+        [
+            (1, "intro text\n\nshared footer", t0),
+            (2, "Shared   FOOTER\n\nsecond doc body", t0),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(path)
+    out = dedup_paragraphs_stream(stream, watermark="1 hour")
+
+    name = f"t_dps_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {
+        (r["doc_id"], r["paragraph"]) for r in spark.table(name).collect()
+    }
+    assert kept == {
+        (1, "intro text"),
+        (1, "shared footer"),
+        (2, "second doc body"),
+    }
+
+    # Second batch: another footer copy plus fresh content.
+    spark.createDataFrame(
+        [(3, "shared footer\n\nbrand new ending", t0 + dt.timedelta(minutes=1))],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(path)
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName(name + "b")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    kept2 = {
+        (r["doc_id"], r["paragraph"])
+        for r in spark.table(name + "b").collect()
+    }
+    # Fresh query replays all files; doc 3's footer copy must lose to
+    # an earlier occurrence (exactly one footer row overall).
+    footers = [k for k in kept2 if "footer" in k[1].lower()]
+    assert len(footers) == 1
+    assert (3, "brand new ending") in kept2
