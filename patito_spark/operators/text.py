@@ -734,3 +734,53 @@ def cross_doc_repetition(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_vocab: Optional[int] = 2_000_000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against a vocab.
+
+    The tokenizer-prep question "how much of this corpus does my vocab
+    cover": each document's fraction of token OCCURRENCES whose token is
+    absent from ``vocab`` (a frame with a ``token`` column — e.g.
+    :func:`build_vocab` output, optionally ``top_n``-truncated).
+    Returns ``<id_col>, n_tokens, oov_frac``; token-less documents emit
+    ``n_tokens=0, oov_frac=null`` (no evidence).
+
+    Scale shape: one explode + left join against the vocab's token set
+    + one per-doc aggregate. The vocab side broadcasts only under
+    ``max_broadcast_vocab`` rows (same bound and rationale as
+    :func:`tf_idf`); above it the join shuffles and AQE decides.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    vset = vocab.select("token").distinct().withColumn(
+        "__known", F.lit(True)
+    )
+    if max_broadcast_vocab is not None:
+        if vset.count() <= max_broadcast_vocab:
+            vset = F.broadcast(vset)
+    else:
+        vset = F.broadcast(vset)
+    scored = toks.join(vset, on="token", how="left")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
+            / F.count("*")
+        ).alias("oov_frac"),
+    )
+    # Docs with no tokens at all (empty text) fall out of the explode;
+    # restore them with null oov_frac.
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+    )

@@ -596,3 +596,37 @@ def test_filter_corpus_shared_gram_gate(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [4]
     # Gate off -> untouched.
     assert ops.filter_corpus(df).count() == 4
+
+
+def test_oov_rate_hand_checked(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # vocab {a,b}: 2 of 4 OOV
+            (2, "a a a"),       # all known
+            (3, "x y"),         # all OOV
+            (4, ""),            # token-less -> null
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["oov_frac"])
+        for r in ops.oov_rate(corpus, vocab).collect()
+    }
+    assert out[1] == (4, 0.5)
+    assert out[2] == (3, 0.0)
+    assert out[3] == (2, 1.0)
+    assert out[4][0] in (0, 1) and (
+        out[4][1] is None or out[4][1] == 1.0
+    )  # "" splits to one empty token on Spark; either way no coverage claim
+
+
+def test_oov_rate_with_build_vocab_top_n(spark):
+    corpus = spark.createDataFrame(
+        [(i, "common words here plus rare" + str(i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    vocab = ops.build_vocab(corpus, top_n=4)  # the 4 shared words
+    out = ops.oov_rate(corpus, vocab)
+    fracs = [r["oov_frac"] for r in out.collect()]
+    assert all(abs(f - 0.2) < 1e-9 for f in fracs)  # 1 of 5 tokens OOV
