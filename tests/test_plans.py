@@ -107,3 +107,20 @@ def test_validation_is_single_scan(spark, sf_dir):
     # and the real validator passes cleanly on the real table
     Nation.validate_df(df.withColumn("n_nationkey", F2.col("n_nationkey").cast("long"))
                         .withColumn("n_regionkey", F2.col("n_regionkey").cast("long")))
+
+
+def test_rel_pipeline_pushdown_through_chain(spark, sf_dir):
+    """Pushed filters survive the four-method Relation chain
+    (filter -> case -> select -> aggregate compiled to one plan)."""
+    df = entry_mod.rel_pipeline(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_acctbal" in pushed
+
+
+def test_dedup_semantic_no_cross_product(spark, sf_dir):
+    """SemDeDup's in-cell scoring is a (cell, block, block) equi-join
+    over the inverted file — never a corpus cross product."""
+    df = entry_mod.dedup_semantic(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
