@@ -15,6 +15,7 @@ from patito_spark.operators import (
     packing,
     paragraphs,
     pipeline,
+    quality_model,
     sampling,
     semdedup,
     similarity,
@@ -36,6 +37,7 @@ __all__ = [
     "packing",
     "paragraphs",
     "pipeline",
+    "quality_model",
     "sampling",
     "semdedup",
     "similarity",
