@@ -45,6 +45,8 @@ def prepare_training_corpus(
     paragraph_sep: str = r"\n{2,}",
     max_perplexity: Optional[float] = None,
     perplexity_lm: Optional[DataFrame] = None,
+    quality_model=None,
+    min_model_prob: float = 0.5,
     dedup_threshold: Optional[float] = 0.7,
     semantic_threshold: Optional[float] = None,
     embeddings: Optional[DataFrame] = None,
@@ -134,6 +136,16 @@ def prepare_training_corpus(
             .select(id_col)
         )
         gated = gated.join(reject, on=id_col, how="left_anti")
+    if quality_model is not None:
+        # Learned quality gate (GPT-3/CCNet-style classifier): one
+        # shuffle-free transform with broadcast coefficients; the score
+        # column is transient — callers wanting it keep score_quality.
+        from patito_spark.operators.quality_model import score_quality
+
+        gated = score_quality(
+            gated, quality_model, text_col=text_col,
+            output_col="__model_prob", min_prob=min_model_prob,
+        ).drop("__model_prob")
     if dedup_threshold is not None:
         gated = dedup_corpus(
             gated,

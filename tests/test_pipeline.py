@@ -237,3 +237,26 @@ def test_prepare_shared_gram_gate(spark):
         max_shared_gram_frac=0.5,
     )
     assert sorted(r.doc_id for r in out["documents"].collect()) == [33]
+
+
+def test_prepare_learned_quality_gate(spark):
+    from patito_spark.operators.quality_model import train_quality_classifier
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    junk = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12"
+    labeled = spark.createDataFrame(
+        [(i, good + f" v{i}", 1.0) for i in range(60)]
+        + [(100 + i, junk + f" v{i}", 0.0) for i in range(60)],
+        "doc_id long, text string, label double",
+    )
+    model = train_quality_classifier(labeled)
+    corpus = spark.createDataFrame(
+        [(1, good + " fresh"), (2, junk + " fresh")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus, min_tokens=2, dedup_threshold=None,
+        quality_model=model, min_model_prob=0.5,
+    )
+    ids = [r.doc_id for r in out["documents"].collect()]
+    assert ids == [1]
