@@ -71,3 +71,28 @@ def test_save_load_roundtrip(spark, model, tmp_path):
     a = score_quality(docs, model).select("doc_id", "quality_prob")
     b = score_quality(docs, reloaded).select("doc_id", "quality_prob")
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_score_quality_on_stream(spark, model, tmp_path):
+    """The scorer is a plain transform, so it applies to a readStream
+    unchanged — ingestion-time learned quality gating."""
+    import uuid as _uuid
+
+    path = str(tmp_path / "qdocs")
+    spark.createDataFrame(
+        [(1, " ".join(WORDS[:12])), (2, "zq1 zq2 zq3 zq4 zq5 zq6")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    scored = score_quality(stream, model, min_prob=0.5)
+    name = f"t_qms_{_uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["doc_id"] for r in spark.table(name).collect()]
+    assert ids == [1]
