@@ -124,3 +124,16 @@ def test_dedup_semantic_no_cross_product(spark, sf_dir):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_corpus_maponly_gates_no_shuffle(spark, sf_dir):
+    """With both repetition gates off, the whole quality gate stack is a
+    filtered projection of the scan — zero exchanges."""
+    from patito_spark.operators.text import filter_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = filter_corpus(
+        docs, min_quality=0.2, languages=["en", "de"],
+        min_tokens=5, max_tokens=500,
+    )
+    assert "Exchange" not in executed_plan(gated)
