@@ -21,6 +21,7 @@ from patito_spark.operators import (
     similarity,
     sketch,
     skew,
+    spans,
     temporal,
     text,
     timeseries,
@@ -43,6 +44,7 @@ __all__ = [
     "similarity",
     "sketch",
     "skew",
+    "spans",
     "temporal",
     "text",
     "timeseries",

@@ -43,6 +43,7 @@ def prepare_training_corpus(
     paragraph_dedup: Optional[str] = None,
     boilerplate_min_docs: Optional[int] = None,
     paragraph_sep: str = r"\n{2,}",
+    dedup_span_tokens: Optional[int] = None,
     max_perplexity: Optional[float] = None,
     perplexity_lm: Optional[DataFrame] = None,
     quality_model=None,
@@ -111,6 +112,22 @@ def prepare_training_corpus(
     cleaned = staged.withColumn(text_col, clean_text(text_col)).filter(
         F.length(F.col(text_col)) > 0
     )
+    if dedup_span_tokens is not None:
+        # ExactSubstr stage (Lee et al. 2022): duplicated >= n-token runs
+        # are cut from all but their first occurrence. Runs AFTER
+        # clean_text (normalized whitespace makes the token grams match
+        # across formatting variants) and BEFORE the gates, so quality/
+        # length judge the de-boilerplated content — same rationale as
+        # the paragraph stages.
+        from patito_spark.operators.spans import dedup_spans
+
+        cleaned = dedup_spans(
+            cleaned,
+            id_col=id_col,
+            text_col=text_col,
+            span_tokens=dedup_span_tokens,
+            hash_mode=hash_mode,
+        )
     gated = filter_corpus(
         cleaned,
         id_col=id_col,

@@ -1,0 +1,234 @@
+"""Exact-substring (span-level) dedup: cut duplicated token runs.
+
+The third granularity of text dedup, between :mod:`.paragraphs`
+(structural units) and :mod:`.dedup` (whole documents): find token
+runs of at least ``span_tokens`` tokens that occur ``min_count`` or
+more times anywhere in the corpus and cut every occurrence after the
+first out of the text — the ExactSubstr dedup of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499), which found that memorized-text emission drops
+~10x when duplicated 50-token spans are removed even though no
+document pair crosses a near-dup threshold.
+
+Lee et al. build a corpus-wide suffix array — a sequential,
+single-machine construction. The Spark-first equivalent used here:
+every ``span_tokens``-gram is 64-bit-hashed in place (map-only,
+codegen ``slice``/``concat_ws`` per row), and a single window over
+the gram hash yields both the corpus-wide occurrence count and the
+global first-occurrence rank in ONE shuffle of the gram stream. A
+maximal duplicated run of L >= n tokens is exactly a run of L-n+1
+consecutive duplicated n-grams, so merging the surviving grams'
+``[pos, pos+n-1]`` intervals (gaps-and-islands over candidates only)
+reconstructs the full span without ever materializing it.
+
+Scale shape at 100 TB: the heavy object — the gram stream, ~1 row
+per corpus token — is shuffled exactly once (the count+rank window).
+Everything downstream operates on *duplicated occurrences only*
+(a tiny fraction of a healthy corpus): the interval merge windows,
+the per-doc interval collect, and the join back to documents. The
+final cut is one fold over each affected document's merged-interval
+array — an interpreted lambda, but over a per-doc list of a handful
+of islands, not the per-gram hot path (which stays codegen).
+
+False positives: two distinct n-grams colliding under xxhash64 would
+cut a non-duplicated span; the expected number of collisions is
+~G^2 / 2^65 for G distinct grams (< 1 at 100 TB-scale G ~ 10^12,
+~0.03 at G = 10^9). ``hash_mode="portable"`` (60-bit) trades a
+little more collision head-room for engine-reproducible replay.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from patito_spark.functions.hashing import hash64
+
+__all__ = ["duplicate_span_intervals", "dedup_spans"]
+
+
+def _gram_hash_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    hash_mode: str,
+) -> DataFrame:
+    """(``__id``, ``__pos``, ``__h``) — hash of the n-gram starting at
+    each 0-based token position. Map-only (no exchange); documents
+    shorter than ``n`` tokens emit no rows (they cannot contain an
+    ``n``-token duplicated run — unlike the near-dup shingle
+    convention, a short doc is simply never cut).
+    """
+    toks = F.split(F.col(text_col), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    hashes = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: hash64(F.concat_ws(" ", F.slice(toks, i, n)), mode=hash_mode),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(hashes).alias("__pos", "__h"),
+    )
+
+
+def duplicate_span_intervals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_count: int = 2,
+    keep_first: bool = True,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Merged duplicated-run intervals per document.
+
+    Returns ``<id_col>, span_start, span_end`` (0-based token indices,
+    inclusive) — the maximal token runs covered by ``span_tokens``-grams
+    that occur at least ``min_count`` times corpus-wide. With
+    ``keep_first`` (default) each gram's globally-first occurrence
+    (ordered by ``(id, pos)``) is exempt, so one copy of every
+    duplicated span survives; ``keep_first=False`` marks ALL copies
+    (the aggressive variant — e.g. for scrubbing known-bad spans).
+
+    One shuffle of the full gram stream (a single hash-partitioned
+    window provides occurrence count AND first-occurrence rank);
+    everything after runs on duplicated occurrences only.
+    """
+    grams = _gram_hash_positions(df, id_col, text_col, span_tokens, hash_mode)
+    wh = Window.partitionBy("__h")
+    marked = grams.select(
+        "__id",
+        "__pos",
+        F.count(F.lit(1)).over(wh).alias("__cnt"),
+        F.row_number()
+        .over(wh.orderBy("__id", "__pos"))
+        .alias("__rn"),
+    )
+    removable = marked.filter(F.col("__cnt") >= min_count)
+    if keep_first:
+        removable = removable.filter(F.col("__rn") > 1)
+    # Gaps-and-islands over candidates: consecutive/overlapping gram
+    # intervals [pos, pos+n-1] merge into one maximal duplicated run.
+    iv = removable.select(
+        "__id",
+        F.col("__pos").alias("__s"),
+        (F.col("__pos") + F.lit(span_tokens - 1)).alias("__e"),
+    )
+    wd = Window.partitionBy("__id").orderBy("__s")
+    prev_max_e = F.max("__e").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = iv.select(
+        "__id",
+        "__s",
+        "__e",
+        F.sum(
+            F.when(
+                prev_max_e.isNull() | (F.col("__s") > prev_max_e + 1), 1
+            ).otherwise(0)
+        )
+        .over(wd)
+        .alias("__gid"),
+    )
+    return (
+        islands.groupBy("__id", "__gid")
+        .agg(
+            F.min("__s").alias("span_start"),
+            F.max("__e").alias("span_end"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_count: int = 2,
+    keep_first: bool = True,
+    min_remaining_tokens: Optional[int] = 1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Cut duplicated >= ``span_tokens``-token runs out of every document.
+
+    ExactSubstr dedup (Lee et al. 2022, arXiv:2107.06499), Spark-first —
+    see the module docstring for the formulation. Every token run of at
+    least ``span_tokens`` whitespace tokens occurring ``min_count``+
+    times corpus-wide is removed from all but its globally-first
+    occurrence (``keep_first=False`` removes every copy). The document
+    text is rebuilt from the surviving tokens (single-space-joined — the
+    same whitespace normalization as :func:`..packing.chunk_documents`);
+    documents left with fewer than ``min_remaining_tokens`` tokens are
+    dropped (``None`` keeps them). Documents containing no duplicated
+    span pass through with their text untouched, byte-for-byte. All
+    other columns are preserved.
+
+    The cut itself is one ``aggregate`` fold over each affected doc's
+    sorted merged-interval array: the accumulator walks a cursor
+    through the token array, concatenating the codegen ``slice``
+    between consecutive islands — O(islands) lambda steps per doc,
+    never per token.
+    """
+    intervals = duplicate_span_intervals(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        span_tokens=span_tokens,
+        min_count=min_count,
+        keep_first=keep_first,
+        hash_mode=hash_mode,
+    )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__iv")
+    )
+    out = df.join(per_doc, on=id_col, how="left")
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    # Fold the sorted islands: acc.cur = next uncut 0-based token index;
+    # acc.parts accumulates the kept slices (1-based F.slice).
+    folded = F.aggregate(
+        F.col("__iv"),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, x: F.struct(
+            (x.span_end + 1).alias("cur"),
+            F.when(
+                x.span_start > acc.cur,
+                F.concat(
+                    acc.parts,
+                    F.slice(toks, acc.cur + 1, x.span_start - acc.cur),
+                ),
+            )
+            .otherwise(acc.parts)
+            .alias("parts"),
+        ),
+        lambda acc: F.when(
+            sz > acc.cur,
+            F.concat(acc.parts, F.slice(toks, acc.cur + 1, sz - acc.cur)),
+        ).otherwise(acc.parts),
+    )
+    new_text = F.when(
+        F.col("__iv").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(folded, " "))
+    out = out.withColumn(text_col, new_text)
+    if min_remaining_tokens is not None:
+        # Only CUT documents are subject to the remainder gate — a doc
+        # that was empty or tiny on the way in and untouched passes
+        # through (dropping it would make dedup a quality filter).
+        kept_tokens = F.when(
+            F.length(F.col(text_col)) > 0, F.size(F.split(F.col(text_col), " "))
+        ).otherwise(F.lit(0))
+        out = out.filter(
+            F.col("__iv").isNull() | (kept_tokens >= min_remaining_tokens)
+        )
+    return out.drop("__iv")

@@ -211,6 +211,28 @@ def test_prepare_paragraph_stages(spark):
     assert "different ending" in texts[24]
 
 
+def test_prepare_span_dedup_stage(spark):
+    run = "copied disclaimer text repeated across the whole site verbatim"
+    corpus = spark.createDataFrame(
+        [
+            (30, f"original reporting on spark shuffles {run}"),
+            (31, f"{run} plus a genuinely new analysis section"),
+            (32, "fully independent document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus, min_tokens=2, dedup_threshold=None, dedup_span_tokens=5
+    )
+    texts = {r.doc_id: r.text for r in out["documents"].collect()}
+    # Doc 30 carries the first occurrence and keeps it; doc 31's copy of
+    # the duplicated run is cut, its novel tail survives the gates.
+    assert run in texts[30]
+    assert run not in texts[31]
+    assert "genuinely new analysis section" in texts[31]
+    assert texts[32] == "fully independent document with its own words"
+
+
 def test_prepare_paragraph_scope_validated(spark):
     corpus = spark.createDataFrame(
         [(1, "one paragraph only")], "doc_id long, text string"
