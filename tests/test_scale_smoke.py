@@ -361,3 +361,27 @@ def test_update_corpus_1m_history_100k_batch(spark):
         within_batch_threshold=None,
     )["admitted"]
     assert out.count() == 50_000
+
+
+def test_dedup_spans_1m_docs(spark):
+    from patito_spark.operators.spans import dedup_spans
+
+    # 1M docs: a per-doc-unique 5-token head (every token embeds the id,
+    # so no head gram is ever shared) and, on even ids, one of 1000
+    # 6-token template runs duplicated 500x each -> ~6M gram rows through
+    # the count+rank window, ~499k docs cut.
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat("
+        " 'a', id, ' b', id, ' c', id, ' d', id, ' e', id,"
+        " if(id % 2 = 0,"
+        "  concat(' template run number ', cast((id div 2) % 1000 as string),"
+        "         ' shared verbatim'),"
+        "  '')) as text",
+    )
+    out = dedup_spans(docs, span_tokens=6)
+    # Nothing is dropped (every doc keeps its unique head), and exactly
+    # the non-first copies of each of the 1000 templates lose their run.
+    assert out.count() == 1_000_000
+    kept = out.filter(F.col("text").contains("template run")).count()
+    assert kept == 1000
