@@ -10,6 +10,7 @@ from patito_spark.sources.readers import (
     write_clustered,
     write_orc,
     write_parquet,
+    write_training_shards,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "write_clustered",
     "write_orc",
     "write_parquet",
+    "write_training_shards",
 ]

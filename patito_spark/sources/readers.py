@@ -281,3 +281,100 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_training_shards(
+    df,
+    path: str,
+    target_tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count_col: Optional[str] = None,
+    shuffle_docs: bool = True,
+    seed: int = 0,
+    mode: str = "error",
+    **options: Any,
+) -> dict:
+    """Write a corpus as ~equal-token parquet shards + a manifest.
+
+    The layout step between corpus prep and the training loader: data
+    loaders want many same-sized shards (one per reader worker), sized
+    by TOKENS, not rows — a shard of long documents must not carry 10x
+    the work of a shard of short ones. Output:
+    ``<path>/shard=<k>/...parquet`` (one directory per shard) and a
+    ``<path>/_manifest`` parquet of per-shard ``n_docs`` / ``n_tokens``
+    for loader bookkeeping and dataset cards.
+
+    Scale shape: ONE aggregate computes the corpus token total, which
+    fixes ``n_shards = ceil(total / target)``; each document is then
+    assigned ``shard = hash(id, seed) % n_shards`` — a map-only,
+    deterministic projection. Shards are equal in expectation and
+    concentrate tightly at training scale (a 100M-token shard of ~1k-
+    token docs is a 100k-document sample; relative spread ~ 1/sqrt(k)),
+    and nothing resembles the global running-sum a "pack shards
+    greedily in order" layout would need (that's a single-partition
+    window — the one shape that cannot scale). ``shuffle_docs`` keeps
+    hash order (i.e. a deterministic global shuffle — the usual
+    prerequisite for sequential-read training); ``shuffle_docs=False``
+    preserves no particular order either way (hash assignment already
+    decorrelates), it merely skips the within-shard sort.
+
+    Returns ``{"n_shards", "total_tokens", "manifest"}`` (manifest as a
+    list of Rows, already written to ``_manifest``).
+    """
+    from pyspark.sql import functions as F
+
+    from patito_spark.dataframe import DataFrame as PatitoDataFrame
+    from patito_spark.operators.text import token_count
+
+    if isinstance(df, PatitoDataFrame):
+        df = df.inner
+    if target_tokens_per_shard <= 0:
+        raise ValueError("target_tokens_per_shard must be positive")
+    toks = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(text_col)
+    )
+    counted = df.withColumn("__n_tok", toks.cast("long"))
+    total = counted.agg(F.sum("__n_tok")).first()[0] or 0
+    n_shards = max(1, -(-total // target_tokens_per_shard))
+    sharded = counted.withColumn(
+        "shard",
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    out = sharded.repartition(int(n_shards), "shard")
+    if shuffle_docs:
+        # Deterministic within-shard order by (hash, id): the global
+        # shuffle training loaders want, reproducible under seed.
+        out = out.sortWithinPartitions(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1)),
+            F.col(id_col),
+        )
+    (
+        out.drop("__n_tok")
+        .write.mode(mode)
+        .options(**options)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    # Manifest from the WRITTEN shards (a cheap local codegen scan), not
+    # from the upstream lineage — the input is typically the tail of an
+    # expensive pipeline, and this function already evaluates it twice
+    # (token total + write); callers with costly upstreams should
+    # persist()/checkpoint() before calling either way.
+    written = out.sparkSession.read.parquet(path)
+    manifest = (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("long")).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    rows = manifest.collect()
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return {"n_shards": int(n_shards), "total_tokens": int(total), "manifest": rows}
