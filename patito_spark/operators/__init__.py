@@ -7,6 +7,7 @@ lacks the primitive (multimodal decode stubs).
 
 from patito_spark.operators import (
     contamination,
+    conversations,
     dedup,
     graph,
     incremental,
@@ -30,6 +31,7 @@ from patito_spark.operators import (
 
 __all__ = [
     "contamination",
+    "conversations",
     "dedup",
     "graph",
     "incremental",
