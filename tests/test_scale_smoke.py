@@ -385,3 +385,52 @@ def test_dedup_spans_1m_docs(spark):
     assert out.count() == 1_000_000
     kept = out.filter(F.col("text").contains("template run")).count()
     assert kept == 1000
+
+
+def test_conversation_prep_1m(spark):
+    from patito_spark.operators.conversations import (
+        dedup_conversations,
+        filter_conversations,
+        render_conversations,
+    )
+
+    # 1M two-turn conversations; 20% are formatting variants of a 100k
+    # template pool (dup under normalization), the rest unique.
+    convs = spark.range(1_000_000).selectExpr(
+        "id as conv_id",
+        "array("
+        " named_struct('role', 'user', 'content',"
+        "   concat('question number ', cast(if(id % 5 = 0, id % 100000, id) as string))),"
+        " named_struct('role', 'assistant', 'content',"
+        "   concat(if(id % 10 = 0, 'ANSWER BODY ', 'answer body '),"
+        "          cast(if(id % 5 = 0, id % 100000, id) as string)))"
+        ") as messages",
+    )
+    gated = filter_conversations(convs)
+    assert gated.count() == 1_000_000
+    deduped = dedup_conversations(gated)
+    # Map-only gate + one hash aggregate for the dedup; uniqueness holds.
+    n = deduped.count()
+    assert n < 1_000_000
+    assert deduped.select("conv_id").distinct().count() == n
+    rendered = render_conversations(deduped)
+    assert rendered.filter(F.length("text") > 0).count() == n
+
+
+def test_training_shards_1m_docs(spark, tmp_path):
+    from patito_spark.sources import write_training_shards
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(1, cast(id % 50 + 5 as int)),"
+        " i -> concat('t', i))) as text",
+    )
+    info = write_training_shards(
+        docs, str(tmp_path / "shards"),
+        target_tokens_per_shard=1_000_000, mode="overwrite",
+    )
+    sizes = [r["n_tokens"] for r in info["manifest"]]
+    assert sum(r["n_docs"] for r in info["manifest"]) == 1_000_000
+    mean = sum(sizes) / len(sizes)
+    # ~30 shards of ~34k docs each: hash balance concentrates tightly.
+    assert all(0.9 * mean < s < 1.1 * mean for s in sizes)
