@@ -191,3 +191,60 @@ def weighted_sample(
         p = w
     frac = _hash_fraction(F.col(key_col), seed, hash_mode=hash_mode)
     return df.filter(w.isNotNull() & (w > 0) & (frac < p))
+
+
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    output_col: str = "bin",
+    relative_error: float = 0.001,
+    breakpoints: Optional[Sequence[float]] = None,
+) -> DataFrame:
+    """Assign each row its quantile bin of ``score_col`` (0 .. n_bins-1).
+
+    The curriculum/stratification primitive: bin a corpus by quality
+    score (or perplexity, length, ...) into approximately-equal-mass
+    bins, then feed the bin column to :func:`stratified_sample`,
+    :func:`balance_classes`, or ``mix_corpora``'s per-domain weighting
+    — "train on the top quartile", "sample hard examples 2x", etc.
+
+    Scale shape: ONE ``approxQuantile`` pass (Greenwald-Khanna sketch,
+    mergeable, driver receives ``n_bins - 1`` doubles) computes the
+    breakpoints; assignment is then a map-only codegen projection — the
+    bin index is a sum of ``score >= breakpoint`` comparisons, no
+    shuffle, no window. This is the distributed replacement for
+    ``ntile()`` over a global ORDER BY, which plans as a single-
+    partition window — the canonical does-not-scale shape.
+
+    Pass precomputed ``breakpoints`` (ascending, length ``n_bins - 1``)
+    to skip the sketch pass — e.g. to bin a new snapshot against the
+    HISTORY's distribution, or to reuse one sketch across many calls.
+    Null scores get a null bin. Duplicate breakpoints (massively
+    repeated score values) collapse those bins to empty — mass goes to
+    the highest bin whose breakpoint equals the value.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be at least 2")
+    if breakpoints is None:
+        probs = [i / n_bins for i in range(1, n_bins)]
+        breakpoints = df.stat.approxQuantile(
+            score_col, probs, relative_error
+        )
+    else:
+        breakpoints = [float(b) for b in breakpoints]
+        if len(breakpoints) != n_bins - 1:
+            raise ValueError(
+                f"need {n_bins - 1} breakpoints for {n_bins} bins, "
+                f"got {len(breakpoints)}"
+            )
+        if sorted(breakpoints) != breakpoints:
+            raise ValueError("breakpoints must be ascending")
+    score = F.col(score_col)
+    bin_idx = sum(
+        (score >= F.lit(b)).cast("int") for b in breakpoints
+    )
+    return df.withColumn(
+        output_col,
+        F.when(score.isNotNull(), bin_idx).cast("int"),
+    )

@@ -138,3 +138,99 @@ def test_weighted_sample_negative_and_null_mean_handling(spark):
     )
     n = weighted_sample(big, "w", "id", target_fraction=0.5).count()
     assert abs(n / 20_000 - 0.5) < 0.02
+
+
+class TestQuantileBins:
+    def test_equal_mass_bins_on_uniform_scores(self, spark):
+        from patito_spark.operators.sampling import quantile_bins
+
+        df = spark.range(10_000).selectExpr(
+            "id", "cast(id as double) / 10000 as score"
+        )
+        out = quantile_bins(df, "score", n_bins=4)
+        sizes = {
+            r["bin"]: r["n"]
+            for r in out.groupBy("bin").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert set(sizes) == {0, 1, 2, 3}
+        for n in sizes.values():
+            assert 2300 < n < 2700  # ~2500 each at 0.001 relative error
+
+    def test_bins_monotone_in_score(self, spark):
+        from patito_spark.operators.sampling import quantile_bins
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).selectExpr(
+            "id", "cast(pmod(id * 37, 1000) as double) as score"
+        )
+        rows = quantile_bins(df, "score", n_bins=5).orderBy("score").collect()
+        bins = [r["bin"] for r in rows]
+        assert bins == sorted(bins)
+
+    def test_null_scores_get_null_bin(self, spark):
+        from patito_spark.operators.sampling import quantile_bins
+
+        df = spark.createDataFrame(
+            [(1, 0.2), (2, None), (3, 0.9)], "id long, score double"
+        )
+        out = {r["id"]: r["bin"] for r in quantile_bins(df, "score", 2).collect()}
+        assert out[2] is None
+        assert out[1] is not None and out[3] is not None
+
+    def test_precomputed_breakpoints_and_validation(self, spark):
+        import pytest
+
+        from patito_spark.operators.sampling import quantile_bins
+
+        df = spark.createDataFrame(
+            [(1, 0.1), (2, 0.5), (3, 0.9)], "id long, score double"
+        )
+        out = {
+            r["id"]: r["bin"]
+            for r in quantile_bins(
+                df, "score", n_bins=3, breakpoints=[0.3, 0.7]
+            ).collect()
+        }
+        assert out == {1: 0, 2: 1, 3: 2}
+        with pytest.raises(ValueError, match="breakpoints"):
+            quantile_bins(df, "score", n_bins=3, breakpoints=[0.3])
+        with pytest.raises(ValueError, match="ascending"):
+            quantile_bins(df, "score", n_bins=3, breakpoints=[0.7, 0.3])
+        with pytest.raises(ValueError, match="at least 2"):
+            quantile_bins(df, "score", n_bins=1)
+
+    def test_assignment_is_shuffle_free(self, spark):
+        from patito_spark.operators.sampling import quantile_bins
+        from patito_spark.plans.explain import executed_plan
+
+        df = spark.range(100).selectExpr("id", "cast(id as double) as score")
+        plan = executed_plan(
+            quantile_bins(df, "score", n_bins=4, breakpoints=[25.0, 50.0, 75.0])
+        )
+        assert "Exchange" not in plan
+
+    def test_feeds_stratified_sample(self, spark):
+        from patito_spark.operators.sampling import (
+            quantile_bins,
+            stratified_sample,
+        )
+
+        df = spark.range(8000).selectExpr(
+            "id", "cast(pmod(id * 13, 8000) as double) as score"
+        )
+        binned = quantile_bins(df, "score", n_bins=4)
+        sampled = stratified_sample(
+            binned, strata_col="bin",
+            fractions={0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25},
+            key_col="id",
+        )
+        sizes = {
+            r["bin"]: r["n"]
+            for r in sampled.groupBy("bin").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        for n in sizes.values():
+            assert 350 < n < 650  # ~500 per stratum
