@@ -149,3 +149,37 @@ def test_composes_with_text_pipeline(spark, convs):
     # Whitespace tokens: conv 2 renders to 3 ("user:", "hi\n\nassistant:",
     # "hello") and drops at min_tokens=4; the system-prefixed ones pass.
     assert sorted(r["conv_id"] for r in gated.collect()) == [1, 6]
+
+
+def test_gate_and_render_on_stream(spark, tmp_path):
+    """filter_conversations + render_conversations are plain transforms,
+    so they apply to a readStream unchanged — ingestion-time structural
+    gating of chat data."""
+    import uuid as _uuid
+
+    path = str(tmp_path / "convs")
+    spark.createDataFrame(
+        [
+            (1, msgs(("user", "hi"), ("assistant", "hello"))),
+            (2, msgs(("user", "no reply yet"))),
+        ],
+        schema="conv_id long, "
+        "messages array<struct<role: string, content: string>>",
+    ).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        "conv_id long, messages array<struct<role: string, content: string>>"
+    ).parquet(path)
+    out = render_conversations(filter_conversations(stream))
+    name = f"t_conv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert [(r["conv_id"], r["text"]) for r in rows] == [
+        (1, "user: hi\n\nassistant: hello")
+    ]

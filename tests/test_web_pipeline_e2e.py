@@ -42,6 +42,10 @@ def test_web_pipeline_end_to_end(spark):
              "https://books.example.org/ch1", "books"),
             # too short after gating
             (15, "tiny", "https://example.com/t", "web"),
+            # carries a verbatim copy of doc 11's opening run -> span-cut
+            (16, "fresh piece on query optimizers and join orders stolen "
+                 "plus an original closing thought on cost models",
+             "https://example.com/d", "web"),
         ],
         "doc_id long, text string, url string, domain string",
     )
@@ -56,12 +60,18 @@ def test_web_pipeline_end_to_end(spark):
         min_tokens=4,
         dedup_threshold=0.7,
         boilerplate_min_docs=3,
+        dedup_span_tokens=6,
     )["documents"]
     docs = {r["doc_id"]: r for r in prepared.collect()}
     # 10 refetch-dropped, 15 length-gated; footer removed from 11-13.
-    assert sorted(docs) == [11, 12, 13, 14]
+    assert sorted(docs) == [11, 12, 13, 14, 16]
     assert all("subscribe" not in r["text"] for r in docs.values())
     assert docs[14]["domain"] == "books"
+    # ExactSubstr stage: doc 16 keeps only its novel tail; doc 11 (first
+    # occurrence of the shared run) is untouched.
+    assert "query optimizers" in docs[11]["text"]
+    assert "query optimizers" not in docs[16]["text"]
+    assert "closing thought" in docs[16]["text"]
 
     mixed = mix_corpora(
         {
