@@ -191,3 +191,28 @@ def test_gram_stream_shuffles_once(docs):
     # the groupBy where possible) + interval collect + doc-side join:
     # anything beyond 6 means a stage started re-shuffling the big side.
     assert plan.count("Exchange") <= 6, plan
+
+
+def test_within_document_repetition(spark):
+    # The classic ExactSubstr case: the duplicated run lives INSIDE one
+    # document. "a b c" occurs at pos 0/3/6; keep-first keeps pos 0,
+    # the rest cut (including the bridging grams "b c a"/"c a b").
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c tail")], "doc_id long, text string"
+    )
+    out = by_id(dedup_spans(docs, span_tokens=3))
+    assert out[1] == "a b c tail"
+    # Matches the brute-force reference on the same corpus.
+    assert out == ref_dedup_spans({1: "a b c a b c a b c tail"}, n=3)
+
+
+def test_periodic_token_run(spark):
+    # Period-1 repetition "x x x x x": grams at 0/1/2 are the same gram;
+    # only the first survives -> "x x x" remains? No: cut intervals
+    # [1,3],[2,4] merge to [1,4], keeping just index 0.
+    docs = spark.createDataFrame(
+        [(1, "x x x x x")], "doc_id long, text string"
+    )
+    out = by_id(dedup_spans(docs, span_tokens=3))
+    assert out == ref_dedup_spans({1: "x x x x x"}, n=3)
+    assert out[1] == "x"

@@ -434,3 +434,19 @@ def test_training_shards_1m_docs(spark, tmp_path):
     mean = sum(sizes) / len(sizes)
     # ~30 shards of ~34k docs each: hash balance concentrates tightly.
     assert all(0.9 * mean < s < 1.1 * mean for s in sizes)
+
+
+def test_quantile_bins_10m(spark):
+    from patito_spark.operators.sampling import quantile_bins
+
+    df = spark.range(N).selectExpr(
+        "id", "cast(pmod(id * 2654435761, 1000003) as double) as score"
+    )
+    out = quantile_bins(df, "score", n_bins=10)
+    sizes = [
+        r["count"] for r in out.groupBy("bin").count().collect()
+    ]
+    assert len(sizes) == 10
+    mean = sum(sizes) / 10
+    # GK sketch at 0.001 relative error: every decile within 2%.
+    assert all(0.98 * mean < s < 1.02 * mean for s in sizes)
