@@ -574,20 +574,53 @@ def validated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------- #
 
 
-def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, both modes in one slot (the text_profile merge
+    pattern): ``keys`` = winning id per duplicate group
+    (exact_dedup_keys, hash aggregate), ``rows`` = full surviving rows
+    (dedup_exact, keep-first window) — union-tagged so the oracle
+    checks each mode's values independently."""
+    from patito_spark.operators.dedup import dedup_exact as _rows
     from patito_spark.operators.dedup import exact_dedup_keys
 
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup_keys(docs, subset=["lang", "source"], id_col="doc_id")
+    keys = exact_dedup_keys(
+        docs, subset=["lang", "source"], id_col="doc_id"
+    ).select(
+        F.lit("keys").alias("mode"),
+        F.col("keep_id").alias("doc_id"),
+        "lang",
+        "source",
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    rows = _rows(docs, subset=["lang", "source"], id_col="doc_id").select(
+        F.lit("rows").alias("mode"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long"),
+    )
+    return keys.unionByName(rows)
 
 
-def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-row keep-first dedup (window row_number, deterministic)."""
-    from patito_spark.operators.dedup import dedup_exact
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-dedup intervals (Lee et al. 2022), portable-hash
+    mode: the merged [start, end] token runs that would be cut from
+    every occurrence-after-the-first of any 4-token run repeated
+    corpus-wide. The oracle replays the FULL pipeline — positioned gram
+    hashes, the corpus-wide count + global first-occurrence rank
+    window, and the gaps-and-islands interval merge — value-for-value
+    in SQL (the text cut itself is the codegen-slice fold over these
+    exact intervals, brute-force-oracled in tests)."""
+    from patito_spark.operators.spans import duplicate_span_intervals
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_exact(docs, subset=["lang", "source"], id_col="doc_id").select(
-        "doc_id", "lang", "source", "n_chars"
+    return duplicate_span_intervals(
+        docs, span_tokens=4, hash_mode="portable"
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
     )
 
 
@@ -1399,8 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_events": q_pivot_events,
         "q_rollup_orders": q_rollup_orders,
         "validated_lineitem": validated_lineitem,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_exact_rows": dedup_exact_rows,
+        "dedup_exact": dedup_exact,
+        "dedup_spans": dedup_spans,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_clusters": dedup_clusters,
         "dedup_embedding": dedup_embedding,
@@ -1871,16 +1904,58 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY l_returnflag
         """,
-        "dedup_exact_docs": """
-            SELECT lang, source, min(doc_id) AS keep_id
+        "dedup_exact": """
+            SELECT 'keys' AS mode, min(doc_id) AS doc_id, lang, source,
+                   NULL::BIGINT AS n_chars
             FROM documents GROUP BY lang, source
-        """,
-        "dedup_exact_rows": """
-            SELECT doc_id, lang, source, n_chars
+            UNION ALL
+            SELECT 'rows' AS mode, doc_id, lang, source, n_chars::BIGINT
             FROM documents
             QUALIFY row_number() OVER (
                 PARTITION BY lang, source ORDER BY doc_id ASC
             ) = 1
+        """,
+        "dedup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, u.s['pos'] AS pos, u.s['h'] AS h FROM toks,
+                UNNEST([{{'pos': i - 1,
+                          'h': {_phash_sql("array_to_string(t[i:i+3], ' ')")}}}
+                        for i in generate_series(1, len(t) - 3)]) AS u(s)
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY h) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY h ORDER BY doc_id, pos
+                       ) AS rn
+                FROM grams
+            ),
+            removable AS (
+                SELECT doc_id, pos AS s, pos + 3 AS e
+                FROM marked WHERE cnt >= 2 AND rn > 1
+            ),
+            pre AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (
+                           PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS prev_e
+                FROM removable
+            ),
+            islands AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS gid
+                FROM pre
+            )
+            SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+            FROM islands GROUP BY doc_id, gid
         """,
         "dedup_jaccard_pairs": """
             WITH toks AS (

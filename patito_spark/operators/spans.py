@@ -12,17 +12,23 @@ document pair crosses a near-dup threshold.
 
 Lee et al. build a corpus-wide suffix array — a sequential,
 single-machine construction. The Spark-first equivalent used here:
-every ``span_tokens``-gram is 64-bit-hashed in place (map-only,
-codegen ``slice``/``concat_ws`` per row), and a single window over
-the gram hash yields both the corpus-wide occurrence count and the
-global first-occurrence rank in ONE shuffle of the gram stream. A
+every ``span_tokens``-gram is 64-bit-hashed with positions (codegen
+``lead()`` windows over the exploded token stream by default — see
+:func:`_gram_hash_positions` for the measured trade vs the shuffle-
+free interpreted build), and a single window over the gram hash
+yields both the corpus-wide occurrence count and the global
+first-occurrence rank in ONE shuffle of the gram stream. A
 maximal duplicated run of L >= n tokens is exactly a run of L-n+1
 consecutive duplicated n-grams, so merging the surviving grams'
 ``[pos, pos+n-1]`` intervals (gaps-and-islands over candidates only)
 reconstructs the full span without ever materializing it.
 
 Scale shape at 100 TB: the heavy object — the gram stream, ~1 row
-per corpus token — is shuffled exactly once (the count+rank window).
+per corpus token — crosses the network twice in the default codegen
+formulation (token stream by document for the gram windows, gram
+stream by hash for the count+rank window; ``gram_mode="map"`` trades
+the first exchange for ~2x gram-build CPU) and the duplicated-run
+semantics pay exactly ONE hash-partitioned window.
 Everything downstream operates on *duplicated occurrences only*
 (a tiny fraction of a healthy corpus): the interval merge windows,
 the per-doc interval collect, and the join back to documents. The
@@ -54,26 +60,60 @@ def _gram_hash_positions(
     text_col: str,
     n: int,
     hash_mode: str,
+    gram_mode: str = "window",
 ) -> DataFrame:
     """(``__id``, ``__pos``, ``__h``) — hash of the n-gram starting at
-    each 0-based token position. Map-only (no exchange); documents
-    shorter than ``n`` tokens emit no rows (they cannot contain an
-    ``n``-token duplicated run — unlike the near-dup shingle
-    convention, a short doc is simply never cut).
+    each 0-based token position. Documents shorter than ``n`` tokens
+    emit no rows (they cannot contain an ``n``-token duplicated run —
+    unlike the near-dup shingle convention, a short doc is simply
+    never cut).
+
+    Two formulations, same trade as
+    :func:`..dedup.shingle_hash_rows`:
+
+    * ``"window"`` (default) — tokens explode to rows and grams build
+      with ``lead()`` windows: all-codegen, at the cost of one
+      exchange+sort of the token stream by document. Interleaved race
+      at sf0.1/sf1: full pipeline 1.16/2.19 s vs 2.10/3.28 s for the
+      map path — the interpreted ``transform``+``slice`` lambda costs
+      ~2x the CPU the extra exchange costs (the repo's thrice-measured
+      HOF-lambda lesson, docs/perf.md).
+    * ``"map"`` — per-row interpreted lambda, ZERO exchanges before
+      the count+rank window: the fallback when the token-stream
+      exchange itself is the bottleneck (very long documents).
     """
-    toks = F.split(F.col(text_col), " ")
-    k = F.size(toks) - F.lit(n - 1)
-    hashes = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: hash64(F.concat_ws(" ", F.slice(toks, i, n)), mode=hash_mode),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return df.select(
+    if gram_mode == "map":
+        toks = F.split(F.col(text_col), " ")
+        k = F.size(toks) - F.lit(n - 1)
+        hashes = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: hash64(
+                    F.concat_ws(" ", F.slice(toks, i, n)), mode=hash_mode
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(hashes).alias("__pos", "__h"),
+        )
+    toks = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(hashes).alias("__pos", "__h"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__tok"),
     )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", i).over(w) for i in range(1, n)
+    ]
+    valid = parts[-1].isNotNull() if n > 1 else F.lit(True)
+    return toks.select(
+        "__id",
+        "__pos",
+        F.when(valid, hash64(F.concat_ws(" ", *parts), mode=hash_mode)).alias(
+            "__h"
+        ),
+    ).filter(F.col("__h").isNotNull())
 
 
 def duplicate_span_intervals(
@@ -84,6 +124,7 @@ def duplicate_span_intervals(
     min_count: int = 2,
     keep_first: bool = True,
     hash_mode: str = "xxhash64",
+    gram_mode: str = "window",
 ) -> DataFrame:
     """Merged duplicated-run intervals per document.
 
@@ -95,11 +136,14 @@ def duplicate_span_intervals(
     duplicated span survives; ``keep_first=False`` marks ALL copies
     (the aggressive variant — e.g. for scrubbing known-bad spans).
 
-    One shuffle of the full gram stream (a single hash-partitioned
-    window provides occurrence count AND first-occurrence rank);
-    everything after runs on duplicated occurrences only.
+    A single hash-partitioned window provides occurrence count AND
+    first-occurrence rank; everything after runs on duplicated
+    occurrences only. Gram building is codegen lead()-windows by
+    default (``gram_mode`` — see :func:`_gram_hash_positions`).
     """
-    grams = _gram_hash_positions(df, id_col, text_col, span_tokens, hash_mode)
+    grams = _gram_hash_positions(
+        df, id_col, text_col, span_tokens, hash_mode, gram_mode=gram_mode
+    )
     wh = Window.partitionBy("__h")
     marked = grams.select(
         "__id",
@@ -154,6 +198,7 @@ def dedup_spans(
     keep_first: bool = True,
     min_remaining_tokens: Optional[int] = 1,
     hash_mode: str = "xxhash64",
+    gram_mode: str = "window",
 ) -> DataFrame:
     """Cut duplicated >= ``span_tokens``-token runs out of every document.
 
@@ -183,6 +228,7 @@ def dedup_spans(
         min_count=min_count,
         keep_first=keep_first,
         hash_mode=hash_mode,
+        gram_mode=gram_mode,
     )
     per_doc = intervals.groupBy(id_col).agg(
         F.array_sort(

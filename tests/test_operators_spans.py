@@ -216,3 +216,9 @@ def test_periodic_token_run(spark):
     out = by_id(dedup_spans(docs, span_tokens=3))
     assert out == ref_dedup_spans({1: "x x x x x"}, n=3)
     assert out[1] == "x"
+
+
+def test_gram_modes_agree(docs):
+    a = by_id(dedup_spans(docs, span_tokens=3, gram_mode="window"))
+    b = by_id(dedup_spans(docs, span_tokens=3, gram_mode="map"))
+    assert a == b
