@@ -79,6 +79,13 @@ HEADLINERS = {
         "stream is joined map-side and never dedup-shuffled "
         "(count_distinct collapses duplicates after the join)."
     ),
+    "dedup_spans": (
+        "ExactSubstr intervals: codegen lead()-window gram build, then "
+        "ONE hash-partitioned window provides occurrence count AND "
+        "global first-occurrence rank; the islands windows and interval "
+        "aggregate run on the filtered duplicated candidates only — no "
+        "join, no cross product, nothing scales with pair count."
+    ),
 }
 
 
