@@ -54,6 +54,7 @@ def prepare_training_corpus(
     embedding_col: str = "embedding",
     semantic_keep: str = "outlier",
     contamination_ngram: int = 8,
+    contamination_action: str = "drop",
     contamination_neardup_threshold: Optional[float] = None,
     max_tokens_per_chunk: Optional[int] = None,
     pack_max_len: Optional[int] = None,
@@ -200,7 +201,38 @@ def prepare_training_corpus(
             kept.select(id_col), on=id_col, how="left_anti"
         )
         gated = gated.join(dropped, on=id_col, how="left_anti")
-    if benchmark is not None:
+    if contamination_action not in ("drop", "scrub"):
+        raise ValueError(
+            f"contamination_action must be 'drop' or 'scrub', "
+            f"got {contamination_action!r}"
+        )
+    if benchmark is not None and contamination_action == "scrub":
+        # Surgical decontamination: cut just the leaked spans instead of
+        # dropping whole documents (scrub_spans docstring). Docs reduced
+        # to nothing still drop via its remainder gate; the near-dup
+        # pass below (if enabled) still removes paraphrased full-doc
+        # leaks that share no verbatim run.
+        from patito_spark.operators.spans import scrub_spans
+
+        gated = scrub_spans(
+            gated,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            span_tokens=contamination_ngram,
+            hash_mode=hash_mode,
+        )
+        if contamination_neardup_threshold is not None:
+            near = minhash_dedup_against(
+                gated,
+                benchmark,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=contamination_neardup_threshold,
+                hash_mode=hash_mode,
+            ).select(id_col)
+            gated = gated.join(near, on=id_col, how="left_anti")
+    elif benchmark is not None:
         contaminated = ngram_contamination(
             gated,
             benchmark,

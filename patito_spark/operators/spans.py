@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from patito_spark.functions.hashing import hash64
 
-__all__ = ["duplicate_span_intervals", "dedup_spans"]
+__all__ = ["duplicate_span_intervals", "dedup_spans", "scrub_spans"]
 
 
 def _gram_hash_positions(
@@ -156,12 +156,17 @@ def duplicate_span_intervals(
     removable = marked.filter(F.col("__cnt") >= min_count)
     if keep_first:
         removable = removable.filter(F.col("__rn") > 1)
-    # Gaps-and-islands over candidates: consecutive/overlapping gram
-    # intervals [pos, pos+n-1] merge into one maximal duplicated run.
-    iv = removable.select(
+    return _merge_islands(removable, span_tokens, id_col)
+
+
+def _merge_islands(occ: DataFrame, n: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands over candidate gram starts (``__id``, ``__pos``):
+    consecutive/overlapping gram intervals [pos, pos+n-1] merge into
+    maximal runs ``<id_col>, span_start, span_end``."""
+    iv = occ.select(
         "__id",
         F.col("__pos").alias("__s"),
-        (F.col("__pos") + F.lit(span_tokens - 1)).alias("__e"),
+        (F.col("__pos") + F.lit(n - 1)).alias("__e"),
     )
     wd = Window.partitionBy("__id").orderBy("__s")
     prev_max_e = F.max("__e").over(
@@ -187,6 +192,68 @@ def duplicate_span_intervals(
         )
         .select(F.col("__id").alias(id_col), "span_start", "span_end")
     )
+
+
+def _apply_cut(
+    df: DataFrame,
+    intervals: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_remaining_tokens: Optional[int],
+) -> DataFrame:
+    """Cut the given ``span_start``/``span_end`` token intervals out of
+    each document's text: one fold over the sorted merged-interval
+    array per affected doc (O(islands) lambda steps, slices codegen);
+    unaffected docs pass through byte-for-byte."""
+    per_doc = intervals.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__iv")
+    )
+    out = df.join(per_doc, on=id_col, how="left")
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    # acc.cur = next uncut 0-based token index; acc.parts accumulates
+    # the kept slices (1-based F.slice).
+    folded = F.aggregate(
+        F.col("__iv"),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, x: F.struct(
+            (x.span_end + 1).alias("cur"),
+            F.when(
+                x.span_start > acc.cur,
+                F.concat(
+                    acc.parts,
+                    F.slice(toks, acc.cur + 1, x.span_start - acc.cur),
+                ),
+            )
+            .otherwise(acc.parts)
+            .alias("parts"),
+        ),
+        lambda acc: F.when(
+            sz > acc.cur,
+            F.concat(acc.parts, F.slice(toks, acc.cur + 1, sz - acc.cur)),
+        ).otherwise(acc.parts),
+    )
+    new_text = F.when(
+        F.col("__iv").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(folded, " "))
+    out = out.withColumn(text_col, new_text)
+    if min_remaining_tokens is not None:
+        # Only CUT documents are subject to the remainder gate — a doc
+        # that was empty or tiny on the way in and untouched passes
+        # through (dropping it would make the cut a quality filter).
+        kept_tokens = F.when(
+            F.length(F.col(text_col)) > 0,
+            F.size(F.split(F.col(text_col), " ")),
+        ).otherwise(F.lit(0))
+        out = out.filter(
+            F.col("__iv").isNull() | (kept_tokens >= min_remaining_tokens)
+        )
+    return out.drop("__iv")
 
 
 def dedup_spans(
@@ -230,51 +297,61 @@ def dedup_spans(
         hash_mode=hash_mode,
         gram_mode=gram_mode,
     )
-    per_doc = intervals.groupBy(id_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct("span_start", "span_end"))
-        ).alias("__iv")
+    return _apply_cut(df, intervals, id_col, text_col, min_remaining_tokens)
+
+
+def scrub_spans(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: Optional[str] = None,
+    span_tokens: int = 8,
+    min_remaining_tokens: Optional[int] = 1,
+    hash_mode: str = "xxhash64",
+    gram_mode: str = "window",
+    max_broadcast_grams: Optional[int] = 5_000_000,
+) -> DataFrame:
+    """Cut every token run that appears verbatim in ``reference``.
+
+    Surgical decontamination: where :func:`..contamination.
+    ngram_contamination` *flags* documents overlapping a benchmark (so
+    the pipeline can drop them), ``scrub_spans`` removes just the
+    leaked spans — every maximal corpus run covered by
+    ``span_tokens``-grams of the reference text is cut, and the rest of
+    the document survives. The right tool when benchmark sentences are
+    quoted inside otherwise-good documents (dropping the whole doc
+    wastes data; keeping it verbatim leaks the benchmark).
+
+    Scale shape: the reference's distinct gram hashes build map-only
+    and BROADCAST while under ``max_broadcast_grams`` rows (~8 bytes
+    each, so the default bound is ~40 MB — eval suites are tiny next
+    to a training corpus); the corpus gram stream then never shuffles
+    for the match — a map-side semi join marks leaked positions, and
+    only matched candidates reach the islands windows and the cut.
+    Above the bound the match falls back to a shuffle join (AQE
+    decides). ``keep_first`` does not apply: every copy is leaked by
+    definition. The reference side is read once; pass the same
+    ``hash_mode`` the corpus uses.
+    """
+    ref_text = ref_text_col or text_col
+    ref_grams = _gram_hash_positions(
+        reference.select(F.col(ref_text).alias("__rtext")),
+        # constant key: we only need the hash set, not positions
+        id_col="__rtext",
+        text_col="__rtext",
+        n=span_tokens,
+        hash_mode=hash_mode,
+        gram_mode="map",
+    ).select("__h").distinct()
+    if max_broadcast_grams is not None:
+        if ref_grams.count() <= max_broadcast_grams:
+            ref_grams = F.broadcast(ref_grams)
+    else:
+        ref_grams = F.broadcast(ref_grams)
+    grams = _gram_hash_positions(
+        df, id_col, text_col, span_tokens, hash_mode, gram_mode=gram_mode
     )
-    out = df.join(per_doc, on=id_col, how="left")
-    toks = F.split(F.col(text_col), " ")
-    sz = F.size(toks)
-    # Fold the sorted islands: acc.cur = next uncut 0-based token index;
-    # acc.parts accumulates the kept slices (1-based F.slice).
-    folded = F.aggregate(
-        F.col("__iv"),
-        F.struct(
-            F.lit(0).alias("cur"),
-            F.array().cast("array<string>").alias("parts"),
-        ),
-        lambda acc, x: F.struct(
-            (x.span_end + 1).alias("cur"),
-            F.when(
-                x.span_start > acc.cur,
-                F.concat(
-                    acc.parts,
-                    F.slice(toks, acc.cur + 1, x.span_start - acc.cur),
-                ),
-            )
-            .otherwise(acc.parts)
-            .alias("parts"),
-        ),
-        lambda acc: F.when(
-            sz > acc.cur,
-            F.concat(acc.parts, F.slice(toks, acc.cur + 1, sz - acc.cur)),
-        ).otherwise(acc.parts),
-    )
-    new_text = F.when(
-        F.col("__iv").isNull(), F.col(text_col)
-    ).otherwise(F.array_join(folded, " "))
-    out = out.withColumn(text_col, new_text)
-    if min_remaining_tokens is not None:
-        # Only CUT documents are subject to the remainder gate — a doc
-        # that was empty or tiny on the way in and untouched passes
-        # through (dropping it would make dedup a quality filter).
-        kept_tokens = F.when(
-            F.length(F.col(text_col)) > 0, F.size(F.split(F.col(text_col), " "))
-        ).otherwise(F.lit(0))
-        out = out.filter(
-            F.col("__iv").isNull() | (kept_tokens >= min_remaining_tokens)
-        )
-    return out.drop("__iv")
+    matched = grams.join(ref_grams, on="__h", how="left_semi")
+    intervals = _merge_islands(matched, span_tokens, id_col)
+    return _apply_cut(df, intervals, id_col, text_col, min_remaining_tokens)

@@ -222,3 +222,80 @@ def test_gram_modes_agree(docs):
     a = by_id(dedup_spans(docs, span_tokens=3, gram_mode="window"))
     b = by_id(dedup_spans(docs, span_tokens=3, gram_mode="map"))
     assert a == b
+
+
+class TestScrubSpans:
+    def test_cuts_leaked_benchmark_runs(self, spark):
+        from patito_spark.operators.spans import scrub_spans
+
+        bench = spark.createDataFrame(
+            [("what is the capital of france paris",)], "text string"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "intro words what is the capital of france paris "
+                    "closing analysis"),
+                (2, "entirely unrelated document content here"),
+                (3, "what is the capital of france paris"),  # pure leak
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in scrub_spans(docs, bench, span_tokens=4).collect()
+        }
+        assert out[1] == "intro words closing analysis"
+        assert out[2] == "entirely unrelated document content here"
+        assert 3 not in out  # fully leaked doc reduced to nothing
+
+    def test_partial_gram_overlap_cuts_maximal_run(self, spark):
+        from patito_spark.operators.spans import scrub_spans
+
+        # The doc contains the benchmark text with its own words around
+        # it; grams bridging doc/benchmark words don't match, so the cut
+        # is exactly the benchmark run.
+        bench = spark.createDataFrame([("q1 q2 q3 q4 q5",)], "text string")
+        docs = spark.createDataFrame(
+            [(1, "own1 own2 q1 q2 q3 q4 q5 own3")],
+            "doc_id long, text string",
+        )
+        out = scrub_spans(docs, bench, span_tokens=3).collect()
+        assert out[0]["text"] == "own1 own2 own3"
+
+    def test_every_copy_cut_no_keep_first(self, spark):
+        from patito_spark.operators.spans import scrub_spans
+
+        bench = spark.createDataFrame([("s1 s2 s3",)], "text string")
+        docs = spark.createDataFrame(
+            [(1, "s1 s2 s3 tail1"), (2, "s1 s2 s3 tail2")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in scrub_spans(docs, bench, span_tokens=3).collect()
+        }
+        # Unlike dedup_spans there is no first-occurrence exemption.
+        assert out == {1: "tail1", 2: "tail2"}
+
+    def test_reference_broadcast_plan(self, spark):
+        from patito_spark.operators.spans import scrub_spans
+        from patito_spark.plans.explain import executed_plan
+
+        bench = spark.createDataFrame([("b1 b2 b3 b4",)], "text string")
+        docs = spark.createDataFrame(
+            [(1, "b1 b2 b3 b4 x")], "doc_id long, text string"
+        )
+        plan = executed_plan(scrub_spans(docs, bench, span_tokens=3))
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_short_reference_docs_emit_nothing(self, spark):
+        from patito_spark.operators.spans import scrub_spans
+
+        bench = spark.createDataFrame([("one two",)], "text string")
+        docs = spark.createDataFrame(
+            [(1, "one two three four")], "doc_id long, text string"
+        )
+        # Benchmark shorter than span_tokens -> no reference grams -> no cut.
+        out = scrub_spans(docs, bench, span_tokens=3).collect()
+        assert out[0]["text"] == "one two three four"

@@ -282,3 +282,36 @@ def test_prepare_learned_quality_gate(spark):
     )
     ids = [r.doc_id for r in out["documents"].collect()]
     assert ids == [1]
+
+
+def test_prepare_contamination_scrub_action(spark):
+    leak = "name the largest planet jupiter obviously"
+    corpus = spark.createDataFrame(
+        [
+            (40, f"useful context paragraph {leak} plus novel discussion"),
+            (41, "completely clean article with original content"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(900, leak)], "doc_id long, text string")
+    out = prepare_training_corpus(
+        corpus,
+        benchmark=bench,
+        contamination_ngram=4,
+        contamination_action="scrub",
+        min_tokens=2,
+        dedup_threshold=None,
+    )["documents"]
+    texts = {r.doc_id: r.text for r in out.collect()}
+    # The leaked span is cut, the rest of doc 40 survives (the default
+    # "drop" action would remove the whole doc).
+    assert 40 in texts
+    assert leak not in texts[40]
+    assert "useful context paragraph" in texts[40]
+    assert "novel discussion" in texts[40]
+    assert texts[41] == "completely clean article with original content"
+    with pytest.raises(ValueError, match="contamination_action"):
+        prepare_training_corpus(
+            corpus, benchmark=bench, contamination_action="purge",
+            dedup_threshold=None,
+        )
