@@ -450,3 +450,27 @@ def test_quantile_bins_10m(spark):
     mean = sum(sizes) / 10
     # GK sketch at 0.001 relative error: every decile within 2%.
     assert all(0.98 * mean < s < 1.02 * mean for s in sizes)
+
+
+def test_scrub_spans_1m_docs(spark):
+    from patito_spark.operators.spans import scrub_spans
+
+    # 1M docs with unique heads; 10% quote one of 200 benchmark items
+    # verbatim. The benchmark gram set broadcasts; exactly the quoting
+    # docs lose exactly the quoted run.
+    bench = spark.range(200).selectExpr(
+        "concat('eval question ', id, ' with answer ', id, ' inside') as text"
+    )
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat("
+        " 'h', id, ' i', id, ' j', id,"
+        " if(id % 10 = 0,"
+        "  concat(' eval question ', cast(id % 200 as string),"
+        "         ' with answer ', cast(id % 200 as string), ' inside'),"
+        "  '')) as text",
+    )
+    out = scrub_spans(docs, bench, span_tokens=4)
+    assert out.count() == 1_000_000  # unique heads always survive
+    leaked = out.filter(F.col("text").contains("eval question")).count()
+    assert leaked == 0  # every quoted copy cut, no exemptions
