@@ -234,3 +234,27 @@ class TestQuantileBins:
         }
         for n in sizes.values():
             assert 350 < n < 650  # ~500 per stratum
+
+
+def test_quantile_bins_precomputed_on_stream(spark, tmp_path):
+    """With precomputed breakpoints the assignment is a pure projection,
+    so it applies to a readStream unchanged — e.g. binning incoming
+    docs against the history's score distribution."""
+    import uuid as _uuid
+
+    from patito_spark.operators.sampling import quantile_bins
+
+    path = str(tmp_path / "scored")
+    spark.createDataFrame(
+        [(1, 0.1), (2, 0.5), (3, 0.9)], "id long, score double"
+    ).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("id long, score double").parquet(path)
+    out = quantile_bins(stream, "score", n_bins=3, breakpoints=[0.3, 0.7])
+    name = f"t_qb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["bin"] for r in spark.table(name).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
