@@ -57,6 +57,8 @@ def render_conversations(
     output_col: str = "text",
     role_sep: str = ": ",
     turn_sep: str = "\n\n",
+    assistant_spans_col: Optional[str] = None,
+    assistant_role: str = "assistant",
 ) -> DataFrame:
     """Flatten message lists to role-tagged text (map-only).
 
@@ -67,11 +69,71 @@ def render_conversations(
     turn. Deterministic — the same conversation always renders to the
     same text, which is what makes :func:`dedup_conversations` and the
     downstream near-dup operators meaningful.
+
+    ``assistant_spans_col`` additionally emits the loss-mask geometry
+    SFT trainers need: an ``array<struct<start, end>>`` of 0-based
+    INCLUSIVE whitespace-token index ranges (in the rendered text)
+    covering each ``assistant_role`` turn — including its role tag, so
+    ``span = [start of "assistant:", last content token]``. Computed in
+    the same fold that walks the message array (token counts per
+    rendered turn accumulate a cursor) — O(messages) per row, no
+    second pass over the text. Caveat: valid for whitespace
+    tokenization of the rendered text (the same convention every
+    token-counting operator here uses); re-derive offsets after a real
+    BPE pass if you need exact subword masks.
     """
-    return df.withColumn(
+    out = df.withColumn(
         output_col,
         _render_expr(F.col(messages_col), role_sep, turn_sep),
     )
+    if assistant_spans_col is None:
+        return out
+    msgs = F.col(messages_col)
+    # Tokens contributed by message i in the rendered text: the chunk
+    # "role<role_sep>content" split on whitespace. turn_sep glues onto
+    # the FOLLOWING chunk's first token only when it contains no
+    # whitespace itself — with the default "\n\n" separator the chunks
+    # join into "...hello\n\nassistant: ..." where "hello\n\nassistant:"
+    # is ONE whitespace token; that would make spans tokenizer-ambiguous,
+    # so token accounting here treats the separator as whitespace (the
+    # split pattern below includes it), matching split() on the cleaned
+    # text (clean_text collapses the separator to a space anyway).
+    chunk_tokens = lambda m: F.size(  # noqa: E731
+        F.split(
+            F.concat(m.getField("role"), F.lit(role_sep), m.getField("content")),
+            r"\s+",
+        )
+    )
+    folded = F.aggregate(
+        msgs,
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.array()
+            .cast("array<struct<start: int, end: int>>")
+            .alias("spans"),
+        ),
+        lambda acc, m: F.struct(
+            (acc.cur + chunk_tokens(m)).alias("cur"),
+            F.when(
+                m.getField("role") == assistant_role,
+                F.concat(
+                    acc.spans,
+                    F.array(
+                        F.struct(
+                            acc.cur.cast("int").alias("start"),
+                            (acc.cur + chunk_tokens(m) - 1)
+                            .cast("int")
+                            .alias("end"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc.spans)
+            .alias("spans"),
+        ),
+        lambda acc: acc.spans,
+    )
+    return out.withColumn(assistant_spans_col, folded)
 
 
 def conversation_stats(

@@ -183,3 +183,35 @@ def test_gate_and_render_on_stream(spark, tmp_path):
     assert [(r["conv_id"], r["text"]) for r in rows] == [
         (1, "user: hi\n\nassistant: hello")
     ]
+
+
+def test_assistant_token_spans(spark):
+    """Loss-mask geometry: 0-based inclusive whitespace-token ranges of
+    each assistant turn in the rendered text (split on \\s+)."""
+    import re
+
+    convs = spark.createDataFrame(
+        [
+            (1, msgs(("system", "be helpful"), ("user", "hi"),
+                     ("assistant", "hello world"), ("user", "more?"),
+                     ("assistant", "sure thing friend"))),
+            (2, msgs(("user", "never answered"),)),
+        ],
+        schema="conv_id long, "
+        "messages array<struct<role: string, content: string>>",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in render_conversations(
+            convs, assistant_spans_col="assistant_spans"
+        ).collect()
+    }
+    # chunks: "system: be helpful"(3) "user: hi"(2) "assistant: hello
+    # world"(3) "user: more?"(2) "assistant: sure thing friend"(4)
+    spans1 = [(s["start"], s["end"]) for s in out[1]["assistant_spans"]]
+    assert spans1 == [(5, 7), (10, 13)]
+    # The spans select exactly the assistant chunks of the \s+ stream.
+    toks = re.split(r"\s+", out[1]["text"])
+    assert toks[5:8] == ["assistant:", "hello", "world"]
+    assert toks[10:14] == ["assistant:", "sure", "thing", "friend"]
+    assert out[2]["assistant_spans"] == []
