@@ -37,16 +37,23 @@ __all__ = [
 ]
 
 
+def _chunk_expr(m: Column, role_sep: str) -> Column:
+    """One message's rendered chunk, null-safe: a NULL role or content
+    renders as empty rather than nulling the whole chunk (F.concat is
+    null-propagating), so no turn silently vanishes from the text, the
+    dedup key, or the span cursor."""
+    return F.concat(
+        F.coalesce(m.getField("role"), F.lit("")),
+        F.lit(role_sep),
+        F.coalesce(m.getField("content"), F.lit("")),
+    )
+
+
 def _render_expr(
     messages: Column, role_sep: str, turn_sep: str
 ) -> Column:
     return F.array_join(
-        F.transform(
-            messages,
-            lambda m: F.concat(
-                m.getField("role"), F.lit(role_sep), m.getField("content")
-            ),
-        ),
+        F.transform(messages, lambda m: _chunk_expr(m, role_sep)),
         turn_sep,
     )
 
@@ -77,10 +84,12 @@ def render_conversations(
     ``span = [start of "assistant:", last content token]``. Computed in
     the same fold that walks the message array (token counts per
     rendered turn accumulate a cursor) — O(messages) per row, no
-    second pass over the text. Caveat: valid for whitespace
-    tokenization of the rendered text (the same convention every
-    token-counting operator here uses); re-derive offsets after a real
-    BPE pass if you need exact subword masks.
+    second pass over the text. The indices are those of
+    ``re.split(r"\\s+", text.strip())``: leading/trailing whitespace in
+    a message merges into the turn separator, so per-chunk accounting
+    trims before counting (a chunk contributing nothing advances the
+    cursor by zero). Re-derive offsets after a real BPE pass if you
+    need exact subword masks.
     """
     out = df.withColumn(
         output_col,
@@ -89,23 +98,28 @@ def render_conversations(
     if assistant_spans_col is None:
         return out
     msgs = F.col(messages_col)
-    # Tokens contributed by message i in the rendered text: the chunk
-    # "role<role_sep>content" split on whitespace. turn_sep glues onto
-    # the FOLLOWING chunk's first token only when it contains no
-    # whitespace itself — with the default "\n\n" separator the chunks
-    # join into "...hello\n\nassistant: ..." where "hello\n\nassistant:"
-    # is ONE whitespace token; that would make spans tokenizer-ambiguous,
-    # so token accounting here treats the separator as whitespace (the
-    # split pattern below includes it), matching split() on the cleaned
-    # text (clean_text collapses the separator to a space anyway).
-    chunk_tokens = lambda m: F.size(  # noqa: E731
-        F.split(
-            F.concat(m.getField("role"), F.lit(role_sep), m.getField("content")),
-            r"\s+",
+    # Per-message rendered token counts, computed ONCE per message in a
+    # transform (the fold below would otherwise evaluate the interpreted
+    # regex split twice — for the cursor and the span end). trim() before
+    # splitting: trailing/leading whitespace merges into the separator in
+    # the joined text, so it contributes no token of its own — without
+    # the trim, "user: hi " would count a phantom empty token and shift
+    # every later span (loss masks pointing at the wrong tokens).
+    def n_tok(m):
+        chunk = F.trim(_chunk_expr(m, role_sep))
+        return F.when(chunk == "", F.lit(0)).otherwise(
+            F.size(F.split(chunk, r"\s+"))
         )
+
+    counted = F.transform(
+        msgs,
+        lambda m: F.struct(
+            (m.getField("role") == assistant_role).alias("is_a"),
+            n_tok(m).cast("int").alias("nt"),
+        ),
     )
     folded = F.aggregate(
-        msgs,
+        counted,
         F.struct(
             F.lit(0).alias("cur"),
             F.array()
@@ -113,17 +127,15 @@ def render_conversations(
             .alias("spans"),
         ),
         lambda acc, m: F.struct(
-            (acc.cur + chunk_tokens(m)).alias("cur"),
+            (acc.cur + m.nt).alias("cur"),
             F.when(
-                m.getField("role") == assistant_role,
+                m.is_a & (m.nt > 0),
                 F.concat(
                     acc.spans,
                     F.array(
                         F.struct(
                             acc.cur.cast("int").alias("start"),
-                            (acc.cur + chunk_tokens(m) - 1)
-                            .cast("int")
-                            .alias("end"),
+                            (acc.cur + m.nt - 1).cast("int").alias("end"),
                         )
                     ),
                 ),
@@ -136,23 +148,16 @@ def render_conversations(
     return out.withColumn(assistant_spans_col, folded)
 
 
-def conversation_stats(
-    df: DataFrame,
-    messages_col: str = "messages",
-    user_role: str = "user",
-    assistant_role: str = "assistant",
-    system_role: str = "system",
-) -> DataFrame:
-    """Append structural features of each conversation (map-only).
-
-    Adds: ``n_turns``; ``n_user`` / ``n_assistant`` turn counts;
-    ``first_role`` / ``last_role``; ``has_empty_content`` (any message
-    with null/blank content); ``alternates`` — true when, after an
-    optional leading system message, the roles strictly alternate
-    user/assistant starting with ``user_role`` (the well-formedness
-    invariant SFT trainers assume).
-    """
-    msgs = F.col(messages_col)
+def _stat_exprs(
+    msgs: Column,
+    user_role: str,
+    assistant_role: str,
+    system_role: str,
+) -> dict:
+    """The structural feature Columns, keyed by stat name — shared by
+    :func:`conversation_stats` (which materializes them as columns) and
+    :func:`filter_conversations` (which builds its gate from the raw
+    expressions so it never clobbers same-named input columns)."""
     role_of = lambda m: m.getField("role")  # noqa: E731
     body = F.when(
         (F.size(msgs) > 0)
@@ -177,21 +182,44 @@ def conversation_stats(
     count_role = lambda role: F.size(  # noqa: E731
         F.filter(msgs, lambda m: role_of(m) == role)
     )
-    return (
-        df.withColumn("n_turns", F.size(msgs))
-        .withColumn("n_user", count_role(user_role))
-        .withColumn("n_assistant", count_role(assistant_role))
-        .withColumn(
-            "first_role",
-            F.when(F.size(msgs) > 0, role_of(F.element_at(msgs, 1))),
-        )
-        .withColumn(
-            "last_role",
-            F.when(F.size(msgs) > 0, role_of(F.element_at(msgs, -1))),
-        )
-        .withColumn("has_empty_content", F.exists(msgs, blank))
-        .withColumn("alternates", alternates)
-    )
+    return {
+        "n_turns": F.size(msgs),
+        "n_user": count_role(user_role),
+        "n_assistant": count_role(assistant_role),
+        "first_role": F.when(
+            F.size(msgs) > 0, role_of(F.element_at(msgs, 1))
+        ),
+        "last_role": F.when(
+            F.size(msgs) > 0, role_of(F.element_at(msgs, -1))
+        ),
+        "has_empty_content": F.exists(msgs, blank),
+        "alternates": alternates,
+    }
+
+
+def conversation_stats(
+    df: DataFrame,
+    messages_col: str = "messages",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    system_role: str = "system",
+) -> DataFrame:
+    """Append structural features of each conversation (map-only).
+
+    Adds: ``n_turns``; ``n_user`` / ``n_assistant`` turn counts;
+    ``first_role`` / ``last_role``; ``has_empty_content`` (any message
+    with null/blank content); ``alternates`` — true when, after an
+    optional leading system message, the roles strictly alternate
+    user/assistant starting with ``user_role`` (the well-formedness
+    invariant SFT trainers assume). Same-named input columns are
+    overwritten (these names are this function's output contract).
+    """
+    out = df
+    for name, expr in _stat_exprs(
+        F.col(messages_col), user_role, assistant_role, system_role
+    ).items():
+        out = out.withColumn(name, expr)
+    return out
 
 
 def filter_conversations(
@@ -211,26 +239,24 @@ def filter_conversations(
     Keeps conversations with ``min_turns``–``max_turns`` messages whose
     roles alternate (after an optional system prefix), that end on an
     assistant turn (a trailing user message has no training target),
-    and with no empty message bodies. The stat columns are transient —
-    output schema equals input schema.
+    and with no empty message bodies. The gate is built from raw stat
+    EXPRESSIONS (no transient columns), so input columns that happen to
+    share a stat name (``n_turns``, ``alternates``, ...) pass through
+    untouched — output rows and schema equal the input's.
     """
-    stats = conversation_stats(
-        df,
-        messages_col=messages_col,
-        user_role=user_role,
-        assistant_role=assistant_role,
-        system_role=system_role,
+    stats = _stat_exprs(
+        F.col(messages_col), user_role, assistant_role, system_role
     )
-    cond = F.col("n_turns") >= min_turns
+    cond = stats["n_turns"] >= min_turns
     if max_turns is not None:
-        cond = cond & (F.col("n_turns") <= max_turns)
+        cond = cond & (stats["n_turns"] <= max_turns)
     if require_alternation:
-        cond = cond & F.col("alternates")
+        cond = cond & stats["alternates"]
     if require_last_assistant:
-        cond = cond & (F.col("last_role") == assistant_role)
+        cond = cond & (stats["last_role"] == assistant_role)
     if drop_empty_content:
-        cond = cond & ~F.col("has_empty_content")
-    return stats.filter(cond).select(*df.columns)
+        cond = cond & ~stats["has_empty_content"]
+    return df.filter(cond)
 
 
 def dedup_conversations(
@@ -250,21 +276,37 @@ def dedup_conversations(
     :func:`..dedup.dedup_exact` shape); near-dup conversation dedup is
     :func:`render_conversations` + the standard MinHash operators.
 
-    ``ignore_roles`` — iterable of roles excluded from the key, or
-    ``False`` to key on every message verbatim.
+    ``ignore_roles`` — iterable of roles excluded from the key,
+    ``True`` for the default (``system``), or ``False`` to key on
+    every message verbatim. Messages with NULL role/content render as
+    empty in the key (never silently dropped); rows whose
+    ``messages`` column is NULL bypass dedup untouched.
     """
     msgs = F.col(messages_col)
     if ignore_roles:
-        roles = [str(r) for r in ignore_roles]
+        # True means "the default exclusions" (the declared type admits
+        # it); anything else iterable is the explicit role list.
+        roles = (
+            ["system"]
+            if ignore_roles is True
+            else [str(r) for r in ignore_roles]
+        )
+        # coalesce(..., False): a NULL role is not in the ignore list —
+        # without it the NULL predicate would silently DROP the message
+        # from the key.
         msgs = F.filter(
             msgs,
-            lambda m: ~m.getField("role").isin(roles),
+            lambda m: ~F.coalesce(
+                m.getField("role").isin(roles), F.lit(False)
+            ),
         )
     key = F.array_join(
         F.transform(
             msgs,
             lambda m: F.concat(
-                m.getField("role"), F.lit("\x00"), m.getField("content")
+                F.coalesce(m.getField("role"), F.lit("")),
+                F.lit("\x00"),
+                F.coalesce(m.getField("content"), F.lit("")),
             ),
         ),
         "\x01",
@@ -272,8 +314,13 @@ def dedup_conversations(
     if normalize:
         key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
     keyed = df.withColumn("__key", key)
+    # Rows with a NULL key (messages column itself NULL) bypass the
+    # dedup untouched: an inner equi-join never matches NULL = NULL, so
+    # without the split they would vanish from the corpus entirely.
+    nokey = keyed.filter(F.col("__key").isNull()).drop("__key")
+    keyed = keyed.filter(F.col("__key").isNotNull())
     winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
-    return (
-        keyed.join(winners, on=[id_col, "__key"], how="inner")
-        .drop("__key")
+    deduped = keyed.join(winners, on=[id_col, "__key"], how="inner").drop(
+        "__key"
     )
+    return deduped.unionByName(nokey)

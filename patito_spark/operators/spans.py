@@ -345,6 +345,13 @@ def scrub_spans(
         gram_mode="map",
     ).select("__h").distinct()
     if max_broadcast_grams is not None:
+        # Persist before the eligibility count so the split+hash+distinct
+        # lineage is not evaluated a second time by the join below
+        # (released with the other operator intermediates via
+        # release_caches()).
+        from patito_spark.functions.cache import tracked_persist
+
+        ref_grams = tracked_persist(ref_grams)
         if ref_grams.count() <= max_broadcast_grams:
             ref_grams = F.broadcast(ref_grams)
     else:

@@ -348,9 +348,14 @@ def write_training_shards(
     )
     out = sharded.repartition(int(n_shards), "shard")
     if shuffle_docs:
-        # Deterministic within-shard order by (hash, id): the global
-        # shuffle training loaders want, reproducible under seed.
+        # Deterministic within-shard order by (shard, hash, id): the
+        # global shuffle training loaders want, reproducible under seed.
+        # 'shard' MUST lead the sort keys — the dynamic-partition writer
+        # requires its partition column sorted and would otherwise
+        # insert its own (non-stable once spilling) sort on top,
+        # discarding this one and breaking run-to-run row order.
         out = out.sortWithinPartitions(
+            "shard",
             F.xxhash64(F.col(id_col).cast("string"), F.lit(seed + 1)),
             F.col(id_col),
         )

@@ -215,3 +215,83 @@ def test_assistant_token_spans(spark):
     assert toks[5:8] == ["assistant:", "hello", "world"]
     assert toks[10:14] == ["assistant:", "sure", "thing", "friend"]
     assert out[2]["assistant_spans"] == []
+
+
+def test_spans_unaffected_by_trailing_whitespace_and_empty_content(spark):
+    """Review regression: trailing/leading whitespace in a message (and
+    empty content) must not shift later spans — per-chunk counting trims
+    before splitting, matching re.split(r"\\s+", text.strip())."""
+    import re
+
+    convs = spark.createDataFrame(
+        [
+            (1, msgs(("user", "hi "), ("assistant", "ok"))),
+            (2, msgs(("user", " lead"), ("assistant", ""),
+                     ("user", "more"), ("assistant", "fin"))),
+        ],
+        schema="conv_id long, "
+        "messages array<struct<role: string, content: string>>",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in render_conversations(
+            convs, assistant_spans_col="spans"
+        ).collect()
+    }
+    for cid in (1, 2):
+        toks = re.split(r"\s+", out[cid]["text"].strip())
+        for s in out[cid]["spans"]:
+            assert toks[s["start"]] == "assistant:", (cid, s, toks)
+            assert s["end"] < len(toks)
+    # conv 1: ["user:","hi","assistant:","ok"] -> span (2,3)
+    assert [(s["start"], s["end"]) for s in out[1]["spans"]] == [(2, 3)]
+    # conv 2: empty assistant content -> chunk "assistant:" is 1 token.
+    toks2 = re.split(r"\s+", out[2]["text"].strip())
+    spans2 = [(s["start"], s["end"]) for s in out[2]["spans"]]
+    assert toks2[spans2[1][0] : spans2[1][1] + 1] == ["assistant:", "fin"]
+
+
+def test_null_message_fields_do_not_vanish(spark):
+    """Review regression: NULL content renders as an empty turn (not
+    dropped), so a conversation with a null-content assistant turn is
+    NOT a dedup duplicate of one without the turn; rows whose messages
+    column is NULL pass through dedup untouched."""
+    schema = (
+        "conv_id long, messages array<struct<role: string, content: string>>"
+    )
+    a = spark.createDataFrame(
+        [(1, [{"role": "user", "content": "x"},
+              {"role": "assistant", "content": None}]),
+         (2, [{"role": "user", "content": "x"}]),
+         (3, None)],
+        schema=schema,
+    )
+    rendered = {r["conv_id"]: r["text"] for r in
+                render_conversations(a.filter("messages is not null")).collect()}
+    assert rendered[1] == "user: x\n\nassistant: "
+    deduped = dedup_conversations(a)
+    assert sorted(r["conv_id"] for r in deduped.collect()) == [1, 2, 3]
+
+
+def test_ignore_roles_true_uses_default(spark):
+    convs = spark.createDataFrame(
+        [(1, msgs(("system", "a"), ("user", "q"), ("assistant", "r"))),
+         (2, msgs(("system", "b"), ("user", "q"), ("assistant", "r")))],
+        schema="conv_id long, "
+        "messages array<struct<role: string, content: string>>",
+    )
+    out = dedup_conversations(convs, ignore_roles=True)
+    assert [r["conv_id"] for r in out.collect()] == [1]
+
+
+def test_filter_does_not_clobber_same_named_columns(spark):
+    """Review regression: an input column named like a stat must pass
+    through untouched (the gate uses raw expressions, not columns)."""
+    convs = spark.createDataFrame(
+        [(1, msgs(("user", "q"), ("assistant", "r")), 999)],
+        schema="conv_id long, "
+        "messages array<struct<role: string, content: string>>, "
+        "n_turns long",
+    )
+    out = filter_conversations(convs).collect()
+    assert out[0]["n_turns"] == 999

@@ -99,3 +99,34 @@ def test_invalid_budget_raises(corpus, tmp_path):
         write_training_shards(
             corpus, str(tmp_path / "x"), target_tokens_per_shard=0
         )
+
+
+def test_written_row_order_reproducible(spark, corpus, tmp_path):
+    """Review regression: 'shard' leads the within-partition sort keys,
+    so the dynamic-partition writer keeps this sort (instead of
+    inserting its own) and the physical row order in every shard file
+    is identical across same-seed runs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for name in ("o1", "o2"):
+        write_training_shards(
+            corpus, str(tmp_path / name), target_tokens_per_shard=5000
+        )
+
+    def physical_order(root):
+        order = {}
+        for d in sorted(glob.glob(f"{root}/shard=*")):
+            ids = []
+            for f in sorted(glob.glob(f"{d}/*.parquet")):
+                ids.extend(pq.read_table(f, columns=["doc_id"])
+                           .column("doc_id").to_pylist())
+            order[d.rsplit("=", 1)[1]] = ids
+        return order
+
+    a = physical_order(str(tmp_path / "o1"))
+    b = physical_order(str(tmp_path / "o2"))
+    assert a == b
+    # And the order is the seeded hash order, not insertion order.
+    assert any(ids != sorted(ids) for ids in a.values())
