@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from patito_spark.operators.sampling import _hash_fraction
 
-__all__ = ["mix_corpora"]
+__all__ = ["mix_corpora", "temperature_weights"]
 
 
 def mix_corpora(
@@ -185,3 +185,40 @@ def mix_corpora(
     for p in parts[1:]:
         mixed = mixed.unionByName(p, allowMissingColumns=True)
     return {"mixed": mixed, "plan": plan}
+
+
+def temperature_weights(
+    token_counts: Mapping[str, float],
+    alpha: float = 0.5,
+) -> dict:
+    """Temperature-sampled mixture weights from raw domain sizes.
+
+    The standard multi-domain / multilingual recipe (GPT-3's Pile
+    weighting, PaLM/mT5's alpha-sampling, UniMax's motivation): sample
+    domain ``i`` with probability proportional to ``n_i ** alpha``.
+    ``alpha=1`` is proportional (big domains dominate), ``alpha=0`` is
+    uniform (small domains oversample/repeat aggressively); the usual
+    sweet spot is 0.2-0.7. Feed the result straight into
+    :func:`mix_corpora`'s ``weights=``:
+
+        sizes = {d: df.select(F.sum(token_count("text"))).first()[0]
+                 for d, df in corpora.items()}
+        mix_corpora(corpora, temperature_weights(sizes, 0.3), budget)
+
+    Driver-side arithmetic over one number per domain — the token
+    counts come from aggregates the caller already runs (or
+    ``mix_corpora``'s returned per-domain plan).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if not token_counts:
+        raise ValueError("token_counts is empty")
+    powered = {}
+    for k, n in token_counts.items():
+        if n is None or n < 0:
+            raise ValueError(f"token count for {k!r} must be >= 0, got {n}")
+        powered[k] = float(n) ** alpha if n > 0 else 0.0
+    total = sum(powered.values())
+    if total == 0:
+        raise ValueError("all token counts are zero")
+    return {k: v / total for k, v in powered.items()}

@@ -185,3 +185,66 @@ def test_weighted_partial_epoch(spark):
         for r in uni.groupBy("quality").agg(F.count("*").alias("n")).collect()
     }
     assert abs(kept_u[3.0] / kept_u[1.0] - 1.0) < 0.2
+
+
+class TestTemperatureWeights:
+    def test_alpha_one_is_proportional(self):
+        from patito_spark.operators.mixing import temperature_weights
+
+        w = temperature_weights({"web": 900, "books": 100}, alpha=1.0)
+        assert abs(w["web"] - 0.9) < 1e-12 and abs(w["books"] - 0.1) < 1e-12
+
+    def test_alpha_zero_is_uniform(self):
+        from patito_spark.operators.mixing import temperature_weights
+
+        w = temperature_weights({"a": 1e12, "b": 3}, alpha=0.0)
+        assert w == {"a": 0.5, "b": 0.5}
+
+    def test_alpha_half_upweights_small_domains(self):
+        from patito_spark.operators.mixing import temperature_weights
+
+        w = temperature_weights({"big": 10000, "small": 100}, alpha=0.5)
+        # proportional share would be ~0.0099; sqrt gives 100/1100 ~ 0.0909
+        assert 0.09 < w["small"] < 0.1
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+
+    def test_zero_size_domain_gets_zero_weight(self):
+        from patito_spark.operators.mixing import temperature_weights
+
+        w = temperature_weights({"a": 0, "b": 100}, alpha=0.5)
+        assert w["a"] == 0.0 and w["b"] == 1.0
+
+    def test_validation(self):
+        import pytest
+
+        from patito_spark.operators.mixing import temperature_weights
+
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_weights({"a": 1}, alpha=1.5)
+        with pytest.raises(ValueError, match="empty"):
+            temperature_weights({})
+        with pytest.raises(ValueError, match=">= 0"):
+            temperature_weights({"a": -1})
+        with pytest.raises(ValueError, match="zero"):
+            temperature_weights({"a": 0, "b": 0})
+
+    def test_feeds_mix_corpora(self, spark):
+        from patito_spark.operators.mixing import (
+            mix_corpora,
+            temperature_weights,
+        )
+
+        big = spark.range(900).selectExpr(
+            "id as doc_id", "'w1 w2 w3 w4' as text")
+        small = spark.range(100).selectExpr(
+            "id as doc_id", "'b1 b2' as text")
+        sizes = {"web": 3600, "books": 200}
+        weights = temperature_weights(sizes, alpha=0.5)
+        out = mix_corpora(
+            {"web": big, "books": small}, weights, token_budget=1000
+        )
+        plan = {p["source"]: p for p in out["plan"]}
+        # sqrt weighting: books gets ~19% of the budget despite ~5% of
+        # the tokens -> its 200-token corpus must repeat (epochs).
+        assert plan["books"]["target_tokens"] > 150
+        assert out["mixed"].count() > 0
