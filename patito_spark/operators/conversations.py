@@ -30,10 +30,13 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "conversation_key",
     "render_conversations",
     "conversation_stats",
     "filter_conversations",
     "dedup_conversations",
+    "filter_preference_pairs",
+    "dedup_preference_pairs",
 ]
 
 
@@ -259,30 +262,17 @@ def filter_conversations(
     return df.filter(cond)
 
 
-def dedup_conversations(
-    df: DataFrame,
-    id_col: str = "conv_id",
-    messages_col: str = "messages",
+def conversation_key(
+    messages: Column,
     ignore_roles: Union[bool, Sequence[str]] = ("system",),
     normalize: bool = True,
-) -> DataFrame:
-    """Exact dedup on a normalized conversation key (keep min-id).
-
-    The key is the rendered conversation with (by default) system
-    messages excluded — two conversations differing only in system
-    prompt are the same teaching example — and, under ``normalize``,
-    case-folded with whitespace collapsed, so formatting-only variants
-    collapse too. One hash aggregate + one co-keyed self-join (the
-    :func:`..dedup.dedup_exact` shape); near-dup conversation dedup is
-    :func:`render_conversations` + the standard MinHash operators.
-
-    ``ignore_roles`` — iterable of roles excluded from the key,
-    ``True`` for the default (``system``), or ``False`` to key on
-    every message verbatim. Messages with NULL role/content render as
-    empty in the key (never silently dropped); rows whose
-    ``messages`` column is NULL bypass dedup untouched.
-    """
-    msgs = F.col(messages_col)
+) -> Column:
+    """The dedup key expression (pure projection — batch and streaming
+    share it): the conversation rendered with non-printing separators,
+    optionally with ``ignore_roles`` messages excluded and
+    case/whitespace normalized. NULL role/content renders empty; a NULL
+    messages column yields a NULL key (callers decide the bypass)."""
+    msgs = messages
     if ignore_roles:
         # True means "the default exclusions" (the declared type admits
         # it); anything else iterable is the explicit role list.
@@ -313,10 +303,128 @@ def dedup_conversations(
     )
     if normalize:
         key = F.lower(F.regexp_replace(F.trim(key), r"\s+", " "))
-    keyed = df.withColumn("__key", key)
+    return key
+
+
+def dedup_conversations(
+    df: DataFrame,
+    id_col: str = "conv_id",
+    messages_col: str = "messages",
+    ignore_roles: Union[bool, Sequence[str]] = ("system",),
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup on a normalized conversation key (keep min-id).
+
+    The key is the rendered conversation with (by default) system
+    messages excluded — two conversations differing only in system
+    prompt are the same teaching example — and, under ``normalize``,
+    case-folded with whitespace collapsed, so formatting-only variants
+    collapse too. One hash aggregate + one co-keyed self-join (the
+    :func:`..dedup.dedup_exact` shape); near-dup conversation dedup is
+    :func:`render_conversations` + the standard MinHash operators.
+
+    ``ignore_roles`` — iterable of roles excluded from the key,
+    ``True`` for the default (``system``), or ``False`` to key on
+    every message verbatim. Messages with NULL role/content render as
+    empty in the key (never silently dropped); rows whose
+    ``messages`` column is NULL bypass dedup untouched.
+    """
+    keyed = df.withColumn(
+        "__key",
+        conversation_key(
+            F.col(messages_col),
+            ignore_roles=ignore_roles,
+            normalize=normalize,
+        ),
+    )
     # Rows with a NULL key (messages column itself NULL) bypass the
     # dedup untouched: an inner equi-join never matches NULL = NULL, so
     # without the split they would vanish from the corpus entirely.
+    nokey = keyed.filter(F.col("__key").isNull()).drop("__key")
+    keyed = keyed.filter(F.col("__key").isNotNull())
+    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    deduped = keyed.join(winners, on=[id_col, "__key"], how="inner").drop(
+        "__key"
+    )
+    return deduped.unionByName(nokey)
+
+
+def _norm_text(c: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def filter_preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    min_response_tokens: int = 1,
+    max_length_ratio: Optional[float] = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Structural gate for preference (DPO/RLHF reward) pairs — map-only.
+
+    Keeps rows where prompt/chosen/rejected are all non-blank, the two
+    responses are DIFFERENT (after optional case/whitespace
+    normalization — an identical pair carries zero preference signal
+    and degenerates the DPO loss), both responses have at least
+    ``min_response_tokens`` whitespace tokens, and (when
+    ``max_length_ratio`` is set) the longer response is at most that
+    multiple of the shorter — the standard guard against the learned
+    reward collapsing onto length.
+    """
+    p, c, r = (F.col(prompt_col), F.col(chosen_col), F.col(rejected_col))
+    nonblank = lambda x: x.isNotNull() & (F.trim(x) != "")  # noqa: E731
+    cond = nonblank(p) & nonblank(c) & nonblank(r)
+    ckey, rkey = (_norm_text(c), _norm_text(r)) if normalize else (c, r)
+    cond = cond & (ckey != rkey)
+    ntok = lambda x: F.size(F.split(F.trim(x), r"\s+"))  # noqa: E731
+    cond = cond & (ntok(c) >= min_response_tokens)
+    cond = cond & (ntok(r) >= min_response_tokens)
+    if max_length_ratio is not None:
+        longer = F.greatest(ntok(c), ntok(r)).cast("double")
+        shorter = F.least(ntok(c), ntok(r)).cast("double")
+        cond = cond & (longer <= shorter * float(max_length_ratio))
+    return df.filter(cond)
+
+
+def dedup_preference_pairs(
+    df: DataFrame,
+    id_col: str = "pair_id",
+    prompt_col: str = "prompt",
+    scope: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup of preference pairs (keep min-id per key).
+
+    ``scope="prompt"`` (default) keeps ONE pair per normalized prompt —
+    repeated prompts double-count their gradient and leak between
+    train/eval splits that split by row. ``scope="pair"`` keys on
+    (prompt, chosen, rejected) instead: exact resubmissions collapse
+    but distinct response pairs for the same prompt survive. Same
+    one-hash-aggregate + co-keyed-join shape as
+    :func:`dedup_conversations`; NULL-keyed rows pass through
+    untouched.
+    """
+    if scope not in ("prompt", "pair"):
+        raise ValueError(f"scope must be 'prompt' or 'pair', got {scope!r}")
+    key = _norm_text(F.col(prompt_col)) if normalize else F.col(prompt_col)
+    if scope == "pair":
+        parts = [F.col(chosen_col), F.col(rejected_col)]
+        if normalize:
+            parts = [_norm_text(x) for x in parts]
+        # coalesce inside + null-gate outside: concat_ws SKIPS nulls, so
+        # without this (p, NULL, r) and (p, r, NULL) would collide, and
+        # a NULL prompt would stop bypassing dedup in pair scope.
+        key = F.when(
+            F.col(prompt_col).isNotNull(),
+            F.concat_ws(
+                "\x00", key, *[F.coalesce(x, F.lit("\x02")) for x in parts]
+            ),
+        )
+    keyed = df.withColumn("__key", key)
     nokey = keyed.filter(F.col("__key").isNull()).drop("__key")
     keyed = keyed.filter(F.col("__key").isNotNull())
     winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))

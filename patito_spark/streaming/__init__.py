@@ -1,6 +1,7 @@
 """Structured Streaming integration."""
 
 from patito_spark.streaming.dedup import (
+    dedup_conversations_stream,
     dedup_paragraphs_stream,
     dedup_urls_stream,
     streaming_dedup_lsh,
@@ -24,6 +25,7 @@ __all__ = [
     "stateful_dedup_stream",
     "stream_stream_join",
     "streaming_apply_changes",
+    "dedup_conversations_stream",
     "dedup_paragraphs_stream",
     "dedup_urls_stream",
     "streaming_dedup_lsh",

@@ -315,3 +315,48 @@ def dedup_paragraphs_stream(
     paras = paras.filter(F.length("__para_key") >= max(min_chars, 1))
     out = stateful_dedup_stream(paras, ["__para_key"], ts_col, watermark)
     return out.drop("__para_key")
+
+
+def dedup_conversations_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    messages_col: str = "messages",
+    ignore_roles=("system",),
+    normalize: bool = True,
+    key_col: Optional[str] = None,
+) -> DataFrame:
+    """Ingestion-time conversation dedup: the first copy of each
+    normalized conversation passes, later copies within the watermark
+    horizon drop.
+
+    The streaming counterpart of :func:`patito_spark.operators.
+    conversations.dedup_conversations` — the key is the SAME pure
+    :func:`..operators.conversations.conversation_key` projection
+    (system prompts excluded, case/whitespace folded by default), and
+    the state is ``dropDuplicatesWithinWatermark``: one entry per
+    distinct conversation in the horizon, watermark-evicted. Keep-first
+    here means first ARRIVAL (event-time order within a micro-batch,
+    arrival order across batches), not the batch operator's global
+    min-id — the usual batch/stream keep-rule difference, same caveat
+    as ``dedup_urls_stream``. Rows with a NULL ``messages`` column key
+    as NULL and therefore dedup against each other — gate them upstream
+    (``filter_conversations``) if they must pass.
+    """
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.conversations import conversation_key
+
+    from patito_spark.streaming.validate import stateful_dedup_stream
+
+    key = key_col or "__conv_key"
+    keyed = stream.withColumn(
+        key,
+        conversation_key(
+            F.col(messages_col),
+            ignore_roles=ignore_roles,
+            normalize=normalize,
+        ),
+    )
+    out = stateful_dedup_stream(keyed, [key], ts_col, watermark)
+    return out if key_col else out.drop(key)

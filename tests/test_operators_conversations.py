@@ -295,3 +295,120 @@ def test_filter_does_not_clobber_same_named_columns(spark):
     )
     out = filter_conversations(convs).collect()
     assert out[0]["n_turns"] == 999
+
+
+def test_dedup_conversations_stream_matches_batch_keys(spark, tmp_path):
+    """Streaming keep-first on the SAME conversation_key: formatting and
+    system-prompt variants drop at ingestion; distinct conversations
+    pass. (Keep rule is first-arrival, vs the batch operator's min-id.)"""
+    import uuid as _uuid
+
+    from patito_spark.streaming.dedup import dedup_conversations_stream
+
+    path = str(tmp_path / "convstream")
+    rows = [
+        (1, 100, msgs(("user", "hi"), ("assistant", "hello"))),
+        (2, 200, msgs(("system", "x"), ("user", "HI"),
+                      ("assistant", "Hello"))),  # variant of 1 -> drops
+        (3, 300, msgs(("user", "new question"), ("assistant", "reply"))),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="conv_id long, ts_s long, "
+        "messages array<struct<role: string, content: string>>",
+    ).selectExpr(
+        "conv_id", "timestamp_seconds(ts_s) as ts", "messages"
+    ).coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(
+        "conv_id long, ts timestamp, "
+        "messages array<struct<role: string, content: string>>"
+    ).parquet(path)
+    out = dedup_conversations_stream(stream, ts_col="ts")
+    name = f"t_dcs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["conv_id"] for r in spark.table(name).collect())
+    assert len(ids) == 2 and 3 in ids and (1 in ids) != (2 in ids)
+
+
+class TestPreferencePairs:
+    SCHEMA = "pair_id long, prompt string, chosen string, rejected string"
+
+    def pairs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "explain joins", "a clear answer", "a worse answer"),
+                (2, "explain joins", "different good answer", "meh"),
+                (3, "EXPLAIN   JOINS", "x y", "z w"),  # prompt variant of 1/2
+                (4, "identical responses", "same thing", "Same  THING"),
+                (5, "blank rejected", "ok", "   "),
+                (6, None, "a", "b"),
+                (7, "length runaway", "w " * 50, "w"),
+            ],
+            self.SCHEMA,
+        )
+
+    def test_filter_gate(self, spark):
+        from patito_spark.operators.conversations import (
+            filter_preference_pairs,
+        )
+
+        kept = sorted(
+            r["pair_id"]
+            for r in filter_preference_pairs(self.pairs(spark)).collect()
+        )
+        # 4: identical after normalization; 5: blank; 6: null prompt.
+        assert kept == [1, 2, 3, 7]
+        with_ratio = sorted(
+            r["pair_id"]
+            for r in filter_preference_pairs(
+                self.pairs(spark), max_length_ratio=10.0
+            ).collect()
+        )
+        assert with_ratio == [1, 2, 3]  # 7: 50 tokens vs 1
+
+    def test_dedup_prompt_scope(self, spark):
+        from patito_spark.operators.conversations import (
+            dedup_preference_pairs,
+        )
+
+        out = sorted(
+            r["pair_id"]
+            for r in dedup_preference_pairs(self.pairs(spark)).collect()
+        )
+        # 1/2/3 share a normalized prompt -> min id 1; null prompt (6)
+        # bypasses untouched.
+        assert 1 in out and 2 not in out and 3 not in out
+        assert {4, 5, 6, 7} <= set(out)
+
+    def test_dedup_pair_scope(self, spark):
+        from patito_spark.operators.conversations import (
+            dedup_preference_pairs,
+        )
+
+        out = sorted(
+            r["pair_id"]
+            for r in dedup_preference_pairs(
+                self.pairs(spark), scope="pair"
+            ).collect()
+        )
+        # Distinct response pairs for the same prompt BOTH survive.
+        assert {1, 2} <= set(out) and 6 in out
+        import pytest
+
+        with pytest.raises(ValueError, match="scope"):
+            dedup_preference_pairs(self.pairs(spark), scope="whatever")
+
+    def test_null_response_pairs_do_not_collide(self, spark):
+        from patito_spark.operators.conversations import (
+            dedup_preference_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "p", None, "r"), (2, "p", "r", None)], self.SCHEMA
+        )
+        out = dedup_preference_pairs(df, scope="pair")
+        assert out.count() == 2  # concat_ws null-skip must not merge them
