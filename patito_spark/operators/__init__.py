@@ -18,6 +18,7 @@ from patito_spark.operators import (
     pipeline,
     quality_model,
     sampling,
+    selection,
     semdedup,
     similarity,
     sketch,
@@ -42,6 +43,7 @@ __all__ = [
     "pipeline",
     "quality_model",
     "sampling",
+    "selection",
     "semdedup",
     "similarity",
     "sketch",

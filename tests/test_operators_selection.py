@@ -1,0 +1,125 @@
+"""DSIR importance resampling: weight direction, temperature,
+length-normalization, determinism, and the end-to-end sample."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from patito_spark.operators.selection import dsir_sample, dsir_weights
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    # Target domain: "code-ish" vocabulary. Raw corpus: half code-ish,
+    # half prose-ish, 200 docs each.
+    target = spark.createDataFrame(
+        [(i, "def func return class import lambda yield await")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw = spark.range(400).selectExpr(
+        "id as doc_id",
+        "if(id % 2 = 0,"
+        " concat('def func return class value ', id),"
+        " concat('the weather was lovely yesterday evening ', id)) as text",
+    )
+    return raw, target
+
+
+def test_weights_favor_target_like_docs(spark, corpora):
+    raw, target = corpora
+    w = dsir_weights(raw, target)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert len(rows) == 400
+    code = [rows[i]["log_ratio"] for i in range(0, 400, 2)]
+    prose = [rows[i]["log_ratio"] for i in range(1, 400, 2)]
+    assert min(code) > max(prose)
+    # dsir_weight = exp(log_ratio): same ordering, positive.
+    assert all(rows[i]["dsir_weight"] > 0 for i in rows)
+
+
+def test_temperature_flattens(spark, corpora):
+    raw, target = corpora
+    w1 = {r["doc_id"]: r["dsir_weight"]
+          for r in dsir_weights(raw, target, temperature=1.0).collect()}
+    w4 = {r["doc_id"]: r["dsir_weight"]
+          for r in dsir_weights(raw, target, temperature=4.0).collect()}
+    ratio1 = w1[0] / w1[1]
+    ratio4 = w4[0] / w4[1]
+    assert ratio1 > ratio4 > 1  # hotter -> flatter, ordering preserved
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_weights(raw, target, temperature=0)
+
+
+def test_length_normalization(spark, corpora):
+    raw, target = corpora
+    norm = {r["doc_id"]: r["log_ratio"]
+            for r in dsir_weights(raw, target).collect()}
+    rawlr = {r["doc_id"]: r["log_ratio"]
+             for r in dsir_weights(
+                 raw, target, length_normalize=False).collect()}
+    ntok = {r["doc_id"]: r["n_tokens"]
+            for r in dsir_weights(raw, target).collect()}
+    for i in (0, 1, 2):
+        assert rawlr[i] == pytest.approx(norm[i] * ntok[i], rel=1e-9)
+
+
+def test_sample_is_target_skewed_and_deterministic(spark, corpora):
+    raw, target = corpora
+    out = dsir_sample(raw, target, fraction=0.3, temperature=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    n_code = sum(1 for i in ids if i % 2 == 0)
+    n_prose = len(ids) - n_code
+    assert n_code > 3 * n_prose  # strongly skewed toward the target
+    assert 40 < len(ids) < 200  # in the neighborhood of 30% (truncation)
+    again = sorted(r["doc_id"] for r in dsir_sample(
+        raw, target, fraction=0.3, temperature=0.5).collect())
+    assert again == ids  # hash-deterministic
+    assert out.columns == raw.columns
+
+
+def test_weights_match_closed_form(spark):
+    """Pin the exact weight formula against a hand-computed reference.
+
+    add-1 smoothed unigram LMs: p(t) = (count+1) / (total + V + 1);
+    H = mean(-ln p); log_ratio = H_raw - H_target; w = exp(log_ratio/T).
+    """
+    import math
+
+    target = spark.createDataFrame([(0, "a b a")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, "c c d")], "doc_id long, text string"
+    )
+
+    def p(tok, counts, total, v):
+        return (counts.get(tok, 0) + 1.0) / (total + v + 1.0)
+
+    t_counts, t_total, t_v = {"a": 2, "b": 1}, 3, 2
+    r_counts, r_total, r_v = {"a": 1, "b": 1, "c": 3, "d": 1}, 6, 4
+    expected = {}
+    for doc_id, toks in ((1, ["a", "b", "c"]), (2, ["c", "c", "d"])):
+        h_t = -sum(math.log(p(t, t_counts, t_total, t_v)) for t in toks) / 3
+        h_r = -sum(math.log(p(t, r_counts, r_total, r_v)) for t in toks) / 3
+        expected[doc_id] = h_r - h_t
+
+    for temp in (1.0, 2.0):
+        got = {r["doc_id"]: r for r in
+               dsir_weights(raw, target, temperature=temp).collect()}
+        for doc_id, lr in expected.items():
+            assert got[doc_id]["log_ratio"] == pytest.approx(lr, rel=1e-12)
+            assert got[doc_id]["dsir_weight"] == pytest.approx(
+                math.exp(lr / temp), rel=1e-12)
+
+
+def test_keep_weight_col_and_precomputed_lms(spark, corpora):
+    from patito_spark.operators.text import build_vocab
+
+    raw, target = corpora
+    t_lm = build_vocab(target)
+    r_lm = build_vocab(raw)
+    out = dsir_sample(
+        raw, target, fraction=0.5, keep_weight_col="dsir_w",
+        raw_lm=r_lm, target_lm=t_lm,
+    )
+    assert "dsir_w" in out.columns
+    assert out.filter(F.col("dsir_w") <= 0).count() == 0
