@@ -1385,20 +1385,32 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document self-perplexity via unigram_logloss.
+    """Per-document self-perplexity + DSIR selection weights (merged).
 
-    Self-LM (the corpus's own vocabulary), add-1 smoothing. Double
-    summation order differs between engines at ~1e-12 relative, so
-    cross_entropy/perplexity are rounded to 4 dp for the hash compare.
+    Two operators over one documents scan, union of columns:
+    - unigram_logloss self-LM (the corpus's own vocabulary, add-1
+      smoothing): cross_entropy / perplexity;
+    - selection.dsir_weights toward the deterministic in-corpus target
+      ``doc_id % 17 == 0`` (stands in for a curated target corpus):
+      log_ratio = H_raw − H_target per token, dsir_weight = exp of it.
+    Double summation order differs between engines at ~1e-12 relative,
+    so all scores are rounded to 4 dp for the hash compare.
     """
-    from patito_spark.operators.text import unigram_logloss
+    from patito_spark.operators.selection import dsir_weights
 
-    out = unigram_logloss(_t(spark, sf_dir, "documents"))
-    return out.select(
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    # return_components exposes the raw-LM cross-entropy dsir_weights
+    # already computes — the self-perplexity columns cost no third
+    # scoring pass over the corpus.
+    w = dsir_weights(docs, target, return_components=True)
+    return w.select(
         "doc_id",
         "n_tokens",
-        F.round("cross_entropy", 4).alias("cross_entropy_r"),
-        F.round("perplexity", 4).alias("perplexity_r"),
+        F.round("cross_entropy_raw", 4).alias("cross_entropy_r"),
+        F.round(F.exp("cross_entropy_raw"), 4).alias("perplexity_r"),
+        F.round("log_ratio", 4).alias("log_ratio_r"),
+        F.round("dsir_weight", 4).alias("dsir_weight_r"),
     )
 
 
@@ -2543,8 +2555,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Replays unigram_logloss (self-LM, add-1 smoothing):
         # p(t) = (count(t) + 1) / (total + V + 1), per-doc mean NLL and
-        # exp() of it. Summation order differs across engines at ~1e-12
-        # relative, so scores compare at 4 dp.
+        # exp() of it — PLUS dsir_weights toward the deterministic
+        # target subset doc_id % 17 == 0: a second add-1 LM from the
+        # subset (unseen tokens fall to the count=0 floor, hence the
+        # LEFT JOIN + coalesce), log_ratio = avg raw NLL − avg target
+        # NLL, weight = exp(log_ratio). Summation order differs across
+        # engines at ~1e-12 relative, so scores compare at 4 dp.
         "text_unigram_ppl": """
             WITH pairs AS (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -2559,17 +2575,33 @@ def oracle_sql() -> dict[str, str]:
                        count(*)::BIGINT AS v
                 FROM lm
             ),
+            t_lm AS (
+                SELECT token, count(*)::BIGINT AS count
+                FROM pairs WHERE doc_id % 17 = 0 GROUP BY token
+            ),
+            t_tot AS (
+                SELECT sum(count)::DOUBLE AS total,
+                       count(*)::BIGINT AS v
+                FROM t_lm
+            ),
             nll AS (
                 SELECT p.doc_id,
                        -ln((lm.count + 1.0)
-                           / (tot.total + 1.0 * (tot.v + 1))) AS nll
+                           / (tot.total + 1.0 * (tot.v + 1))) AS nll_raw,
+                       -ln((coalesce(t_lm.count, 0) + 1.0)
+                           / (t_tot.total + 1.0 * (t_tot.v + 1))) AS nll_t
                 FROM pairs p
                 JOIN lm USING (token)
+                LEFT JOIN t_lm USING (token)
                 CROSS JOIN tot
+                CROSS JOIN t_tot
             )
             SELECT doc_id, count(*) AS n_tokens,
-                   round(avg(nll), 4) AS cross_entropy_r,
-                   round(exp(avg(nll)), 4) AS perplexity_r
+                   round(avg(nll_raw), 4) AS cross_entropy_r,
+                   round(exp(avg(nll_raw)), 4) AS perplexity_r,
+                   round(avg(nll_raw) - avg(nll_t), 4) AS log_ratio_r,
+                   round(exp(avg(nll_raw) - avg(nll_t)), 4)
+                       AS dsir_weight_r
             FROM nll GROUP BY doc_id
         """,
     }

@@ -44,6 +44,7 @@ def dsir_weights(
     smoothing_k: float = 1.0,
     raw_lm: Optional[DataFrame] = None,
     target_lm: Optional[DataFrame] = None,
+    return_components: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weights for ``raw`` toward ``target``.
 
@@ -59,6 +60,11 @@ def dsir_weights(
     Pass precomputed ``raw_lm`` / ``target_lm`` (``build_vocab``
     output) to skip the corresponding vocabulary aggregate — e.g. when
     scoring many snapshots against one fixed target.
+    ``return_components=True`` appends the per-token cross-entropies
+    both LMs already computed (``cross_entropy_raw`` — the CCNet-style
+    self-perplexity signal when ``raw_lm`` is the corpus's own vocab —
+    and ``cross_entropy_target``), so callers that also want the
+    perplexity diagnostic don't pay a third scoring pass.
     """
     from patito_spark.operators.text import build_vocab, unigram_logloss
 
@@ -86,12 +92,18 @@ def dsir_weights(
     log_ratio = F.col("__h_r") - F.col("__h_t")
     if not length_normalize:
         log_ratio = log_ratio * F.col("n_tokens")
-    return joined.select(
-        id_col,
-        "n_tokens",
+    cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
         log_ratio.alias("log_ratio"),
         F.exp(log_ratio / F.lit(float(temperature))).alias("dsir_weight"),
-    )
+    ]
+    if return_components:
+        cols += [
+            F.col("__h_r").alias("cross_entropy_raw"),
+            F.col("__h_t").alias("cross_entropy_target"),
+        ]
+    return joined.select(*cols)
 
 
 def dsir_sample(
