@@ -27,11 +27,48 @@ seed, no shuffle.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["dsir_weights", "dsir_sample"]
+from patito_spark.functions.hashing import HashMode, hash64
+
+__all__ = ["dsir_weights", "dsir_sample", "hashed_ngram_features"]
+
+#: Separator between the two tokens of a bigram before hashing — an
+#: ASCII unit separator, so "a b"+"c" and "a"+"b c" hash differently.
+_BIGRAM_SEP = "\x1f"
+
+
+def hashed_ngram_features(
+    text: Union[str, Column],
+    n_buckets: int = 10_000,
+    hash_mode: HashMode = "xxhash64",
+) -> Column:
+    """Hashed unigram+bigram feature stream of a text column.
+
+    The DSIR paper's feature space (arXiv:2302.03169 §3): every unigram
+    and every adjacent-pair bigram is hashed into ``n_buckets`` buckets,
+    and the importance LMs are bag-of-buckets models. Returns the
+    bucket-id stream re-joined with spaces so it can feed the same
+    whitespace-token LM machinery as plain text (``build_vocab`` /
+    ``unigram_logloss``). All array ops are codegen higher-order
+    functions — no Python, no shuffle; ``hash_mode="portable"`` makes
+    the buckets engine-reproducible (md5-based, see
+    ``functions/hashing.py``) at ~2-3× the hashing cost.
+    """
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n - F.lit(1)),
+        F.slice(toks, F.lit(2), n - F.lit(1)),
+        lambda a, b: F.concat(a, F.lit(_BIGRAM_SEP), b),
+    )
+    buckets = F.transform(
+        F.concat(toks, bigrams),
+        lambda s: F.pmod(hash64(s, hash_mode), F.lit(n_buckets)).cast("string"),
+    )
+    return F.array_join(buckets, " ")
 
 
 def dsir_weights(
@@ -45,6 +82,9 @@ def dsir_weights(
     raw_lm: Optional[DataFrame] = None,
     target_lm: Optional[DataFrame] = None,
     return_components: bool = False,
+    features: str = "unigram",
+    ngram_buckets: int = 10_000,
+    hash_mode: HashMode = "xxhash64",
 ) -> DataFrame:
     """Per-document DSIR importance weights for ``raw`` toward ``target``.
 
@@ -65,11 +105,33 @@ def dsir_weights(
     self-perplexity signal when ``raw_lm`` is the corpus's own vocab —
     and ``cross_entropy_target``), so callers that also want the
     perplexity diagnostic don't pay a third scoring pass.
+
+    ``features="hashed"`` switches the LM feature space from plain
+    whitespace unigrams to the paper's hashed unigram+bigram buckets
+    (:func:`hashed_ngram_features` with ``ngram_buckets`` /
+    ``hash_mode``) — bigrams capture local word order, and the fixed
+    bucket count bounds both LM vocabularies at ``ngram_buckets`` rows
+    regardless of corpus size (always broadcastable). ``n_tokens`` then
+    counts FEATURES (unigrams + bigrams ≈ 2·tokens − 1). Precomputed
+    ``raw_lm`` / ``target_lm`` must have been built over the same
+    feature space.
     """
     from patito_spark.operators.text import build_vocab, unigram_logloss
 
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
+    if features not in ("unigram", "hashed"):
+        raise ValueError(
+            f"features must be 'unigram' or 'hashed', got {features!r}"
+        )
+    if features == "hashed":
+        feat = hashed_ngram_features(
+            text_col, n_buckets=ngram_buckets, hash_mode=hash_mode
+        )
+        feat_col = "__dsir_features"
+        raw = raw.withColumn(feat_col, feat)
+        target = target.withColumn(feat_col, feat)
+        text_col = feat_col
     t_lm = (
         target_lm
         if target_lm is not None
@@ -120,6 +182,8 @@ def dsir_sample(
     hash_mode: str = "xxhash64",
     raw_lm: Optional[DataFrame] = None,
     target_lm: Optional[DataFrame] = None,
+    features: str = "unigram",
+    ngram_buckets: int = 10_000,
 ) -> DataFrame:
     """Resample ``fraction`` of ``raw`` proportionally to DSIR weights.
 
@@ -130,7 +194,9 @@ def dsir_sample(
     slightly, the standard truncation). Documents the weight pass
     cannot score (no tokens) are dropped. ``keep_weight_col`` names an
     output column carrying the weight (for dataset cards / further
-    mixing); default drops it.
+    mixing); default drops it. ``features`` / ``ngram_buckets`` select
+    the LM feature space (see :func:`dsir_weights`); ``hash_mode``
+    applies to both the feature hashing and the keep decision.
     """
     from patito_spark.operators.sampling import weighted_sample
 
@@ -144,6 +210,9 @@ def dsir_sample(
         smoothing_k=smoothing_k,
         raw_lm=raw_lm,
         target_lm=target_lm,
+        features=features,
+        ngram_buckets=ngram_buckets,
+        hash_mode=hash_mode,
     ).select(id_col, F.col("dsir_weight").alias("__dsir_w"))
     scored = raw.join(w, on=id_col)
     sampled = weighted_sample(

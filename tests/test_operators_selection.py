@@ -111,6 +111,69 @@ def test_weights_match_closed_form(spark):
                 math.exp(lr / temp), rel=1e-12)
 
 
+def test_hashed_features_favor_target_like_docs(spark, corpora):
+    raw, target = corpora
+    w = dsir_weights(raw, target, features="hashed")
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert len(rows) == 400
+    code = [rows[i]["log_ratio"] for i in range(0, 400, 2)]
+    prose = [rows[i]["log_ratio"] for i in range(1, 400, 2)]
+    assert min(code) > max(prose)
+    # feature stream = unigrams + bigrams = 2*tokens - 1
+    uni = dsir_weights(raw, target).collect()[0]
+    assert rows[uni["doc_id"]]["n_tokens"] == 2 * uni["n_tokens"] - 1
+    with pytest.raises(ValueError, match="features"):
+        dsir_weights(raw, target, features="trigram")
+
+
+def test_hashed_portable_matches_python_replay(spark):
+    """Full independent replay of the hashed-bigram DSIR pipeline in
+    pure Python (md5 buckets, add-1 LMs, closed-form weights)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    n_buckets = 64
+    t_rows = [(0, "a b a c"), (1, "b c")]
+    r_rows = [(10, "a b c d"), (11, "d d e"), (12, "x")]
+    target = spark.createDataFrame(t_rows, "doc_id long, text string")
+    raw = spark.createDataFrame(r_rows, "doc_id long, text string")
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % n_buckets
+
+    def feats(text):
+        toks = text.split(" ")
+        grams = toks + [a + "\x1f" + b for a, b in zip(toks, toks[1:])]
+        return [bucket(g) for g in grams]
+
+    def lm(rows):
+        c = Counter()
+        for _, text in rows:
+            c.update(feats(text))
+        return c, sum(c.values()), len(c)
+
+    t_c, t_tot, t_v = lm(t_rows)
+    r_c, r_tot, r_v = lm(r_rows)
+
+    def h(fs, c, tot, v):
+        return -sum(
+            math.log((c.get(f, 0) + 1.0) / (tot + v + 1.0)) for f in fs
+        ) / len(fs)
+
+    got = {r["doc_id"]: r for r in dsir_weights(
+        raw, target, features="hashed", ngram_buckets=n_buckets,
+        hash_mode="portable").collect()}
+    assert set(got) == {10, 11, 12}
+    for doc_id, text in r_rows:
+        fs = feats(text)
+        lr = h(fs, r_c, r_tot, r_v) - h(fs, t_c, t_tot, t_v)
+        assert got[doc_id]["n_tokens"] == len(fs)
+        assert got[doc_id]["log_ratio"] == pytest.approx(lr, rel=1e-12)
+        assert got[doc_id]["dsir_weight"] == pytest.approx(
+            math.exp(lr), rel=1e-12)
+
+
 def test_keep_weight_col_and_precomputed_lms(spark, corpora):
     from patito_spark.operators.text import build_vocab
 
