@@ -474,3 +474,32 @@ def test_scrub_spans_1m_docs(spark):
     assert out.count() == 1_000_000  # unique heads always survive
     leaked = out.filter(F.col("text").contains("eval question")).count()
     assert leaked == 0  # every quoted copy cut, no exemptions
+
+
+def test_dsir_sample_1m_docs(spark):
+    from patito_spark.operators.selection import dsir_sample
+
+    # 1M raw docs, half code-flavored / half prose-flavored; target is
+    # a 2k code-flavored corpus. Hashed-bigram feature mode: the LM
+    # vocab is capped at ngram_buckets regardless of corpus size, so
+    # both LMs broadcast. Selection must skew hard toward code docs.
+    raw = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "if(id % 2 = 0,"
+        " concat('def func return class import value ', id),"
+        " concat('the weather was lovely yesterday evening ', id)) as text",
+    )
+    target = spark.range(2_000).selectExpr(
+        "id as doc_id",
+        "concat('def func return class import lambda yield ', id) as text",
+    )
+    out = dsir_sample(
+        raw, target, fraction=0.2, temperature=0.5,
+        features="hashed", ngram_buckets=10_000,
+    )
+    kept = out.groupBy((F.col("doc_id") % 2).alias("flavor")).count()
+    by = {r["flavor"]: r["count"] for r in kept.collect()}
+    n_code, n_prose = by.get(0, 0), by.get(1, 0)
+    total = n_code + n_prose
+    assert 100_000 < total < 350_000  # ~20% after weight truncation
+    assert n_code > 5 * max(n_prose, 1)  # strongly target-skewed
