@@ -122,6 +122,54 @@ def balance_classes(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Union[str, Sequence[str]],
+    max_rows: int,
+    key_col: Optional[str] = None,
+    order_by: Optional[Union[str, Column]] = None,
+    descending: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the per-domain cap.
+
+    A crawl pipeline staple: no single domain/source may contribute more
+    than K documents. Selection within an over-cap group is
+    deterministic: by ``order_by`` when given (``descending=True`` for
+    "keep the K highest", e.g. a quality score — ties broken by the
+    ``key_col`` hash when provided, so reruns agree even on tied
+    scores), else uniformly by a seeded hash of ``key_col`` (a stable
+    random K-subset, never ``rand()``).
+
+    Scale shape: ``row_number`` over ``(group, order)`` compiles to a
+    **partial WindowGroupLimit before the exchange** (Spark 3.5+) —
+    every input partition map-side keeps only its own top ``max_rows``
+    per group, so a hot domain holding half the crawl ships at most
+    ``max_rows × input_partitions`` rows into the shuffle instead of
+    its full mass, and the final per-group sort touches the survivors
+    only. One shuffle on the group key; plan-asserted in tests.
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    if order_by is None and key_col is None:
+        raise ValueError("pass key_col (hash selection) or order_by")
+    from pyspark.sql import Window
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order: list[Column] = []
+    if order_by is not None:
+        oc = F.col(order_by) if isinstance(order_by, str) else order_by
+        order.append(oc.desc() if descending else oc.asc())
+    if key_col is not None:
+        order.append(F.xxhash64(F.col(key_col), F.lit(seed)).asc())
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= max_rows)
+        .drop("__cap_rn")
+    )
+
+
 def shuffle_rows(
     df: DataFrame,
     key_col: str,

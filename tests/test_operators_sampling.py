@@ -258,3 +258,77 @@ def test_quantile_bins_precomputed_on_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["id"]: r["bin"] for r in spark.table(name).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+class TestCapPerGroup:
+    def test_cap_respected_and_under_cap_untouched(self, spark):
+        from patito_spark.operators.sampling import cap_per_group
+
+        # group 0: 50 rows, group 1: 7 rows, group 2: 10 rows
+        df = spark.range(67).selectExpr(
+            "case when id < 50 then 0 when id < 57 then 1 else 2 end as g",
+            "id",
+        )
+        out = cap_per_group(df, "g", 10, key_col="id")
+        sizes = {r["g"]: r["count"]
+                 for r in out.groupBy("g").count().collect()}
+        assert sizes == {0: 10, 1: 7, 2: 10}
+
+    def test_hash_selection_is_smallest_hashes_and_deterministic(self, spark):
+        from pyspark.sql import functions as F
+        from patito_spark.operators.sampling import cap_per_group
+
+        df = spark.range(100).selectExpr("id % 2 as g", "id")
+        out = cap_per_group(df, "g", 5, key_col="id", seed=7)
+        got = sorted(r["id"] for r in out.collect())
+        # expected: the 5 smallest xxhash64(id, 7) per group
+        hashed = df.withColumn("h", F.xxhash64("id", F.lit(7))).collect()
+        want = []
+        for g in (0, 1):
+            rows = sorted((r["h"], r["id"]) for r in hashed if r["g"] == g)
+            want += [i for _, i in rows[:5]]
+        assert got == sorted(want)
+        again = sorted(r["id"] for r in cap_per_group(
+            df, "g", 5, key_col="id", seed=7).collect())
+        assert got == again
+
+    def test_order_by_keeps_best_with_stable_ties(self, spark):
+        from patito_spark.operators.sampling import cap_per_group
+
+        # quality has ties; key_col hash breaks them reproducibly
+        df = spark.range(20).selectExpr(
+            "0 as g", "id", "cast(id % 4 as double) as quality"
+        )
+        out1 = cap_per_group(df, "g", 6, key_col="id",
+                             order_by="quality", descending=True)
+        rows1 = sorted((r["quality"], r["id"]) for r in out1.collect())
+        assert len(rows1) == 6
+        assert all(q >= 2.0 for q, _ in rows1)  # top two quality bands
+        out2 = cap_per_group(df, "g", 6, key_col="id",
+                             order_by="quality", descending=True)
+        assert rows1 == sorted((r["quality"], r["id"]) for r in out2.collect())
+
+    def test_multi_group_cols_and_errors(self, spark):
+        import pytest
+        from patito_spark.operators.sampling import cap_per_group
+
+        df = spark.range(40).selectExpr("id % 2 as a", "id % 2 as b", "id")
+        out = cap_per_group(df, ["a", "b"], 3, key_col="id")
+        assert out.count() == 6
+        with pytest.raises(ValueError, match="max_rows"):
+            cap_per_group(df, "a", 0, key_col="id")
+        with pytest.raises(ValueError, match="key_col"):
+            cap_per_group(df, "a", 3)
+
+    def test_plan_has_partial_window_group_limit(self, spark):
+        from patito_spark.operators.sampling import cap_per_group
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(1000).selectExpr("id % 7 as g", "id")
+        out = cap_per_group(df, "g", 5, key_col="id")
+        plan = executed_plan(out)
+        # map-side partial limit BEFORE the exchange: the hot-group
+        # defense — each input partition ships at most K rows per group
+        idx_partial = plan.find("WindowGroupLimit")
+        assert idx_partial != -1 and "Partial" in plan
+        assert plan.count("WindowGroupLimit") == 2  # partial + final

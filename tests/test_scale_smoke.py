@@ -503,3 +503,20 @@ def test_dsir_sample_1m_docs(spark):
     total = n_code + n_prose
     assert 100_000 < total < 350_000  # ~20% after weight truncation
     assert n_code > 5 * max(n_prose, 1)  # strongly target-skewed
+
+
+def test_cap_per_group_10m_hot_domain(spark):
+    from patito_spark.operators.sampling import cap_per_group
+
+    # 50% of the corpus is ONE domain. The partial WindowGroupLimit
+    # must keep the hot group's shuffle input at K rows per input
+    # partition — without it this is a 5M-row single-partition sort.
+    df = spark.range(N).selectExpr(
+        "if(id % 2 = 0, 0, 1 + pmod(id div 2, 1000)) as domain", "id"
+    )
+    out = cap_per_group(df, "domain", 1000, key_col="id")
+    sizes = out.groupBy("domain").count()
+    hot = sizes.filter("domain = 0").first()["count"]
+    assert hot == 1000
+    assert sizes.filter("count > 1000").count() == 0
+    assert out.count() == 1001 * 1000  # 1001 domains, all capped at 1000
