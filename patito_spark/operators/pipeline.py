@@ -58,6 +58,9 @@ def prepare_training_corpus(
     contamination_neardup_threshold: Optional[float] = None,
     max_tokens_per_chunk: Optional[int] = None,
     pack_max_len: Optional[int] = None,
+    domain_col: Optional[str] = None,
+    max_docs_per_domain: Optional[int] = None,
+    domain_cap_order_col: Optional[str] = None,
     hash_mode: str = "xxhash64",
 ) -> dict:
     """Run the standard pretraining-data pipeline over a document table.
@@ -255,6 +258,25 @@ def prepare_training_corpus(
                 hash_mode=hash_mode,
             ).select(id_col)
             gated = gated.join(near, on=id_col, how="left_anti")
+
+    if max_docs_per_domain is not None:
+        # Last gate: no single domain/source over-contributes to what
+        # actually enters training. Keep-best when an order column is
+        # named (typically a quality score), else a stable hash-random
+        # K-subset. Partial WindowGroupLimit keeps hot domains from
+        # shipping their full mass into the shuffle (sampling.py).
+        if domain_col is None:
+            raise ValueError("max_docs_per_domain requires domain_col")
+        from patito_spark.operators.sampling import cap_per_group
+
+        gated = cap_per_group(
+            gated,
+            domain_col,
+            max_docs_per_domain,
+            key_col=id_col,
+            order_by=domain_cap_order_col,
+            descending=domain_cap_order_col is not None,
+        )
 
     out = {"documents": gated}
     pack_src, pack_id = gated, id_col

@@ -315,3 +315,28 @@ def test_prepare_contamination_scrub_action(spark):
             corpus, benchmark=bench, contamination_action="purge",
             dedup_threshold=None,
         )
+
+
+def test_prepare_domain_cap_stage(spark):
+    # 30 docs in domain A (quality rises with id), 3 in domain B;
+    # cap at 5 keeping best quality -> A's top-5 ids, B untouched.
+    rows = [
+        (i, "a", float(i), f"domain a document number {i} with plenty of words here")
+        for i in range(30)
+    ] + [
+        (100 + i, "b", 1.0, f"domain b document number {i} with plenty of words here")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, q double, text string")
+    out = prepare_training_corpus(
+        df,
+        min_tokens=3,
+        dedup_threshold=None,
+        domain_col="domain",
+        max_docs_per_domain=5,
+        domain_cap_order_col="q",
+    )["documents"]
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [25, 26, 27, 28, 29, 100, 101, 102]
+    with pytest.raises(ValueError, match="domain_col"):
+        prepare_training_corpus(df, max_docs_per_domain=5)
