@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from patito_spark.operators.sampling import _hash_fraction
 
-__all__ = ["mix_corpora", "temperature_weights"]
+__all__ = ["mix_corpora", "mixture_stats", "temperature_weights"]
 
 
 def mix_corpora(
@@ -222,3 +222,44 @@ def temperature_weights(
     if total == 0:
         raise ValueError("all token counts are zero")
     return {k: v / total for k, v in powered.items()}
+
+
+def mixture_stats(
+    mixed: DataFrame,
+    source_col: str = "mix_source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Realized composition of a :func:`mix_corpora` output.
+
+    The plan dict says what the mixture SHOULD contain; this measures
+    what it does — the dataset-card cross-check, and the guard against
+    silent drift when upstream corpora change under a pinned plan.
+    Returns one row per source: ``n_rows`` (selected copies, epochs
+    included), ``n_tokens``, ``token_share``, ``row_share``, and
+    ``n_epochs`` (when the ``epoch`` column is present).
+
+    One hash aggregate over the mixture; the share columns are a
+    window over the AGGREGATED frame (one row per domain — the
+    unpartitioned window never sees the corpus itself).
+    """
+    from pyspark.sql import Window
+
+    from patito_spark.operators.text import token_count
+
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    ]
+    if "epoch" in mixed.columns:
+        aggs.append((F.max("epoch") + F.lit(1)).alias("n_epochs"))
+    per_source = mixed.groupBy(source_col).agg(*aggs)
+    everything = Window.partitionBy()
+    return per_source.select(
+        "*",
+        (F.col("n_tokens") / F.sum("n_tokens").over(everything)).alias(
+            "token_share"
+        ),
+        (F.col("n_rows") / F.sum("n_rows").over(everything)).alias(
+            "row_share"
+        ),
+    )

@@ -248,3 +248,44 @@ class TestTemperatureWeights:
         # the tokens -> its 200-token corpus must repeat (epochs).
         assert plan["books"]["target_tokens"] > 150
         assert out["mixed"].count() > 0
+
+
+def test_mixture_stats_matches_plan(spark):
+    from patito_spark.operators.mixing import mix_corpora, mixture_stats
+
+    web = spark.range(400).selectExpr(
+        "id as doc_id", "concat('web doc ', id, ' word word word') as text"
+    )
+    code = spark.range(100).selectExpr(
+        "id + 1000 as doc_id", "concat('code doc ', id, ' word word word') as text"
+    )
+    out = mix_corpora(
+        {"web": web, "code": code}, {"web": 3, "code": 1},
+        token_budget=1500,
+    )
+    stats = {r["mix_source"]: r for r in
+             mixture_stats(out["mixed"]).collect()}
+    assert set(stats) == {"web", "code"}
+    # realized token share within sampling noise of the 75/25 plan
+    assert stats["web"]["token_share"] == pytest.approx(0.75, abs=0.08)
+    assert stats["code"]["token_share"] == pytest.approx(0.25, abs=0.08)
+    assert stats["web"]["n_epochs"] >= 1
+    # shares sum to 1 exactly
+    assert sum(s["token_share"] for s in stats.values()) == pytest.approx(1.0)
+    assert sum(s["row_share"] for s in stats.values()) == pytest.approx(1.0)
+
+
+def test_mixture_stats_without_epoch_column(spark):
+    from pyspark.sql import functions as F
+    from patito_spark.operators.mixing import mixture_stats
+
+    df = spark.range(10).selectExpr(
+        "if(id < 7, 'a', 'b') as mix_source",
+        "'w x y' as text",
+    )
+    stats = mixture_stats(df)
+    assert "n_epochs" not in stats.columns
+    by = {r["mix_source"]: r for r in stats.collect()}
+    assert by["a"]["n_rows"] == 7 and by["b"]["n_rows"] == 3
+    assert by["a"]["n_tokens"] == 21
+    assert by["a"]["row_share"] == pytest.approx(0.7)
