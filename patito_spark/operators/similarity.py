@@ -844,3 +844,43 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cluster_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: Optional[int] = None,
+    seed: int = 42,
+    assign_metric: str = "l2",
+    index: Optional[IvfIndex] = None,
+) -> DataFrame:
+    """K-means cluster labels over an embedding column.
+
+    The corpus-analysis / diversity primitive: assign every vector to
+    one of ``n_clusters`` k-means cells (``None`` auto-sizes like the
+    IVF index — ~sqrt(n), bounded). Returns ``(id_col, cluster)``.
+    Composes with the rest of the engine: ``groupBy("cluster")`` for
+    topic profiles, join back and :func:`..sampling.cap_per_group` on
+    ``cluster`` for a diversity-capped (cluster-balanced) corpus, or
+    per-cluster ``mix_corpora`` weights.
+
+    This is the IVF coarse quantizer re-exposed (hash-sampled driver
+    KMeans fit, Arrow-batched map-only assignment, one count + one
+    sample collect — the corpus itself never shuffles), so an existing
+    :func:`build_ivf_index` artifact can be reused via ``index=`` and
+    one fit serves ANN search, SemDeDup, and clustering.
+    """
+    idx = index if index is not None else build_ivf_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_clusters,
+        seed=seed,
+        assign_metric=assign_metric,
+        materialize=False,
+    )
+    return idx.table.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("cell").alias("cluster"),
+    )

@@ -450,3 +450,31 @@ class TestAutoPlanes:
                 ann_lsh_topk(None, df.limit(1), n_tables=2, index=idx)
         finally:
             idx.unpersist()
+
+
+def test_cluster_embeddings_separates_blobs(spark):
+    from patito_spark.operators.similarity import (
+        build_ivf_index, cluster_embeddings,
+    )
+
+    # two well-separated blobs -> 2 clusters must split them cleanly
+    rows = [(i, [10.0 + (i % 5) * 0.01, 0.0]) for i in range(50)]
+    rows += [(100 + i, [0.0, 10.0 + (i % 5) * 0.01]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_embeddings(df, n_clusters=2)
+    assert out.columns == ["vec_id", "cluster"]
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert len(got) == 100
+    blob_a = {got[i] for i in range(50)}
+    blob_b = {got[100 + i] for i in range(50)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # deterministic under the same seed
+    again = {r["vec_id"]: r["cluster"]
+             for r in cluster_embeddings(df, n_clusters=2).collect()}
+    assert got == again
+    # reusing a prebuilt index skips the fit and matches its cells
+    idx = build_ivf_index(df, n_centroids=2, materialize=False)
+    via_idx = {r["vec_id"]: r["cluster"]
+               for r in cluster_embeddings(df, index=idx).collect()}
+    cells = {r["neighbor_id"]: r["cell"] for r in idx.table.collect()}
+    assert via_idx == cells
