@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from patito_spark.functions.hashing import HashMode, hash64
 
-__all__ = ["dsir_weights", "dsir_sample", "hashed_ngram_features"]
+__all__ = ["dsir_weights", "dsir_sample", "dsir_lm", "hashed_ngram_features"]
 
 #: Separator between the two tokens of a bigram before hashing — an
 #: ASCII unit separator, so "a b"+"c" and "a"+"b c" hash differently.
@@ -69,6 +69,39 @@ def hashed_ngram_features(
         lambda s: F.pmod(hash64(s, hash_mode), F.lit(n_buckets)).cast("string"),
     )
     return F.array_join(buckets, " ")
+
+
+def dsir_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    features: str = "unigram",
+    ngram_buckets: int = 10_000,
+    hash_mode: HashMode = "xxhash64",
+) -> DataFrame:
+    """Build a DSIR language model over the chosen feature space.
+
+    The precompute companion to :func:`dsir_weights`: pass the result
+    as ``raw_lm`` / ``target_lm`` (with MATCHING ``features`` /
+    ``ngram_buckets`` / ``hash_mode`` arguments) to amortize the
+    vocabulary aggregate when scoring many snapshots against one fixed
+    target. One hash aggregate; ``build_vocab`` output schema.
+    """
+    from patito_spark.operators.text import build_vocab
+
+    if features == "hashed":
+        df = df.withColumn(
+            "__dsir_features",
+            hashed_ngram_features(
+                text_col, n_buckets=ngram_buckets, hash_mode=hash_mode
+            ),
+        )
+        text_col = "__dsir_features"
+    elif features != "unigram":
+        raise ValueError(
+            f"features must be 'unigram' or 'hashed', got {features!r}"
+        )
+    return build_vocab(df, text_col=text_col, id_col=id_col)
 
 
 def dsir_weights(

@@ -186,3 +186,19 @@ def test_keep_weight_col_and_precomputed_lms(spark, corpora):
     )
     assert "dsir_w" in out.columns
     assert out.filter(F.col("dsir_w") <= 0).count() == 0
+
+
+def test_dsir_lm_precompute_matches_inline(spark, corpora):
+    from patito_spark.operators.selection import dsir_lm
+
+    raw, target = corpora
+    inline = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(
+        raw, target, features="hashed", ngram_buckets=512).collect()}
+    pre = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(
+        raw, target, features="hashed", ngram_buckets=512,
+        raw_lm=dsir_lm(raw, features="hashed", ngram_buckets=512),
+        target_lm=dsir_lm(target, features="hashed", ngram_buckets=512),
+    ).collect()}
+    assert pre == pytest.approx(inline)
+    with pytest.raises(ValueError, match="features"):
+        dsir_lm(raw, features="char")
