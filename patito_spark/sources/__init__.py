@@ -12,6 +12,7 @@ from patito_spark.sources.readers import (
     write_parquet,
     write_training_shards,
 )
+from patito_spark.sources.warc import parse_warc_bytes, read_warc
 
 __all__ = [
     "read_csv",
@@ -19,6 +20,8 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_parquet",
+    "parse_warc_bytes",
+    "read_warc",
     "write_bucketed",
     "write_clustered",
     "write_orc",

@@ -1,0 +1,180 @@
+"""WARC (Web ARChive) ingestion: crawl files → document rows.
+
+The entry point of a web-crawl training pipeline: Common-Crawl-style
+``.warc`` / ``.warc.gz`` files become one row per record with the
+headers a corpus pipeline keys on (target URI, date, content type,
+HTTP status) plus the raw payload bytes. Downstream is the existing
+chain: HTML→text extraction, ``update_corpus`` admission, the
+``prepare_training_corpus`` gates.
+
+Format (ISO 28500): a WARC file is a sequence of records, each
+
+    WARC/1.0\r\n
+    <Name>: <value>\r\n ...
+    \r\n
+    <Content-Length bytes of block>
+    \r\n\r\n
+
+and a ``.warc.gz`` stores every record as its own gzip member —
+Python's ``gzip`` reads multi-member streams transparently, so one
+sequential decompress walks the whole file. Parsing is pure stdlib
+inside an Arrow-batched ``mapInPandas``; records stream out in bounded
+batches, so executor memory holds one decompressed file plus one
+output batch, never the whole archive's rows.
+
+Scale notes: Spark's ``binaryFile`` source parallelizes per FILE —
+gzip members are not seekable mid-stream, which is why crawl corpora
+ship as many ~1 GiB WARCs rather than one large one. Size executor
+memory for (compressed + decompressed) of a single archive, or split
+upstream. Oversized payloads are truncated at ``max_payload_bytes``
+(flagged in the ``truncated`` column) instead of OOMing the batch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterable, Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["read_warc", "parse_warc_bytes"]
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("http_content_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("payload_length", T.LongType(), True),
+        T.StructField("truncated", T.BooleanType(), False),
+    ]
+)
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers: dict = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            name, _, value = line.partition(b":")
+            headers[name.strip().lower().decode("latin-1")] = (
+                value.strip().decode("latin-1", "replace")
+            )
+    return headers
+
+
+def parse_warc_bytes(
+    data: bytes,
+    warc_file: str = "",
+    record_types: Optional[Sequence[str]] = ("response",),
+    max_payload_bytes: int = 2_000_000,
+) -> Iterator[dict]:
+    """Yield one dict per WARC record from raw (decompressed) bytes.
+
+    For ``response`` records the HTTP envelope is split off: ``payload``
+    is the HTTP BODY, with the status line and entity Content-Type
+    surfaced as columns. Other record types (``warcinfo``, ``request``,
+    ``metadata``, ``conversion``...) pass their block through as-is.
+    Malformed trailing garbage ends iteration rather than raising —
+    truncated crawls are a fact of life.
+    """
+    want = {t.lower() for t in record_types} if record_types else None
+    pos, n = 0, len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not data.startswith(b"WARC/", pos):
+            break
+        headers = _parse_headers(data[pos:head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        block_start = head_end + 4
+        block = data[block_start : block_start + length]
+        pos = block_start + length
+        rtype = headers.get("warc-type", "").lower()
+        if want is not None and rtype not in want:
+            continue
+        status = None
+        http_ctype = None
+        payload = block
+        if rtype == "response" and block.startswith(b"HTTP/"):
+            env_end = block.find(b"\r\n\r\n")
+            if env_end >= 0:
+                status_line, _, header_rest = block[:env_end].partition(b"\r\n")
+                parts = status_line.split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                http_ctype = _parse_headers(header_rest).get("content-type")
+                payload = block[env_end + 4 :]
+        truncated = len(payload) > max_payload_bytes
+        yield {
+            "warc_file": warc_file,
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": rtype or None,
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "http_status": status,
+            "http_content_type": http_ctype,
+            "payload": payload[:max_payload_bytes],
+            "payload_length": len(payload),
+            "truncated": truncated,
+        }
+
+
+def read_warc(
+    path: str,
+    glob: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    record_types: Optional[Sequence[str]] = ("response",),
+    max_payload_bytes: int = 2_000_000,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` archives as one row per record.
+
+    ``record_types`` filters record kinds before any bytes are copied
+    (default keeps only ``response`` — the fetched pages); ``None``
+    keeps everything. See the module docstring for the schema and the
+    per-file parallelism caveat.
+    """
+    import pandas as pd
+
+    from patito_spark.sources.readers import read_binary_files
+
+    files = read_binary_files(
+        path, glob=glob, spark=spark, with_metadata=False
+    ).select("path", "content")
+
+    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                rows: list = []
+                for rec in parse_warc_bytes(
+                    data,
+                    warc_file=fpath,
+                    record_types=record_types,
+                    max_payload_bytes=max_payload_bytes,
+                ):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=_SCHEMA.names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_SCHEMA.names)
+
+    return files.mapInPandas(parse, schema=_SCHEMA)

@@ -1,0 +1,109 @@
+"""WARC ingestion: record framing, HTTP envelope split, gzip members,
+record-type filter, truncation guard."""
+
+import gzip
+
+import pytest
+
+from patito_spark.sources.warc import parse_warc_bytes, read_warc
+
+
+def _record(rtype, uri, body, record_id="<urn:uuid:1>", http=True,
+            extra_headers=()):
+    if rtype == "response" and http:
+        block = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=UTF-8\r\n"
+            b"X-Ignored: yes\r\n\r\n" + body
+        )
+    else:
+        block = body
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: " + record_id.encode(),
+        b"WARC-Date: 2026-08-15T00:00:00Z",
+    ]
+    if uri:
+        headers.append(b"WARC-Target-URI: " + uri.encode())
+    headers += [h.encode() for h in extra_headers]
+    headers.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _warc_bytes():
+    return (
+        _record("warcinfo", None, b"software: test\r\n")
+        + _record("request", "http://a.example/", b"GET / HTTP/1.1\r\n")
+        + _record("response", "http://a.example/", b"<html>hello a</html>")
+        + _record("response", "http://b.example/", b"<html>hello b</html>",
+                  record_id="<urn:uuid:2>")
+    )
+
+
+def test_parse_warc_bytes_frames_and_http_split():
+    recs = list(parse_warc_bytes(_warc_bytes(), record_types=None))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response"]
+    resp = recs[2]
+    assert resp["target_uri"] == "http://a.example/"
+    assert resp["payload"] == b"<html>hello a</html>"  # envelope stripped
+    assert resp["http_status"] == 200
+    assert resp["http_content_type"] == "text/html; charset=UTF-8"
+    assert resp["warc_date"] == "2026-08-15T00:00:00Z"
+    # default filter keeps responses only
+    only = list(parse_warc_bytes(_warc_bytes()))
+    assert len(only) == 2 and {r["warc_type"] for r in only} == {"response"}
+    # trailing garbage ends iteration, never raises
+    assert len(list(parse_warc_bytes(_warc_bytes() + b"garbage"))) == 2
+
+
+def test_parse_truncation_guard():
+    big = _record("response", "http://big.example/", b"x" * 1000)
+    (rec,) = parse_warc_bytes(big, max_payload_bytes=100)
+    assert rec["truncated"] is True
+    assert len(rec["payload"]) == 100
+    assert rec["payload_length"] == 1000
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_warc_bytes())
+    # .warc.gz: every record its own gzip member (the spec's layout)
+    members = b"".join(
+        gzip.compress(_record("response", f"http://gz{i}.example/",
+                              f"<html>gz {i}</html>".encode(),
+                              record_id=f"<urn:uuid:gz{i}>"))
+        for i in range(3)
+    )
+    (d / "b.warc.gz").write_bytes(members)
+
+    out = read_warc(str(d), spark=spark)
+    rows = out.collect()
+    assert len(rows) == 5  # 2 plain + 3 gzip responses
+    by_uri = {r["target_uri"]: r for r in rows}
+    assert by_uri["http://gz1.example/"]["payload"] == b"<html>gz 1</html>"
+    assert by_uri["http://a.example/"]["http_status"] == 200
+    assert all(not r["truncated"] for r in rows)
+    assert all(r["warc_file"] for r in rows)
+    # glob filter narrows to one archive
+    gz_only = read_warc(str(d), glob="*.warc.gz", spark=spark)
+    assert gz_only.count() == 3
+
+
+def test_read_warc_feeds_text_pipeline(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "c.warc").write_bytes(_warc_bytes())
+    docs = (
+        read_warc(str(d), spark=spark)
+        .select(
+            F.col("target_uri").alias("url"),
+            F.decode("payload", "UTF-8").alias("text"),
+        )
+    )
+    got = {r["url"]: r["text"] for r in docs.collect()}
+    assert got["http://b.example/"] == "<html>hello b</html>"
