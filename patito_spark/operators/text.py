@@ -374,6 +374,42 @@ def remove_control_chars(text: Union[str, Column]) -> Column:
     )
 
 
+def extract_html_text(text: Union[str, Column]) -> Column:
+    """HTML page → readable text, preserving paragraph structure.
+
+    The step between :func:`..sources.warc.read_warc` payloads and the
+    corpus pipeline. Beyond :func:`strip_html` it removes the CONTENT
+    of non-text elements (``script``/``style``/``noscript``/
+    ``template``, HTML comments — tag-stripping alone would leak
+    JavaScript and CSS bodies into training text), and converts
+    block-level tags to ``\\n\\n`` so paragraph boundaries survive for
+    the paragraph-dedup/boilerplate stages (which key on blank lines
+    and must run BEFORE ``clean_text`` flattens them). Horizontal
+    whitespace collapses; 3+ newlines collapse to one blank line.
+    Pure ``regexp_replace`` chain — whole-stage codegen, map-only.
+    For layout-aware extraction (tables, boilerplate scoring à la
+    trafilatura) plug a Pandas-UDF extractor instead; this is the
+    dependency-free 90% case.
+    """
+    col = _text(text)
+    col = F.regexp_replace(
+        col, r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", " "
+    )
+    col = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
+    col = F.regexp_replace(
+        col,
+        r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|section"
+        r"|article|aside|header|footer|blockquote|pre|figure|form)\b[^>]*/?>",
+        "\n\n",
+    )
+    col = strip_html(col)
+    col = F.regexp_replace(col, r"[ \t\x0b\f\r]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    # trim() strips spaces only; edge tags leave leading/trailing \n\n
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def clean_text(text: Union[str, Column]) -> Column:
     """Standard pre-training text cleanup: strip HTML, drop control
     characters, normalize whitespace — one codegen projection."""

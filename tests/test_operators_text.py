@@ -630,3 +630,45 @@ def test_oov_rate_with_build_vocab_top_n(spark):
     out = ops.oov_rate(corpus, vocab)
     fracs = [r["oov_frac"] for r in out.collect()]
     assert all(abs(f - 0.2) < 1e-9 for f in fracs)  # 1 of 5 tokens OOV
+
+
+class TestExtractHtmlText:
+    def _one(self, spark, html):
+        from patito_spark.operators.text import extract_html_text
+
+        return (
+            spark.createDataFrame([(html,)], "html string")
+            .select(extract_html_text("html").alias("t"))
+            .first()["t"]
+        )
+
+    def test_script_style_content_removed(self, spark):
+        html = (
+            "<html><head><style>body { color: red; }</style>"
+            "<script type='text/js'>var leak = 'SECRET';\nalert(1)</script>"
+            "</head><body><p>real text</p><!-- note -->"
+            "<noscript>enable js</noscript></body></html>"
+        )
+        out = self._one(spark, html)
+        assert "real text" in out
+        for leaked in ("SECRET", "color", "alert", "enable js", "note"):
+            assert leaked not in out
+
+    def test_block_tags_become_paragraph_breaks(self, spark):
+        html = "<h1>Title</h1><p>one</p><p>two</p>inline <b>bold</b> text"
+        out = self._one(spark, html)
+        paras = out.split("\n\n")
+        assert paras == ["Title", "one", "two", "inline bold text"]
+
+    def test_entities_and_whitespace(self, spark):
+        out = self._one(
+            spark, "<p>a &amp; b&nbsp;&lt;c&gt;</p>\r\n<p>d   e</p>")
+        assert out == 'a & b <c>\n\nd e'
+
+    def test_plan_is_codegen_only(self, spark):
+        from patito_spark.operators.text import extract_html_text
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(10).selectExpr("concat('<p>x', id, '</p>') as html")
+        plan = executed_plan(df.select(extract_html_text("html").alias("t")))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
