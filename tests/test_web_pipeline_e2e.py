@@ -104,3 +104,79 @@ def test_web_pipeline_end_to_end(spark):
         agg["toks"]
         == with_len.agg(F.sum("n_tok")).first()[0]
     )
+
+
+def test_crawl_ingestion_end_to_end(spark, tmp_path):
+    """WARC archive bytes -> read_warc -> extract_html_text ->
+    prepare_training_corpus: the ingestion front of the pipeline."""
+    import gzip
+
+    from patito_spark.operators.text import extract_html_text
+    from patito_spark.sources import read_warc
+
+    def page(title, body_sentences):
+        paras = "".join(f"<p>{s}</p>" for s in body_sentences)
+        return (
+            f"<html><head><title>{title}</title>"
+            "<style>.x{color:red}</style>"
+            "<script>trackVisitor('LEAKME');</script></head>"
+            f"<body><h1>{title}</h1>{paras}"
+            "<div>footer boilerplate subscribe now</div></body></html>"
+        )
+
+    def record(uri, html, status=200):
+        body = html.encode()
+        block = (
+            f"HTTP/1.1 {status} {'OK' if status == 200 else 'NF'}\r\n"
+            "Content-Type: text/html\r\n\r\n"
+        ).encode() + body
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{abs(hash(uri))}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        return head + block + b"\r\n\r\n"
+
+    sentences = [
+        "a long article about distributed query planning and execution",
+        "it discusses joins aggregates and the optimizer in detail",
+    ]
+    archive = b"".join(
+        gzip.compress(r)
+        for r in (
+            record("http://site-a.example/art", page("Article", sentences)),
+            # near-duplicate page on another host -> deduped
+            record("http://mirror-b.example/art", page("Article", sentences)),
+            record("http://site-c.example/other", page(
+                "Other", ["completely different content on stream "
+                          "processing with watermarks and state stores"])),
+            record("http://gone.example/404", "<html>not found</html>", 404),
+        )
+    )
+    d = tmp_path / "segments"
+    d.mkdir()
+    (d / "seg-00001.warc.gz").write_bytes(archive)
+
+    crawl = (
+        read_warc(str(d), glob="*.warc.gz", spark=spark)
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.col("target_uri").alias("url"),
+            extract_html_text(F.decode("payload", "UTF-8")).alias("text"),
+        )
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    docs = prepare_training_corpus(
+        crawl, min_tokens=5, dedup_threshold=0.6,
+    )["documents"].collect()
+    texts = {r["url"]: r["text"] for r in docs}
+    # 404 gone; one of the two mirrored pages deduped away
+    assert len(texts) == 2
+    assert sum("site-a" in u or "mirror-b" in u for u in texts) == 1
+    assert any("site-c" in u for u in texts)
+    # no JS/CSS leakage through extraction, real content intact
+    joined = " ".join(texts.values())
+    assert "LEAKME" not in joined and "color" not in joined
+    assert "query planning" in joined or "stream" in joined
