@@ -1021,23 +1021,40 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRATA_FRACTIONS = {"en": 0.3, "de": 0.8, "fr": 0.5, "es": 0.5, "zh": 0.1}
+#: cap_per_group limit for the union-tagged sampling entry — low enough
+#: that every language is over-cap at sf0.01 (the cap path does work).
+DOMAIN_CAP_MAX_ROWS = 40
 
 
 def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum deterministic sampling (portable-hash mode): the oracle
-    recomputes every row's keep/drop decision from the same md5 fraction
-    and per-language fraction table."""
-    from patito_spark.operators.sampling import stratified_sample
+    """Two sampling operators, union-tagged (one driver slot):
+
+    * ``stratified`` — per-stratum deterministic sampling
+      (portable-hash mode): the oracle recomputes every row's
+      keep/drop decision from the same md5 fraction and per-language
+      fraction table.
+    * ``domain_cap`` — ``cap_per_group`` over the language column
+      (portable tie hash): the oracle replays the exact kept K-subset
+      with ``row_number() OVER (PARTITION BY lang ORDER BY hash)``.
+    """
+    from patito_spark.operators.sampling import cap_per_group, stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
-    out = stratified_sample(
+    strat = stratified_sample(
         docs,
         strata_col="lang",
         fractions=STRATA_FRACTIONS,
         key_col="doc_id",
         hash_mode="portable",
-    )
-    return out.select("doc_id", "lang")
+    ).select(F.lit("stratified").alias("part"), "doc_id", "lang")
+    capped = cap_per_group(
+        docs,
+        "lang",
+        DOMAIN_CAP_MAX_ROWS,
+        key_col="doc_id",
+        hash_mode="portable",
+    ).select(F.lit("domain_cap").alias("part"), "doc_id", "lang")
+    return strat.unionByName(capped)
 
 
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,16 +2313,28 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text)::BIGINT AS n_bytes
             FROM documents
         """,
+        # Union-tagged: stratified keep/drop replay + the cap_per_group
+        # kept set (exact row_number over the same portable tie hash).
         "sample_stratified_docs": f"""
             WITH f AS (
                 SELECT doc_id, lang, {_split_frac_sql()} AS frac
                 FROM documents
             )
-            SELECT doc_id, lang FROM f
+            SELECT 'stratified' AS part, doc_id, lang FROM f
             WHERE frac < CASE lang {' '.join(
                 f"WHEN '{lang}' THEN {frac}"
                 for lang, frac in STRATA_FRACTIONS.items()
             )} ELSE 0.0 END
+            UNION ALL
+            SELECT 'domain_cap' AS part, doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY {_phash_sql(
+                               "doc_id::VARCHAR || ':42'")}
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= {DOMAIN_CAP_MAX_ROWS}
         """,
         "q_stream_cdc_state": """
             SELECT user_id, ts, event_id, value, event_type,

@@ -130,6 +130,7 @@ def cap_per_group(
     order_by: Optional[Union[str, Column]] = None,
     descending: bool = False,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per group — the per-domain cap.
 
@@ -139,7 +140,10 @@ def cap_per_group(
     "keep the K highest", e.g. a quality score — ties broken by the
     ``key_col`` hash when provided, so reruns agree even on tied
     scores), else uniformly by a seeded hash of ``key_col`` (a stable
-    random K-subset, never ``rand()``).
+    random K-subset, never ``rand()``). ``hash_mode="portable"`` hashes
+    ``"<key>:<seed>"`` via the md5-based engine-independent hash (same
+    contract as the other sampling operators) so an ANSI-SQL oracle can
+    replay the exact kept set.
 
     Scale shape: ``row_number`` over ``(group, order)`` compiles to a
     **partial WindowGroupLimit before the exchange** (Spark 3.5+) —
@@ -161,7 +165,19 @@ def cap_per_group(
         oc = F.col(order_by) if isinstance(order_by, str) else order_by
         order.append(oc.desc() if descending else oc.asc())
     if key_col is not None:
-        order.append(F.xxhash64(F.col(key_col), F.lit(seed)).asc())
+        if hash_mode == "portable":
+            from patito_spark.functions.hashing import portable_hash64
+
+            tie = portable_hash64(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.lit(str(seed)),
+                )
+            )
+        else:
+            tie = F.xxhash64(F.col(key_col), F.lit(seed))
+        order.append(tie.asc())
     w = Window.partitionBy(*groups).orderBy(*order)
     return (
         df.withColumn("__cap_rn", F.row_number().over(w))

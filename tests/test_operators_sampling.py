@@ -332,3 +332,22 @@ class TestCapPerGroup:
         idx_partial = plan.find("WindowGroupLimit")
         assert idx_partial != -1 and "Partial" in plan
         assert plan.count("WindowGroupLimit") == 2  # partial + final
+
+    def test_portable_mode_matches_md5_replay(self, spark):
+        import hashlib
+
+        from patito_spark.operators.sampling import cap_per_group
+
+        df = spark.range(60).selectExpr("id % 3 as g", "id")
+        out = cap_per_group(df, "g", 4, key_col="id", seed=9,
+                            hash_mode="portable")
+        got = sorted(r["id"] for r in out.collect())
+
+        def phash(key):
+            return int(hashlib.md5(f"{key}:9".encode()).hexdigest()[:15], 16)
+
+        want = []
+        for g in range(3):
+            members = sorted(range(g, 60, 3), key=phash)
+            want += members[:4]
+        assert got == sorted(want)
