@@ -12,7 +12,7 @@ from patito_spark.sources.readers import (
     write_parquet,
     write_training_shards,
 )
-from patito_spark.sources.warc import parse_warc_bytes, read_warc
+from patito_spark.sources.warc import parse_warc_bytes, read_warc, read_warc_stream
 
 __all__ = [
     "read_csv",
@@ -22,6 +22,7 @@ __all__ = [
     "read_parquet",
     "parse_warc_bytes",
     "read_warc",
+    "read_warc_stream",
     "write_bucketed",
     "write_clustered",
     "write_orc",

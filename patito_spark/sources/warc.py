@@ -39,7 +39,7 @@ from typing import Iterable, Iterator, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_warc", "parse_warc_bytes"]
+__all__ = ["read_warc", "read_warc_stream", "parse_warc_bytes"]
 
 _SCHEMA = T.StructType(
     [
@@ -156,6 +156,73 @@ def read_warc(
     files = read_binary_files(
         path, glob=glob, spark=spark, with_metadata=False
     ).select("path", "content")
+
+    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                rows: list = []
+                for rec in parse_warc_bytes(
+                    data,
+                    warc_file=fpath,
+                    record_types=record_types,
+                    max_payload_bytes=max_payload_bytes,
+                ):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=_SCHEMA.names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_SCHEMA.names)
+
+    return files.mapInPandas(parse, schema=_SCHEMA)
+
+
+def read_warc_stream(
+    path: str,
+    glob: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    record_types: Optional[Sequence[str]] = ("response",),
+    max_payload_bytes: int = 2_000_000,
+    batch_rows: int = 256,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming :func:`read_warc`: new archives in ``path`` become
+    record rows as they land.
+
+    The ingestion-time front of the streaming half — feed the result
+    into ``dedup_urls_stream`` / ``streaming_dedup_lsh`` for
+    crawl-as-it-arrives admission. Spark's streaming ``binaryFile``
+    source tracks processed files in the checkpoint, so each archive
+    is parsed exactly once; ``max_files_per_trigger`` bounds per-batch
+    work (one archive decompresses fully in memory — same sizing rule
+    as the batch reader). The parse is the same stateless
+    ``mapInPandas``, so the output supports every trigger mode
+    including ``availableNow`` backfills.
+    """
+    import pandas as pd
+
+    from patito_spark.sources.readers import _session
+
+    spark = _session(spark)
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("modificationTime", T.TimestampType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
 
     def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

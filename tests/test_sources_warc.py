@@ -107,3 +107,33 @@ def test_read_warc_feeds_text_pipeline(spark, tmp_path):
     )
     got = {r["url"]: r["text"] for r in docs.collect()}
     assert got["http://b.example/"] == "<html>hello b</html>"
+
+
+def test_read_warc_stream_available_now(spark, tmp_path):
+    from patito_spark.sources.warc import read_warc_stream
+
+    d = tmp_path / "stream-crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_warc_bytes())
+    members = b"".join(
+        gzip.compress(_record("response", f"http://s{i}.example/",
+                              f"<html>s {i}</html>".encode(),
+                              record_id=f"<urn:uuid:s{i}>"))
+        for i in range(2)
+    )
+    (d / "b.warc.gz").write_bytes(members)
+
+    stream = read_warc_stream(str(d), spark=spark)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM warc_stream_sink").collect()
+    assert len(rows) == 4  # 2 plain responses + 2 gzip responses
+    uris = {r["target_uri"] for r in rows}
+    assert "http://s0.example/" in uris and "http://a.example/" in uris
