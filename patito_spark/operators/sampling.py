@@ -75,6 +75,61 @@ def train_test_split(
     return df.filter(h >= test_fraction), df.filter(h < test_fraction)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_fraction: float = 0.1,
+    threshold: float = 0.7,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    pairs: Optional[DataFrame] = None,
+    **minhash_kwargs,
+) -> tuple:
+    """(train, test) split where near-duplicates never straddle the cut.
+
+    :func:`train_test_split` keys on the document id, so a near-copy
+    with a DIFFERENT id can land in test while its twin trains — the
+    classic eval-contamination leak. This variant splits by
+    near-duplicate CLUSTER: MinHash pairs → connected components, and
+    every document hashes on its component label (singletons on their
+    own id), so a whole duplicate family moves together. Pass
+    ``pairs`` (``id_a``/``id_b``, e.g. from
+    ``embedding_dedup_pairs_lsh``) to split on a precomputed/semantic
+    duplicate graph instead of re-running MinHash.
+
+    Scale shape: the pair pipeline is the banded/bucketed MinHash
+    path (never O(n²)); components label only CLUSTERED docs — the
+    join back to the corpus is on that (typically small) label table,
+    and the split itself is the usual map-only hash filter. Expected
+    test mass is ``test_fraction`` of CLUSTERS, which converges to
+    ``test_fraction`` of documents when duplicate families are small
+    relative to the corpus.
+    """
+    from patito_spark.operators.dedup import minhash_dedup_pairs
+    from patito_spark.operators.graph import connected_components
+
+    if pairs is None:
+        pairs = minhash_dedup_pairs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            hash_mode=hash_mode,
+            **minhash_kwargs,
+        )
+    labels = connected_components(pairs, id_a="id_a", id_b="id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("__split_key")
+    )
+    keyed = df.join(labels, on=id_col, how="left").withColumn(
+        "__split_key", F.coalesce(F.col("__split_key"), F.col(id_col))
+    )
+    h = _hash_fraction(F.col("__split_key"), seed, hash_mode=hash_mode)
+    train = keyed.filter(h >= test_fraction).drop("__split_key")
+    test = keyed.filter(h < test_fraction).drop("__split_key")
+    return train, test
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

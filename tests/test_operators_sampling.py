@@ -351,3 +351,53 @@ class TestCapPerGroup:
             members = sorted(range(g, 60, 3), key=phash)
             want += members[:4]
         assert got == sorted(want)
+
+
+class TestLeakageSafeSplit:
+    def test_near_dup_families_never_straddle(self, spark):
+        from patito_spark.operators.sampling import leakage_safe_split
+
+        # 60 near-dup PAIRS (2i, 2i+1 share a long text, tiny suffix
+        # diff) + 80 unique singletons.
+        base = ("a long shared document body that repeats across the "
+                "pair with enough shingles to match reliably ")
+        rows = []
+        for i in range(60):
+            rows.append((2 * i, base + f"family {i} variant one"))
+            rows.append((2 * i + 1, base + f"family {i} variant two"))
+        for j in range(80):
+            rows.append((1000 + j,
+                         f"completely unique document number {j} about "
+                         f"topic {j} with its own words and phrasing"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        train, test = leakage_safe_split(df, test_fraction=0.3,
+                                         threshold=0.5)
+        train_ids = {r["doc_id"] for r in train.collect()}
+        test_ids = {r["doc_id"] for r in test.collect()}
+        assert train_ids.isdisjoint(test_ids)
+        assert train_ids | test_ids == {r[0] for r in rows}
+        for i in range(60):  # every family moves together
+            fam = {2 * i, 2 * i + 1}
+            assert fam <= train_ids or fam <= test_ids
+        assert 10 < len(test_ids) < 90  # ~30% of clusters
+
+        again_train, _ = leakage_safe_split(df, test_fraction=0.3,
+                                            threshold=0.5)
+        assert {r["doc_id"] for r in again_train.collect()} == train_ids
+
+    def test_precomputed_pairs_skip_minhash(self, spark):
+        from patito_spark.operators.sampling import leakage_safe_split
+
+        df = spark.range(100).selectExpr(
+            "id as doc_id", "concat('short ', id) as text")
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (50, 51)], "id_a long, id_b long")
+        train, test = leakage_safe_split(df, pairs=pairs,
+                                         test_fraction=0.4)
+        tr = {r["doc_id"] for r in train.collect()}
+        te = {r["doc_id"] for r in test.collect()}
+        chain = {0, 1, 2}
+        assert chain <= tr or chain <= te  # transitive family together
+        assert ({50, 51} <= tr) or ({50, 51} <= te)
+        assert tr.isdisjoint(te) and tr | te == set(range(100))
