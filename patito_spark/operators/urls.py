@@ -21,7 +21,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["canonicalize_url", "dedup_urls", "TRACKING_PARAMS"]
+__all__ = ["canonicalize_url", "dedup_urls", "filter_urls",
+           "NON_TEXT_EXTENSIONS", "TRACKING_PARAMS"]
 
 #: Query parameters that identify a campaign/click, not a resource.
 TRACKING_PARAMS = (
@@ -155,3 +156,80 @@ def dedup_urls(
             .drop("__rn")
         )
     return out if canonical_col else out.drop(key)
+
+
+#: Extensions that are never extractable text for an LM corpus (media,
+#: archives, executables, fonts, style/script assets). PDF/Office docs
+#: are included — they need a dedicated extractor, not the HTML path.
+NON_TEXT_EXTENSIONS = tuple(
+    "jpg jpeg png gif webp svg ico bmp tif tiff heic "
+    "mp3 wav ogg flac m4a aac "
+    "mp4 avi mkv mov wmv webm flv m4v "
+    "zip tar gz tgz bz2 xz 7z rar jar "
+    "exe dmg apk msi iso bin deb rpm "
+    "pdf doc docx xls xlsx ppt pptx odt ods "
+    "css js mjs json xml rss atom wasm map "
+    "woff woff2 ttf eot otf".split()
+)
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    allowed_schemes: Sequence[str] = ("http", "https"),
+    drop_extensions: Sequence[str] = NON_TEXT_EXTENSIONS,
+    blocked_hosts: Optional[Sequence[str]] = None,
+    blocked_host_table: Optional[DataFrame] = None,
+    blocked_patterns: Sequence[str] = (),
+    max_length: int = 2048,
+) -> DataFrame:
+    """Pre-fetch URL gate: drop rows whose URL can't yield corpus text.
+
+    The cheapest filter in the pipeline — runs before any payload is
+    decoded, so it belongs immediately after :func:`..sources.warc.
+    read_warc` (or before fetching at all). Drops: non-http(s)
+    schemes, paths ending in a non-text extension
+    (:data:`NON_TEXT_EXTENSIONS`), overlong URLs (crawler traps),
+    hosts on a blocklist, and URLs matching any ``blocked_patterns``
+    regex (e.g. ``r"/tag/"`` calendar/faceted-navigation traps).
+
+    ``blocked_hosts`` (a small in-code list) matches the host AND its
+    subdomains as one codegen predicate. ``blocked_host_table`` (a
+    DataFrame with a ``host`` column, for the multi-million-entry
+    lists real pipelines carry) is a broadcast LEFT ANTI join on the
+    exact host — pre-expand subdomains into the table or catch them
+    with a pattern. Everything else is a single map-only predicate in
+    the scan's projection.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.lower(F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")))
+
+    keep = (
+        u.isNotNull()
+        & (F.length(u) <= max_length)
+        & scheme.isin(*[s.lower() for s in allowed_schemes])
+        & host.isNotNull()
+    )
+    if drop_extensions:
+        ext = F.regexp_extract(path, r"\.([a-z0-9]{1,6})$", 1)
+        keep = keep & ((ext == "") | ~ext.isin(*drop_extensions))
+    if blocked_hosts:
+        for b in blocked_hosts:
+            b = b.lower()
+            keep = keep & (host != b) & ~host.endswith("." + b)
+    for pat in blocked_patterns:
+        keep = keep & ~u.rlike(pat)
+    out = df.filter(keep)
+    if blocked_host_table is not None:
+        out = out.withColumn("__fu_host", host).join(
+            F.broadcast(
+                blocked_host_table.select(
+                    F.lower(F.col("host")).alias("__fu_host")
+                ).distinct()
+            ),
+            on="__fu_host",
+            how="left_anti",
+        ).drop("__fu_host")
+    return out

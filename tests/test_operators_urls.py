@@ -109,3 +109,57 @@ def test_dedup_urls_any_keeps_one_per_key(spark):
     assert dedup_urls(df, keep="any").count() == 1
     with pytest.raises(ValueError, match="keep"):
         dedup_urls(df, keep="last")
+
+
+class TestFilterUrls:
+    def test_gates(self, spark):
+        from patito_spark.operators.urls import filter_urls
+
+        rows = [
+            (1, "https://good.example/article/one"),
+            (2, "http://good.example/page?q=x"),
+            (3, "ftp://files.example/data"),              # scheme
+            (4, "https://cdn.example/logo.PNG"),           # extension
+            (5, "https://docs.example/paper.pdf"),         # extension
+            (6, "https://bad.example/story"),              # blocked host
+            (7, "https://sub.bad.example/story"),          # subdomain
+            (8, "https://ok.example/tag/archive/2020"),    # pattern trap
+            (9, "https://trap.example/" + "a" * 3000),     # overlong
+            (10, None),                                    # null
+            (11, "https://good.example/release-1.2.3"),    # dot != ext
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = filter_urls(
+            df,
+            blocked_hosts=["bad.example"],
+            blocked_patterns=[r"/tag/"],
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 11]
+
+    def test_host_table_anti_join_and_plan(self, spark):
+        from patito_spark.operators.urls import filter_urls
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(100).selectExpr(
+            "id as doc_id",
+            "concat('https://host', id % 10, '.example/p', id) as url",
+        )
+        block = spark.createDataFrame(
+            [("HOST3.example",), ("host7.example",)], "host string"
+        )
+        out = filter_urls(df, blocked_host_table=block)
+        assert out.count() == 80
+        assert out.filter("url like '%host3%'").count() == 0
+        plan = executed_plan(out)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        # schema untouched
+        assert out.columns == ["doc_id", "url"]
+
+    def test_map_only_without_table(self, spark):
+        from patito_spark.operators.urls import filter_urls
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(10).selectExpr(
+            "concat('https://h', id, '.example/x') as url")
+        plan = executed_plan(filter_urls(df, blocked_hosts=["h1.example"]))
+        assert "Exchange" not in plan and "Python" not in plan
