@@ -716,6 +716,152 @@ def unigram_logloss(
     )
 
 
+def build_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bigrams: Optional[int] = 4_000_000,
+) -> DataFrame:
+    """Bigram counts for :func:`bigram_logloss`: ``w1, w2, count``.
+
+    One explode of adjacent token pairs + one hash aggregate with
+    map-side combine. ``max_bigrams`` keeps the top-N by count (ties
+    broken bytewise for determinism) — web-scale bigram tables are
+    unbounded, and a pruned tail simply falls to the backoff path in
+    scoring, degrading the score smoothly rather than the plan. The
+    top-N is a ``TakeOrdered`` (partial per-partition top-N, no global
+    sort materialization).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, F.lit(1), n - F.lit(1)),
+                F.slice(toks, F.lit(2), n - F.lit(1)),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    lm = pairs.groupBy("w1", "w2").agg(F.count("*").alias("count"))
+    if max_bigrams is not None:
+        lm = lm.orderBy(
+            F.col("count").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(max_bigrams)
+    return lm
+
+
+def bigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unigram_lm: Optional[DataFrame] = None,
+    bigram_lm: Optional[DataFrame] = None,
+    backoff: float = 0.4,
+    smoothing_k: float = 1.0,
+    max_broadcast_vocab: int = 2_000_000,
+) -> DataFrame:
+    """Per-document bigram cross-entropy under stupid backoff.
+
+    The order-2 upgrade of :func:`unigram_logloss` (CCNet filters with
+    a 5-gram KenLM; bigrams already capture what unigrams cannot —
+    word ORDER, so a bag-of-words spam page no longer scores like
+    prose). Score per position: ``count(w1,w2)/count(w1)`` when the
+    bigram is in the LM, else ``backoff × p_uni(w2)`` (add-k smoothed
+    unigram, unseen tokens at the count-0 floor); the document's first
+    token scores ``p_uni`` alone. Stupid backoff (Brants et al. 2007)
+    is deliberately unnormalized — a ranking/filtering score, not a
+    true probability, which is exactly the corpus-gate use.
+
+    Default LMs are the corpus's own (self-scoring surfaces outliers);
+    pass ``unigram_lm`` (``build_vocab`` output) and ``bigram_lm``
+    (:func:`build_bigram_lm` output) for a curated reference corpus.
+
+    Scale shape: one positioned-pair explode over the corpus, one
+    broadcast join against the bigram table and two against the
+    unigram table (denominator + backoff), one per-doc aggregate with
+    map-side combine. LM sides fall back to shuffle joins past
+    ``max_broadcast_vocab`` rows. Returns ``<id_col>, n_tokens,
+    cross_entropy, perplexity`` (natural log, mean over n_tokens
+    positions; ~1e-12 summation noise — compare with tolerance).
+    """
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    uni = (
+        unigram_lm
+        if unigram_lm is not None
+        else build_vocab(df, text_col=text_col, id_col=id_col)
+    ).select("token", "count")
+    bi = (
+        bigram_lm
+        if bigram_lm is not None
+        else build_bigram_lm(df, text_col=text_col, id_col=id_col)
+    ).select("w1", "w2", F.col("count").alias("__bi_n"))
+
+    totals = uni.agg(
+        F.sum("count").alias("t"), F.count("*").alias("v")
+    ).first()
+    total, v = totals["t"] or 0, totals["v"]
+    denom = float(total) + smoothing_k * (v + 1)
+
+    def _side(frame: DataFrame, rows: int) -> DataFrame:
+        return F.broadcast(frame) if rows <= max_broadcast_vocab else frame
+
+    uni_w = _side(uni.select(F.col("token").alias("__w"),
+                             F.col("count").alias("__uni_n")), v)
+    uni_prev = _side(uni.select(F.col("token").alias("__w_prev"),
+                                F.col("count").alias("__prev_n")), v)
+    # The bigram table row count is not yet known (and counting it
+    # would force the aggregate twice); gate on the unigram vocab as
+    # the proxy — a corpus whose unigram vocab overflows broadcast has
+    # long overflowed it for bigrams.
+    bi_w = _side(
+        bi.select(F.col("w1").alias("__w_prev"), F.col("w2").alias("__w"),
+                  "__bi_n"),
+        v,
+    )
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    positions = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.concat(F.array(F.lit(None).cast("string")),
+                         F.slice(toks, F.lit(1), n - F.lit(1))),
+                toks,
+                lambda p, w: F.struct(p.alias("prev"), w.alias("w")),
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        F.col("pos.prev").alias("__w_prev"),
+        F.col("pos.w").alias("__w"),
+    )
+    scored = (
+        positions.join(bi_w, on=["__w_prev", "__w"], how="left")
+        .join(uni_w, on="__w", how="left")
+        .join(uni_prev, on="__w_prev", how="left")
+    )
+    p_uni = (
+        (F.coalesce(F.col("__uni_n"), F.lit(0)) + F.lit(smoothing_k))
+        / F.lit(denom)
+    )
+    p = (
+        F.when(
+            F.col("__bi_n").isNotNull() & F.col("__prev_n").isNotNull(),
+            F.col("__bi_n") / F.col("__prev_n"),
+        )
+        .when(F.col("__w_prev").isNotNull(), F.lit(backoff) * p_uni)
+        .otherwise(p_uni)  # document-initial token
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(-F.log(p)).alias("cross_entropy"),
+        F.exp(F.avg(-F.log(p))).alias("perplexity"),
+    )
+
+
 def cross_doc_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -672,3 +672,87 @@ class TestExtractHtmlText:
         df = spark.range(10).selectExpr("concat('<p>x', id, '</p>') as html")
         plan = executed_plan(df.select(extract_html_text("html").alias("t")))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBigramLogloss:
+    def test_matches_python_replay(self, spark):
+        import math
+        from collections import Counter
+
+        from patito_spark.operators.text import bigram_logloss
+
+        rows = [(1, "a b a c"), (2, "b a b"), (3, "c c a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        uni, bi = Counter(), Counter()
+        for _, t in rows:
+            ws = t.split(" ")
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        total, v = sum(uni.values()), len(uni)
+        denom = total + 1.0 * (v + 1)
+
+        def p_uni(w):
+            return (uni.get(w, 0) + 1.0) / denom
+
+        def h(text, backoff=0.4):
+            ws = text.split(" ")
+            nll = [-math.log(p_uni(ws[0]))]
+            for w1, w2 in zip(ws, ws[1:]):
+                if (w1, w2) in bi:
+                    nll.append(-math.log(bi[(w1, w2)] / uni[w1]))
+                else:
+                    nll.append(-math.log(backoff * p_uni(w2)))
+            return sum(nll) / len(ws)
+
+        got = {r["doc_id"]: r for r in bigram_logloss(df).collect()}
+        for doc_id, text in rows:
+            want = h(text)
+            assert got[doc_id]["n_tokens"] == len(text.split(" "))
+            assert got[doc_id]["cross_entropy"] == pytest.approx(
+                want, rel=1e-12)
+            assert got[doc_id]["perplexity"] == pytest.approx(
+                math.exp(want), rel=1e-12)
+
+    def test_word_order_matters_unlike_unigram(self, spark):
+        from patito_spark.operators.text import (
+            bigram_logloss, build_bigram_lm, build_vocab, unigram_logloss,
+        )
+
+        # reference corpus with strong bigram structure
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+            "doc_id long, text string",
+        )
+        probe = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "dog the lazy fox quick jumps brown the over")],  # shuffled
+            "doc_id long, text string",
+        )
+        u_lm, b_lm = build_vocab(ref), build_bigram_lm(ref)
+        bi = {r["doc_id"]: r["cross_entropy"] for r in bigram_logloss(
+            probe, unigram_lm=u_lm, bigram_lm=b_lm).collect()}
+        un = {r["doc_id"]: r["cross_entropy"] for r in unigram_logloss(
+            probe, lm=u_lm).collect()}
+        assert un[100] == pytest.approx(un[101], rel=1e-9)  # bag-of-words blind
+        assert bi[101] > bi[100] + 1.0  # bigram LM sees the scramble
+
+    def test_pruned_lm_and_errors(self, spark):
+        import pytest as _pytest
+
+        from patito_spark.operators.text import (
+            bigram_logloss, build_bigram_lm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y x y x z")], "doc_id long, text string")
+        full = build_bigram_lm(df)
+        assert full.count() == 3  # (x,y) (y,x) (x,z)
+        top1 = build_bigram_lm(df, max_bigrams=1)
+        rows = top1.collect()
+        assert len(rows) == 1 and (rows[0]["w1"], rows[0]["w2"]) == ("x", "y")
+        # scoring under the pruned LM still returns finite scores
+        out = bigram_logloss(df, bigram_lm=top1).first()
+        assert out["cross_entropy"] > 0
+        with _pytest.raises(ValueError, match="backoff"):
+            bigram_logloss(df, backoff=0)
