@@ -520,3 +520,23 @@ def test_cap_per_group_10m_hot_domain(spark):
     assert hot == 1000
     assert sizes.filter("count > 1000").count() == 0
     assert out.count() == 1001 * 1000  # 1001 domains, all capped at 1000
+
+
+def test_bigram_logloss_1m_docs(spark):
+    from patito_spark.operators.text import bigram_logloss
+
+    # 1M docs over a closed 1k-word vocabulary: bigram table stays
+    # broadcastable, scoring is the positioned-pair explode + three
+    # broadcast joins + per-doc aggregate.
+    df = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat('w', id % 1000, ' w', (id + 1) % 1000, ' w', (id + 2) % 1000,"
+        " ' w', (id * 7) % 1000, ' w', (id * 13) % 1000) as text",
+    )
+    out = bigram_logloss(df)
+    agg = out.agg(
+        F.count("*").alias("n"), F.min("cross_entropy").alias("lo"),
+        F.max("cross_entropy").alias("hi"),
+    ).first()
+    assert agg["n"] == 1_000_000
+    assert 0 < agg["lo"] <= agg["hi"] < 50
