@@ -792,6 +792,15 @@ def bigram_logloss(
         if unigram_lm is not None
         else build_vocab(df, text_col=text_col, id_col=id_col)
     ).select("token", "count")
+    if unigram_lm is None:
+        # The self-LM default reads `uni` three times (totals action +
+        # two broadcast sides); persist so the vocab aggregate runs
+        # once — the totals .first() below materializes the cache.
+        # Registered for patito_spark.release_caches(); callers scoring
+        # many corpora should pass precomputed LMs instead.
+        from patito_spark.functions.cache import tracked_persist
+
+        uni = tracked_persist(uni)
     bi = (
         bigram_lm
         if bigram_lm is not None
