@@ -166,15 +166,25 @@ def dsir_weights(
         raw = raw.withColumn(feat_col, feat)
         target = target.withColumn(feat_col, feat)
         text_col = feat_col
+    from patito_spark.functions.cache import tracked_persist
+
+    # Internally-built LMs are read twice (totals action + the join
+    # side); persist so each vocabulary aggregate runs once — the
+    # totals .first() materializes the cache. Registered for
+    # release_caches(); precomputed raw_lm/target_lm skip this.
     t_lm = (
         target_lm
         if target_lm is not None
-        else build_vocab(target, text_col=text_col, id_col=id_col)
+        else tracked_persist(
+            build_vocab(target, text_col=text_col, id_col=id_col)
+        )
     )
     r_lm = (
         raw_lm
         if raw_lm is not None
-        else build_vocab(raw, text_col=text_col, id_col=id_col)
+        else tracked_persist(
+            build_vocab(raw, text_col=text_col, id_col=id_col)
+        )
     )
 
     # Fused scoring: ONE token explode + ONE per-doc aggregate computes
