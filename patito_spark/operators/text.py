@@ -688,8 +688,17 @@ def unigram_logloss(
     are reproducible to ~1e-12 relative, not bit-exact — compare with a
     tolerance, not a hash.
     """
+    internal_lm = lm is None
     lm = lm if lm is not None else build_vocab(df, text_col=text_col, id_col=id_col)
     lm = lm.select("token", "count")
+    if internal_lm:
+        # The self-LM is read twice (totals action + the probability
+        # join side); persist so the vocabulary aggregate runs once —
+        # the totals .first() below materializes the cache. Registered
+        # for release_caches().
+        from patito_spark.functions.cache import tracked_persist
+
+        lm = tracked_persist(lm)
     totals = lm.agg(
         F.sum("count").alias("__total"), F.count("*").alias("__v")
     ).first()
