@@ -46,6 +46,8 @@ def prepare_training_corpus(
     dedup_span_tokens: Optional[int] = None,
     max_perplexity: Optional[float] = None,
     perplexity_lm: Optional[DataFrame] = None,
+    perplexity_order: int = 1,
+    perplexity_bigram_lm: Optional[DataFrame] = None,
     quality_model=None,
     min_model_prob: float = 0.5,
     dedup_threshold: Optional[float] = 0.7,
@@ -142,18 +144,36 @@ def prepare_training_corpus(
         max_shared_gram_frac=max_shared_gram_frac,
     )
     if max_perplexity is not None:
-        from patito_spark.operators.text import unigram_logloss
-
         # Anti-join against the EXCEEDING docs (not semi-join against the
         # passing ones): documents that produce zero token rows are absent
-        # from unigram_logloss output entirely, and a semi-join would drop
+        # from the scorer output entirely, and a semi-join would drop
         # them regardless of max_perplexity. Token-less docs have no
         # perplexity evidence, so the gate keeps them (min_tokens is the
-        # knob that removes empty docs).
+        # knob that removes empty docs). perplexity_order=2 scores under
+        # the stupid-backoff bigram LM — order-sensitive, so scrambled/
+        # bag-of-words spam that fools a unigram LM gates out.
+        if perplexity_order == 1:
+            from patito_spark.operators.text import unigram_logloss
+
+            scored = unigram_logloss(
+                gated, text_col=text_col, id_col=id_col, lm=perplexity_lm
+            )
+        elif perplexity_order == 2:
+            from patito_spark.operators.text import bigram_logloss
+
+            scored = bigram_logloss(
+                gated,
+                text_col=text_col,
+                id_col=id_col,
+                unigram_lm=perplexity_lm,
+                bigram_lm=perplexity_bigram_lm,
+            )
+        else:
+            raise ValueError(
+                f"perplexity_order must be 1 or 2, got {perplexity_order}"
+            )
         reject = (
-            unigram_logloss(gated, text_col=text_col, id_col=id_col,
-                            lm=perplexity_lm)
-            .filter(F.col("perplexity") > max_perplexity)
+            scored.filter(F.col("perplexity") > max_perplexity)
             .select(id_col)
         )
         gated = gated.join(reject, on=id_col, how="left_anti")

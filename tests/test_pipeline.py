@@ -340,3 +340,38 @@ def test_prepare_domain_cap_stage(spark):
     assert got == [25, 26, 27, 28, 29, 100, 101, 102]
     with pytest.raises(ValueError, match="domain_col"):
         prepare_training_corpus(df, max_docs_per_domain=5)
+
+
+def test_prepare_bigram_perplexity_gate(spark):
+    """perplexity_order=2: a scrambled copy of in-domain text gates out
+    while the unigram gate (order=1) is blind to it."""
+    from patito_spark.operators.text import build_bigram_lm, build_vocab
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(30)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "dog the lazy fox quick jumps brown the over")],
+        "doc_id long, text string",
+    )
+    u_lm, b_lm = build_vocab(ref), build_bigram_lm(ref)
+
+    def kept(order):
+        out = prepare_training_corpus(
+            probe,
+            min_tokens=3,
+            dedup_threshold=None,
+            max_perplexity=10.0,
+            perplexity_lm=u_lm,
+            perplexity_order=order,
+            perplexity_bigram_lm=b_lm if order == 2 else None,
+        )["documents"]
+        return sorted(r.doc_id for r in out.collect())
+
+    assert kept(1) == [1, 2]   # unigram: scramble indistinguishable
+    assert kept(2) == [1]      # bigram: scramble gates out
+    with pytest.raises(ValueError, match="perplexity_order"):
+        prepare_training_corpus(probe, max_perplexity=10.0,
+                                perplexity_order=3)
