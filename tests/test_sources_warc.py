@@ -137,3 +137,47 @@ def test_read_warc_stream_available_now(spark, tmp_path):
     assert len(rows) == 4  # 2 plain responses + 2 gzip responses
     uris = {r["target_uri"] for r in rows}
     assert "http://s0.example/" in uris and "http://a.example/" in uris
+
+
+def test_streaming_ingestion_front_composes(spark, tmp_path):
+    """read_warc_stream -> filter_urls -> extract_html_text on ONE
+    stream: the gates are pure projections/filters, so the whole
+    ingestion front applies to a readStream unchanged."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.text import extract_html_text
+    from patito_spark.operators.urls import filter_urls
+    from patito_spark.sources.warc import read_warc_stream
+
+    d = tmp_path / "front"
+    d.mkdir()
+    html = ("<html><head><script>bad()</script></head>"
+            "<body><p>kept page body</p></body></html>")
+    archive = (
+        _record("response", "https://keep.example/page", html.encode())
+        + _record("response", "https://cdn.example/style.css",
+                  b"body { color: red }", record_id="<urn:uuid:css>")
+    )
+    (d / "c.warc").write_bytes(archive)
+
+    docs = (
+        read_warc_stream(str(d), spark=spark)
+        .filter(F.col("http_status") == 200)
+        .transform(lambda s: filter_urls(s, url_col="target_uri"))
+        .select(
+            F.col("target_uri").alias("url"),
+            extract_html_text(F.decode("payload", "UTF-8")).alias("text"),
+        )
+    )
+    assert docs.isStreaming
+    q = (
+        docs.writeStream.format("memory").queryName("t_ingest_front")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_ingest_front").collect()
+    assert len(rows) == 1  # .css gated out pre-decode
+    assert rows[0]["url"] == "https://keep.example/page"
+    assert rows[0]["text"] == "kept page body"
