@@ -91,12 +91,18 @@ def pack_sequences(
     text_col: str = "text",
     max_len: int = 2048,
     sort_within_partition: bool = True,
+    emit_offsets: bool = False,
 ) -> DataFrame:
     """Greedy best-fit packing of documents into training sequences.
 
     Returns ``seq_id, doc_ids (array), total_tokens, n_docs,
     fill_ratio`` — each output row is one packed training sequence whose
-    member documents' token counts sum to ≤ ``max_len``. Documents
+    member documents' token counts sum to ≤ ``max_len``.
+    ``emit_offsets=True`` appends ``doc_lengths`` and ``doc_offsets``
+    (token start of each member within the sequence) — the contract a
+    training loader needs to build block-diagonal attention masks /
+    reset position ids at document boundaries instead of attending
+    across packed neighbors. Documents
     longer than ``max_len`` get a sequence of their own (chunk first via
     :func:`chunk_documents` if that is not what you want).
 
@@ -137,6 +143,18 @@ def pack_sequences(
             T.StructField("n_docs", T.LongType(), False),
             T.StructField("fill_ratio", T.DoubleType(), False),
         ]
+        + (
+            [
+                T.StructField(
+                    "doc_lengths", T.ArrayType(T.LongType(), False), False
+                ),
+                T.StructField(
+                    "doc_offsets", T.ArrayType(T.LongType(), False), False
+                ),
+            ]
+            if emit_offsets
+            else []
+        )
     )
 
     def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -155,7 +173,7 @@ def pack_sequences(
         # singleton sequences (callers chunk first when that matters).
         import bisect
 
-        bins: list[tuple[list, int]] = []  # (ids, total)
+        bins: list[tuple[list, list, int]] = []  # (ids, lens, total)
         order: list[tuple[int, int]] = []  # sorted (remaining, bin idx)
         for doc, ln in zip(rows["__id"], rows["__len"]):
             ln = int(ln)
@@ -163,23 +181,31 @@ def pack_sequences(
                 j = bisect.bisect_left(order, (ln, -1))
                 if j < len(order):
                     rem, bi = order.pop(j)
-                    ids, tot = bins[bi]
+                    ids, lens, tot = bins[bi]
                     ids.append(doc)
-                    bins[bi] = (ids, tot + ln)
+                    lens.append(ln)
+                    bins[bi] = (ids, lens, tot + ln)
                     bisect.insort(order, (rem - ln, bi))
                     continue
-            bins.append(([doc], ln))
+            bins.append(([doc], [ln], ln))
             bisect.insort(order, (max(max_len - ln, 0), len(bins) - 1))
-        yield pd.DataFrame(
-            {
-                "seq_id": [(pid << 32) | i for i in range(len(bins))],
-                "doc_ids": [ids for ids, _ in bins],
-                "total_tokens": [tot for _, tot in bins],
-                "n_docs": [len(ids) for ids, _ in bins],
-                "fill_ratio": [
-                    min(tot / max_len, 1.0) for _, tot in bins
-                ],
-            }
-        )
+        out = {
+            "seq_id": [(pid << 32) | i for i in range(len(bins))],
+            "doc_ids": [ids for ids, _, _ in bins],
+            "total_tokens": [tot for _, _, tot in bins],
+            "n_docs": [len(ids) for ids, _, _ in bins],
+            "fill_ratio": [min(tot / max_len, 1.0) for _, _, tot in bins],
+        }
+        if emit_offsets:
+            out["doc_lengths"] = [lens for _, lens, _ in bins]
+            offsets = []
+            for _, lens, _ in bins:
+                acc, run = [], 0
+                for ln in lens:
+                    acc.append(run)
+                    run += ln
+                offsets.append(acc)
+            out["doc_offsets"] = offsets
+        yield pd.DataFrame(out)
 
     return src.mapInPandas(pack, schema=out_schema)

@@ -197,3 +197,28 @@ def test_pack_sequences_properties(spark, lengths, max_len):
         assert r.total_tokens <= max_len or r.n_docs == 1
     # token mass conserved
     assert sum(r.total_tokens for r in packed) == sum(lengths)
+
+
+def test_pack_sequences_emit_offsets(spark):
+    """doc_offsets/doc_lengths: the block-diagonal-attention contract —
+    offsets are exact prefix sums of the member lengths."""
+    from patito_spark.operators.packing import pack_sequences
+
+    df = spark.range(20).selectExpr(
+        "id as doc_id", "cast(3 + id % 5 as long) as n_tok"
+    ).coalesce(1)
+    out = pack_sequences(df, length_col="n_tok", max_len=16,
+                         emit_offsets=True)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert len(r["doc_lengths"]) == len(r["doc_ids"]) == r["n_docs"]
+        assert sum(r["doc_lengths"]) == r["total_tokens"]
+        run = 0
+        for off, ln in zip(r["doc_offsets"], r["doc_lengths"]):
+            assert off == run
+            run += ln
+        assert run <= 16
+    # default schema unchanged
+    base = pack_sequences(df, length_col="n_tok", max_len=16)
+    assert "doc_offsets" not in base.columns
