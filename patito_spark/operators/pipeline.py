@@ -36,6 +36,7 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     benchmark: Optional[DataFrame] = None,
+    repair_encoding: bool = False,
     min_quality: Optional[float] = None,
     languages: Optional[Sequence[str]] = None,
     min_tokens: Optional[int] = 5,
@@ -91,6 +92,12 @@ def prepare_training_corpus(
     # normalize case/spacing internally, so boilerplate still matches
     # across formatting variants.
     staged = df
+    if repair_encoding:
+        # First, so every downstream key (paragraph hashes, shingles,
+        # quality features) sees the repaired text. Map-only.
+        from patito_spark.operators.text import fix_mojibake
+
+        staged = staged.withColumn(text_col, fix_mojibake(text_col))
     if boilerplate_min_docs is not None:
         # Template text repeated across >= k docs is removed BEFORE the
         # quality/token gates, so the gates judge the actual content.

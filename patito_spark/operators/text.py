@@ -374,6 +374,60 @@ def remove_control_chars(text: Union[str, Column]) -> Column:
     )
 
 
+def _mojibake_form(ch: str) -> str:
+    """What ``ch`` becomes when its UTF-8 bytes are read as cp1252.
+
+    Bytes cp1252 leaves undefined (0x81/0x8d/0x8f/0x90/0x9d) pass
+    through at their Latin-1 codepoint — the "sloppy cp1252" every
+    real-world decoder (and ftfy) applies, and what actually appears
+    in crawls.
+    """
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+#: Characters whose UTF-8-read-as-cp1252 double-encode artifacts are
+#: repaired: the ENTIRE Latin-1 letter block U+00C0-U+00FF (every
+#: accented Latin letter has a 2-byte UTF-8 form, so the list is
+#: closed and generated, not curated) plus smart punctuation,
+#: guillemets, degree and euro. The nbsp artifact maps to a plain
+#: space - corpus text wants none.
+_MOJIBAKE_CHARS = tuple(chr(c) for c in range(0x00C0, 0x0100)) + (
+    "\u2019", "\u2018", "\u201c", "\u201d", "\u2013", "\u2014",
+    "\u2026", "\u2022", "\u20ac", "\u00ab", "\u00bb", "\u00b0",
+)
+
+#: (broken, fixed) pairs - generated from the intended characters,
+#: never hand-typed, so the artifact byte sequences are exact.
+_MOJIBAKE_TABLE = tuple(
+    (_mojibake_form(c), c) for c in _MOJIBAKE_CHARS
+) + ((_mojibake_form("\u00a0"), " "),)
+
+
+def fix_mojibake(text: Union[str, Column]) -> Column:
+    """Repair the common UTF-8-as-cp1252 double-encode artifacts.
+
+    Web crawls are full of ``Ã©`` (é), ``â€™`` (right quote), ``Â``
+    glued to no-break spaces — bytes that were UTF-8, got read as
+    cp1252/Latin-1, and re-encoded. This fixes the high-frequency
+    table (accented Latin letters, smart punctuation, nbsp/guillemets)
+    as a chain of literal ``replace`` expressions — whole-stage
+    codegen, map-only, safe to run on clean text (the artifact
+    sequences are vanishingly rare in intentional text). It is NOT a
+    general ftfy: triple-encodes and exotic pages need a real
+    encoding-repair pass behind a Pandas UDF.
+    """
+    col = _text(text)
+    for broken, fixed in _MOJIBAKE_TABLE:
+        col = F.replace(col, F.lit(broken), F.lit(fixed))
+    return col
+
+
 def extract_html_text(text: Union[str, Column]) -> Column:
     """HTML page → readable text, preserving paragraph structure.
 

