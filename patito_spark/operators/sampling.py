@@ -193,9 +193,9 @@ def cap_per_group(
     than K documents. Selection within an over-cap group is
     deterministic: by ``order_by`` when given (``descending=True`` for
     "keep the K highest", e.g. a quality score — ties broken by the
-    ``key_col`` hash when provided, so reruns agree even on tied
-    scores), else uniformly by a seeded hash of ``key_col`` (a stable
-    random K-subset, never ``rand()``). ``hash_mode="portable"`` hashes
+    ``key_col`` hash when provided, by a full-row hash otherwise, so
+    reruns agree even on tied scores), else uniformly by a seeded hash
+    of ``key_col`` (a stable random K-subset, never ``rand()``). ``hash_mode="portable"`` hashes
     ``"<key>:<seed>"`` via the md5-based engine-independent hash (same
     contract as the other sampling operators) so an ANSI-SQL oracle can
     replay the exact kept set.
@@ -219,7 +219,14 @@ def cap_per_group(
     if order_by is not None:
         oc = F.col(order_by) if isinstance(order_by, str) else order_by
         order.append(oc.desc() if descending else oc.asc())
-    if key_col is not None:
+    if key_col is None:
+        # order_by-only mode: row_number over a non-unique ordering
+        # would keep an ARBITRARY tie subset (retry/AQE-replan
+        # dependent) — against this module's reproducibility contract.
+        # Tie-break on a hash of the full row instead: identical rows
+        # are interchangeable, distinct tied rows resolve stably.
+        order.append(F.xxhash64(*df.columns, F.lit(seed)).asc())
+    elif key_col is not None:
         if hash_mode == "portable":
             from patito_spark.functions.hashing import portable_hash64
 

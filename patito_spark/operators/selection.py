@@ -119,6 +119,7 @@ def dsir_weights(
     features: str = "unigram",
     ngram_buckets: int = 10_000,
     hash_mode: HashMode = "xxhash64",
+    max_broadcast_vocab: int = 2_000_000,
 ) -> DataFrame:
     """Per-document DSIR importance weights for ``raw`` toward ``target``.
 
@@ -148,7 +149,9 @@ def dsir_weights(
     regardless of corpus size (always broadcastable). ``n_tokens`` then
     counts FEATURES (unigrams + bigrams ≈ 2·tokens − 1). Precomputed
     ``raw_lm`` / ``target_lm`` must have been built over the same
-    feature space.
+    feature space. ``max_broadcast_vocab`` gates each LM's broadcast
+    (the ``unigram_logloss`` contract); a vocabulary past it falls
+    back to a shuffle join.
     """
     from patito_spark.operators.text import build_vocab, tokens
 
@@ -200,7 +203,7 @@ def dsir_weights(
         ).first()
         total, v = totals["t"] or 0, totals["v"]
         denom = float(total) + smoothing_k * (v + 1)
-        side = F.broadcast(lm) if v <= 2_000_000 else lm
+        side = F.broadcast(lm) if v <= max_broadcast_vocab else lm
         return side, denom
 
     t_side, t_denom = _lm_side(t_lm, "__cnt_t")
@@ -228,11 +231,22 @@ def dsir_weights(
     log_ratio = F.col("__h_r") - F.col("__h_t")
     if not length_normalize:
         log_ratio = log_ratio * F.col("n_tokens")
+    # Clamp the exponent: with length_normalize=False the log-ratio is
+    # a document SUM, and a few hundred target-like tokens push it past
+    # ln(DBL_MAX) ≈ 709.78 — exp() would return Infinity, which then
+    # poisons weighted_sample's mean-weight rescale (inf mean → every
+    # finite-weight doc gets keep probability 0, every overflowed doc
+    # NaN→1: the sample silently becomes "overflowed docs only"). At
+    # e±700 the keep probability has long saturated at 1 (or 0), so
+    # clamping changes no sane selection, only prevents the poisoning.
+    exponent = log_ratio / F.lit(float(temperature))
     cols = [
         F.col(id_col),
         F.col("n_tokens"),
         log_ratio.alias("log_ratio"),
-        F.exp(log_ratio / F.lit(float(temperature))).alias("dsir_weight"),
+        F.exp(
+            F.greatest(F.least(exponent, F.lit(700.0)), F.lit(-700.0))
+        ).alias("dsir_weight"),
     ]
     if return_components:
         cols += [
@@ -288,6 +302,14 @@ def dsir_sample(
         ngram_buckets=ngram_buckets,
         hash_mode=hash_mode,
     ).select(id_col, F.col("dsir_weight").alias("__dsir_w"))
+    # weighted_sample's target-fraction rescale runs a mean-weight
+    # ACTION over this frame, then returns a lazy filter over it —
+    # without a persist the whole scoring DAG (explode + LM joins +
+    # aggregate, the dominant cost) would execute twice. One id+double
+    # row per doc; registered for release_caches().
+    from patito_spark.functions.cache import tracked_persist
+
+    w = tracked_persist(w)
     scored = raw.join(w, on=id_col)
     sampled = weighted_sample(
         scored,

@@ -214,7 +214,11 @@ def filter_urls(
     )
     if drop_extensions:
         ext = F.regexp_extract(path, r"\.([a-z0-9]{1,6})$", 1)
-        keep = keep & ((ext == "") | ~ext.isin(*drop_extensions))
+        # ext comes from the lowercased path; normalize the caller's
+        # list the same way or ('PDF',) would silently match nothing
+        keep = keep & (
+            (ext == "") | ~ext.isin(*[e.lower() for e in drop_extensions])
+        )
     if blocked_hosts:
         for b in blocked_hosts:
             b = b.lower()

@@ -134,6 +134,68 @@ def parse_warc_bytes(
         }
 
 
+def _maybe_gunzip(fpath: str, data: bytes) -> bytes:
+    """Decompress multi-member gzip, keeping everything decodable.
+
+    Truncated members (EOFError) and corrupt trailing bytes
+    (BadGzipFile/OSError) end decompression instead of raising — one
+    damaged archive in a many-thousand-file crawl must cost its own
+    tail records, not the whole job (and in a stream, not wedge the
+    checkpoint on a permanently-failing file). Mirrors
+    :func:`parse_warc_bytes`'s tolerance at the framing layer.
+    """
+    if not (fpath.endswith(".gz") or data[:2] == b"\x1f\x8b"):
+        return data
+    # Member-by-member via zlib (wbits=31 = gzip wrapper), NOT
+    # gzip.GzipFile.read(): GzipFile validates lazily across members
+    # and one read() call that crosses the damage discards everything
+    # it had already decompressed, including earlier GOOD members.
+    import zlib
+
+    out = bytearray()
+    buf = data
+    while buf:
+        d = zlib.decompressobj(31)
+        try:
+            out += d.decompress(buf)
+            out += d.flush()
+        except zlib.error:
+            break  # corrupt member/garbage: keep what we have
+        if not d.eof:
+            break  # truncated final member: its partial plaintext kept
+        buf = d.unused_data
+    return bytes(out)
+
+
+def _make_parse_fn(
+    record_types: Optional[Sequence[str]],
+    max_payload_bytes: int,
+    batch_rows: int,
+):
+    """The shared mapInPandas closure for batch and streaming readers."""
+    import pandas as pd
+
+    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = _maybe_gunzip(fpath, bytes(content))
+                rows: list = []
+                for rec in parse_warc_bytes(
+                    data,
+                    warc_file=fpath,
+                    record_types=record_types,
+                    max_payload_bytes=max_payload_bytes,
+                ):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=_SCHEMA.names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_SCHEMA.names)
+
+    return parse
+
+
 def read_warc(
     path: str,
     glob: Optional[str] = None,
@@ -149,35 +211,15 @@ def read_warc(
     keeps everything. See the module docstring for the schema and the
     per-file parallelism caveat.
     """
-    import pandas as pd
-
     from patito_spark.sources.readers import read_binary_files
 
     files = read_binary_files(
         path, glob=glob, spark=spark, with_metadata=False
     ).select("path", "content")
-
-    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-                rows: list = []
-                for rec in parse_warc_bytes(
-                    data,
-                    warc_file=fpath,
-                    record_types=record_types,
-                    max_payload_bytes=max_payload_bytes,
-                ):
-                    rows.append(rec)
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows, columns=_SCHEMA.names)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=_SCHEMA.names)
-
-    return files.mapInPandas(parse, schema=_SCHEMA)
+    return files.mapInPandas(
+        _make_parse_fn(record_types, max_payload_bytes, batch_rows),
+        schema=_SCHEMA,
+    )
 
 
 def read_warc_stream(
@@ -202,8 +244,6 @@ def read_warc_stream(
     ``mapInPandas``, so the output supports every trigger mode
     including ``availableNow`` backfills.
     """
-    import pandas as pd
-
     from patito_spark.sources.readers import _session
 
     spark = _session(spark)
@@ -223,25 +263,7 @@ def read_warc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     files = reader.load(path).select("path", "content")
-
-    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if fpath.endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-                rows: list = []
-                for rec in parse_warc_bytes(
-                    data,
-                    warc_file=fpath,
-                    record_types=record_types,
-                    max_payload_bytes=max_payload_bytes,
-                ):
-                    rows.append(rec)
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows, columns=_SCHEMA.names)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows, columns=_SCHEMA.names)
-
-    return files.mapInPandas(parse, schema=_SCHEMA)
+    return files.mapInPandas(
+        _make_parse_fn(record_types, max_payload_bytes, batch_rows),
+        schema=_SCHEMA,
+    )

@@ -401,3 +401,20 @@ class TestLeakageSafeSplit:
         assert chain <= tr or chain <= te  # transitive family together
         assert ({50, 51} <= tr) or ({50, 51} <= te)
         assert tr.isdisjoint(te) and tr | te == set(range(100))
+
+    def test_order_by_without_key_col_is_deterministic(self, spark):
+        from patito_spark.operators.sampling import cap_per_group
+
+        # every row ties on quality; selection must still be stable
+        # across replans (full-row hash tiebreak)
+        df = spark.range(40).selectExpr(
+            "0 as g", "id", "1.0 as quality"
+        )
+        runs = [
+            sorted(r["id"] for r in cap_per_group(
+                df.repartition(p), "g", 5, order_by="quality",
+                descending=True).collect())
+            for p in (2, 8, 32)
+        ]
+        assert runs[0] == runs[1] == runs[2]
+        assert len(runs[0]) == 5

@@ -202,3 +202,26 @@ def test_dsir_lm_precompute_matches_inline(spark, corpora):
     assert pre == pytest.approx(inline)
     with pytest.raises(ValueError, match="features"):
         dsir_lm(raw, features="char")
+
+
+def test_raw_weight_mode_never_overflows_to_inf(spark):
+    """length_normalize=False sums per-token log ratios; long
+    target-like docs would push exp() past DBL_MAX without the clamp,
+    poisoning weighted_sample's mean-weight rescale (inf mean -> all
+    finite docs dropped, overflowed docs kept via NaN->1)."""
+    import math
+
+    body = "def func return class import lambda yield await " * 120
+    target = spark.createDataFrame([(0, body)], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, body), (2, "the weather was lovely yesterday " * 120)],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r for r in dsir_weights(
+        raw, target, length_normalize=False).collect()}
+    assert abs(w[1]["log_ratio"]) > 700 or abs(w[2]["log_ratio"]) > 700
+    for r in w.values():
+        assert math.isfinite(r["dsir_weight"])
+    out = dsir_sample(raw, target, fraction=0.5, length_normalize=False)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids  # the target-like doc survives, no NaN poisoning

@@ -163,3 +163,14 @@ class TestFilterUrls:
             "concat('https://h', id, '.example/x') as url")
         plan = executed_plan(filter_urls(df, blocked_hosts=["h1.example"]))
         assert "Exchange" not in plan and "Python" not in plan
+
+    def test_drop_extensions_case_insensitive(self, spark):
+        from patito_spark.operators.urls import filter_urls
+
+        df = spark.createDataFrame(
+            [(1, "https://a.example/file.PDF"),
+             (2, "https://a.example/page")],
+            "doc_id long, url string",
+        )
+        out = filter_urls(df, drop_extensions=("PDF",))
+        assert [r["doc_id"] for r in out.collect()] == [2]

@@ -181,3 +181,25 @@ def test_streaming_ingestion_front_composes(spark, tmp_path):
     assert len(rows) == 1  # .css gated out pre-decode
     assert rows[0]["url"] == "https://keep.example/page"
     assert rows[0]["text"] == "kept page body"
+
+
+def test_truncated_gzip_member_keeps_decoded_records(spark, tmp_path):
+    """A mid-member truncation costs the damaged tail only — never the
+    task (4 retries would otherwise fail the whole job / wedge the
+    streaming checkpoint on the same file forever)."""
+    d = tmp_path / "damaged"
+    d.mkdir()
+    good = gzip.compress(_record("response", "http://ok.example/",
+                                 b"<html>ok</html>"))
+    lost = gzip.compress(_record("response", "http://lost.example/",
+                                 b"<html>lost</html>"))
+    # cut INTO the deflate stream (half the member), not just the trailer
+    (d / "t.warc.gz").write_bytes(good + lost[: len(lost) // 2])
+    rows = read_warc(str(d), glob="t.warc.gz", spark=spark).collect()
+    uris = [r["target_uri"] for r in rows]
+    assert "http://ok.example/" in uris  # good member always survives
+    assert set(uris) <= {"http://ok.example/", "http://lost.example/"}
+
+    (d / "u.warc.gz").write_bytes(good + b"not gzip at all")
+    rows2 = read_warc(str(d), glob="u.warc.gz", spark=spark).collect()
+    assert [r["target_uri"] for r in rows2] == ["http://ok.example/"]
