@@ -162,6 +162,54 @@ def detect_language_agg(
     return scores.select(F.col(id_col), result.alias("lang_pred"))
 
 
+#: Unicode block ranges per writing system (BMP; the blocks that cover
+#: the overwhelming mass of web text). CJK groups Han + kana + hangul.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿݐ-ݿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ヿㇰ-ㇿ가-힯",
+    "thai": "฀-๿",
+}
+
+
+def script_counts(text: Union[str, Column]) -> dict[str, Column]:
+    """Character count per writing system (codegen regexp arithmetic)."""
+    t = _text(text)
+    return {
+        name: F.length(t) - F.length(
+            F.regexp_replace(t, f"[{rng}]", "")
+        )
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def detect_script(text: Union[str, Column]) -> Column:
+    """Dominant writing system of a text column; ``'unknown'`` when no
+    script characters at all (numbers/punctuation-only, empty, null).
+
+    The robust first-stage multilingual router: language-ID models
+    (including :func:`detect_language`'s marker vocabulary) only make
+    sense WITHIN a script, so real pipelines group by script before
+    any LM-based scoring (the CCNet shape). One codegen projection —
+    a regexp count per block and an array argmax, no tokenization, no
+    Python; ties resolve to the first block in :data:`SCRIPT_RANGES`
+    order (array_position returns the first maximum).
+    """
+    counts = script_counts(text)
+    names = list(SCRIPT_RANGES)
+    votes = F.array(*[counts[n] for n in names])
+    mx = F.array_max(votes)
+    idx = F.array_position(votes, mx).cast("int")
+    winner = F.element_at(F.array(*[F.lit(n) for n in names]), idx)
+    return F.when(
+        _text(text).isNull() | (mx <= F.lit(0)), F.lit("unknown")
+    ).otherwise(winner)
+
+
 def fingerprint(text: Union[str, Column]) -> Column:
     """Deterministic document fingerprint: md5 of case-folded text.
 

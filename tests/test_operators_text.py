@@ -803,3 +803,49 @@ class TestFixMojibake:
         df = spark.range(5).selectExpr("concat('x', id) as t")
         plan = executed_plan(df.select(fix_mojibake("t").alias("f")))
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestDetectScript:
+    def _many(self, spark, rows):
+        from patito_spark.operators.text import detect_script
+
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)],
+                                   "i long, t string")
+        got = {r["i"]: r["s"] for r in df.select(
+            "i", detect_script("t").alias("s")).collect()}
+        return [got[i] for i in range(len(rows))]
+
+    def test_major_scripts(self, spark):
+        rows = [
+            "the quick brown fox",                    # latin
+            "съешь же ещё этих мягких булок",         # cyrillic
+            "αθηναϊκή δημοκρατία",                    # greek
+            "في قديم الزمان كان هناك",                # arabic
+            "שלום עולם ברוכים הבאים",                  # hebrew
+            "नमस्ते दुनिया कैसे हो",                    # devanagari
+            "日本語のテキストです",                      # cjk (han+kana)
+            "한국어 텍스트 입니다",                      # cjk (hangul)
+            "ภาษาไทยสวัสดีครับ",                        # thai
+            "café résumé naïve",                      # latin incl. accents
+        ]
+        want = ["latin", "cyrillic", "greek", "arabic", "hebrew",
+                "devanagari", "cjk", "cjk", "thai", "latin"]
+        assert self._many(spark, rows) == want
+
+    def test_mixed_and_unknown(self, spark):
+        rows = [
+            "hello world 日本語テキストの長い部分が支配的です",  # cjk-dominant mix
+            "12345 67890 !!! ???",                           # no script
+            "",                                              # empty
+            None,                                            # null
+        ]
+        got = self._many(spark, rows)
+        assert got == ["cjk", "unknown", "unknown", "unknown"]
+
+    def test_plan_is_codegen_only(self, spark):
+        from patito_spark.operators.text import detect_script
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(5).selectExpr("concat('x', id) as t")
+        plan = executed_plan(df.select(detect_script("t").alias("s")))
+        assert "Python" not in plan and "Exchange" not in plan
