@@ -75,7 +75,14 @@ def prepare_training_corpus(
       docs (``id_col``, ``text`` cleaned, original columns preserved);
     * ``chunks`` — present when ``max_tokens_per_chunk`` is set;
     * ``sequences`` — present when ``pack_max_len`` is set (packs chunks
-      when chunking is on, else whole documents).
+      when chunking is on, else whole documents);
+    * ``stages`` — dict of LAZY per-stage snapshots (one entry per
+      stage that actually ran: ``repair_encoding``, ``boilerplate``,
+      ``paragraph_dedup``, ``clean``, ``span_dedup``, ``gates``,
+      ``perplexity_gate``, ``quality_model_gate``, ``near_dedup``,
+      ``semantic_dedup``, ``decontamination``, ``domain_cap``). Free
+      to build; count the ones you care about for a gate-attrition
+      report (each count is one scan of that stage's plan).
 
     Stages are skipped when their parameter is None — the minimal call
     ``prepare_training_corpus(df)`` just cleans, length-filters, and
@@ -91,6 +98,7 @@ def prepare_training_corpus(
     # \n\n paragraph boundaries these stages key on). Their match keys
     # normalize case/spacing internally, so boilerplate still matches
     # across formatting variants.
+    stages: dict = {}  # lazy per-stage snapshots (out["stages"])
     staged = df
     if repair_encoding:
         # First, so every downstream key (paragraph hashes, shingles,
@@ -98,6 +106,7 @@ def prepare_training_corpus(
         from patito_spark.operators.text import fix_mojibake
 
         staged = staged.withColumn(text_col, fix_mojibake(text_col))
+        stages["repair_encoding"] = staged
     if boilerplate_min_docs is not None:
         # Template text repeated across >= k docs is removed BEFORE the
         # quality/token gates, so the gates judge the actual content.
@@ -112,6 +121,7 @@ def prepare_training_corpus(
             sep_pattern=paragraph_sep,
             min_docs=boilerplate_min_docs,
         )
+        stages["boilerplate"] = staged
     if paragraph_dedup is not None:
         from patito_spark.operators.paragraphs import dedup_paragraphs
 
@@ -122,9 +132,11 @@ def prepare_training_corpus(
             sep_pattern=paragraph_sep,
             scope=paragraph_dedup,
         )
+        stages["paragraph_dedup"] = staged
     cleaned = staged.withColumn(text_col, clean_text(text_col)).filter(
         F.length(F.col(text_col)) > 0
     )
+    stages["clean"] = cleaned
     if dedup_span_tokens is not None:
         # ExactSubstr stage (Lee et al. 2022): duplicated >= n-token runs
         # are cut from all but their first occurrence. Runs AFTER
@@ -141,6 +153,7 @@ def prepare_training_corpus(
             span_tokens=dedup_span_tokens,
             hash_mode=hash_mode,
         )
+        stages["span_dedup"] = cleaned
     gated = filter_corpus(
         cleaned,
         id_col=id_col,
@@ -150,6 +163,7 @@ def prepare_training_corpus(
         min_tokens=min_tokens,
         max_shared_gram_frac=max_shared_gram_frac,
     )
+    stages["gates"] = gated
     if max_perplexity is not None:
         # Anti-join against the EXCEEDING docs (not semi-join against the
         # passing ones): documents that produce zero token rows are absent
@@ -184,6 +198,7 @@ def prepare_training_corpus(
             .select(id_col)
         )
         gated = gated.join(reject, on=id_col, how="left_anti")
+        stages["perplexity_gate"] = gated
     if quality_model is not None:
         # Learned quality gate (GPT-3/CCNet-style classifier): one
         # shuffle-free transform with broadcast coefficients; the score
@@ -194,6 +209,7 @@ def prepare_training_corpus(
             gated, quality_model, text_col=text_col,
             output_col="__model_prob", min_prob=min_model_prob,
         ).drop("__model_prob")
+        stages["quality_model_gate"] = gated
     if dedup_threshold is not None:
         gated = dedup_corpus(
             gated,
@@ -202,6 +218,7 @@ def prepare_training_corpus(
             threshold=dedup_threshold,
             hash_mode=hash_mode,
         )
+        stages["near_dedup"] = gated
     if semantic_threshold is not None:
         # SemDeDup stage: textual near-dups are already gone (MinHash
         # stage above); this removes *semantic* duplicates — same
@@ -231,6 +248,7 @@ def prepare_training_corpus(
             kept.select(id_col), on=id_col, how="left_anti"
         )
         gated = gated.join(dropped, on=id_col, how="left_anti")
+        stages["semantic_dedup"] = gated
     if contamination_action not in ("drop", "scrub"):
         raise ValueError(
             f"contamination_action must be 'drop' or 'scrub', "
@@ -285,6 +303,8 @@ def prepare_training_corpus(
                 hash_mode=hash_mode,
             ).select(id_col)
             gated = gated.join(near, on=id_col, how="left_anti")
+    if benchmark is not None:
+        stages["decontamination"] = gated
 
     if max_docs_per_domain is not None:
         # Last gate: no single domain/source over-contributes to what
@@ -304,8 +324,9 @@ def prepare_training_corpus(
             order_by=domain_cap_order_col,
             descending=domain_cap_order_col is not None,
         )
+        stages["domain_cap"] = gated
 
-    out = {"documents": gated}
+    out = {"documents": gated, "stages": stages}
     pack_src, pack_id = gated, id_col
     if max_tokens_per_chunk is not None:
         chunks = chunk_documents(

@@ -57,8 +57,9 @@ def test_prepare_training_corpus_stages(spark, corpus):
 
 def test_prepare_minimal_call_is_lazy_until_dedup(spark, corpus):
     out = prepare_training_corpus(corpus, dedup_threshold=None)
-    # no dedup/benchmark: fully lazy, single dict entry
-    assert set(out) == {"documents"}
+    # no dedup/benchmark: fully lazy; stage snapshots are lazy too
+    assert set(out) == {"documents", "stages"}
+    assert set(out["stages"]) == {"clean", "gates"}
     ids = sorted(r.doc_id for r in out["documents"].select("doc_id").collect())
     assert ids == [1, 2, 3, 5]  # only the short doc is gated
 
@@ -397,3 +398,23 @@ def test_prepare_repair_encoding_stage(spark):
     )["documents"].first()
     assert "’été à" in out["text"]
     assert "Ã" not in out["text"]
+
+
+def test_prepare_stage_snapshots(spark, corpus):
+    benchmark = spark.createDataFrame(
+        [(100, "benchmark overlap " + "shared eval gram text " * 4)],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus, benchmark=benchmark, min_tokens=5,
+        dedup_threshold=0.5, contamination_ngram=5,
+    )
+    st = out["stages"]
+    assert {"clean", "gates", "near_dedup", "decontamination"} <= set(st)
+    # attrition is monotone non-increasing through the gate chain
+    n_clean = st["clean"].count()
+    n_gates = st["gates"].count()
+    n_dedup = st["near_dedup"].count()
+    n_final = out["documents"].count()
+    assert n_clean >= n_gates >= n_dedup >= n_final
+    assert n_final == st["decontamination"].count()
