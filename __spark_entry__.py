@@ -1402,32 +1402,50 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document self-perplexity + DSIR selection weights (merged).
+    """Per-document LM scores, three operators merged in one slot:
 
-    Two operators over one documents scan, union of columns:
     - unigram_logloss self-LM (the corpus's own vocabulary, add-1
       smoothing): cross_entropy / perplexity;
     - selection.dsir_weights toward the deterministic in-corpus target
       ``doc_id % 17 == 0`` (stands in for a curated target corpus):
-      log_ratio = H_raw − H_target per token, dsir_weight = exp of it.
+      log_ratio = H_raw − H_target per token, dsir_weight = exp of it;
+    - bigram_logloss self-LM (stupid backoff 0.4): bigram_ce /
+      bigram_ppl — the oracle replays the pair LM, the
+      count(w1,w2)/count(w1) path, the backoff path and the
+      document-initial unigram fallback.
     Double summation order differs between engines at ~1e-12 relative,
     so all scores are rounded to 4 dp for the hash compare.
     """
-    from patito_spark.operators.selection import dsir_weights
+    from patito_spark.operators.selection import dsir_lm, dsir_weights
+    from patito_spark.operators.text import bigram_logloss
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 17 == 0)
+    # ONE unigram vocabulary serves both consumers: DSIR's raw LM and
+    # the bigram scorer's backoff/denominator LM — dsir_lm persists
+    # nothing itself, but each callee tracked_persists what it reuses,
+    # so the corpus vocab aggregate runs once, not twice.
+    from patito_spark.functions.cache import tracked_persist
+
+    uni_lm = tracked_persist(dsir_lm(docs))
     # return_components exposes the raw-LM cross-entropy dsir_weights
     # already computes — the self-perplexity columns cost no third
     # scoring pass over the corpus.
-    w = dsir_weights(docs, target, return_components=True)
-    return w.select(
+    w = dsir_weights(docs, target, return_components=True, raw_lm=uni_lm)
+    bi = bigram_logloss(docs, unigram_lm=uni_lm).select(
+        "doc_id",
+        F.round("cross_entropy", 4).alias("bigram_ce_r"),
+        F.round("perplexity", 4).alias("bigram_ppl_r"),
+    )
+    return w.join(bi, on="doc_id").select(
         "doc_id",
         "n_tokens",
         F.round("cross_entropy_raw", 4).alias("cross_entropy_r"),
         F.round(F.exp("cross_entropy_raw"), 4).alias("perplexity_r"),
         F.round("log_ratio", 4).alias("log_ratio_r"),
         F.round("dsir_weight", 4).alias("dsir_weight_r"),
+        "bigram_ce_r",
+        "bigram_ppl_r",
     )
 
 
@@ -2624,13 +2642,66 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN t_lm USING (token)
                 CROSS JOIN tot
                 CROSS JOIN t_tot
+            ),
+            uni_scores AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       avg(nll_raw) AS h_raw,
+                       avg(nll_raw) - avg(nll_t) AS lr
+                FROM nll GROUP BY doc_id
+            ),
+            -- bigram stupid backoff replay: pair LM from adjacent
+            -- tokens, p = cnt(w1,w2)/cnt(w1) when the pair is in the
+            -- LM, else 0.4 * add-1 unigram; document-initial token
+            -- scores the unigram alone (w_prev IS NULL).
+            toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            bpairs AS (
+                SELECT doc_id, u.s['w1'] AS w1, u.s['w2'] AS w2
+                FROM toks,
+                UNNEST([{'w1': t[i], 'w2': t[i + 1]}
+                        for i in generate_series(1, len(t) - 1)]) AS u(s)
+            ),
+            bi_lm AS (
+                SELECT w1, w2, count(*)::BIGINT AS cnt
+                FROM bpairs GROUP BY w1, w2
+            ),
+            pos AS (
+                SELECT doc_id, NULL AS w_prev, t[1] AS w FROM toks
+                UNION ALL
+                SELECT doc_id, w1 AS w_prev, w2 AS w FROM bpairs
+            ),
+            bi_nll AS (
+                SELECT p.doc_id,
+                       CASE
+                         WHEN bi.cnt IS NOT NULL
+                              AND prev.count IS NOT NULL
+                           THEN -ln(bi.cnt / prev.count::DOUBLE)
+                         WHEN p.w_prev IS NOT NULL
+                           THEN -ln(0.4 * (coalesce(cur.count, 0) + 1.0)
+                                    / (tot.total + 1.0 * (tot.v + 1)))
+                         ELSE -ln((coalesce(cur.count, 0) + 1.0)
+                                  / (tot.total + 1.0 * (tot.v + 1)))
+                       END AS nll
+                FROM pos p
+                LEFT JOIN bi_lm bi
+                  ON p.w_prev = bi.w1 AND p.w = bi.w2
+                LEFT JOIN lm cur ON p.w = cur.token
+                LEFT JOIN lm prev ON p.w_prev = prev.token
+                CROSS JOIN tot
+            ),
+            bi_scores AS (
+                SELECT doc_id,
+                       round(avg(nll), 4) AS bigram_ce_r,
+                       round(exp(avg(nll)), 4) AS bigram_ppl_r
+                FROM bi_nll GROUP BY doc_id
             )
-            SELECT doc_id, count(*) AS n_tokens,
-                   round(avg(nll_raw), 4) AS cross_entropy_r,
-                   round(exp(avg(nll_raw)), 4) AS perplexity_r,
-                   round(avg(nll_raw) - avg(nll_t), 4) AS log_ratio_r,
-                   round(exp(avg(nll_raw) - avg(nll_t)), 4)
-                       AS dsir_weight_r
-            FROM nll GROUP BY doc_id
+            SELECT u.doc_id, u.n_tokens,
+                   round(u.h_raw, 4) AS cross_entropy_r,
+                   round(exp(u.h_raw), 4) AS perplexity_r,
+                   round(u.lr, 4) AS log_ratio_r,
+                   round(exp(u.lr), 4) AS dsir_weight_r,
+                   b.bigram_ce_r, b.bigram_ppl_r
+            FROM uni_scores u JOIN bi_scores b USING (doc_id)
         """,
     }
