@@ -86,6 +86,14 @@ HEADLINERS = {
         "aggregate run on the filtered duplicated candidates only — no "
         "join, no cross product, nothing scales with pair count."
     ),
+    "text_unigram_ppl": (
+        "Three LM operators, one slot: a single persisted unigram "
+        "vocabulary feeds DSIR's fused scoring pass (one explode, two "
+        "broadcast LM lookups, one map-side-combined per-doc aggregate) "
+        "AND the bigram scorer's backoff/denominator lookups; every LM "
+        "side is a BroadcastHashJoin, the per-doc aggregates are "
+        "partial+final, zero Python stages."
+    ),
 }
 
 
