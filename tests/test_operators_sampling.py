@@ -418,3 +418,49 @@ class TestLeakageSafeSplit:
         ]
         assert runs[0] == runs[1] == runs[2]
         assert len(runs[0]) == 5
+
+
+def test_leakage_safe_split_matches_python_replay(spark):
+    """Full independent replay: union-find over the pair graph +
+    the portable md5 keep fraction, per split key."""
+    import hashlib
+
+    from patito_spark.operators.sampling import leakage_safe_split
+
+    pairs_py = [(0, 1), (1, 2), (5, 6), (10, 11), (11, 12), (30, 40)]
+    df = spark.range(60).selectExpr(
+        "id as doc_id", "concat('short doc ', id) as text")
+    pairs = spark.createDataFrame(pairs_py, "id_a long, id_b long")
+    train, test = leakage_safe_split(
+        df, pairs=pairs, test_fraction=0.35, seed=11,
+        hash_mode="portable",
+    )
+    got_test = sorted(r["doc_id"] for r in test.collect())
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # engine labels components by MIN id; mirror that
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    for a, b in pairs_py:
+        union(a, b)
+
+    def frac(key):
+        h = int(hashlib.md5(f"{key}:11".encode()).hexdigest()[:15], 16)
+        return (h % 1_000_000) / 1_000_000
+
+    want_test = sorted(
+        i for i in range(60)
+        if frac(find(i) if i in parent else i) < 0.35
+    )
+    assert got_test == want_test
+    got_train = sorted(r["doc_id"] for r in train.collect())
+    assert got_train == sorted(set(range(60)) - set(want_test))
