@@ -262,6 +262,36 @@ def redact(
     return col
 
 
+def pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: Union[dict, None] = None,
+) -> DataFrame:
+    """Per-document PII match counts, one per pattern (map-only).
+
+    The observability companion to :func:`redact`: a dataset card
+    reports how much PII the redaction pass FOUND, and a spike in one
+    label's rate flags an upstream source change. Returns
+    ``<id_col>, pii_<label>... , pii_total``. Counts use
+    ``regexp_count`` per pattern — one codegen projection fused into
+    the scan, no shuffle, no Python.
+    """
+    pats = patterns or PII_PATTERNS
+    cols = [
+        F.regexp_count(_text(text_col), F.lit(p)).alias(
+            f"pii_{label.lower()}"
+        )
+        for label, p in pats.items()
+    ]
+    out = df.select(F.col(id_col), *cols)
+    total = None
+    for label in pats:
+        c = F.col(f"pii_{label.lower()}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

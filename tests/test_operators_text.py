@@ -849,3 +849,32 @@ class TestDetectScript:
         df = spark.range(5).selectExpr("concat('x', id) as t")
         plan = executed_plan(df.select(detect_script("t").alias("s")))
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestPiiStats:
+    def test_counts_per_pattern(self, spark):
+        from patito_spark.operators.text import pii_stats
+
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com and c@d.org, call +1-555-123-4567"),
+             (2, "server at 10.0.0.1 and 192.168.1.1 and 8.8.8.8"),
+             (3, "nothing sensitive here at all")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in pii_stats(df).collect()}
+        assert got[1]["pii_email"] == 2
+        assert got[1]["pii_phone"] == 1
+        assert got[2]["pii_ipv4"] == 3
+        assert got[3]["pii_total"] == 0
+        assert got[1]["pii_total"] == 3
+        # custom pattern set
+        custom = pii_stats(df, patterns={"NUM": r"[0-9]+"}).collect()
+        assert all("pii_num" in r.asDict() for r in custom)
+
+    def test_plan_is_codegen_only(self, spark):
+        from patito_spark.operators.text import pii_stats
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(5).selectExpr("id as doc_id", "'x' as text")
+        plan = executed_plan(pii_stats(df))
+        assert "Python" not in plan and "Exchange" not in plan
