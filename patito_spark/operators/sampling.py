@@ -59,6 +59,49 @@ def deterministic_sample(
     )
 
 
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exactly ``n`` rows, deterministically: the n smallest key hashes.
+
+    The "give me exactly 10k eval docs" primitive —
+    :func:`deterministic_sample` keeps a FRACTION (count varies with
+    the corpus), this keeps a fixed count, stable under reruns,
+    retries, and AQE replans, and the kept set only GROWS consistently
+    as the corpus grows (a doc leaves the sample only when a
+    smaller-hashed doc arrives).
+
+    Scale shape: ``ORDER BY hash LIMIT n`` plans as
+    ``TakeOrderedAndProject`` — each partition keeps its own top-n,
+    ONE task merges them, nothing fully sorts. The merge task holds
+    n × input-partition candidates, so this is for human-scale n
+    (eval sets, demos, audits — up to ~1M); for a huge fixed-size
+    subset use :func:`deterministic_sample` with fraction ≈ n/count
+    and accept ±binomial noise.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if hash_mode == "portable":
+        from patito_spark.functions.hashing import portable_hash64
+
+        h = portable_hash64(
+            F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                     F.lit(str(seed)))
+        )
+    else:
+        h = F.xxhash64(F.col(key_col), F.lit(seed))
+    return (
+        df.withColumn("__sx_h", h)
+        .orderBy(F.col("__sx_h").asc())
+        .limit(n)
+        .drop("__sx_h")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

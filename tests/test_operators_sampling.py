@@ -464,3 +464,49 @@ def test_leakage_safe_split_matches_python_replay(spark):
     assert got_test == want_test
     got_train = sorted(r["doc_id"] for r in train.collect())
     assert got_train == sorted(set(range(60)) - set(want_test))
+
+
+class TestSampleExactN:
+    def test_exact_count_deterministic_and_nested_growth(self, spark):
+        from pyspark.sql import functions as F
+
+        from patito_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(500).selectExpr("id as doc_id", "id * 2 as v")
+        s1 = sorted(r["doc_id"] for r in
+                    sample_exact_n(df, 50, key_col="doc_id").collect())
+        assert len(s1) == 50
+        again = sorted(r["doc_id"] for r in
+                       sample_exact_n(df, 50, key_col="doc_id").collect())
+        assert s1 == again
+        # exactly the 50 smallest hashes
+        hashed = sorted(
+            (r["h"], r["doc_id"]) for r in df.select(
+                "doc_id", F.xxhash64("doc_id", F.lit(42)).alias("h")
+            ).collect()
+        )
+        assert s1 == sorted(i for _, i in hashed[:50])
+        # a sample from a GROWN corpus nests consistently: survivors
+        # of the old sample stay unless displaced by smaller hashes
+        grown = spark.range(1000).selectExpr("id as doc_id", "id * 2 as v")
+        s2 = set(r["doc_id"] for r in
+                 sample_exact_n(grown, 50, key_col="doc_id").collect())
+        hashed2 = sorted(
+            (r["h"], r["doc_id"]) for r in grown.select(
+                "doc_id", F.xxhash64("doc_id", F.lit(42)).alias("h")
+            ).collect()
+        )
+        assert s2 == {i for _, i in hashed2[:50]}
+        assert df.columns == sample_exact_n(df, 5, key_col="doc_id").columns
+
+    def test_plan_is_take_ordered(self, spark):
+        import pytest as _pytest
+
+        from patito_spark.operators.sampling import sample_exact_n
+        from patito_spark.plans import executed_plan
+
+        df = spark.range(1000).selectExpr("id as doc_id")
+        plan = executed_plan(sample_exact_n(df, 10, key_col="doc_id"))
+        assert "TakeOrderedAndProject" in plan  # partial top-n per partition
+        with _pytest.raises(ValueError, match="n must"):
+            sample_exact_n(df, -1, key_col="doc_id")
