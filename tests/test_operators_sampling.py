@@ -510,3 +510,19 @@ class TestSampleExactN:
         assert "TakeOrderedAndProject" in plan  # partial top-n per partition
         with _pytest.raises(ValueError, match="n must"):
             sample_exact_n(df, -1, key_col="doc_id")
+
+    def test_portable_mode_matches_md5_order(self, spark):
+        import hashlib
+
+        from patito_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(100).selectExpr("id as doc_id")
+        got = sorted(r["doc_id"] for r in sample_exact_n(
+            df, 7, key_col="doc_id", seed=3, hash_mode="portable"
+        ).collect())
+
+        def phash(k):
+            return int(hashlib.md5(f"{k}:3".encode()).hexdigest()[:15], 16)
+
+        want = sorted(sorted(range(100), key=phash)[:7])
+        assert got == want
