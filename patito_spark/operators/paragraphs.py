@@ -31,7 +31,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "split_paragraphs",
@@ -134,12 +134,28 @@ def dedup_paragraphs(
         df, id_col, text_col, sep_pattern, min_chars, normalize
     )
 
+    # Keep-first is a single MERGEABLE hash aggregate: min(struct(id,
+    # para_idx, paragraph)) per key — (id, para_idx) is unique per row so
+    # the struct min IS the first occurrence and carries its original
+    # text. Map-side partial combine collapses a web-ubiquitous paragraph
+    # ("Share this post" x 10^8) to one row per map task BEFORE the
+    # exchange; a row_number window would instead sort the whole hot key
+    # inside one unsplittable partition.
     part = ["para_key"] if scope == "corpus" else [id_col, "para_key"]
-    rank = Window.partitionBy(*part).orderBy(F.col(id_col), F.col("para_idx"))
     kept = (
-        paras.withColumn("__occ", F.row_number().over(rank))
-        .filter(F.col("__occ") == 1)
-        .drop("__occ", "para_key")
+        paras.groupBy(*part)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col), F.col("para_idx"), F.col("paragraph")
+                )
+            ).alias("__f")
+        )
+        .select(
+            F.col(f"__f.{id_col}").alias(id_col),
+            F.col("__f.para_idx").alias("para_idx"),
+            F.col("__f.paragraph").alias("paragraph"),
+        )
     )
     return _rebuild_docs(df, kept, id_col, text_col, join_sep, drop_empty)
 

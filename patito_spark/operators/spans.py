@@ -136,27 +136,34 @@ def duplicate_span_intervals(
     duplicated span survives; ``keep_first=False`` marks ALL copies
     (the aggressive variant — e.g. for scrubbing known-bad spans).
 
-    A single hash-partitioned window provides occurrence count AND
-    first-occurrence rank; everything after runs on duplicated
-    occurrences only. Gram building is codegen lead()-windows by
-    default (``gram_mode`` — see :func:`_gram_hash_positions`).
+    Scale shape: occurrence count and first occurrence are a MERGEABLE
+    hash aggregate per gram hash — ``count`` + ``min(struct(id, pos))``
+    with map-side partial combine — joined back onto the gram stream.
+    A ubiquitous gram (a boilerplate 20-gram occurring 10^8 times at
+    web scale) therefore collapses to one row per map task before the
+    exchange, and the join-back probe side streams (AQE can split a
+    skewed probe partition; a ``row_number`` window partition cannot be
+    split and must sort the whole hot key in one task). Gram building
+    is codegen lead()-windows by default (``gram_mode`` — see
+    :func:`_gram_hash_positions`).
     """
     grams = _gram_hash_positions(
         df, id_col, text_col, span_tokens, hash_mode, gram_mode=gram_mode
     )
-    wh = Window.partitionBy("__h")
-    marked = grams.select(
-        "__id",
-        "__pos",
-        F.count(F.lit(1)).over(wh).alias("__cnt"),
-        F.row_number()
-        .over(wh.orderBy("__id", "__pos"))
-        .alias("__rn"),
+    stats = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"),
     )
-    removable = marked.filter(F.col("__cnt") >= min_count)
+    dup_stats = stats.filter(F.col("__cnt") >= min_count).select(
+        "__h", "__first"
+    )
+    removable = grams.join(dup_stats, on="__h", how="inner")
     if keep_first:
-        removable = removable.filter(F.col("__rn") > 1)
-    return _merge_islands(removable, span_tokens, id_col)
+        removable = removable.filter(
+            (F.col("__id") != F.col("__first.__id"))
+            | (F.col("__pos") != F.col("__first.__pos"))
+        )
+    return _merge_islands(removable.select("__id", "__pos"), span_tokens, id_col)
 
 
 def _merge_islands(occ: DataFrame, n: int, id_col: str) -> DataFrame:

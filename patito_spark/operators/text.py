@@ -1019,6 +1019,7 @@ def cross_doc_repetition(
     ngram: int = 3,
     min_docs: int = 2,
     hash_mode: str = "xxhash64",
+    df_mode: str = "aggregate",
 ) -> DataFrame:
     """Per-document fraction of n-grams shared with OTHER documents.
 
@@ -1037,26 +1038,39 @@ def cross_doc_repetition(
     emits a row.
 
     Scale shape: the corpus' distinct (doc, gram-hash) rows are built
-    shuffle-free (``gram_mode="map"``), and each gram's doc-frequency
-    is a ``count() over (partition by hash)`` window — rows are unique
-    per (doc, gram), so the row count IS the distinct-doc count. ONE
-    shuffle of the gram stream total (a groupBy + join-back replay
-    would rebuild the interpreted gram lambda stream twice and shuffle
-    twice). Nothing is broadcast, so benchmark-scale corpora don't OOM
-    the driver.
+    shuffle-free (``gram_mode="map"``). ``df_mode="aggregate"`` (the
+    default, the 100x-safe shape) computes each gram's doc-frequency as
+    a MERGEABLE ``groupBy(hash).count()`` — a web-ubiquitous gram
+    collapses to one row per map task before the exchange — then joins
+    the frequency back onto the gram stream (the probe side streams,
+    and AQE can split a skewed probe partition). ``df_mode="window"``
+    uses a single ``count() over (partition by hash)`` window instead:
+    one shuffle and one gram-build pass, measurably faster on
+    single-node corpora, but the window buffers each gram's partition
+    whole — a hot gram becomes an unsplittable straggler at scale.
+    Nothing is broadcast, so large corpora don't OOM the driver.
     """
-    from pyspark.sql import Window
-
     from patito_spark.operators.dedup import shingle_hash_rows
 
+    if df_mode not in ("aggregate", "window"):
+        raise ValueError(
+            f"df_mode must be 'aggregate' or 'window', got {df_mode!r}"
+        )
     grams = shingle_hash_rows(
         df, id_col=id_col, text_col=text_col, n=ngram,
         hash_mode=hash_mode, distinct=True, gram_mode="map",
     )
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    if df_mode == "window":
+        from pyspark.sql import Window
+
+        scored = grams.withColumn(
+            "__n_docs", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
+    else:
+        freq = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__n_docs"))
+        scored = grams.join(freq, on="__h", how="inner")
     return (
-        grams.withColumn("__n_docs", n_docs)
-        .groupBy("__id")
+        scored.groupBy("__id")
         .agg(
             F.count("*").alias("n_distinct_grams"),
             (

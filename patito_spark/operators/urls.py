@@ -132,10 +132,11 @@ def dedup_urls(
     """Drop refetches of the same canonical URL (keep one row each).
 
     ``keep="min_id"`` keeps the smallest ``id_col`` per canonical URL
-    (deterministic); ``keep="any"`` lets Spark keep an arbitrary row
-    (``dropDuplicates`` — one fewer sort, fine when rows are identical
-    refetches). The canonical key is added as ``canonical_col`` when a
-    name is given, else used transiently.
+    (deterministic, via a mergeable min-struct hash aggregate — no
+    sort, no window); ``keep="any"`` lets Spark keep an arbitrary row
+    (``dropDuplicates``, fine when rows are identical refetches). The
+    canonical key is added as ``canonical_col`` when a name is given,
+    else used transiently.
     """
     if keep not in ("min_id", "any"):
         raise ValueError(f"keep must be 'min_id' or 'any', got {keep!r}")
@@ -147,13 +148,20 @@ def dedup_urls(
     if keep == "any":
         out = with_key.dropDuplicates([key])
     else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(key).orderBy(F.col(id_col))
+        # Keep-min is a MERGEABLE hash aggregate: min(struct(id, *row))
+        # per canonical key (id first so the struct ordering is by id,
+        # remaining columns make ties deterministic). Map-side partial
+        # combine collapses a hot canonical URL to one row per map task
+        # before the exchange; a row_number window would sort the whole
+        # hot key inside one unsplittable partition.
+        cols = with_key.columns
+        ordered = [id_col] + [c for c in cols if c != id_col]
         out = (
-            with_key.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            with_key.groupBy(key)
+            .agg(
+                F.min(F.struct(*[F.col(c) for c in ordered])).alias("__f")
+            )
+            .select([F.col(f"__f.{c}").alias(c) for c in cols])
         )
     return out if canonical_col else out.drop(key)
 

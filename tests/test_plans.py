@@ -137,3 +137,53 @@ def test_filter_corpus_maponly_gates_no_shuffle(spark, sf_dir):
         min_tokens=5, max_tokens=500,
     )
     assert "Exchange" not in executed_plan(gated)
+
+
+def test_keep_first_is_mergeable_aggregate_not_window(spark):
+    """The keep-first family (spans/paragraphs/urls) must plan as a
+    PARTIAL (map-side combined) aggregate before the exchange — never a
+    row_number window over the content key. A window partition cannot be
+    split, so a web-ubiquitous gram/paragraph/URL (10^8 occurrences at
+    100 TB) would sort inside one straggler task; the partial min/count
+    aggregate collapses it to one row per map task instead."""
+    from patito_spark.operators.paragraphs import dedup_paragraphs
+    from patito_spark.operators.spans import duplicate_span_intervals
+    from patito_spark.operators.urls import dedup_urls
+
+    docs = spark.range(64).selectExpr(
+        "id as doc_id",
+        "concat('tok a b c d e f g h i j ', cast(id % 4 as string)) as text",
+    )
+    spans_plan = executed_plan(duplicate_span_intervals(docs, span_tokens=3))
+    assert "partial_min" in spans_plan and "partial_count" in spans_plan
+    assert "row_number" not in spans_plan
+
+    paras = spark.range(64).selectExpr(
+        "id as doc_id",
+        "concat('shared para\\n\\nuniq ', cast(id as string)) as text",
+    )
+    para_plan = executed_plan(dedup_paragraphs(paras))
+    assert "partial_min" in para_plan
+    assert "row_number" not in para_plan
+
+    urls = spark.range(64).selectExpr(
+        "id as doc_id",
+        "concat('https://Example.com/p?id=', cast(id % 8 as string)) as url",
+    )
+    url_plan = executed_plan(dedup_urls(urls, keep="min_id"))
+    assert "partial_min" in url_plan
+    assert "row_number" not in url_plan
+
+
+def test_cross_doc_repetition_mergeable_doc_frequency(spark):
+    """Default df_mode='aggregate': gram doc-frequency is a map-side
+    combined count (partial_count before the exchange), not a count()
+    window over the gram hash."""
+    from patito_spark.operators.text import cross_doc_repetition
+
+    docs = spark.range(64).selectExpr(
+        "id as doc_id", "'w1 w2 w3 w4 w5' as text"
+    )
+    plan = executed_plan(cross_doc_repetition(docs, ngram=3))
+    assert "partial_count" in plan
+    assert "windowspecdefinition(__h" not in plan

@@ -540,3 +540,59 @@ def test_bigram_logloss_1m_docs(spark):
     ).first()
     assert agg["n"] == 1_000_000
     assert 0 < agg["lo"] <= agg["hi"] < 50
+
+
+def test_dedup_spans_hot_gram_50pct(spark):
+    """50% of a 1M-doc corpus opens with the same 11-token sentence: each
+    shared 5-gram occurs 500k times. The mergeable min/count aggregate
+    collapses the hot grams map-side; the old row_number window had to
+    sort each 500k-row gram key inside one unsplittable task."""
+    from patito_spark.operators.spans import duplicate_span_intervals
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "case when id % 2 = 0 then concat("
+        "'the quick brown fox jumps over the lazy dog again and ',"
+        " cast(id as string), ' unique tail words')"
+        " else concat('unique text body number ', cast(id as string),"
+        " ' tail words here now') end as text",
+    )
+    out = duplicate_span_intervals(docs, span_tokens=5)
+    # every even doc except the first-occurrence one gets one merged
+    # interval over the shared prefix
+    assert out.count() == 499_999
+
+
+def test_dedup_paragraphs_hot_paragraph_50pct(spark):
+    """One boilerplate paragraph shared by 50% of 2M docs (the 'Share
+    this post' shape): keep-first collapses it map-side to one row per
+    task before the exchange."""
+    from patito_spark.operators.paragraphs import dedup_paragraphs
+
+    docs = spark.range(2_000_000).selectExpr(
+        "id as doc_id",
+        "case when id % 2 = 0 then concat("
+        "'Share this post on social media', '\n\n',"
+        " 'unique ', cast(id as string))"
+        " else concat('unique body ', cast(id as string)) end as text",
+    )
+    out = dedup_paragraphs(docs, drop_empty=True)
+    # every doc keeps its unique paragraph; only doc 0 keeps the shared one
+    assert out.count() == 2_000_000
+
+
+def test_dedup_urls_hot_canonical_50pct(spark):
+    """50% of 2M fetch records hit one canonical URL: min_id keep is a
+    mergeable min-struct aggregate, so the hot key combines map-side."""
+    from patito_spark.operators.urls import dedup_urls
+
+    df = spark.range(2_000_000).selectExpr(
+        "id as doc_id",
+        "case when id % 2 = 0 then 'https://example.com/hot'"
+        " else concat('https://example.com/p/', cast(id as string))"
+        " end as url",
+    )
+    out = dedup_urls(df, keep="min_id")
+    assert out.count() == 1_000_001
+    hot = out.filter(F.col("url") == "https://example.com/hot").collect()
+    assert [r.doc_id for r in hot] == [0]
