@@ -1402,7 +1402,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document LM scores, three operators merged in one slot:
+    """Per-document LM scores, three operators merged in one slot
+    (executed by the fused two-pass ``lm_quality_scores``):
 
     - unigram_logloss self-LM (the corpus's own vocabulary, add-1
       smoothing): cross_entropy / perplexity;
@@ -1416,36 +1417,26 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Double summation order differs between engines at ~1e-12 relative,
     so all scores are rounded to 4 dp for the hash compare.
     """
-    from patito_spark.operators.selection import dsir_lm, dsir_weights
-    from patito_spark.operators.text import bigram_logloss
+    from patito_spark.operators.text import lm_quality_scores
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("doc_id") % 17 == 0)
-    # ONE unigram vocabulary serves both consumers: DSIR's raw LM and
-    # the bigram scorer's backoff/denominator LM — dsir_lm persists
-    # nothing itself, but each callee tracked_persists what it reuses,
-    # so the corpus vocab aggregate runs once, not twice.
-    from patito_spark.functions.cache import tracked_persist
-
-    uni_lm = tracked_persist(dsir_lm(docs))
-    # return_components exposes the raw-LM cross-entropy dsir_weights
-    # already computes — the self-perplexity columns cost no third
-    # scoring pass over the corpus.
-    w = dsir_weights(docs, target, return_components=True, raw_lm=uni_lm)
-    bi = bigram_logloss(docs, unigram_lm=uni_lm).select(
-        "doc_id",
-        F.round("cross_entropy", 4).alias("bigram_ce_r"),
-        F.round("perplexity", 4).alias("bigram_ppl_r"),
-    )
-    return w.join(bi, on="doc_id").select(
+    # lm_quality_scores fuses the whole stack into TWO corpus passes:
+    # one positioned-pair aggregate builds BOTH LMs (the unigram LM is
+    # derived from the pair table, not a second scan) and one scoring
+    # pass feeds every lookup + the single per-doc aggregate. Same
+    # numbers as the three separate operators to summation order
+    # (pinned by test_lm_quality_scores_matches_three_operator_composition).
+    s = lm_quality_scores(docs, target)
+    return s.select(
         "doc_id",
         "n_tokens",
-        F.round("cross_entropy_raw", 4).alias("cross_entropy_r"),
-        F.round(F.exp("cross_entropy_raw"), 4).alias("perplexity_r"),
+        F.round("cross_entropy", 4).alias("cross_entropy_r"),
+        F.round("perplexity", 4).alias("perplexity_r"),
         F.round("log_ratio", 4).alias("log_ratio_r"),
         F.round("dsir_weight", 4).alias("dsir_weight_r"),
-        "bigram_ce_r",
-        "bigram_ppl_r",
+        F.round("bigram_ce", 4).alias("bigram_ce_r"),
+        F.round("bigram_ppl", 4).alias("bigram_ppl_r"),
     )
 
 

@@ -878,3 +878,84 @@ class TestPiiStats:
         df = spark.range(5).selectExpr("id as doc_id", "'x' as text")
         plan = executed_plan(pii_stats(df))
         assert "Python" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- #
+# lm_quality_scores: the fused 2-pass LM stack                     #
+# ---------------------------------------------------------------- #
+
+
+def _lm_corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a completely different sentence here now"),
+        (4, "the cat sat on the mat"),          # exact dup of 1
+        (5, "the the the the"),                  # degenerate repetition
+        (6, "one"),                              # single token (prev=null only)
+        (7, "spark shuffles partitions and broadcasts dimensions"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lm_quality_scores_matches_three_operator_composition(spark):
+    """Fused 2-pass stack == unigram_logloss + bigram_logloss +
+    dsir_weights(return_components) with self-built LMs, to summation
+    noise."""
+    from patito_spark.operators.selection import dsir_weights
+
+    docs = _lm_corpus(spark)
+    target = docs.filter("doc_id % 2 = 1")
+
+    fused = {
+        r["doc_id"]: r
+        for r in ops.lm_quality_scores(docs, target).collect()
+    }
+
+    uni = {r["doc_id"]: r for r in ops.unigram_logloss(docs).collect()}
+    bi = {r["doc_id"]: r for r in ops.bigram_logloss(docs).collect()}
+    w = {
+        r["doc_id"]: r
+        for r in dsir_weights(docs, target, return_components=True).collect()
+    }
+
+    assert set(fused) == set(uni) == set(bi) == set(w)
+    for d, f in fused.items():
+        assert f["n_tokens"] == uni[d]["n_tokens"]
+        assert f["cross_entropy"] == pytest.approx(uni[d]["cross_entropy"], rel=1e-9)
+        assert f["perplexity"] == pytest.approx(uni[d]["perplexity"], rel=1e-9)
+        assert f["bigram_ce"] == pytest.approx(bi[d]["cross_entropy"], rel=1e-9)
+        assert f["bigram_ppl"] == pytest.approx(bi[d]["perplexity"], rel=1e-9)
+        assert f["log_ratio"] == pytest.approx(w[d]["log_ratio"], rel=1e-9, abs=1e-12)
+        assert f["dsir_weight"] == pytest.approx(w[d]["dsir_weight"], rel=1e-9)
+        assert f["cross_entropy"] == pytest.approx(w[d]["cross_entropy_raw"], rel=1e-9)
+        assert f["cross_entropy_target"] == pytest.approx(
+            w[d]["cross_entropy_target"], rel=1e-9
+        )
+
+
+def test_lm_quality_scores_no_target(spark):
+    docs = _lm_corpus(spark)
+    out = ops.lm_quality_scores(docs)
+    assert set(out.columns) == {
+        "doc_id", "n_tokens", "cross_entropy", "perplexity",
+        "bigram_ce", "bigram_ppl",
+    }
+    assert out.count() == 7
+
+
+def test_lm_quality_scores_bigram_cap_matches_capped_oracle(spark):
+    """max_bigrams prunes the SAME tail as build_bigram_lm's cap (count
+    desc, ties bytewise) so pruned pairs fall to backoff identically."""
+    docs = _lm_corpus(spark)
+    capped = {
+        r["doc_id"]: r
+        for r in ops.lm_quality_scores(docs, max_bigrams=3).collect()
+    }
+    lm = ops.build_bigram_lm(docs, max_bigrams=3)
+    oracle = {
+        r["doc_id"]: r
+        for r in ops.bigram_logloss(docs, bigram_lm=lm).collect()
+    }
+    for d, f in capped.items():
+        assert f["bigram_ce"] == pytest.approx(oracle[d]["cross_entropy"], rel=1e-9)
