@@ -1177,6 +1177,167 @@ def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL pipeline: canonicalize_url -> dedup_urls
+    (keep=min_id), driver-oracled end to end (round-10, verdict item 3).
+
+    The documents table has no URL column, so both engines synthesize
+    the same deterministic fetch records from (doc_id, source), chosen
+    to exercise every canonicalization branch: uppercase scheme/host +
+    www + trailing slash (branch 0), default-port strip + tracking-param
+    removal with a kept param (branch 1), non-default port + fragment
+    strip + subdomain preserved (branch 2). doc_id%40 page collisions
+    create real refetches for the min-id keep. Mode 'canon' oracles the
+    canonical form for EVERY row; mode 'dedup' oracles the surviving
+    set."""
+    from patito_spark.operators.urls import dedup_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 40).cast("string")
+    qid = (F.col("doc_id") % 5).cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example.COM/"), F.col("source"),
+                F.lit("/Page"), page, F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://example.com:443/"), F.col("source"),
+                F.lit("/page"), page,
+                F.lit("?utm_source=feed&id="), qid,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://CDN.Example.com:8080/asset"), page,
+                F.lit("#frag"),
+            )
+        )
+        .alias("url"),
+    )
+    deduped = dedup_urls(
+        urls, keep="min_id", canonical_col="canon"
+    ).select(F.lit("dedup").alias("mode"), "doc_id", "url", "canon")
+    from patito_spark.operators.urls import canonicalize_url
+
+    all_rows = urls.select(
+        F.lit("canon").alias("mode"),
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canon"),
+    )
+    return all_rows.unionByName(deduped)
+
+
+def paragraph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph layer driver-oracled end to end (round-10,
+    verdict item 3): split -> corpus keep-first dedup ('dedup' mode)
+    and split -> boilerplate removal ('boiler' mode) over the same
+    deterministically paragraph-structured corpus.
+
+    Both engines wrap every document with a shared intro (7 variants ->
+    cross-doc dup paragraphs with a known first occurrence) and a
+    universal footer (appears in every doc -> boilerplate at
+    min_docs=3); the document's own text rides in the middle, so real
+    cross-doc text duplication is exercised too. The oracle replays
+    split/normalize/rank/reassemble in SQL (the
+    test_operators_paragraphs.py replay, promoted to the driver)."""
+    from patito_spark.operators.paragraphs import (
+        dedup_paragraphs,
+        drop_boilerplate_paragraphs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Intro shared "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\n\nCommon Footer Follow Us"),
+        ).alias("text"),
+    )
+    dedup = dedup_paragraphs(docs).select(
+        F.lit("dedup").alias("mode"), "doc_id", "text"
+    )
+    boiler = drop_boilerplate_paragraphs(docs, min_docs=3).select(
+        F.lit("boiler").alias("mode"), "doc_id", "text"
+    )
+    return dedup.unionByName(boiler)
+
+
+def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup + gap-filled hourly counts, union-tagged
+    in one slot (round-10 merge freeing entries under the 50-slot cap;
+    both modes keep independent value oracles through the tag)."""
+    roll = q_rollup_multires(spark, sf_dir).select(
+        F.lit("rollup").alias("mode"),
+        F.col("resolution").cast("long"),
+        F.col("bucket_start").cast("long"),
+        "event_type",
+        F.col("n").cast("long"),
+        F.col("total").cast("double"),
+    )
+    gap = q_hourly_gapfill(spark, sf_dir).select(
+        F.lit("gapfill").alias("mode"),
+        F.lit(None).cast("long").alias("resolution"),
+        F.col("bucket").cast("long").alias("bucket_start"),
+        "event_type",
+        F.col("n").cast("long"),
+        F.lit(None).cast("double").alias("total"),
+    )
+    return roll.unionByName(gap)
+
+
+def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH and IVF approximate top-k union-tagged in one slot (round-10
+    merge; same query set, both methods fully value-oracled)."""
+    lsh = ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+        "cosine", "rank",
+    )
+    ivf = ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+        "cosine", "rank",
+    )
+    return lsh.unionByName(ivf)
+
+
+def dedup_embedding_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (scoped brute-force) and LSH-bucketed embedding near-dup
+    pairs union-tagged in one slot (round-10 merge)."""
+    exact = dedup_embedding(spark, sf_dir).select(
+        F.lit("exact").alias("mode"), "id_a", "id_b", "cosine"
+    )
+    lsh = dedup_embedding_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("mode"), "id_a", "id_b", "cosine"
+    )
+    return exact.unionByName(lsh)
+
+
+def rel_setops_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation set ops + distinct/order/limit-offset pagination,
+    union-tagged in one slot (round-10 merge)."""
+    setops = rel_setops(spark, sf_dir).select(
+        F.lit("setops").alias("mode"),
+        F.col("nationkey").cast("long"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("long").alias("c_nationkey"),
+    )
+    page = rel_distinct_page(spark, sf_dir).select(
+        F.lit("page").alias("mode"),
+        F.lit(None).cast("long").alias("nationkey"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long"),
+    )
+    return setops.unionByName(page)
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch: approximate distinct users per event
     type. Portable hash makes sketch state AND estimate engine-exact, so
@@ -1461,9 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly_counts": q_stream_hourly_counts,
         "rel_pipeline": rel_pipeline,
         "rel_join": rel_join,
-        "rel_setops": rel_setops,
+        "rel_setops_page": rel_setops_page,
         "q_semi_anti_customers": q_semi_anti_customers,
-        "rel_distinct_page": rel_distinct_page,
         "dedup_semantic": dedup_semantic,
         "rel_from_parquet_path": rel_from_parquet_path,
         "rel_left_join_coalesce": rel_left_join_coalesce,
@@ -1474,14 +1634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_clusters": dedup_clusters,
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "dedup_embedding": dedup_embedding_both,
         "dedup_minhash": dedup_minhash,
         "dedup_corpus_minhash": dedup_corpus_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_topk": ann_topk,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
+        "ann_search": ann_search,
         "sample_split_documents": sample_split_documents,
         "q_asof_bidirectional": q_asof_bidirectional,
         "q_range_join_orders": q_range_join_orders,
@@ -1489,8 +1647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": multimodal_image_features,
         "sample_stratified_docs": sample_stratified_docs,
         "q_stream_cdc_state": q_stream_cdc_state,
-        "q_rollup_multires": q_rollup_multires,
-        "q_hourly_gapfill": q_hourly_gapfill,
+        "q_timeseries": q_timeseries,
+        "url_pipeline": url_pipeline,
+        "paragraph_pipeline": paragraph_pipeline,
         "q_kmv_distinct_users": q_kmv_distinct_users,
         "text_redact": text_redact,
         "text_repetition": text_repetition,
@@ -1728,7 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         f"when '{seg}' then {code}" for seg, code in SEGMENT_CODES.items()
     )
     ivf_k = _ivf_cells_at_compare_sf()
-    return {
+    d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -2696,3 +2855,133 @@ def oracle_sql() -> dict[str, str]:
             FROM uni_scores u JOIN bi_scores b USING (doc_id)
         """,
     }
+    # ---- round-10 union-tagged slot merges (frees entries under the ----
+    # ---- 50-slot cap; each mode's values stay independently oracled) ----
+    d["q_timeseries"] = f"""
+        SELECT 'rollup' AS mode, resolution::BIGINT AS resolution,
+               bucket_start::BIGINT AS bucket_start, event_type,
+               n::BIGINT AS n, total
+        FROM ({d.pop("q_rollup_multires")})
+        UNION ALL
+        SELECT 'gapfill', NULL::BIGINT, bucket::BIGINT, event_type,
+               n::BIGINT, NULL::DOUBLE
+        FROM ({d.pop("q_hourly_gapfill")})
+    """
+    d["ann_search"] = f"""
+        SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
+        FROM ({d.pop("ann_lsh")})
+        UNION ALL
+        SELECT 'ivf', query_id, neighbor_id, cosine, rank
+        FROM ({d.pop("ann_ivf")})
+    """
+    d["dedup_embedding"] = f"""
+        SELECT 'exact' AS mode, id_a, id_b, cosine
+        FROM ({d.pop("dedup_embedding")})
+        UNION ALL
+        SELECT 'lsh', id_a, id_b, cosine
+        FROM ({d.pop("dedup_embedding_lsh")})
+    """
+    # paragraph_pipeline: the test-suite DuckDB replay promoted to the
+    # driver — split on \n{2,}, normalized key, corpus keep-first rank
+    # / >=3-distinct-doc boilerplate cut, reassembly in original order.
+    d["paragraph_pipeline"] = """
+        WITH src AS (
+            SELECT doc_id,
+                   'Intro shared ' || (doc_id % 7) || chr(10) || chr(10)
+                   || text || chr(10) || chr(10)
+                   || 'Common Footer Follow Us' AS text
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, unnest(ps) AS paragraph,
+                   generate_subscripts(ps, 1) AS idx
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(text, '\\n{2,}') AS ps
+                FROM src
+            )
+        ),
+        keyed AS (
+            SELECT doc_id, idx, paragraph,
+                   lower(regexp_replace(trim(paragraph),
+                                        '\\s+', ' ', 'g')) AS k
+            FROM p
+            WHERE length(lower(regexp_replace(trim(paragraph),
+                                              '\\s+', ' ', 'g'))) >= 1
+        ),
+        ranked AS (
+            SELECT doc_id, idx, paragraph,
+                   row_number() OVER (
+                       PARTITION BY k ORDER BY doc_id, idx
+                   ) AS occ
+            FROM keyed
+        ),
+        dedup AS (
+            SELECT doc_id,
+                   string_agg(paragraph, chr(10) || chr(10)
+                              ORDER BY idx) AS text
+            FROM ranked WHERE occ = 1 GROUP BY doc_id
+        ),
+        common AS (
+            SELECT k FROM keyed
+            GROUP BY k HAVING count(DISTINCT doc_id) >= 3
+        ),
+        boiler AS (
+            SELECT doc_id,
+                   string_agg(paragraph, chr(10) || chr(10)
+                              ORDER BY idx) AS text
+            FROM keyed WHERE k NOT IN (SELECT k FROM common)
+            GROUP BY doc_id
+        )
+        SELECT 'dedup' AS mode, doc_id, text FROM dedup
+        UNION ALL
+        SELECT 'boiler', doc_id, text FROM boiler
+    """
+    # url_pipeline: the canonical form is computed ANALYTICALLY from the
+    # synthesis rule (no string-surgery replay) — if Spark's
+    # canonicalize_url chain mishandles any exercised feature (case,
+    # www, default port, tracking params, fragment, trailing slash),
+    # the hash mismatches. min-id keep replayed with a window.
+    d["url_pipeline"] = """
+        WITH u AS (
+            SELECT doc_id,
+                CASE (doc_id % 3)
+                  WHEN 0 THEN 'HTTP://WWW.Example.COM/' || source
+                              || '/Page' || (doc_id % 40) || '/'
+                  WHEN 1 THEN 'https://example.com:443/' || source
+                              || '/page' || (doc_id % 40)
+                              || '?utm_source=feed&id=' || (doc_id % 5)
+                  ELSE 'https://CDN.Example.com:8080/asset'
+                       || (doc_id % 40) || '#frag'
+                END AS url,
+                CASE (doc_id % 3)
+                  WHEN 0 THEN 'http://example.com/' || source
+                              || '/Page' || (doc_id % 40)
+                  WHEN 1 THEN 'https://example.com/' || source
+                              || '/page' || (doc_id % 40)
+                              || '?id=' || (doc_id % 5)
+                  ELSE 'https://cdn.example.com:8080/asset'
+                       || (doc_id % 40)
+                END AS canon
+            FROM documents
+        ),
+        kept AS (
+            SELECT doc_id, url, canon FROM (
+                SELECT u.*, row_number() OVER (
+                    PARTITION BY canon ORDER BY doc_id
+                ) AS rn FROM u
+            ) WHERE rn = 1
+        )
+        SELECT 'canon' AS mode, doc_id, url, canon FROM u
+        UNION ALL
+        SELECT 'dedup', doc_id, url, canon FROM kept
+    """
+    d["rel_setops_page"] = f"""
+        SELECT 'setops' AS mode, nationkey::BIGINT AS nationkey,
+               NULL::VARCHAR AS c_mktsegment, NULL::BIGINT AS c_nationkey
+        FROM ({d.pop("rel_setops")})
+        UNION ALL
+        SELECT 'page', NULL::BIGINT, c_mktsegment, c_nationkey::BIGINT
+        FROM ({d.pop("rel_distinct_page")})
+    """
+    return d
