@@ -1271,6 +1271,162 @@ def paragraph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.unionByName(boiler)
 
 
+def mix_corpora_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing driver-oracled end to end (round-10, verdict item
+    4): three language domains of documents mixed 1:2:3 to a budget of
+    80% of their combined tokens (portable hash, seed 7), so
+    upweighted small domains repeat (epochs > 0) and the partial-epoch
+    membership is a replayable hash cut. Mode 'doc' oracles every
+    selected (domain, doc, epoch) copy; mode 'stats' oracles
+    mixture_stats' realized shares over the same mixture. The budget
+    and every per-domain ratio are data-derived, so the plan scales
+    with SF instead of degenerating (PATITO_ORACLE contract: the
+    oracle recomputes them in SQL from the same token counts)."""
+    from patito_spark.operators.mixing import mix_corpora, mixture_stats
+    from patito_spark.operators.text import token_count
+
+    langs = ("en", "de", "fr")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pool = docs.filter(F.col("lang").isin(*langs))
+    total = pool.agg(F.sum(token_count("text"))).first()[0] or 0
+    budget = int(total * 0.8)
+    out = mix_corpora(
+        {l: pool.filter(F.col("lang") == l).select("doc_id", "text")
+         for l in langs},
+        weights={"en": 1.0, "de": 2.0, "fr": 3.0},
+        token_budget=budget,
+        hash_mode="portable",
+        seed=7,
+    )
+    mixed = out["mixed"]
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    doc_rows = mixed.select(
+        F.lit("doc").alias("mode"),
+        "mix_source",
+        F.col("doc_id").cast("long"),
+        F.col("epoch").cast("long"),
+        null_l.alias("n_rows"),
+        null_l.alias("n_tokens"),
+        null_l.alias("n_epochs"),
+        null_d.alias("token_share"),
+        null_d.alias("row_share"),
+    )
+    stats = mixture_stats(mixed).select(
+        F.lit("stats").alias("mode"),
+        "mix_source",
+        null_l.alias("doc_id"),
+        null_l.alias("epoch"),
+        F.col("n_rows").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_epochs").cast("long"),
+        F.col("token_share").cast("double"),
+        F.col("row_share").cast("double"),
+    )
+    return doc_rows.unionByName(stats)
+
+
+def conversations_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT family driver-oracled in one slot (round-10, verdict
+    item 5): render_conversations + conversation_stats over a
+    deterministic message-list table synthesized from documents, then
+    filter_conversations -> dedup_conversations as the 'kept' mode.
+
+    Five structure variants per doc_id%5 exercise every gate branch:
+    valid-with-system (0), valid duplicate of 0 differing only in case/
+    whitespace/system prompt (1 — collapses with 0 under the normalized
+    system-ignoring dedup key), empty assistant content (2), broken
+    alternation (3), trailing user turn (4). The oracle reconstructs
+    the rendered text and the structural stats analytically from the
+    synthesis rule and replays the gate+dedup winner set — if Spark's
+    render/stats/key logic mishandles any branch, the hash mismatches."""
+    from patito_spark.operators.conversations import (
+        conversation_stats,
+        dedup_conversations,
+        filter_conversations,
+        render_conversations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("conv_id"),
+        (F.col("doc_id") % 5).alias("m"),
+        (F.col("doc_id") % 40).cast("string").alias("g"),
+    )
+
+    def msg(role: str, content):
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    g = F.col("g")
+    messages = (
+        F.when(
+            F.col("m") == 0,
+            F.array(
+                msg("system", F.lit("be helpful")),
+                msg("user", F.concat(F.lit("question "), g)),
+                msg("assistant", F.concat(F.lit("answer "), g)),
+            ),
+        )
+        .when(
+            F.col("m") == 1,
+            F.array(
+                msg("user", F.concat(F.lit("QUESTION  "), g)),
+                msg("assistant", F.concat(F.lit("Answer "), g)),
+            ),
+        )
+        .when(
+            F.col("m") == 2,
+            F.array(
+                msg("user", F.concat(F.lit("hi "), g)),
+                msg("assistant", F.lit("")),
+            ),
+        )
+        .when(
+            F.col("m") == 3,
+            F.array(
+                msg("user", F.concat(F.lit("a "), g)),
+                msg("user", F.concat(F.lit("b "), g)),
+                msg("assistant", F.concat(F.lit("c "), g)),
+            ),
+        )
+        .otherwise(
+            F.array(
+                msg("user", F.concat(F.lit("q "), g)),
+                msg("assistant", F.concat(F.lit("a "), g)),
+                msg("user", F.concat(F.lit("followup "), g)),
+            )
+        )
+    )
+    convs = docs.select("conv_id", messages.alias("messages"))
+
+    rendered = conversation_stats(render_conversations(convs)).select(
+        F.lit("render").alias("mode"),
+        F.col("conv_id").cast("long"),
+        "text",
+        F.col("n_turns").cast("long"),
+        F.col("n_user").cast("long"),
+        F.col("n_assistant").cast("long"),
+        "first_role",
+        "last_role",
+        F.col("has_empty_content").cast("long"),
+        F.col("alternates").cast("long"),
+    )
+    kept = dedup_conversations(filter_conversations(convs)).select(
+        F.lit("kept").alias("mode"),
+        F.col("conv_id").cast("long"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("long").alias("n_turns"),
+        F.lit(None).cast("long").alias("n_user"),
+        F.lit(None).cast("long").alias("n_assistant"),
+        F.lit(None).cast("string").alias("first_role"),
+        F.lit(None).cast("string").alias("last_role"),
+        F.lit(None).cast("long").alias("has_empty_content"),
+        F.lit(None).cast("long").alias("alternates"),
+    )
+    return rendered.unionByName(kept)
+
+
 def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup + gap-filled hourly counts, union-tagged
     in one slot (round-10 merge freeing entries under the 50-slot cap;
@@ -1650,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_timeseries": q_timeseries,
         "url_pipeline": url_pipeline,
         "paragraph_pipeline": paragraph_pipeline,
+        "mix_corpora_stats": mix_corpora_stats,
+        "conversations_sft": conversations_sft,
         "q_kmv_distinct_users": q_kmv_distinct_users,
         "text_redact": text_redact,
         "text_repetition": text_repetition,
@@ -2880,6 +3038,115 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'lsh', id_a, id_b, cosine
         FROM ({d.pop("dedup_embedding_lsh")})
+    """
+    # conversations_sft: rendered text, structural stats, and the
+    # gate+dedup winner set reconstructed ANALYTICALLY from the
+    # synthesis rule (doc_id%5 structure variants, doc_id%40 content
+    # groups) — variants 0 and 1 must collapse under the normalized
+    # system-ignoring dedup key, variants 2/3/4 must fall to the
+    # empty-content / alternation / trailing-user gate branches.
+    d["conversations_sft"] = """
+        WITH base AS (
+            SELECT doc_id AS conv_id, (doc_id % 5) AS m,
+                   (doc_id % 40)::VARCHAR AS g
+            FROM documents
+        ),
+        sep AS (SELECT chr(10) || chr(10) AS s),
+        render AS (
+            SELECT conv_id, m, g,
+                CASE m
+                  WHEN 0 THEN 'system: be helpful' || s
+                              || 'user: question ' || g || s
+                              || 'assistant: answer ' || g
+                  WHEN 1 THEN 'user: QUESTION  ' || g || s
+                              || 'assistant: Answer ' || g
+                  WHEN 2 THEN 'user: hi ' || g || s || 'assistant: '
+                  WHEN 3 THEN 'user: a ' || g || s
+                              || 'user: b ' || g || s
+                              || 'assistant: c ' || g
+                  ELSE 'user: q ' || g || s
+                       || 'assistant: a ' || g || s
+                       || 'user: followup ' || g
+                END AS text,
+                CASE m WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2
+                       WHEN 3 THEN 3 ELSE 3 END AS n_turns,
+                CASE m WHEN 3 THEN 2 WHEN 4 THEN 2 ELSE 1 END AS n_user,
+                1 AS n_assistant,
+                CASE m WHEN 0 THEN 'system' ELSE 'user' END AS first_role,
+                CASE m WHEN 4 THEN 'user' ELSE 'assistant' END AS last_role,
+                (m = 2)::BIGINT AS has_empty_content,
+                (m <> 3)::BIGINT AS alternates
+            FROM base, sep
+        ),
+        kept AS (
+            SELECT min(conv_id) AS conv_id
+            FROM base WHERE m IN (0, 1) GROUP BY g
+        )
+        SELECT 'render' AS mode, conv_id, text,
+               n_turns::BIGINT AS n_turns, n_user::BIGINT AS n_user,
+               n_assistant::BIGINT AS n_assistant, first_role,
+               last_role, has_empty_content, alternates
+        FROM render
+        UNION ALL
+        SELECT 'kept', conv_id, NULL::VARCHAR, NULL::BIGINT,
+               NULL::BIGINT, NULL::BIGINT, NULL::VARCHAR,
+               NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT
+        FROM kept
+    """
+    # mix_corpora_stats: the full mixing plan recomputed in SQL from the
+    # same token counts — budget, per-domain ratio/epochs/remainder, the
+    # portable-hash partial-epoch cut, the epoch fan-out, and the
+    # realized-share audit.
+    from patito_spark.operators.sampling import sample_fraction_sql
+
+    _mix_frac = sample_fraction_sql("doc_id", seed=7)
+    d["mix_corpora_stats"] = f"""
+        WITH dd AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' '))::BIGINT AS ntok
+            FROM documents WHERE lang IN ('en', 'de', 'fr')
+        ),
+        tot AS (SELECT lang, sum(ntok) AS t FROM dd GROUP BY lang),
+        budget AS (
+            SELECT CAST(floor(sum(t) * 0.8) AS BIGINT) AS b FROM tot
+        ),
+        plan AS (
+            SELECT lang, t,
+                   ((CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.0
+                               ELSE 3.0 END / 6.0)
+                    * (SELECT b FROM budget)) / t AS ratio
+            FROM tot
+        ),
+        member AS (
+            SELECT dd.doc_id, dd.lang, dd.ntok,
+                   CAST(floor(p.ratio) AS BIGINT)
+                   + (CASE WHEN {_mix_frac} < p.ratio - floor(p.ratio)
+                           THEN 1 ELSE 0 END) AS n_copies
+            FROM dd JOIN plan p USING (lang)
+        ),
+        mixed AS (
+            SELECT doc_id, lang AS mix_source, ntok,
+                   unnest(range(n_copies)) AS epoch
+            FROM member WHERE n_copies > 0
+        ),
+        stats AS (
+            SELECT mix_source, count(*) AS n_rows,
+                   sum(ntok) AS n_tokens, max(epoch) + 1 AS n_epochs
+            FROM mixed GROUP BY mix_source
+        ),
+        tots AS (
+            SELECT sum(n_tokens) AS tt, sum(n_rows) AS tr FROM stats
+        )
+        SELECT 'doc' AS mode, mix_source, doc_id,
+               epoch::BIGINT AS epoch, NULL::BIGINT AS n_rows,
+               NULL::BIGINT AS n_tokens, NULL::BIGINT AS n_epochs,
+               NULL::DOUBLE AS token_share, NULL::DOUBLE AS row_share
+        FROM mixed
+        UNION ALL
+        SELECT 'stats', mix_source, NULL::BIGINT, NULL::BIGINT,
+               n_rows, n_tokens, n_epochs::BIGINT,
+               n_tokens / tt, n_rows / tr
+        FROM stats, tots
     """
     # paragraph_pipeline: the test-suite DuckDB replay promoted to the
     # driver — split on \n{2,}, normalized key, corpus keep-first rank
