@@ -84,8 +84,13 @@ def ngram_contamination(
       holds one copy of the set — at the default 2M cap that is a few
       hundred MB per worker), else ``"join"``.
 
-    ``hash_mode``/``gram_mode``/``broadcast_benchmark`` only affect the
-    join and bloom strategies (both gram-hash JVM-side).
+    ``hash_mode``/``broadcast_benchmark`` only affect the join and
+    bloom strategies (both gram-hash JVM-side). ``gram_mode`` applies
+    to the join strategy's two gram builds and to bloom's BENCHMARK
+    side; bloom's corpus side is always ``gram_mode="map"`` — it needs
+    ``distinct=True`` per document, which only the map build provides
+    without an extra shuffle (array_distinct inside the row), keeping
+    the corpus path at one exchange total.
     """
     if strategy == "bloom":
         return _bloom_contamination(

@@ -369,22 +369,33 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         exploded, num_hashes=num_hashes, bands=bands, densify=densify
     )
-    # ONE aggregate builds each bucket's sorted member list; the skew
-    # guard (1 < size <= max_bucket_size) and the pair expansion are
-    # map-side expressions over the bucket rows. This replaces the
-    # previous shape — window count (shuffle + sort over every banded
-    # row) feeding a bucket self-join (two more exchanges) — with a
-    # single shuffle on (band, bucket) before the distinct. The nested
+    # The skew guard runs BEFORE any member list materializes: a cheap
+    # map-side-combined count per (band, bucket) filters to
+    # 1 < n <= max_bucket_size, semi-joined back, and only the surviving
+    # buckets are collect_list'ed. A degenerate hot bucket (thousands of
+    # empty/identical docs sharing a banded signature) is therefore
+    # dropped by a counter, never buffered whole in one aggregation
+    # buffer (collect_list buffers cannot spill — round-10 advice).
+    # `banded` is persisted so the bin-min aggregate behind it runs once
+    # for the count branch and the collect branch (one row per
+    # (doc, band) — tiny next to the shingle stream). The pair expansion
+    # stays a map-side expression over the bucket rows: the nested
     # transform is interpreted, but it runs per BUCKET (≤ max_bucket_size
     # members, sorted so id_a < id_b by construction), not per pair-join
-    # probe, and candidate buckets are orders of magnitude fewer than
-    # banded rows. Round-9 A/B at sf1: see docs/scaling.md.
-    buckets = (
+    # probe. Round-9 A/B at sf1: see docs/scaling.md.
+    from patito_spark.functions.cache import tracked_persist
+
+    banded = tracked_persist(banded)
+    eligible = (
         banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+        .select("band", "bucket")
+    )
+    buckets = (
+        banded.join(eligible, on=["band", "bucket"], how="left_semi")
+        .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
-        .filter(
-            (F.size("__ids") > 1) & (F.size("__ids") <= max_bucket_size)
-        )
     )
     pairs = (
         buckets.select(

@@ -82,6 +82,13 @@ def sample_exact_n(
     (eval sets, demos, audits — up to ~1M); for a huge fixed-size
     subset use :func:`deterministic_sample` with fraction ≈ n/count
     and accept ±binomial noise.
+
+    ``key_col`` should uniquely identify rows: equal keys hash
+    identically, and the ordering breaks hash ties by the key itself,
+    so with duplicate keys the kept KEY multiset is still deterministic
+    but which of several identical-key rows crosses the cut line is
+    plan-dependent. Use a unique id (the usual case) for a fully
+    stable kept set.
     """
     if n < 0:
         raise ValueError(f"n must be >= 0, got {n}")
@@ -96,7 +103,7 @@ def sample_exact_n(
         h = F.xxhash64(F.col(key_col), F.lit(seed))
     return (
         df.withColumn("__sx_h", h)
-        .orderBy(F.col("__sx_h").asc())
+        .orderBy(F.col("__sx_h").asc(), F.col(key_col).asc())
         .limit(n)
         .drop("__sx_h")
     )
@@ -334,7 +341,10 @@ def weighted_sample(
     Rows whose scaled probability reaches 1 are always kept (the
     standard truncation; the realized fraction then undershoots
     ``target_fraction`` slightly on heavy-tailed weights). Without it,
-    weights are used as raw probabilities and must lie in [0, 1].
+    weights are used as raw probabilities: values are CLAMPED to
+    [0, 1] (a weight above 1 keeps the row always — pass
+    ``target_fraction`` if you want out-of-range weights rescaled
+    instead of saturated).
 
     Nulls and negative weights never pass (probability 0).
     """
@@ -357,7 +367,11 @@ def weighted_sample(
             return df.filter(F.lit(False))
         p = F.least(w * (float(target_fraction) / float(mean_w)), F.lit(1.0))
     else:
-        p = w
+        # Raw-probability mode: clamp so a weight > 1 behaves as the
+        # documented "always keep" instead of silently relying on the
+        # hash fraction being < 1 anyway (and to make the intent
+        # explicit for readers of the plan).
+        p = F.least(w, F.lit(1.0))
     frac = _hash_fraction(F.col(key_col), seed, hash_mode=hash_mode)
     return df.filter(w.isNotNull() & (w > 0) & (frac < p))
 

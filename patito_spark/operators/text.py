@@ -738,6 +738,15 @@ def tf_idf(
     probe and force broadcast (no persist happens on that path — the
     aggregate runs once per consuming branch instead). ``n_docs`` skips
     the corpus count when the caller already knows it.
+
+    Cache-scope caveat: the persisted (doc, token) aggregate is bounded
+    to the MOST RECENT tf_idf call per process — a new call releases
+    the previous call's cache, so a still-unconsumed earlier result
+    silently recomputes its tokenize+explode+aggregate on next use
+    (correct, slower), and concurrent tf_idf pipelines in one session
+    race on the same slot. Consume (or persist) each result before the
+    next call, or pass ``max_broadcast_vocab=None`` to opt out of the
+    shared cache entirely.
     """
     n = n_docs if n_docs is not None else df.count()
     pairs = df.select(

@@ -499,6 +499,23 @@ class TestSampleExactN:
         assert s2 == {i for _, i in hashed2[:50]}
         assert df.columns == sample_exact_n(df, 5, key_col="doc_id").columns
 
+    def test_duplicate_keys_keep_deterministic_key_multiset(self, spark):
+        """Equal keys hash identically; the secondary sort on the key
+        keeps the kept KEY multiset stable across partitionings even
+        when duplicates sit on the cut line."""
+        from patito_spark.operators.sampling import sample_exact_n
+
+        df = spark.range(400).selectExpr("(id % 100) as k", "id as payload")
+        keys1 = sorted(r["k"] for r in
+                       sample_exact_n(df, 150, key_col="k").collect())
+        keys2 = sorted(
+            r["k"] for r in sample_exact_n(
+                df.repartition(7), 150, key_col="k"
+            ).collect()
+        )
+        assert len(keys1) == 150
+        assert keys1 == keys2
+
     def test_plan_is_take_ordered(self, spark):
         import pytest as _pytest
 
