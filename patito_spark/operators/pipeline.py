@@ -7,7 +7,7 @@ documented in its own module, composed so intermediate results flow as
 lazy DataFrames (one action at the end materializes the whole graph,
 letting Catalyst fuse the map-only stages).
 
-Stage costs at scale (details in docs/scale.md):
+Stage costs at scale (details in docs/scaling.md):
 
 * clean + filter: fused into the first scan's projection (map-only
   unless the repetition gate is on); the optional paragraph stages
