@@ -53,9 +53,16 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep exactly one row (minimum ``id_col``) per distinct ``subset`` key.
 
-    Window `row_number` over the key: one shuffle, no join-back, and AQE
-    handles key skew. Deterministic keep-first semantics (unlike
-    ``dropDuplicates`` which keeps an arbitrary row).
+    Window ``row_number`` + ``rn == 1``: one shuffle, no join-back, and
+    the ``rn <= k`` shape makes Spark plan a PARTIAL WindowGroupLimit
+    before the exchange (plan-asserted) — each map partition forwards at
+    most one row per key after a slice-bounded local sort, so a hot key
+    collapses map-side exactly like a mergeable min aggregate would
+    (this is why this window is NOT the keep-first anti-pattern the
+    round-10 fixes removed elsewhere: those filtered ``rn > 1`` or
+    needed a full count, which WindowGroupLimit cannot serve).
+    Deterministic keep-first semantics (unlike ``dropDuplicates`` which
+    keeps an arbitrary row).
     """
     from pyspark.sql import Window
 

@@ -303,21 +303,27 @@ def semantic_dedup(
             .localCheckpoint(eager=True)
         )
         components = connected_components(pairs, id_a="id_a", id_b="id_b")
-        order = (
-            [F.col("cent_sim").asc(), F.col("node").asc()]
-            if keep == "outlier"
-            else [F.col("cent_sim").desc(), F.col("node").asc()]
+        # Representative per component via a MERGEABLE min-struct
+        # aggregate, not a row_number window: the drop-all-but-one
+        # filter (rk > 1) is not WindowGroupLimit-eligible, so a
+        # mega-component (thousands of near-identical docs) would sort
+        # whole inside one unsplittable window partition. min(struct)
+        # combines map-side; "central" keeps the HIGHEST cent_sim by
+        # minimizing its negation (ties fall to node asc either way —
+        # the window's exact order).
+        sort_key = (
+            F.col("cent_sim") if keep == "outlier" else -F.col("cent_sim")
         )
-        from pyspark.sql import Window
-
-        ranked = components.join(node_sims, on="node").withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("component").orderBy(*order)
-            ),
+        joined = components.join(node_sims, on="node")
+        rep = (
+            joined.groupBy("component")
+            .agg(F.min(F.struct(sort_key.alias("s"), F.col("node"))).alias("__f"))
+            .select("component", F.col("__f.node").alias("__rep"))
         )
-        drop = ranked.filter(F.col("__rk") > 1).select(
-            F.col("node").alias(id_col)
+        drop = (
+            joined.join(rep, on="component")
+            .filter(F.col("node") != F.col("__rep"))
+            .select(F.col("node").alias(id_col))
         )
     # Both inputs of `drop` are materialized (checkpointed) — the anti
     # join below recomputes nothing; its build side is the duplicate

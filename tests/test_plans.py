@@ -187,3 +187,29 @@ def test_cross_doc_repetition_mergeable_doc_frequency(spark):
     plan = executed_plan(cross_doc_repetition(docs, ngram=3))
     assert "partial_count" in plan
     assert "windowspecdefinition(__h" not in plan
+
+
+def test_rank_limited_windows_plan_partial_window_group_limit(spark):
+    """dedup_exact (rn == 1) and kmv_distinct (rn <= k) keep their
+    windows ONLY because Spark plans a Partial WindowGroupLimit before
+    the exchange — each map partition forwards at most k rows per key,
+    so hot keys collapse map-side. If a Spark upgrade ever stops
+    planning the partial limit, these operators join the keep-first
+    anti-pattern and need the min-struct-aggregate treatment."""
+    from patito_spark.operators.dedup import dedup_exact
+    from patito_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(10_000).selectExpr(
+        "concat('l', id % 5) as lang",
+        "concat('s', id % 7) as source",
+        "id as doc_id",
+    )
+    p1 = executed_plan(dedup_exact(df, subset=["lang", "source"], id_col="doc_id"))
+    assert "WindowGroupLimit" in p1 and "Partial" in p1
+
+    ev = spark.range(10_000).selectExpr(
+        "concat('t', id % 3) as event_type",
+        "concat('u', id % 1000) as user_id",
+    )
+    p2 = executed_plan(kmv_distinct(ev, "user_id", group_cols=["event_type"], k=32))
+    assert "WindowGroupLimit" in p2 and "Partial" in p2
