@@ -125,6 +125,7 @@ def duplicate_span_intervals(
     keep_first: bool = True,
     hash_mode: str = "xxhash64",
     gram_mode: str = "window",
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """Merged duplicated-run intervals per document.
 
@@ -146,10 +147,20 @@ def duplicate_span_intervals(
     split and must sort the whole hot key in one task). Gram building
     is codegen lead()-windows by default (``gram_mode`` — see
     :func:`_gram_hash_positions`).
+
+    The gram stream feeds both the stats aggregate and the join probe;
+    ``materialize_grams`` (default, the ``minhash_dedup_pairs``
+    ``materialize_shingles`` pattern) persists it so the build runs
+    once (~tokens x 16 bytes, memory-and-disk). Disable at extreme
+    scale to trade a second gram build for zero cache footprint.
     """
     grams = _gram_hash_positions(
         df, id_col, text_col, span_tokens, hash_mode, gram_mode=gram_mode
     )
+    if materialize_grams:
+        from patito_spark.functions.cache import tracked_persist
+
+        grams = tracked_persist(grams)
     stats = grams.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"),
