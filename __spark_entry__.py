@@ -1247,9 +1247,11 @@ def paragraph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc text duplication is exercised too. The oracle replays
     split/normalize/rank/reassemble in SQL (the
     test_operators_paragraphs.py replay, promoted to the driver)."""
+    from patito_spark.functions.cache import tracked_persist
     from patito_spark.operators.paragraphs import (
         dedup_paragraphs,
         drop_boilerplate_paragraphs,
+        split_paragraphs,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1262,12 +1264,15 @@ def paragraph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n\nCommon Footer Follow Us"),
         ).alias("text"),
     )
-    dedup = dedup_paragraphs(docs).select(
+    # One split feeds both modes (paragraph_rows reuse — the DuckDB
+    # oracle likewise shares one split CTE).
+    paras = tracked_persist(split_paragraphs(docs))
+    dedup = dedup_paragraphs(docs, paragraph_rows=paras).select(
         F.lit("dedup").alias("mode"), "doc_id", "text"
     )
-    boiler = drop_boilerplate_paragraphs(docs, min_docs=3).select(
-        F.lit("boiler").alias("mode"), "doc_id", "text"
-    )
+    boiler = drop_boilerplate_paragraphs(
+        docs, min_docs=3, paragraph_rows=paras
+    ).select(F.lit("boiler").alias("mode"), "doc_id", "text")
     return dedup.unionByName(boiler)
 
 

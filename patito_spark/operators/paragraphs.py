@@ -31,6 +31,8 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
@@ -111,6 +113,7 @@ def dedup_paragraphs(
     min_chars: int = 1,
     normalize: bool = True,
     drop_empty: bool = True,
+    paragraph_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Remove duplicated paragraphs, keeping each one's FIRST occurrence.
 
@@ -130,8 +133,12 @@ def dedup_paragraphs(
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
 
-    paras = split_paragraphs(
-        df, id_col, text_col, sep_pattern, min_chars, normalize
+    paras = (
+        paragraph_rows
+        if paragraph_rows is not None
+        else split_paragraphs(
+            df, id_col, text_col, sep_pattern, min_chars, normalize
+        )
     )
 
     # Keep-first is a single MERGEABLE hash aggregate: min(struct(id,
@@ -170,6 +177,7 @@ def drop_boilerplate_paragraphs(
     min_chars: int = 1,
     normalize: bool = True,
     drop_empty: bool = True,
+    paragraph_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Remove EVERY occurrence of paragraphs appearing in >= ``min_docs``
     distinct documents (navigation chrome, cookie banners, license
@@ -185,8 +193,12 @@ def drop_boilerplate_paragraphs(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
 
-    paras = split_paragraphs(
-        df, id_col, text_col, sep_pattern, min_chars, normalize
+    paras = (
+        paragraph_rows
+        if paragraph_rows is not None
+        else split_paragraphs(
+            df, id_col, text_col, sep_pattern, min_chars, normalize
+        )
     )
 
     common = (

@@ -60,7 +60,7 @@ def _gram_hash_positions(
     text_col: str,
     n: int,
     hash_mode: str,
-    gram_mode: str = "window",
+    gram_mode: str = "zip",
 ) -> DataFrame:
     """(``__id``, ``__pos``, ``__h``) — hash of the n-gram starting at
     each 0-based token position. Documents shorter than ``n`` tokens
@@ -68,20 +68,40 @@ def _gram_hash_positions(
     unlike the near-dup shingle convention, a short doc is simply
     never cut).
 
-    Two formulations, same trade as
-    :func:`..dedup.shingle_hash_rows`:
+    Three formulations:
 
-    * ``"window"`` (default) — tokens explode to rows and grams build
-      with ``lead()`` windows: all-codegen, at the cost of one
-      exchange+sort of the token stream by document. Interleaved race
-      at sf0.1/sf1: full pipeline 1.16/2.19 s vs 2.10/3.28 s for the
-      map path — the interpreted ``transform``+``slice`` lambda costs
-      ~2x the CPU the extra exchange costs (the repo's thrice-measured
-      HOF-lambda lesson, docs/perf.md).
-    * ``"map"`` — per-row interpreted lambda, ZERO exchanges before
-      the count+rank window: the fallback when the token-stream
-      exchange itself is the bottleneck (very long documents).
+    * ``"zip"`` (default, round 10) — ``arrays_zip`` of ``n`` parallel
+      token slices, posexploded and hashed: ALL codegen AND zero
+      exchanges — no per-doc sort (the window mode's cost) and no
+      interpreted lambda (the map mode's). Strictly dominates both in
+      the sf1 race (gram build 1.8 s -> 0.9 s warm); ``slice`` length
+      ``greatest(k, 0)`` makes short docs emit no rows with no
+      ``when()`` branch.
+    * ``"window"`` — tokens explode to rows and grams build with
+      ``lead()`` windows: all-codegen, at the cost of one
+      exchange+sort of the token stream by document.
+    * ``"map"`` — per-row interpreted lambda, zero exchanges: kept for
+      comparison; the HOF lambda costs ~2x the window's exchange
+      (docs/perf.md), and "zip" beats both.
     """
+    if gram_mode == "zip":
+        toks = F.split(F.col(text_col), " ")
+        k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, F.lit(j + 1), k) for j in range(n)]
+        )
+        g = F.col("__g")
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(zipped).alias("__pos", "__g"),
+        ).select(
+            "__id",
+            "__pos",
+            hash64(
+                F.concat_ws(" ", *[g.getField(str(j)) for j in range(n)]),
+                mode=hash_mode,
+            ).alias("__h"),
+        )
     if gram_mode == "map":
         toks = F.split(F.col(text_col), " ")
         k = F.size(toks) - F.lit(n - 1)
@@ -124,7 +144,7 @@ def duplicate_span_intervals(
     min_count: int = 2,
     keep_first: bool = True,
     hash_mode: str = "xxhash64",
-    gram_mode: str = "window",
+    gram_mode: str = "zip",
     materialize_grams: bool = True,
 ) -> DataFrame:
     """Merged duplicated-run intervals per document.
