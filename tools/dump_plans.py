@@ -68,11 +68,10 @@ HEADLINERS = {
         "component loop; the final step is a LEFT ANTI join against the "
         "(small) drop set."
     ),
-    "ann_ivf": (
-        "Prebuilt IVF index: the inverted file reads from "
-        "InMemoryTableScan (built once per corpus by build_ivf_index), "
-        "probes broadcast to it, WindowGroupLimit prunes the top-k "
-        "map-side."
+    "ann_search": (
+        "LSH + IVF top-k union-tagged: both methods read their prebuilt "
+        "index from InMemoryTableScan (built once per corpus), probes "
+        "broadcast to it, WindowGroupLimit prunes the top-k map-side."
     ),
     "contamination_check": (
         "Benchmark grams distinct + BroadcastExchange — the corpus gram "
@@ -80,19 +79,20 @@ HEADLINERS = {
         "(count_distinct collapses duplicates after the join)."
     ),
     "dedup_spans": (
-        "ExactSubstr intervals: codegen lead()-window gram build, then "
-        "ONE hash-partitioned window provides occurrence count AND "
-        "global first-occurrence rank; the islands windows and interval "
-        "aggregate run on the filtered duplicated candidates only — no "
-        "join, no cross product, nothing scales with pair count."
+        "ExactSubstr intervals: zero-exchange arrays_zip gram build "
+        "(codegen, no per-doc sort), occurrence count + first occurrence "
+        "as a MERGEABLE partial count/min(struct) aggregate joined back "
+        "onto the persisted gram stream (skew-splittable — no row_number "
+        "window over the gram hash); the islands windows run on "
+        "duplicated candidates only."
     ),
     "text_unigram_ppl": (
-        "Three LM operators, one slot: a single persisted unigram "
-        "vocabulary feeds DSIR's fused scoring pass (one explode, two "
-        "broadcast LM lookups, one map-side-combined per-doc aggregate) "
-        "AND the bigram scorer's backoff/denominator lookups; every LM "
-        "side is a BroadcastHashJoin, the per-doc aggregates are "
-        "partial+final, zero Python stages."
+        "Fused two-pass LM stack (lm_quality_scores): one positioned-"
+        "pair aggregate builds BOTH LMs (unigram derived from the pair "
+        "table), one scoring pass feeds the bigram lookup, both unigram "
+        "lookups and the DSIR target lookup into a single partial+final "
+        "per-doc aggregate; every LM side is a BroadcastHashJoin, zero "
+        "Python stages."
     ),
 }
 
