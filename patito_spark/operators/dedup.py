@@ -165,8 +165,17 @@ def shingle_hash_rows(
 ) -> DataFrame:
     """(``__id``, ``__h``) rows: 64-bit hash of each distinct word n-gram.
 
-    Two formulations, selected by ``gram_mode``:
+    Three formulations, selected by ``gram_mode``:
 
+    * ``"zip"`` (round 10) — ``arrays_zip`` of ``n`` parallel token
+      slices, exploded and hashed row-level: ALL codegen AND zero
+      exchanges (no per-doc lead()-window sort, no interpreted lambda
+      — the :mod:`.spans` gram-build trick). The short-doc whole-text
+      fallback falls out of ``concat_ws`` null-skipping over the
+      padded zip struct. ``distinct=True`` on this path costs a
+      dropDuplicates exchange — prefer ``distinct=False`` with a
+      duplicate-insensitive consumer (bin-min signatures, collect_set
+      verify arrays), which is how the MinHash family calls it.
     * ``"window"`` (default) — tokens explode to rows and n-grams build
       with ``lead()`` windows: everything stays codegen, at the cost of
       one exchange+sort of the token stream (partitioned by document) and,
@@ -176,11 +185,8 @@ def shingle_hash_rows(
       ZERO exchanges — ``distinct`` resolves per row via
       ``array_distinct`` (per-document distinct ≡ the (id, gram)
       distinct the window path shuffles for). Interpreted lambdas cost
-      more CPU per gram, but no shuffle: the right trade when grams feed
-      a broadcast join or map-side-combined aggregate directly.
-
-    Both orders of magnitude agree A/B at sf0.1 within ~15% for the
-    MinHash consumer (docs/perf.md); consumers choose per shape.
+      more CPU per gram, but no shuffle: kept for consumers that need
+      per-row distinct without any exchange (contamination tallies).
 
     ``hash_mode="portable"`` (md5-derived, engine-reproducible — see
     :mod:`patito_spark.functions.hashing`) lets a SQL oracle replay the
@@ -189,6 +195,27 @@ def shingle_hash_rows(
     from pyspark.sql import Window
 
     from patito_spark.functions.hashing import hash64
+
+    if gram_mode == "zip":
+        toks = F.split(F.col(text_col), " ")
+        # length max(size-n+1, 1): >= n tokens -> every gram start;
+        # shorter docs -> ONE padded struct whose concat_ws (null-
+        # skipping) is exactly the whole text — the gram_array fallback.
+        k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, F.lit(j + 1), k) for j in range(n)]
+        )
+        g = F.col("__g")
+        out = df.select(
+            F.col(id_col).alias("__id"), F.explode(zipped).alias("__g")
+        ).select(
+            "__id",
+            hash64(
+                F.concat_ws(" ", *[g.getField(str(j)) for j in range(n)]),
+                mode=hash_mode,
+            ).alias("__h"),
+        )
+        return out.dropDuplicates(["__id", "__h"]) if distinct else out
 
     if gram_mode == "map":
         # Hash INSIDE the array and distinct the hash array per row:
@@ -464,9 +491,14 @@ def minhash_dedup_pairs(
     persisted array table so the aggregate is not paid twice. Pass
     ``broadcast_verify_max_docs=None`` to force the shuffle shape.
     """
+    # gram_mode="zip" + distinct=False (round 10): the zero-exchange
+    # codegen gram build. Every consumer is duplicate-insensitive — the
+    # bin-min signature aggregate is idempotent under repeats, and the
+    # verify arrays below use collect_set — so the dedup exchange the
+    # distinct would cost is skipped entirely.
     shingle_rows = shingle_hash_rows(
         df, id_col=id_col, text_col=text_col, n=shingle_size,
-        hash_mode=hash_mode,
+        hash_mode=hash_mode, distinct=False, gram_mode="zip",
     )
     if materialize_shingles:
         shingle_rows = tracked_persist(shingle_rows)
@@ -479,7 +511,7 @@ def minhash_dedup_pairs(
         **lsh_kwargs,
     )
     toks = shingle_rows.groupBy(F.col("__id").alias("__jid")).agg(
-        F.sort_array(F.collect_list("__h")).alias("__jtokens")
+        F.array_sort(F.collect_set("__h")).alias("__jtokens")
     )
     if broadcast_verify_max_docs is not None:
         toks = tracked_persist(toks)
@@ -1020,13 +1052,14 @@ def minhash_dedup_against(
     corpus_sh = tracked_persist(
         shingle_hash_rows(
             df, id_col=id_col, text_col=text_col, n=shingle_size,
-            hash_mode=hash_mode,
+            hash_mode=hash_mode, distinct=False, gram_mode="zip",
         )
     )
     ref_sh = tracked_persist(
         shingle_hash_rows(
             reference, id_col=ref_id_col, text_col=ref_text_col,
-            n=shingle_size, hash_mode=hash_mode,
+            n=shingle_size, hash_mode=hash_mode, distinct=False,
+            gram_mode="zip",
         )
     )
 
@@ -1042,7 +1075,7 @@ def minhash_dedup_against(
         F.col("__id").alias("__rid"), "band", "bucket"
     )
     ref_toks = ref_sh.groupBy(F.col("__id").alias("__rtid")).agg(
-        F.sort_array(F.collect_list("__h")).alias("__rtokens")
+        F.array_sort(F.collect_set("__h")).alias("__rtokens")
     )
     if broadcast_reference:
         right = F.broadcast(right)
@@ -1054,7 +1087,7 @@ def minhash_dedup_against(
         .distinct()
     )
     corpus_toks = corpus_sh.groupBy(F.col("__id").alias("__ctid")).agg(
-        F.sort_array(F.collect_list("__h")).alias("__ctokens")
+        F.array_sort(F.collect_set("__h")).alias("__ctokens")
     )
     return (
         candidates.join(
