@@ -33,7 +33,7 @@ def ngram_contamination(
     min_shared: int = 1,
     hash_mode: str = "xxhash64",
     broadcast_benchmark: bool = True,
-    gram_mode: str = "window",
+    gram_mode: str = "zip",
     strategy: str = "auto",
     max_broadcast_grams: int = 2_000_000,
     bloom_fpp: float = 1e-4,

@@ -3,9 +3,9 @@
 Almost all operators are single-projection expressions (no shuffle, no
 UDF): at 100 TB each runs as a map-only stage fused into the parquet
 scan by whole-stage codegen. The one exception is
-:func:`repetition_stats`, whose winning formulation is a single
-Arrow-batched ``mapInPandas`` stage (still map-only, zero shuffles —
-see its docstring for the A/B race).
+:func:`repetition_stats`, whose gram counting pays one map-side-
+combined shuffle (the round-10 ``zip`` formulation — see its
+docstring for the A/B race).
 """
 
 from __future__ import annotations
@@ -297,7 +297,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 2,
-    gram_mode: str = "pandas",
+    gram_mode: str = "zip",
 ) -> DataFrame:
     """Gopher-style repetition metrics per document.
 
@@ -308,22 +308,24 @@ def repetition_stats(
     data pipeline (Rae et al. 2021, table A1). Documents shorter than
     ``ngram`` tokens emit no row.
 
-    Three formulations, A/B-raced at sf0.1 (docs/perf.md):
+    Four formulations, A/B-raced (docs/perf.md; sf1 race round 10):
 
-    * ``"pandas"`` (default, winner: 0.27 s vs 0.39/1.98 s) — ONE
-      Arrow-batched ``mapInPandas`` stage computing each document's gram
-      ``Counter`` in-batch: zero shuffles, no per-gram rows ever
-      materialize, embarrassingly parallel over the corpus scan (the
-      shape Gopher-style quality pipelines use in production). The
-      fractions are the same IEEE-double divisions as the aggregate
-      formulation — bit-identical output (equality-tested).
+    * ``"zip"`` (default, round 10: 0.75-0.89 s at sf1 vs 1.0-1.16 s
+      pandas) — ``arrays_zip`` of parallel token slices, exploded and
+      counted with two map-side-combined hash aggregates: all-JVM,
+      zero Python lanes, no per-doc sort, no interpreted lambda.
+      Bit-identical output to the other modes (equality-tested at sf1).
+    * ``"pandas"`` — ONE Arrow-batched ``mapInPandas`` stage computing
+      each document's gram ``Counter`` in-batch: zero shuffles, no
+      per-gram rows ever materialize. The previous default; use when
+      the gram stream's shuffle (zip mode's aggregate) is the
+      bottleneck and Python lanes are free.
     * ``"window"`` — all-JVM: tokens explode to rows, n-grams via
       ``lead()`` windows (codegen, one token-stream exchange+sort),
-      then two map-side-combined hash aggregates. No Python workers —
-      use when the cluster's Python lanes are the bottleneck.
+      then the same two aggregates.
     * ``"map"`` — per-row interpreted ``transform``/``slice`` gram
-      build + explode. Measured 4-5× slower than both at sf0.1
-      (interpreted HOF lambdas); retained for measurement only.
+      build + explode. Measured 4-5× slower (interpreted HOF lambdas);
+      retained for measurement only.
     """
     from pyspark.sql import Window
 
@@ -386,6 +388,25 @@ def repetition_stats(
                 F.col(id_col).alias("__id"),
                 F.explode(tokens(text_col)).alias("__gram"),
             )
+    elif gram_mode == "zip" and ngram > 1:
+        # arrays_zip of parallel slices (the round-10 gram-build trick):
+        # all codegen, zero exchanges, no per-doc sort. slice length
+        # greatest(k, 0) drops short docs (no whole-text fallback — the
+        # Gopher convention this operator uses).
+        toks = tokens(text_col)
+        k = F.greatest(F.size(toks) - F.lit(ngram - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, F.lit(j + 1), k) for j in range(ngram)]
+        )
+        g = F.col("__g")
+        grams = df.select(
+            F.col(id_col).alias("__id"), F.explode(zipped).alias("__g")
+        ).select(
+            "__id",
+            F.concat_ws(
+                " ", *[g.getField(str(j)) for j in range(ngram)]
+            ).alias("__gram"),
+        )
     elif ngram > 1:
         toks = df.select(
             F.col(id_col).alias("__id"),
