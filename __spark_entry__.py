@@ -864,21 +864,53 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic keyed train/test split summary, portable-hash mode —
-    the oracle SQL recomputes every row's split membership from the same
-    md5-derived fraction. Split must be disjoint and complete."""
-    from patito_spark.operators.sampling import train_test_split
+    """Deterministic sampling family, portable-hash mode, three modes
+    union-tagged in one slot (round 10 extended the former split-only
+    entry): 'split' — train/test_split membership counts; 'exact_n' —
+    sample_exact_n's 25 smallest-key-hash rows (the TakeOrdered
+    fixed-count primitive); 'weighted' — weighted_sample raw-probability
+    mode with a deterministic per-row weight (doc_id%10/10, exercising
+    the w>0 gate and the [0,1] clamp). The oracle recomputes every
+    membership from the same md5-derived hash."""
+    from patito_spark.operators.sampling import (
+        sample_exact_n,
+        train_test_split,
+        weighted_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     train, test = train_test_split(
         docs, key_col="doc_id", test_fraction=0.2, hash_mode="portable"
     )
-    return (
+    null_l = F.lit(None).cast("long")
+    split = (
         train.select(F.lit("train").alias("split"), "doc_id")
         .unionByName(test.select(F.lit("test").alias("split"), "doc_id"))
         .groupBy("split")
         .agg(F.count("*").alias("n"))
+        .select(F.lit("split").alias("mode"), "split", "n",
+                null_l.alias("doc_id"))
     )
+    exact = sample_exact_n(
+        docs, 25, key_col="doc_id", hash_mode="portable"
+    ).select(
+        F.lit("exact_n").alias("mode"),
+        F.lit(None).cast("string").alias("split"),
+        null_l.alias("n"),
+        F.col("doc_id").cast("long"),
+    )
+    weighted = weighted_sample(
+        docs.withColumn("w", (F.col("doc_id") % 10) / F.lit(10.0)),
+        weight_col="w",
+        key_col="doc_id",
+        hash_mode="portable",
+    ).select(
+        F.lit("weighted").alias("mode"),
+        F.lit(None).cast("string").alias("split"),
+        null_l.alias("n"),
+        F.col("doc_id").cast("long"),
+    )
+    return split.unionByName(exact).unionByName(weighted)
 
 
 def q_asof_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,13 +2582,23 @@ def oracle_sql() -> dict[str, str]:
         # boundary behavior are value-checked, not just disjointness.
         "sample_split_documents": f"""
             WITH f AS (
-                SELECT doc_id, {_split_frac_sql()} AS frac FROM documents
+                SELECT doc_id, {_split_frac_sql()} AS frac,
+                       {_phash_sql("(doc_id)::VARCHAR || ':42'")} AS h
+                FROM documents
             )
-            SELECT split, count(*) AS n FROM (
-                SELECT CASE WHEN frac >= 0.2 THEN 'train' ELSE 'test' END
-                           AS split
-                FROM f
-            ) GROUP BY split
+            SELECT 'split' AS mode,
+                   CASE WHEN frac >= 0.2 THEN 'train' ELSE 'test' END
+                       AS split,
+                   count(*) AS n, NULL::BIGINT AS doc_id
+            FROM f GROUP BY 2
+            UNION ALL
+            SELECT 'exact_n', NULL::VARCHAR, NULL::BIGINT, doc_id
+            FROM (SELECT doc_id FROM f ORDER BY h, doc_id LIMIT 25)
+            UNION ALL
+            SELECT 'weighted', NULL::VARCHAR, NULL::BIGINT, doc_id
+            FROM f
+            WHERE (doc_id % 10) / 10.0 > 0
+              AND frac < least((doc_id % 10) / 10.0, 1.0)
         """,
         "ann_topk": """
             WITH e AS (
