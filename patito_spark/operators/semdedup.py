@@ -311,13 +311,40 @@ def semantic_dedup(
         # combines map-side; "central" keeps the HIGHEST cent_sim by
         # minimizing its negation (ties fall to node asc either way —
         # the window's exact order).
-        sort_key = (
-            F.col("cent_sim") if keep == "outlier" else -F.col("cent_sim")
-        )
+        # Degenerate cent_sim (a zero-norm CENTROID divides 0/0) reaches
+        # here as NULL — pandas' null sentinel IS NaN, so the Arrow
+        # boundary converts — or as a genuine NaN on any non-Arrow path.
+        # The old row_number windows placed both deterministically
+        # (`cent_sim DESC`: NaN first, NULL last; ASC: NULL first, NaN
+        # last); a bare min(-cent_sim) silently flips NaN for "central"
+        # (NaN stays largest under negation) and a NULL struct field
+        # sorts FIRST in min(), flipping NULL too. An explicit rank
+        # field pins the windows' exact placement for both spellings.
+        c = F.col("cent_sim")
+        if keep == "outlier":
+            nan_rank = (
+                F.when(c.isNull(), F.lit(0))
+                .when(F.isnan(c), F.lit(2))
+                .otherwise(F.lit(1))
+            )
+            sort_key = c
+        else:
+            nan_rank = (
+                F.when(F.isnan(c), F.lit(0))
+                .when(c.isNull(), F.lit(2))
+                .otherwise(F.lit(1))
+            )
+            sort_key = -c
         joined = components.join(node_sims, on="node")
         rep = (
             joined.groupBy("component")
-            .agg(F.min(F.struct(sort_key.alias("s"), F.col("node"))).alias("__f"))
+            .agg(
+                F.min(
+                    F.struct(
+                        nan_rank.alias("r"), sort_key.alias("s"), F.col("node")
+                    )
+                ).alias("__f")
+            )
             .select("component", F.col("__f.node").alias("__rep"))
         )
         drop = (

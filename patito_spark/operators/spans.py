@@ -165,8 +165,9 @@ def duplicate_span_intervals(
     exchange, and the join-back probe side streams (AQE can split a
     skewed probe partition; a ``row_number`` window partition cannot be
     split and must sort the whole hot key in one task). Gram building
-    is codegen lead()-windows by default (``gram_mode`` — see
-    :func:`_gram_hash_positions`).
+    defaults to the zero-exchange ``arrays_zip`` slice build
+    (``gram_mode="zip"`` — see :func:`_gram_hash_positions`; ``"lead"``
+    keeps the codegen lead()-window build as the fallback).
 
     The gram stream feeds both the stats aggregate and the join probe;
     ``materialize_grams`` (default, the ``minhash_dedup_pairs``

@@ -1148,12 +1148,21 @@ def lm_quality_scores(
     bi = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
         F.col("__w_prev"), F.col("__w"), F.col("__pair_n").alias("__bi_n")
     )
-    if max_bigrams is not None:
+    # Exact bigram row count for the broadcast gate: the unigram vocab
+    # size v is NOT a safe proxy here — bi can hold up to max_bigrams
+    # (default 4M) rows, double the default broadcast cap, while v sits
+    # under it. pair_counts is persisted, so this count is one cheap
+    # aggregate over cached partitions, not a pipeline recompute (the
+    # reason bigram_logloss, which has no persisted pair table, settles
+    # for the proxy).
+    n_bi = bi.count()
+    if max_bigrams is not None and n_bi > max_bigrams:
         bi = bi.orderBy(
             F.col("__bi_n").desc(),
             F.col("__w_prev").asc(),
             F.col("__w").asc(),
         ).limit(max_bigrams)
+        n_bi = max_bigrams
 
     def _side(frame: DataFrame, rows: int) -> DataFrame:
         return F.broadcast(frame) if rows <= max_broadcast_vocab else frame
@@ -1162,7 +1171,7 @@ def lm_quality_scores(
                              F.col("count").alias("__uni_n")), v)
     uni_prev = _side(uni.select(F.col("token").alias("__w_prev"),
                                 F.col("count").alias("__prev_n")), v)
-    bi_side = _side(bi, v)
+    bi_side = _side(bi, n_bi)
 
     scored = (
         positioned.join(bi_side, on=["__w_prev", "__w"], how="left")
@@ -1249,6 +1258,7 @@ def cross_doc_repetition(
     min_docs: int = 2,
     hash_mode: str = "xxhash64",
     df_mode: str = "aggregate",
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """Per-document fraction of n-grams shared with OTHER documents.
 
@@ -1278,6 +1288,14 @@ def cross_doc_repetition(
     single-node corpora, but the window buffers each gram's partition
     whole — a hot gram becomes an unsplittable straggler at scale.
     Nothing is broadcast, so large corpora don't OOM the driver.
+
+    In aggregate mode the gram stream feeds both the doc-frequency
+    aggregate and the join probe; ``materialize_grams`` (default, the
+    :func:`..spans.duplicate_span_intervals` pattern) persists it so
+    the gram build runs once (~distinct grams x 16 bytes,
+    memory-and-disk). Disable at extreme scale to trade a second gram
+    build for zero cache footprint. Window mode consumes the stream
+    once and ignores the flag.
     """
     from patito_spark.operators.dedup import shingle_hash_rows
 
@@ -1289,6 +1307,10 @@ def cross_doc_repetition(
         df, id_col=id_col, text_col=text_col, n=ngram,
         hash_mode=hash_mode, distinct=True, gram_mode="map",
     )
+    if df_mode == "aggregate" and materialize_grams:
+        from patito_spark.functions.cache import tracked_persist
+
+        grams = tracked_persist(grams)
     if df_mode == "window":
         from pyspark.sql import Window
 

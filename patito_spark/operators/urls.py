@@ -148,18 +148,23 @@ def dedup_urls(
     if keep == "any":
         out = with_key.dropDuplicates([key])
     else:
-        # Keep-min is a MERGEABLE hash aggregate: min(struct(id, *row))
-        # per canonical key (id first so the struct ordering is by id,
-        # remaining columns make ties deterministic). Map-side partial
-        # combine collapses a hot canonical URL to one row per map task
-        # before the exchange; a row_number window would sort the whole
-        # hot key inside one unsplittable partition.
+        # Keep-min is a MERGEABLE hash aggregate: min_by(struct(*row),
+        # id) per canonical key. min_by compares ONLY the id, so the
+        # carried struct may hold unorderable columns (MapType fetch
+        # metadata is a common crawl-row shape — min(struct(*row))
+        # would fail analysis on it). Map-side partial combine
+        # collapses a hot canonical URL to one row per map task before
+        # the exchange; a row_number window would sort the whole hot
+        # key inside one unsplittable partition. Determinism requires
+        # id_col to be unique per row (ties on id keep an arbitrary
+        # row, same as the pre-round-10 window ordered by id alone).
         cols = with_key.columns
-        ordered = [id_col] + [c for c in cols if c != id_col]
         out = (
             with_key.groupBy(key)
             .agg(
-                F.min(F.struct(*[F.col(c) for c in ordered])).alias("__f")
+                F.min_by(
+                    F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+                ).alias("__f")
             )
             .select([F.col(f"__f.{c}").alias(c) for c in cols])
         )

@@ -959,3 +959,68 @@ def test_lm_quality_scores_bigram_cap_matches_capped_oracle(spark):
     }
     for d, f in capped.items():
         assert f["bigram_ce"] == pytest.approx(oracle[d]["cross_entropy"], rel=1e-9)
+
+
+def test_lm_quality_bigram_gate_counts_pairs_not_vocab(spark):
+    """The bigram broadcast gate must use the ACTUAL pair-table row
+    count: the unigram vocab size is not a safe proxy (bi can hold up
+    to max_bigrams rows — 2x the default broadcast cap). With the cap
+    between v and n_bi, only the two unigram sides may carry a
+    broadcast hint; values must match the fully-broadcast plan."""
+    rows = [
+        (d, " ".join("abcd"[(d * 7 + i * i * 3) % 4] for i in range(12)))
+        for d in range(8)
+    ]  # v = 4 unique tokens, 8 distinct ordered bigram pairs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_hints(out):
+        return out._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    # v = 4 unique tokens; distinct ordered pairs > 4. Cap at 4: unigram
+    # sides broadcast, bigram side must not.
+    gated = ops.lm_quality_scores(docs, max_broadcast_vocab=4)
+    assert n_hints(gated) == 2
+    full = ops.lm_quality_scores(docs, max_broadcast_vocab=1_000)
+    assert n_hints(full) == 3
+
+    g = {r.doc_id: r for r in gated.collect()}
+    f = {r.doc_id: r for r in full.collect()}
+    assert set(g) == set(f)
+    for k in g:
+        assert g[k].n_tokens == f[k].n_tokens
+        assert g[k].bigram_ce == pytest.approx(f[k].bigram_ce, rel=1e-12)
+        assert g[k].cross_entropy == pytest.approx(
+            f[k].cross_entropy, rel=1e-12
+        )
+
+
+def test_cross_doc_repetition_materializes_gram_stream(spark):
+    """df_mode='aggregate' feeds the gram stream to both the
+    doc-frequency aggregate and the join probe; materialize_grams
+    (default) persists it so the expensive gram build runs once."""
+    from patito_spark.functions.cache import release_caches
+    from patito_spark.plans import executed_plan
+
+    rows = [
+        (d, " ".join(f"w{(d * 3 + i * 5) % 40}" for i in range(12)))
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        # Inspect the unmaterialized variant FIRST: once the default has
+        # persisted the gram subtree, Spark's cache manager substitutes
+        # the InMemoryRelation into any later identical plan.
+        off = ops.cross_doc_repetition(df, ngram=3, materialize_grams=False)
+        assert "InMemoryTableScan" not in executed_plan(off)
+        # window mode consumes the stream once; the flag is a no-op there
+        win = ops.cross_doc_repetition(df, ngram=3, df_mode="window")
+        assert "InMemoryTableScan" not in executed_plan(win)
+        out = ops.cross_doc_repetition(df, ngram=3)
+        assert "InMemoryTableScan" in executed_plan(out)
+        got = {r.doc_id: r.shared_gram_frac for r in out.collect()}
+        want = {r.doc_id: r.shared_gram_frac for r in off.collect()}
+        assert got == want
+    finally:
+        release_caches()

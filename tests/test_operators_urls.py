@@ -174,3 +174,21 @@ class TestFilterUrls:
         )
         out = filter_urls(df, drop_extensions=("PDF",))
         assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_dedup_urls_with_unorderable_metadata_column(spark):
+    """keep='min_id' compares only the id (min_by), so rows may carry
+    unorderable columns — MapType fetch metadata is a common crawl-row
+    shape that a min(struct(*row)) aggregate rejects at analysis."""
+    df = spark.createDataFrame(
+        [
+            (2, "https://example.com/a?utm_source=x", {"ip": "1.2.3.4"}),
+            (1, "https://www.example.com/a", {"ip": "5.6.7.8"}),
+            (3, "https://other.com/b", {"ip": "9.9.9.9"}),
+        ],
+        schema="doc_id long, url string, fetch_meta map<string,string>",
+    )
+    out = sorted(dedup_urls(df, keep="min_id").collect(), key=lambda r: r.doc_id)
+    assert [r.doc_id for r in out] == [1, 3]
+    assert out[0].fetch_meta == {"ip": "5.6.7.8"}
+    assert out[0].url == "https://www.example.com/a"

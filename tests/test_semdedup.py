@@ -205,3 +205,39 @@ def _n_components(pairs):
             parent[rb] = ra
     nodes = {n for p in pairs for n in p}
     return len({find(n) for n in nodes})
+
+
+def test_zero_centroid_nan_cent_sim_deterministic(spark):
+    """A zero-norm CENTROID makes cent_sim NaN for every member of its
+    cell (0/0 in the cosine); the keep rules must still pick the
+    window-era representative (NaN ranks as the old `cent_sim DESC`
+    placement, ties -> min node) instead of erroring or going
+    nondeterministic. Reachable via caller-fixed centroids + l2
+    assignment; per-node NaN (zero-norm member) cannot reach the keep
+    rule because its pair cosines are NaN and fail the threshold."""
+    eps = 1e-3
+    rows = [
+        (1, [eps, 0.0, 0.0, 0.0]),
+        (2, [eps, eps * 1e-4, 0.0, 0.0]),
+        (3, [eps, 0.0, eps * 1e-4, 0.0]),
+        (10, [5.0, 5.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [5.0, 5.0, 5.0, 5.0])],
+        schema="vec_id long, embedding array<double>",
+    )
+    idx = build_ivf_index(df, centroids_df=cents, assign_metric="l2")
+    pairs = semantic_dedup_pairs(df, threshold=0.99, index=idx)
+    got = pairs.collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2), (1, 3), (2, 3)}
+    # The NaN crosses the Arrow boundary as NULL (pandas' null sentinel
+    # IS NaN); the keep rule must tolerate both spellings.
+    assert all(
+        r.cent_sim_a is None or np.isnan(r.cent_sim_a) for r in got
+    )
+    for keep in ("central", "outlier", "min_id"):
+        out = semantic_dedup(df, threshold=0.99, keep=keep, index=idx)
+        assert {r.vec_id for r in out.select("vec_id").collect()} == {1, 10}
