@@ -68,6 +68,15 @@ def _rebuild_docs(
             ).getField("paragraph"),
         ).alias("__rebuilt")
     )
+    if drop_empty and set(df.columns) == {id_col, text_col}:
+        # The frame carries nothing beyond (id, text): the reassembly
+        # aggregate already IS the result — docs that lost every
+        # paragraph (or never had one) are simply absent from
+        # `rebuilt`, exactly the drop_empty contract, so the join-back
+        # would only re-derive the same rows through an extra shuffle.
+        return rebuilt.select(
+            F.col(id_col), F.col("__rebuilt").alias(text_col)
+        ).select(*df.columns)
     how = "inner" if drop_empty else "left"
     out = (
         df.drop(text_col)

@@ -39,7 +39,13 @@ from typing import Iterable, Iterator, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_warc", "read_warc_stream", "parse_warc_bytes"]
+__all__ = [
+    "read_warc",
+    "read_warc_stream",
+    "read_wet",
+    "read_wet_stream",
+    "parse_warc_bytes",
+]
 
 _SCHEMA = T.StructType(
     [
@@ -119,6 +125,8 @@ def parse_warc_bytes(
                 http_ctype = _parse_headers(header_rest).get("content-type")
                 payload = block[env_end + 4 :]
         truncated = len(payload) > max_payload_bytes
+        # refers_to / content_language ride along for the WET reader
+        # (absent from the WARC _SCHEMA, so the WARC path drops them).
         yield {
             "warc_file": warc_file,
             "record_id": headers.get("warc-record-id"),
@@ -131,6 +139,10 @@ def parse_warc_bytes(
             "payload": payload[:max_payload_bytes],
             "payload_length": len(payload),
             "truncated": truncated,
+            "refers_to": headers.get("warc-refers-to"),
+            "content_language": headers.get(
+                "warc-identified-content-language"
+            ),
         }
 
 
@@ -219,6 +231,138 @@ def read_warc(
     return files.mapInPandas(
         _make_parse_fn(record_types, max_payload_bytes, batch_rows),
         schema=_SCHEMA,
+    )
+
+
+_WET_SCHEMA = T.StructType(
+    [
+        T.StructField("wet_file", T.StringType(), False),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("refers_to", T.StringType(), True),
+        T.StructField("content_language", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("text_length", T.LongType(), True),
+        T.StructField("truncated", T.BooleanType(), False),
+    ]
+)
+
+
+def _parse_wet_bytes(
+    data: bytes, wet_file: str, max_payload_bytes: int
+) -> Iterator[dict]:
+    """WET records from decompressed bytes: a WET file IS a WARC file
+    whose ``conversion`` records carry the pre-extracted page text as a
+    UTF-8 ``text/plain`` payload. Reuses :func:`parse_warc_bytes` for
+    the framing; surfaces the WET-specific headers (``WARC-Refers-To``
+    — the source response record — and Common Crawl's
+    ``WARC-Identified-Content-Language``)."""
+    for rec in parse_warc_bytes(
+        data,
+        warc_file=wet_file,
+        record_types=("conversion",),
+        max_payload_bytes=max_payload_bytes,
+    ):
+        yield {
+            "wet_file": rec["warc_file"],
+            "record_id": rec["record_id"],
+            "target_uri": rec["target_uri"],
+            "warc_date": rec["warc_date"],
+            "refers_to": rec["refers_to"],
+            "content_language": rec["content_language"],
+            "text": rec["payload"].decode("utf-8", "replace"),
+            "text_length": rec["payload_length"],
+            "truncated": rec["truncated"],
+        }
+
+
+def _make_wet_parse_fn(max_payload_bytes: int, batch_rows: int):
+    import pandas as pd
+
+    def parse(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = _maybe_gunzip(fpath, bytes(content))
+                rows: list = []
+                for rec in _parse_wet_bytes(data, fpath, max_payload_bytes):
+                    rows.append(rec)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=_WET_SCHEMA.names)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=_WET_SCHEMA.names)
+
+    return parse
+
+
+def read_wet(
+    path: str,
+    glob: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    max_payload_bytes: int = 2_000_000,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Read Common-Crawl ``.wet`` / ``.wet.gz`` archives as one TEXT row
+    per page.
+
+    WET is the pre-extracted sidecar most public corpus recipes start
+    from (CCNet, C4, RefinedWeb all begin at WET or an equivalent):
+    WARC framing, one ``conversion`` record per fetched page, payload =
+    the page's extracted plain text. Rows arrive ready for the text
+    pipeline — ``target_uri`` feeds :func:`..operators.urls.filter_urls`
+    / ``dedup_urls``, ``text`` feeds ``prepare_training_corpus`` with
+    no HTML-extraction stage.
+
+    Schema: ``wet_file, record_id, target_uri, warc_date, refers_to,
+    content_language, text, text_length, truncated``. Decoding is
+    UTF-8-with-replacement (the WET contract is UTF-8; damaged bytes
+    cost characters, not records). Same per-FILE parallelism and
+    executor-memory sizing as :func:`read_warc`.
+    """
+    from patito_spark.sources.readers import read_binary_files
+
+    files = read_binary_files(
+        path, glob=glob, spark=spark, with_metadata=False
+    ).select("path", "content")
+    return files.mapInPandas(
+        _make_wet_parse_fn(max_payload_bytes, batch_rows),
+        schema=_WET_SCHEMA,
+    )
+
+
+def read_wet_stream(
+    path: str,
+    glob: Optional[str] = None,
+    spark: Optional[SparkSession] = None,
+    max_payload_bytes: int = 2_000_000,
+    batch_rows: int = 256,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming :func:`read_wet`: new WET archives become text rows as
+    they land (the crawl-as-it-arrives front of the streaming admission
+    chain — see :func:`read_warc_stream` for checkpoint/trigger
+    semantics)."""
+    from patito_spark.sources.readers import _session
+
+    spark = _session(spark)
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("modificationTime", T.TimestampType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(
+        _make_wet_parse_fn(max_payload_bytes, batch_rows),
+        schema=_WET_SCHEMA,
     )
 
 

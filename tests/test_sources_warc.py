@@ -203,3 +203,128 @@ def test_truncated_gzip_member_keeps_decoded_records(spark, tmp_path):
     (d / "u.warc.gz").write_bytes(good + b"not gzip at all")
     rows2 = read_warc(str(d), glob="u.warc.gz", spark=spark).collect()
     assert [r["target_uri"] for r in rows2] == ["http://ok.example/"]
+
+
+def _wet_record(uri, text, record_id="<urn:uuid:w1>", lang=None):
+    extra = ["WARC-Refers-To: <urn:uuid:source-" + record_id.strip("<>") + ">",
+             "Content-Type: text/plain"]
+    if lang:
+        extra.append("WARC-Identified-Content-Language: " + lang)
+    return _record("conversion", uri, text.encode("utf-8"),
+                   record_id=record_id, http=False, extra_headers=extra)
+
+
+def _wet_bytes():
+    return (
+        _record("warcinfo", None, b"software: test-wet\r\n")
+        + _wet_record("http://a.example/page", "Hello paragraph one.\n\n"
+                      "Second paragraph with more words here.",
+                      record_id="<urn:uuid:w1>", lang="eng")
+        + _wet_record("http://b.example/other", "Ein anderes Dokument mit "
+                      "genug Text zum Behalten im Korpus.",
+                      record_id="<urn:uuid:w2>", lang="deu")
+    )
+
+
+def test_read_wet_records_plain_and_gzip(spark, tmp_path):
+    from patito_spark.sources.warc import read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "a.warc.wet").write_bytes(_wet_bytes())
+    members = b"".join(
+        gzip.compress(_wet_record(f"http://gz{i}.example/", f"gz text {i}",
+                                  record_id=f"<urn:uuid:g{i}>", lang="eng"))
+        for i in range(3)
+    )
+    (d / "b.warc.wet.gz").write_bytes(members)
+
+    rows = read_wet(str(d), spark=spark).collect()
+    assert len(rows) == 5  # warcinfo filtered; 2 plain + 3 gzip conversions
+    by_uri = {r["target_uri"]: r for r in rows}
+    a = by_uri["http://a.example/page"]
+    assert a["text"].startswith("Hello paragraph one.")
+    assert a["content_language"] == "eng"
+    assert a["refers_to"] == "<urn:uuid:source-urn:uuid:w1>"
+    assert by_uri["http://b.example/other"]["content_language"] == "deu"
+    assert by_uri["http://gz2.example/"]["text"] == "gz text 2"
+    assert all(not r["truncated"] for r in rows)
+    # WARC reader on the same file keeps the payload as bytes
+    from patito_spark.sources.warc import read_warc
+
+    warc_rows = read_warc(str(d), glob="a.warc.wet", spark=spark,
+                          record_types=("conversion",)).collect()
+    assert {bytes(r["payload"]).decode() for r in warc_rows} == {
+        r["text"] for r in rows if r["wet_file"].endswith("a.warc.wet")
+    }
+
+
+def test_read_wet_truncation_and_bad_utf8(spark, tmp_path):
+    from patito_spark.sources.warc import read_wet
+
+    d = tmp_path / "wet-trunc"
+    d.mkdir()
+    body = b"ok \xff\xfe broken utf8 " + b"x" * 500
+    rec = _record("conversion", "http://t.example/", body, http=False)
+    (d / "t.warc.wet").write_bytes(rec)
+    (row,) = read_wet(str(d), spark=spark, max_payload_bytes=100).collect()
+    assert row["truncated"] is True
+    assert row["text_length"] == len(body)
+    assert "�" in row["text"]  # replacement, not a crash
+    assert len(row["text"]) <= 100
+
+
+def test_read_wet_feeds_training_pipeline(spark, tmp_path):
+    """The WET promise: rows go straight into prepare_training_corpus
+    with no HTML-extraction stage — e2e from synthesized .wet.gz."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.pipeline import prepare_training_corpus
+    from patito_spark.sources.warc import read_wet
+
+    d = tmp_path / "wet-e2e"
+    d.mkdir()
+    long_text = ("useful sentence with several words repeated nowhere "
+                 "else in this corpus number %d and then some filler")
+    members = b"".join(
+        gzip.compress(_wet_record(f"https://site{i}.example/p", long_text % i,
+                                  record_id=f"<urn:uuid:e{i}>", lang="eng"))
+        for i in range(4)
+    )
+    # an exact duplicate of doc 0 under a different URI, to be deduped
+    members += gzip.compress(_wet_record("https://mirror.example/p",
+                                         long_text % 0,
+                                         record_id="<urn:uuid:dup>",
+                                         lang="eng"))
+    (d / "crawl.warc.wet.gz").write_bytes(members)
+
+    docs = read_wet(str(d), spark=spark).select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "text",
+    )
+    out = prepare_training_corpus(docs, min_tokens=5, dedup_threshold=0.7)
+    kept = out["documents"].collect()
+    assert len(kept) == 4  # the mirror duplicate collapsed
+    assert {r["doc_id"] for r in kept} <= {f"<urn:uuid:e{i}>" for i in range(4)} | {"<urn:uuid:dup>"}
+    assert all(r["url"] for r in kept)  # non-text columns preserved
+
+
+def test_read_wet_stream_available_now(spark, tmp_path):
+    from patito_spark.sources.warc import read_wet_stream
+
+    d = tmp_path / "wet-stream"
+    d.mkdir()
+    (d / "a.warc.wet").write_bytes(_wet_bytes())
+    stream = read_wet_stream(str(d), spark=spark)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory").queryName("wet_stream_sink")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wet-ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wet_stream_sink").collect()
+    assert {r["target_uri"] for r in rows} == {
+        "http://a.example/page", "http://b.example/other"}
