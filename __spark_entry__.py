@@ -1279,12 +1279,7 @@ def paragraph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc text duplication is exercised too. The oracle replays
     split/normalize/rank/reassemble in SQL (the
     test_operators_paragraphs.py replay, promoted to the driver)."""
-    from patito_spark.functions.cache import tracked_persist
-    from patito_spark.operators.paragraphs import (
-        dedup_paragraphs,
-        drop_boilerplate_paragraphs,
-        split_paragraphs,
-    )
+    from patito_spark.operators.paragraphs import paragraph_passes
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1296,16 +1291,14 @@ def paragraph_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n\nCommon Footer Follow Us"),
         ).alias("text"),
     )
-    # One split feeds both modes (paragraph_rows reuse — the DuckDB
-    # oracle likewise shares one split CTE).
-    paras = tracked_persist(split_paragraphs(docs))
-    dedup = dedup_paragraphs(docs, paragraph_rows=paras).select(
-        F.lit("dedup").alias("mode"), "doc_id", "text"
+    # The fused dual-pass operator (round 11): one split, one stacked
+    # mergeable stats aggregate serving BOTH verdicts, one shared
+    # (mode, id) reassembly shuffle — row-identical to composing
+    # dedup_paragraphs + drop_boilerplate_paragraphs (equivalence
+    # pinned in tests/test_operators_paragraphs.py).
+    return paragraph_passes(docs, min_docs=3).select(
+        "mode", "doc_id", "text"
     )
-    boiler = drop_boilerplate_paragraphs(
-        docs, min_docs=3, paragraph_rows=paras
-    ).select(F.lit("boiler").alias("mode"), "doc_id", "text")
-    return dedup.unionByName(boiler)
 
 
 def mix_corpora_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

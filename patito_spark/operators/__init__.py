@@ -27,6 +27,7 @@ from patito_spark.operators import (
     temporal,
     text,
     timeseries,
+    tokenizer,
     urls,
 )
 
@@ -52,5 +53,6 @@ __all__ = [
     "temporal",
     "text",
     "timeseries",
+    "tokenizer",
     "urls",
 ]

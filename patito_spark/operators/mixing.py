@@ -34,6 +34,27 @@ from patito_spark.operators.sampling import _hash_fraction
 __all__ = ["mix_corpora", "mixture_stats", "temperature_weights"]
 
 
+def _token_count_col(mode, text_col: str):
+    """Resolve a ``token_count_mode`` into a count Column.
+
+    ``"whitespace"`` (default) and ``"bpe_ish"`` are the codegen
+    heuristics; a callable receives ``text_col`` and returns a Column;
+    any other string names a PRECOMPUTED count column — e.g.
+    ``tokenizer.with_bpe_token_count``'s output, which prices the
+    budget in real model tokens (run the tokenizer pass first, then
+    ``mix_corpora(..., token_count_mode="n_bpe_tokens")``).
+    """
+    from patito_spark.operators.text import bpe_ish_token_count, token_count
+
+    if callable(mode):
+        return mode(text_col)
+    if mode == "whitespace":
+        return token_count(text_col)
+    if mode == "bpe_ish":
+        return bpe_ish_token_count(text_col)
+    return F.col(mode)
+
+
 def mix_corpora(
     corpora: Mapping[str, DataFrame],
     weights: Mapping[str, float],
@@ -44,6 +65,7 @@ def mix_corpora(
     doc_weight_col: Optional[str] = None,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    token_count_mode="whitespace",
 ) -> dict:
     """Sample each domain so expected token counts match the weights.
 
@@ -52,8 +74,17 @@ def mix_corpora(
             ``id_col`` and ``text_col``.
         weights: relative mixture weights per domain (normalized
             internally; every corpus key must be present).
-        token_budget: total token target for the mixture (whitespace
-            tokens, the same ``token_count`` the quality gates use).
+        token_budget: total token target for the mixture, in the units
+            ``token_count_mode`` selects (default: whitespace tokens,
+            the same ``token_count`` the quality gates use).
+        token_count_mode: how a document's token count is computed —
+            ``"whitespace"`` (default) or ``"bpe_ish"`` (both codegen
+            heuristics), a callable ``text_col -> Column``, or the NAME
+            of a precomputed count column. For budgets in REAL model
+            tokens, run :func:`..tokenizer.with_bpe_token_count` over
+            each corpus first and pass its ``out_col`` here — the plan's
+            totals/targets and the partial-epoch token mass all price in
+            that unit.
         allow_repeat: when a domain has fewer tokens than its share,
             repeat it (epochs, Pile-style). With ``allow_repeat=False``
             the domain is capped at one full epoch and the mixture
@@ -83,8 +114,6 @@ def mix_corpora(
       full copies, ``remainder_fraction``): the materialized sampling
       decisions, ready for a dataset card.
     """
-    from patito_spark.operators.text import token_count
-
     if set(corpora) != set(weights):
         raise ValueError(
             f"corpora keys {sorted(corpora)} != weight keys {sorted(weights)}"
@@ -104,13 +133,12 @@ def mix_corpora(
         target = share * token_budget
         # One blocking aggregate per domain: token total, plus (on the
         # weighted path) the weight-x-tokens mass in the same scan.
-        aggs = [F.sum(token_count(text_col)).alias("t")]
+        tc = _token_count_col(token_count_mode, text_col)
+        aggs = [F.sum(tc).alias("t")]
         if doc_weight_col is not None:
             w = F.col(doc_weight_col).cast("double")
             aggs.append(
-                F.sum(
-                    F.when(w > 0, w * token_count(text_col)).otherwise(0.0)
-                ).alias("wt")
+                F.sum(F.when(w > 0, w * tc).otherwise(0.0)).alias("wt")
             )
         stats = df.agg(*aggs).first()
         total_tokens = stats["t"] or 0
@@ -228,6 +256,7 @@ def mixture_stats(
     mixed: DataFrame,
     source_col: str = "mix_source",
     text_col: str = "text",
+    token_count_mode="whitespace",
 ) -> DataFrame:
     """Realized composition of a :func:`mix_corpora` output.
 
@@ -237,6 +266,9 @@ def mixture_stats(
     Returns one row per source: ``n_rows`` (selected copies, epochs
     included), ``n_tokens``, ``token_share``, ``row_share``, and
     ``n_epochs`` (when the ``epoch`` column is present).
+    ``token_count_mode`` follows :func:`mix_corpora` — pass the same
+    mode the mixture was built with so the realized shares are in the
+    plan's units.
 
     One hash aggregate over the mixture; the share columns are a
     window over the AGGREGATED frame (one row per domain — the
@@ -244,11 +276,11 @@ def mixture_stats(
     """
     from pyspark.sql import Window
 
-    from patito_spark.operators.text import token_count
-
     aggs = [
         F.count("*").alias("n_rows"),
-        F.sum(token_count(text_col)).alias("n_tokens"),
+        F.sum(_token_count_col(token_count_mode, text_col)).alias(
+            "n_tokens"
+        ),
     ]
     if "epoch" in mixed.columns:
         aggs.append((F.max("epoch") + F.lit(1)).alias("n_epochs"))

@@ -39,6 +39,7 @@ __all__ = [
     "split_paragraphs",
     "dedup_paragraphs",
     "drop_boilerplate_paragraphs",
+    "paragraph_passes",
 ]
 
 
@@ -218,3 +219,115 @@ def drop_boilerplate_paragraphs(
     )
     kept = paras.join(common, on="para_key", how="left_anti")
     return _rebuild_docs(df, kept, id_col, text_col, join_sep, drop_empty)
+
+
+def paragraph_passes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_pattern: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    min_docs: int = 3,
+    min_chars: int = 1,
+    normalize: bool = True,
+    drop_empty: bool = True,
+    paragraph_rows: Optional[DataFrame] = None,
+    mode_col: str = "mode",
+) -> DataFrame:
+    """Both INDEPENDENT paragraph views of a corpus in one fused plan:
+    ``mode='dedup'`` rows are :func:`dedup_paragraphs` (corpus scope)
+    output, ``mode='boiler'`` rows are
+    :func:`drop_boilerplate_paragraphs` output — row-identical to
+    composing the two operators, tagged by ``mode_col``.
+
+    The use case is the side-by-side attrition report (what would each
+    policy do to this corpus?) where running the operators separately
+    pays the paragraph machinery twice. Here:
+
+    * ONE per-key stats pass serves both verdicts, as two stacked
+      MERGEABLE aggregates: ``(para_key, id)`` first (a web-ubiquitous
+      paragraph splits across docs in this exchange, so no hot single
+      key), then ``para_key`` — yielding the keep-first winner
+      (``min(struct(id, para_idx, paragraph))``, the
+      :func:`dedup_paragraphs` rule) AND the exact distinct-doc count
+      (level-1 collapsed (key, id) to one row, so level-2 ``count(*)``
+      IS ``count_distinct(id)``) with no Expand and no unsplittable
+      window.
+    * the dedup survivors are a projection of the stats (no join); the
+      boilerplate survivors anti-join the paragraph stream against the
+      ``n_docs >= min_docs`` keys (sized by the boilerplate count —
+      broadcastable in the common case);
+    * both survivor streams union (free) into ONE reassembly aggregate
+      keyed ``(mode, id)`` — a single shuffle rebuilds both corpora.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    paras = (
+        paragraph_rows
+        if paragraph_rows is not None
+        else split_paragraphs(
+            df, id_col, text_col, sep_pattern, min_chars, normalize
+        )
+    )
+
+    per_doc = paras.groupBy("para_key", id_col).agg(
+        F.min(F.struct("para_idx", "paragraph")).alias("__d")
+    )
+    stats = per_doc.groupBy("para_key").agg(
+        F.min(
+            F.struct(
+                F.col(id_col),
+                F.col("__d.para_idx").alias("para_idx"),
+                F.col("__d.paragraph").alias("paragraph"),
+            )
+        ).alias("__f"),
+        F.count(F.lit(1)).alias("__n_docs"),
+    )
+    from patito_spark.functions.cache import tracked_persist
+
+    stats = tracked_persist(stats)
+
+    dedup_kept = stats.select(
+        F.col(f"__f.{id_col}").alias(id_col),
+        F.col("__f.para_idx").alias("para_idx"),
+        F.col("__f.paragraph").alias("paragraph"),
+    ).withColumn("__mode", F.lit("dedup"))
+    common = stats.filter(F.col("__n_docs") >= min_docs).select("para_key")
+    boiler_kept = (
+        paras.join(common, on="para_key", how="left_anti")
+        .select(id_col, "para_idx", "paragraph")
+        .withColumn("__mode", F.lit("boiler"))
+    )
+    kept = dedup_kept.unionByName(boiler_kept)
+
+    rebuilt = kept.groupBy("__mode", id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "paragraph"))
+            ).getField("paragraph"),
+        ).alias("__rebuilt")
+    )
+    if drop_empty and set(df.columns) == {id_col, text_col}:
+        out = rebuilt.select(
+            F.col("__mode").alias(mode_col),
+            F.col(id_col),
+            F.col("__rebuilt").alias(text_col),
+        )
+        return out.select(mode_col, *df.columns)
+    how = "inner" if drop_empty else "left"
+    modes = df.sparkSession.createDataFrame(
+        [("dedup",), ("boiler",)], f"{mode_col} string"
+    )
+    out = (
+        df.drop(text_col)
+        .crossJoin(F.broadcast(modes))
+        .join(
+            rebuilt.withColumnRenamed("__mode", mode_col),
+            on=[mode_col, id_col],
+            how=how,
+        )
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
+    )
+    return out.select(mode_col, *df.columns)

@@ -1076,11 +1076,13 @@ def lm_quality_scores(
        from a second corpus scan, and the bigram LM is the
        ``prev IS NOT NULL`` slice of the same table (top-``max_bigrams``
        by count, ties bytewise, the :func:`build_bigram_lm` contract).
-    2. **One scoring pass**: the positioned stream again, feeding the
-       bigram lookup, the unigram lookup on ``w`` (which serves BOTH
-       the unigram cross-entropy and the bigram backoff), the unigram
-       lookup on ``prev`` (the backoff denominator) and the optional
-       target-LM lookup, then a single per-document aggregate.
+    2. **One scoring pass with ONE lookup join**: every per-token value
+       (unigram NLL, bigram stupid-backoff NLL, target NLL) is a pure
+       function of the (prev, w) pair, so the NLLs are computed once
+       per DISTINCT pair on the pair table itself — O(pairs) join work
+       instead of O(tokens) — and the positioned corpus stream joins
+       that fused score table exactly once (null-safe on ``prev`` for
+       document-initial tokens), then one per-document aggregate.
 
     The target LM (when ``target`` is given) is a separate
     :func:`build_vocab` over the target corpus — targets are small
@@ -1139,23 +1141,29 @@ def lm_quality_scores(
         .agg(F.sum("__pair_n").alias("count"))
         .select(F.col("__w").alias("token"), "count")
     )
-    totals = uni.agg(
-        F.sum("count").alias("t"), F.count("*").alias("v")
+    # ONE action computes every scalar this function needs — the token
+    # total and vocab size (smoothing denominator) AND the exact row
+    # counts for the broadcast gates (v is NOT a safe proxy for the
+    # bigram side: bi can hold up to max_bigrams = 2x the default
+    # broadcast cap while v sits under it, nor for the fused score
+    # table below). It doubles as pair_counts' cache materialization.
+    # Driver actions are serial round trips — at sf1 each costs ~0.3 s
+    # of scheduling regardless of data size, so the previous
+    # three-action ladder (persist count, uni totals, gate counts) was
+    # pure latency.
+    stats = pair_counts.agg(
+        F.sum("__pair_n").alias("t"),
+        F.count_distinct("__w").alias("v"),
+        F.count("*").alias("np"),
+        F.count("__w_prev").alias("nb"),
     ).first()
-    total, v = totals["t"] or 0, totals["v"]
+    total, v = stats["t"] or 0, stats["v"]
+    n_pairs, n_bi = stats["np"], stats["nb"]
     denom = float(total) + smoothing_k * (v + 1)
 
     bi = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
         F.col("__w_prev"), F.col("__w"), F.col("__pair_n").alias("__bi_n")
     )
-    # Exact bigram row count for the broadcast gate: the unigram vocab
-    # size v is NOT a safe proxy here — bi can hold up to max_bigrams
-    # (default 4M) rows, double the default broadcast cap, while v sits
-    # under it. pair_counts is persisted, so this count is one cheap
-    # aggregate over cached partitions, not a pipeline recompute (the
-    # reason bigram_logloss, which has no persisted pair table, settles
-    # for the proxy).
-    n_bi = bi.count()
     if max_bigrams is not None and n_bi > max_bigrams:
         bi = bi.orderBy(
             F.col("__bi_n").desc(),
@@ -1167,18 +1175,29 @@ def lm_quality_scores(
     def _side(frame: DataFrame, rows: int) -> DataFrame:
         return F.broadcast(frame) if rows <= max_broadcast_vocab else frame
 
-    uni_w = _side(uni.select(F.col("token").alias("__w"),
-                             F.col("count").alias("__uni_n")), v)
-    uni_prev = _side(uni.select(F.col("token").alias("__w_prev"),
-                                F.col("count").alias("__prev_n")), v)
-    bi_side = _side(bi, n_bi)
-
-    scored = (
-        positioned.join(bi_side, on=["__w_prev", "__w"], how="left")
-        .join(uni_w, on="__w", how="left")
-        .join(uni_prev, on="__w_prev", how="left")
+    # ---- pair-level score table --------------------------------------
+    # Every lookup the scoring pass needs (bigram count, both unigram
+    # counts, the optional target count) and every per-token value
+    # derived from them is a PURE FUNCTION OF THE (prev, w) PAIR. So
+    # compute the per-token negative log-likelihoods once per DISTINCT
+    # pair — on the persisted pair table, whose joins cost O(pairs),
+    # not O(tokens) — and give the corpus-sized positioned stream ONE
+    # join against the fused table instead of three (four with a
+    # target). Per-row doubles are bit-identical to the unfused form:
+    # the same expressions on the same inputs, hoisted from per-token
+    # to per-pair.
+    uni_w = uni.select(
+        F.col("token").alias("__w"), F.col("count").alias("__uni_n")
     )
-
+    uni_prev = uni.select(
+        F.col("token").alias("__w_prev"), F.col("count").alias("__prev_n")
+    )
+    tbl = (
+        pair_counts.select("__w_prev", "__w")
+        .join(_side(bi, n_bi), on=["__w_prev", "__w"], how="left")
+        .join(_side(uni_w, v), on="__w", how="left")
+        .join(_side(uni_prev, v), on="__w_prev", how="left")
+    )
     if target is not None:
         t_lm = tracked_persist(
             build_vocab(target, text_col=text_col, id_col=id_col).select(
@@ -1190,7 +1209,7 @@ def lm_quality_scores(
         ).first()
         t_total, t_v = t_totals["t"] or 0, t_totals["v"]
         t_denom = float(t_total) + smoothing_k * (t_v + 1)
-        scored = scored.join(
+        tbl = tbl.join(
             _side(t_lm.select(F.col("token").alias("__w"), "__cnt_t"), t_v),
             on="__w",
             how="left",
@@ -1212,19 +1231,39 @@ def lm_quality_scores(
         .when(F.col("__w_prev").isNotNull(), F.lit(backoff) * p_uni)
         .otherwise(p_uni)  # document-initial token
     )
-    aggs = [
-        F.count("*").alias("n_tokens"),
-        F.avg(uni_nll).alias("cross_entropy"),
-        F.exp(F.avg(uni_nll)).alias("perplexity"),
-        F.avg(-F.log(p_bi)).alias("bigram_ce"),
-        F.exp(F.avg(-F.log(p_bi))).alias("bigram_ppl"),
+    score_cols = [
+        F.col("__w_prev").alias("__sp"),
+        F.col("__w").alias("__sw"),
+        uni_nll.alias("__uni_nll"),
+        (-F.log(p_bi)).alias("__bi_nll"),
     ]
     if target is not None:
         t_nll = -F.log(
             (F.coalesce(F.col("__cnt_t"), F.lit(0)) + F.lit(smoothing_k))
             / F.lit(t_denom)
         )
-        aggs.append(F.avg(t_nll).alias("cross_entropy_target"))
+        score_cols.append(t_nll.alias("__t_nll"))
+    score_tbl = _side(tbl.select(*score_cols), n_pairs)
+
+    # The single corpus-stream join. prev is NULL on document-initial
+    # tokens and the score table keeps those pairs, so the prev key
+    # compares null-safely (<=>) — still a hash-joinable equi key.
+    scored = positioned.join(
+        score_tbl,
+        F.col("__w_prev").eqNullSafe(F.col("__sp"))
+        & (F.col("__w") == F.col("__sw")),
+        how="left",
+    )
+
+    aggs = [
+        F.count("*").alias("n_tokens"),
+        F.avg("__uni_nll").alias("cross_entropy"),
+        F.exp(F.avg("__uni_nll")).alias("perplexity"),
+        F.avg("__bi_nll").alias("bigram_ce"),
+        F.exp(F.avg("__bi_nll")).alias("bigram_ppl"),
+    ]
+    if target is not None:
+        aggs.append(F.avg("__t_nll").alias("cross_entropy_target"))
     out = scored.groupBy(id_col).agg(*aggs)
     if target is None:
         return out

@@ -166,3 +166,58 @@ def test_dedup_corpus_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_paragraph_passes_equals_operator_composition(spark):
+    """The fused dual-pass report is row-identical to composing
+    dedup_paragraphs (corpus) + drop_boilerplate_paragraphs."""
+    from patito_spark.operators.paragraphs import (
+        dedup_paragraphs,
+        drop_boilerplate_paragraphs,
+        paragraph_passes,
+    )
+
+    rows = [
+        (
+            d,
+            f"Intro shared {d % 3}\n\nbody text unique {d} words\n\n"
+            "Common Footer",
+        )
+        for d in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {
+        (r["mode"], r["doc_id"]): r["text"]
+        for r in paragraph_passes(df, min_docs=3).collect()
+    }
+    want = {
+        ("dedup", r["doc_id"]): r["text"]
+        for r in dedup_paragraphs(df).collect()
+    }
+    want.update(
+        {
+            ("boiler", r["doc_id"]): r["text"]
+            for r in drop_boilerplate_paragraphs(df, min_docs=3).collect()
+        }
+    )
+    assert fused == want
+
+
+def test_paragraph_passes_extra_columns_and_keep_empty(spark):
+    from patito_spark.operators.paragraphs import paragraph_passes
+
+    rows = [
+        (1, "same\n\nonly in one", "u1"),
+        (2, "same", "u2"),
+        (3, "same", "u3"),
+        (4, "same", "u4"),  # 'same' is boilerplate at min_docs=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = paragraph_passes(df, min_docs=3, drop_empty=False)
+    got = {(r["mode"], r["doc_id"]): (r["text"], r["url"]) for r in out.collect()}
+    # every (mode, doc) pair present; emptied docs keep "" and their url
+    assert len(got) == 8
+    assert got[("boiler", 2)] == ("", "u2")
+    assert got[("boiler", 1)] == ("only in one", "u1")
+    assert got[("dedup", 1)] == ("same\n\nonly in one", "u1")
+    assert got[("dedup", 2)] == ("", "u2")

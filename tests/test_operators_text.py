@@ -978,12 +978,13 @@ def test_lm_quality_bigram_gate_counts_pairs_not_vocab(spark):
             "ResolvedHint"
         )
 
-    # v = 4 unique tokens; distinct ordered pairs > 4. Cap at 4: unigram
-    # sides broadcast, bigram side must not.
+    # v = 4 unique tokens; distinct ordered pairs (and the fused pair
+    # score table) > 4. Cap at 4: the two unigram sides broadcast, the
+    # bigram side and the score table must not.
     gated = ops.lm_quality_scores(docs, max_broadcast_vocab=4)
     assert n_hints(gated) == 2
     full = ops.lm_quality_scores(docs, max_broadcast_vocab=1_000)
-    assert n_hints(full) == 3
+    assert n_hints(full) == 4
 
     g = {r.doc_id: r for r in gated.collect()}
     f = {r.doc_id: r for r in full.collect()}
