@@ -45,6 +45,16 @@ def main() -> None:
         # executors that built it, not inside the driver heap competing
         # with unrelated stages. The 128 GiB sandbox affords 48g.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # The generated-class cache defaults to 100 entries — a 50-entry
+        # suite holds several hundred codegen stages, so every pass
+        # evicted every other entry's classes and each query re-paid
+        # 1-2 s of Janino compilation for work it had already run
+        # (round-11 bisect: dedup_minhash-after-ann_search 5.7 s min at
+        # the default vs 3.5 s — its standalone time — at 10k; this was
+        # the round-10 "suite-context inflation", not memory). A
+        # long-lived production session serving a repeated workload
+        # keeps its classes; the bench measures that steady state.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -297,7 +297,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 2,
-    gram_mode: str = "zip",
+    gram_mode: str = "pandas",
 ) -> DataFrame:
     """Gopher-style repetition metrics per document.
 
@@ -308,18 +308,22 @@ def repetition_stats(
     data pipeline (Rae et al. 2021, table A1). Documents shorter than
     ``ngram`` tokens emit no row.
 
-    Four formulations, A/B-raced (docs/perf.md; sf1 race round 10):
+    Four formulations, A/B-raced (docs/perf.md; re-raced round 11):
 
-    * ``"zip"`` (default, round 10: 0.75-0.89 s at sf1 vs 1.0-1.16 s
-      pandas) — ``arrays_zip`` of parallel token slices, exploded and
+    * ``"pandas"`` (default) — ONE Arrow-batched ``mapInPandas`` stage
+      computing each document's gram ``Counter`` in-batch: ZERO
+      shuffles, bounded per-document memory, no per-gram rows ever
+      materialize. This is also the right 100x shape for a strictly
+      per-document statistic — the alternative modes shuffle the full
+      corpus gram stream for what is embarrassingly doc-local work.
+      Round-11 interleaved race: 0.34 vs zip's 0.77 s at sf1, 0.28 vs
+      0.55 at sf0.1 (the round-10 race that crowned zip at sf1 did not
+      reproduce; see BASELINE.md round-11 notes).
+    * ``"zip"`` — ``arrays_zip`` of parallel token slices, exploded and
       counted with two map-side-combined hash aggregates: all-JVM,
       zero Python lanes, no per-doc sort, no interpreted lambda.
-      Bit-identical output to the other modes (equality-tested at sf1).
-    * ``"pandas"`` — ONE Arrow-batched ``mapInPandas`` stage computing
-      each document's gram ``Counter`` in-batch: zero shuffles, no
-      per-gram rows ever materialize. The previous default; use when
-      the gram stream's shuffle (zip mode's aggregate) is the
-      bottleneck and Python lanes are free.
+      Bit-identical output to the other modes (equality-tested at
+      sf1); use when Python worker lanes are the constrained resource.
     * ``"window"`` — all-JVM: tokens explode to rows, n-grams via
       ``lead()`` windows (codegen, one token-stream exchange+sort),
       then the same two aggregates.
