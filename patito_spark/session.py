@@ -42,6 +42,12 @@ def get_session(app_name: str = "patito_spark") -> SparkSession:
         # 2.12 s -> 0.37 s from this alone); multi-file cluster layouts
         # size splits from maxPartitionBytes regardless.
         .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        # A varied pipeline session compiles hundreds of whole-stage-
+        # codegen classes; the 100-entry default class cache evicts and
+        # re-pays 1-2 s of Janino compilation per re-run of a plan
+        # (docs/perf.md, round 11 — this masqueraded as operator cost
+        # for two rounds). Class metadata is cheap; hold the workload.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -12,7 +12,13 @@ from patito_spark.sources.readers import (
     write_parquet,
     write_training_shards,
 )
-from patito_spark.sources.warc import parse_warc_bytes, read_warc, read_warc_stream
+from patito_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    read_warc_stream,
+    read_wet,
+    read_wet_stream,
+)
 
 __all__ = [
     "read_csv",
@@ -23,6 +29,8 @@ __all__ = [
     "parse_warc_bytes",
     "read_warc",
     "read_warc_stream",
+    "read_wet",
+    "read_wet_stream",
     "write_bucketed",
     "write_clustered",
     "write_orc",
