@@ -89,10 +89,12 @@ HEADLINERS = {
     "text_unigram_ppl": (
         "Fused two-pass LM stack (lm_quality_scores): one positioned-"
         "pair aggregate builds BOTH LMs (unigram derived from the pair "
-        "table), one scoring pass feeds the bigram lookup, both unigram "
-        "lookups and the DSIR target lookup into a single partial+final "
-        "per-doc aggregate; every LM side is a BroadcastHashJoin, zero "
-        "Python stages."
+        "table); the scoring pass joins the corpus stream ONCE against "
+        "a fused pair-level score table (all NLLs precomputed per "
+        "distinct (prev, w) pair — the bigram/unigram/target lookups "
+        "happen inside the tiny broadcast side), null-safe prev key, "
+        "then a single partial+final per-doc aggregate; zero Python "
+        "stages."
     ),
 }
 
