@@ -213,3 +213,51 @@ def test_rank_limited_windows_plan_partial_window_group_limit(spark):
     )
     p2 = executed_plan(kmv_distinct(ev, "user_id", group_cols=["event_type"], k=32))
     assert "WindowGroupLimit" in p2 and "Partial" in p2
+
+
+def test_paragraph_passes_plan_fused_no_expand(spark):
+    """paragraph_passes (round 11): the stacked stats aggregates plan as
+    PARTIAL (map-side combined) min-struct/count with no Expand (the
+    exact distinct-doc count comes from the (key, id) collapse, not a
+    count_distinct rewrite) and no window; both modes share ONE
+    reassembly aggregate — collect_list appears once (partial+final),
+    not once per mode."""
+    from patito_spark.operators.paragraphs import paragraph_passes
+
+    docs = spark.range(64).selectExpr(
+        "id as doc_id",
+        "concat('shared para\\n\\nuniq ', cast(id as string)) as text",
+    )
+    plan = executed_plan(paragraph_passes(docs, min_docs=3))
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    assert "Expand" not in plan
+    assert plan.count("partial_collect_list") == 1
+
+
+def test_lm_quality_scoring_pass_single_corpus_join(spark):
+    """lm_quality_scores (round 11): the corpus-sized positioned stream
+    is exploded exactly twice (LM build + scoring) and the scoring pass
+    joins it ONCE against the fused pair-level score table (null-safe
+    prev key '__sp') — the bigram/unigram/target lookups live inside
+    the small build side, never as extra corpus-stream joins."""
+    from patito_spark.operators.text import lm_quality_scores
+
+    docs = spark.range(64).selectExpr(
+        "id as doc_id",
+        "concat('tok a b c d ', cast(id % 4 as string)) as text",
+    )
+    target = docs.filter("doc_id % 2 = 0")
+    plan = executed_plan(lm_quality_scores(docs, target))
+    assert "__sp" in plan  # the fused score table is in play
+    # The scoring subtree runs from the per-doc PARTIAL aggregate down
+    # to the corpus explode; exactly ONE join may sit between them (the
+    # fused score-table probe — the old shape had three or four).
+    # Textual occurrence counts over the whole plan are useless here:
+    # InMemoryRelation reprints the cached pair-table lineage in every
+    # branch that reads it.
+    start = plan.index("partial_count(1), partial_avg")
+    end = plan.index("Generate explode(arrays_zip", start)
+    scoring = plan[start:end]
+    assert scoring.count("Join") == 1, scoring
+    assert "row_number" not in plan

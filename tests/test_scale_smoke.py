@@ -596,3 +596,26 @@ def test_dedup_urls_hot_canonical_50pct(spark):
     assert out.count() == 1_000_001
     hot = out.filter(F.col("url") == "https://example.com/hot").collect()
     assert [r.doc_id for r in hot] == [0]
+
+
+def test_paragraph_passes_hot_paragraph_50pct(spark):
+    """The fused dual-pass under the same 50%-hot-paragraph skew as the
+    single-mode smokes: the (para_key, id) first-level exchange splits
+    the hot key across doc ids, the second level sees one row per
+    (key, doc)."""
+    from patito_spark.operators.paragraphs import paragraph_passes
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "case when id % 2 = 0 then concat("
+        "'Share this post on social media', '\n\n',"
+        " 'unique ', cast(id as string))"
+        " else concat('unique body ', cast(id as string)) end as text",
+    )
+    out = paragraph_passes(docs, min_docs=3)
+    by_mode = {r["mode"]: r["n"] for r in
+               out.groupBy("mode").agg(F.count("*").alias("n")).collect()}
+    # dedup: every doc keeps its unique paragraph (doc 0 also keeps the
+    # shared one); boiler: the shared paragraph is scrubbed everywhere
+    # but every doc still has its unique paragraph
+    assert by_mode == {"dedup": 1_000_000, "boiler": 1_000_000}
