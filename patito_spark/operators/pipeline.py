@@ -353,3 +353,45 @@ def prepare_training_corpus(
             max_len=pack_max_len,
         )
     return out
+
+
+def attrition_report(
+    stages,
+    input_df: Optional[DataFrame] = None,
+    spark=None,
+) -> DataFrame:
+    """Dataset-card attrition table from ``prepare_training_corpus``'s
+    ``stages`` dict: one row per stage that ran, in pipeline order —
+    ``stage, stage_index, rows, dropped, drop_frac`` (dropped/frac are
+    vs the previous stage, or vs ``input_df`` for the first stage when
+    given).
+
+    Every real pipeline publishes this table ("started with 4.1B docs,
+    language filter kept 71%, dedup kept 62% of those, ..."); the
+    stages dict already carries the lazy per-stage frames, this
+    materializes their counts once and shapes the report.
+
+    Cost: one ``count()`` JOB PER STAGE — each stage's plan re-executes
+    up to that point (the snapshots are lazy views of one growing
+    plan, not checkpoints). Run it when building the data card, not
+    inside the pipeline hot path; persist upstream frames first if the
+    pipeline is expensive and you need the full table.
+    """
+    if not stages:
+        raise ValueError("stages is empty — nothing ran or wrong dict")
+    rows = []
+    prev = input_df.count() if input_df is not None else None
+    for i, (name, frame) in enumerate(stages.items()):
+        n = frame.count()
+        dropped = (prev - n) if prev is not None else None
+        frac = (
+            float(dropped) / prev if dropped is not None and prev else None
+        )
+        rows.append((name, i, n, dropped, frac))
+        prev = n
+    session = spark or next(iter(stages.values())).sparkSession
+    return session.createDataFrame(
+        rows,
+        "stage string, stage_index int, rows long, dropped long, "
+        "drop_frac double",
+    )

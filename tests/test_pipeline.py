@@ -418,3 +418,40 @@ def test_prepare_stage_snapshots(spark, corpus):
     n_final = out["documents"].count()
     assert n_clean >= n_gates >= n_dedup >= n_final
     assert n_final == st["decontamination"].count()
+
+
+def test_attrition_report_counts_and_order(spark):
+    from patito_spark.operators.pipeline import (
+        attrition_report,
+        prepare_training_corpus,
+    )
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog number %d ok" % i)
+        for i in range(40)
+    ]
+    rows += [(100 + i, "x") for i in range(10)]      # fails min_tokens
+    rows += [(200, rows[0][1]), (201, rows[1][1])]   # near-dups of 0/1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(df, min_tokens=5, dedup_threshold=0.7)
+    rep = attrition_report(out["stages"], input_df=df)
+    got = {r.stage: r for r in rep.collect()}
+    assert {"clean", "gates", "near_dedup"} <= set(got)
+    # gates dropped exactly the 10 short docs
+    assert got["gates"].dropped == 10
+    assert got["gates"].drop_frac == pytest.approx(10 / 52)
+    # dedup dropped the two planted near-dups
+    assert got["near_dedup"].rows == 40
+    # ordering matches execution order
+    idx = [r.stage_index for r in sorted(got.values(), key=lambda r: r.stage_index)]
+    assert idx == sorted(idx)
+    # final stage row count equals the documents frame
+    last = max(got.values(), key=lambda r: r.stage_index)
+    assert last.rows == out["documents"].count()
+
+
+def test_attrition_report_empty_stages_raises(spark):
+    from patito_spark.operators.pipeline import attrition_report
+
+    with pytest.raises(ValueError, match="stages is empty"):
+        attrition_report({})
