@@ -1252,16 +1252,17 @@ def url_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
-    deduped = dedup_urls(
-        urls, keep="min_id", canonical_col="canon"
-    ).select(F.lit("dedup").alias("mode"), "doc_id", "url", "canon")
     from patito_spark.operators.urls import canonicalize_url
 
-    all_rows = urls.select(
-        F.lit("canon").alias("mode"),
-        "doc_id",
-        "url",
-        canonicalize_url(F.col("url")).alias("canon"),
+    # ONE canonicalization projection serves both modes (the round-11
+    # dedup_urls reuse contract) — the regex chain is the expensive
+    # part and previously ran once per mode.
+    with_canon = urls.withColumn("canon", canonicalize_url(F.col("url")))
+    deduped = dedup_urls(
+        with_canon, keep="min_id", canonical_col="canon"
+    ).select(F.lit("dedup").alias("mode"), "doc_id", "url", "canon")
+    all_rows = with_canon.select(
+        F.lit("canon").alias("mode"), "doc_id", "url", "canon"
     )
     return all_rows.unionByName(deduped)
 

@@ -319,9 +319,14 @@ def dedup_conversations(
     messages excluded — two conversations differing only in system
     prompt are the same teaching example — and, under ``normalize``,
     case-folded with whitespace collapsed, so formatting-only variants
-    collapse too. One hash aggregate + one co-keyed self-join (the
-    :func:`..dedup.dedup_exact` shape); near-dup conversation dedup is
-    :func:`render_conversations` + the standard MinHash operators.
+    collapse too. ONE mergeable ``min_by`` hash aggregate (round 11 —
+    no join-back: the old winners self-join probed the keyed stream a
+    second time, recomputing the interpreted array-lambda key per row;
+    ``min_by`` compares only the id, so rows may also carry
+    unorderable metadata columns). Requires ``id_col`` unique per row
+    for determinism, the :func:`..urls.dedup_urls` contract; near-dup
+    conversation dedup is :func:`render_conversations` + the standard
+    MinHash operators.
 
     ``ignore_roles`` — iterable of roles excluded from the key,
     ``True`` for the default (``system``), or ``False`` to key on
@@ -342,9 +347,15 @@ def dedup_conversations(
     # without the split they would vanish from the corpus entirely.
     nokey = keyed.filter(F.col("__key").isNull()).drop("__key")
     keyed = keyed.filter(F.col("__key").isNotNull())
-    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
-    deduped = keyed.join(winners, on=[id_col, "__key"], how="inner").drop(
-        "__key"
+    cols = df.columns
+    deduped = (
+        keyed.groupBy("__key")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+            ).alias("__f")
+        )
+        .select([F.col(f"__f.{c}").alias(c) for c in cols])
     )
     return deduped.unionByName(nokey)
 
@@ -404,9 +415,9 @@ def dedup_preference_pairs(
     train/eval splits that split by row. ``scope="pair"`` keys on
     (prompt, chosen, rejected) instead: exact resubmissions collapse
     but distinct response pairs for the same prompt survive. Same
-    one-hash-aggregate + co-keyed-join shape as
-    :func:`dedup_conversations`; NULL-keyed rows pass through
-    untouched.
+    single mergeable ``min_by`` aggregate shape as
+    :func:`dedup_conversations` (no join-back; unique ``id_col``
+    contract); NULL-keyed rows pass through untouched.
     """
     if scope not in ("prompt", "pair"):
         raise ValueError(f"scope must be 'prompt' or 'pair', got {scope!r}")
@@ -427,8 +438,14 @@ def dedup_preference_pairs(
     keyed = df.withColumn("__key", key)
     nokey = keyed.filter(F.col("__key").isNull()).drop("__key")
     keyed = keyed.filter(F.col("__key").isNotNull())
-    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
-    deduped = keyed.join(winners, on=[id_col, "__key"], how="inner").drop(
-        "__key"
+    cols = df.columns
+    deduped = (
+        keyed.groupBy("__key")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]), F.col(id_col)
+            ).alias("__f")
+        )
+        .select([F.col(f"__f.{c}").alias(c) for c in cols])
     )
     return deduped.unionByName(nokey)

@@ -136,15 +136,23 @@ def dedup_urls(
     sort, no window); ``keep="any"`` lets Spark keep an arbitrary row
     (``dropDuplicates``, fine when rows are identical refetches). The
     canonical key is added as ``canonical_col`` when a name is given,
-    else used transiently.
+    else used transiently. If ``canonical_col`` names a column ALREADY
+    present on ``df`` it is trusted as the canonical key and not
+    recomputed — pass the :func:`canonicalize_url` projection once and
+    share it between a reporting branch and the dedup (the
+    ``paragraph_rows`` reuse pattern; the regex chain is the
+    expensive part of this operator).
     """
     if keep not in ("min_id", "any"):
         raise ValueError(f"keep must be 'min_id' or 'any', got {keep!r}")
 
     key = canonical_col or "__canon_url"
-    with_key = df.withColumn(
-        key, canonicalize_url(F.col(url_col), **canon_kwargs)
-    )
+    if canonical_col is not None and canonical_col in df.columns:
+        with_key = df
+    else:
+        with_key = df.withColumn(
+            key, canonicalize_url(F.col(url_col), **canon_kwargs)
+        )
     if keep == "any":
         out = with_key.dropDuplicates([key])
     else:

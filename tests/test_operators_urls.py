@@ -192,3 +192,21 @@ def test_dedup_urls_with_unorderable_metadata_column(spark):
     assert [r.doc_id for r in out] == [1, 3]
     assert out[0].fetch_meta == {"ip": "5.6.7.8"}
     assert out[0].url == "https://www.example.com/a"
+
+
+def test_dedup_urls_reuses_precomputed_canonical_column(spark):
+    df = spark.createDataFrame(
+        [(2, "https://example.com/a?utm_source=x"),
+         (1, "https://www.example.com/a"),
+         (3, "https://other.com/b")],
+        "doc_id long, url string",
+    )
+    pre = df.withColumn("canon", canonicalize_url(F.col("url")))
+    out = sorted(
+        dedup_urls(pre, keep="min_id", canonical_col="canon").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [r.doc_id for r in out] == [1, 3]
+    # the plan canonicalizes once: no second regexp chain above the agg
+    plan = executed_plan(dedup_urls(pre, keep="min_id", canonical_col="canon"))
+    assert plan.count("try_parse_url") <= 8  # one projection's worth
