@@ -44,6 +44,10 @@ __all__ = [
     "fit_scalar_quantizer",
     "quantize_embeddings",
     "dequantize_embeddings",
+    "fit_pq",
+    "pq_encode",
+    "pq_decode",
+    "pq_adc_topk",
 ]
 
 # int8 code points used: -127..127 -> 254 quantization steps across the
@@ -184,3 +188,302 @@ def dequantize_embeddings(
             yield out
 
     return df.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------- #
+# Product quantization (PQ) + asymmetric-distance (ADC) search            #
+# ---------------------------------------------------------------------- #
+
+
+def _lloyd_kmeans(x, k: int, seed: int, iters: int = 15):
+    """Deterministic driver-side Lloyd's k-means (numpy) for PQ
+    codebooks: the training slice is BOUNDED (``max_train_vectors``
+    rows), so the fit is a driver-local array job — the same recipe
+    the public PQ implementations use (train on a sample, never the
+    corpus). Empty clusters reseed to the farthest points."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(x)
+    k = min(k, n)
+    cents = x[rng.choice(n, size=k, replace=False)].astype("float64")
+    for _ in range(iters):
+        # (n, k) squared L2 via the expansion trick
+        d = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        new = np.empty_like(cents)
+        far = d.min(axis=1).argsort()[::-1]
+        spare = 0
+        for j in range(k):
+            members = x[assign == j]
+            if len(members) == 0:
+                new[j] = x[far[spare]]
+                spare += 1
+            else:
+                new[j] = members.mean(axis=0)
+        if np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
+def fit_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    max_train_vectors: int = 100_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> dict:
+    """Product-quantization codebooks (Jégou et al. 2011, public IVFADC
+    line): the vector splits into ``m`` contiguous subspaces, each with
+    its own ``2**nbits``-entry codebook — ``m`` bytes per vector at the
+    default ``nbits=8`` (a 1024-dim float32 vector compresses 512x to
+    8 bytes, vs SQ8's 4x).
+
+    The fit trains on a deterministic hash-sample of at most
+    ``max_train_vectors`` rows collected to the driver (bounded:
+    100k x 1024 dims x 8 B = ~0.8 GB worst case; size down for wide
+    vectors) and runs seeded Lloyd's per subspace. Returns
+    ``{"codebooks": [m][k][dsub] lists, "m", "dsub", "dim", "nbits"}``.
+    ``dim`` must be divisible by ``m``.
+    """
+    import numpy as np
+
+    from patito_spark.operators.sampling import deterministic_sample
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("fit_pq: empty DataFrame")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n = df.count()
+    src = df
+    if n > max_train_vectors:
+        src = deterministic_sample(
+            df, fraction=max_train_vectors / n, key_col=id_col, seed=seed
+        )
+    train = np.array(
+        [list(r[0]) for r in src.select(vec_col).collect()], dtype="float64"
+    )
+    k = 2 ** nbits
+    books = []
+    for s in range(m):
+        sub = train[:, s * dsub : (s + 1) * dsub]
+        books.append(_lloyd_kmeans(sub, k, seed + s).tolist())
+    return {"codebooks": books, "m": m, "dsub": dsub, "dim": dim,
+            "nbits": nbits}
+
+
+def pq_encode(
+    df: DataFrame,
+    params: dict,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Encode vectors to ``array<smallint>`` PQ codes (one codebook
+    index per subspace; smallint because codebooks can exceed 127
+    entries). Map-only Arrow stage; null vectors encode to null; the
+    float column is dropped by default."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype="float64") for b in params["codebooks"]]
+    m, dsub = params["m"], params["dsub"]
+
+    out_fields = [f for f in df.schema.fields if keep_vec or f.name != vec_col]
+    schema = T.StructType(
+        out_fields + [T.StructField(code_col, T.ArrayType(T.ShortType()), True)]
+    )
+    names = [f.name for f in out_fields]
+
+    def encode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            mask = pdf[vec_col].notna()
+            codes = [None] * len(pdf)
+            if mask.any():
+                mat = np.array(
+                    [list(v) for v in pdf[vec_col][mask]], dtype="float64"
+                )
+                got = np.empty((len(mat), m), dtype="int16")
+                for s in range(m):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    cb = books[s]
+                    d = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * (sub @ cb.T)
+                        + (cb * cb).sum(axis=1)[None, :]
+                    )
+                    got[:, s] = d.argmin(axis=1)
+                it = iter(got)
+                codes = [
+                    next(it) if ok else None for ok in mask.to_numpy()
+                ]
+            out = pdf[names].copy() if names else pd.DataFrame(index=pdf.index)
+            out[code_col] = codes
+            yield out
+
+    return df.mapInPandas(encode, schema=schema)
+
+
+def pq_decode(
+    df: DataFrame,
+    params: dict,
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    keep_codes: bool = False,
+) -> DataFrame:
+    """Reconstruct vectors from PQ codes (concatenated codebook rows)."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype="float64") for b in params["codebooks"]]
+    m = params["m"]
+
+    out_fields = [f for f in df.schema.fields if keep_codes or f.name != code_col]
+    schema = T.StructType(
+        out_fields + [T.StructField(vec_col, T.ArrayType(T.DoubleType()), True)]
+    )
+    names = [f.name for f in out_fields]
+
+    def decode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vecs = []
+            for code in pdf[code_col]:
+                if code is None:
+                    vecs.append(None)
+                    continue
+                c = np.asarray(code, dtype="int64")
+                vecs.append(
+                    np.concatenate([books[s][c[s]] for s in range(m)])
+                )
+            out = pdf[names].copy() if names else pd.DataFrame(index=pdf.index)
+            out[vec_col] = vecs
+            yield out
+
+    return df.mapInPandas(decode, schema=schema)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    params: dict,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: Optional[str] = None,
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: full-precision queries against PQ
+    codes WITHOUT reconstructing the corpus — the reason PQ exists.
+
+    Per query and subspace, a ``2**nbits``-entry lookup table of
+    ``<q_sub, codebook_entry>`` inner products is built once (tiny);
+    each corpus code's approximate inner product is then ``m`` table
+    lookups summed, and ranking uses the inner product of the
+    normalized query with the reconstructed corpus direction —
+    approximate cosine up to the reconstruction's norm. Returns
+    ``query_id, neighbor_id, score, rank`` (score = approximate
+    inner product with the UNIT query; ties break on neighbor id).
+
+    Scale shape mirrors ``cosine_topk``: queries broadcast (bounded by
+    its cap), one Arrow pass over the codes with per-batch local top-k
+    pruning, then a global rank window over ``<= k x |queries| x
+    n_batches`` rows. The corpus side reads ``m`` smallints per row —
+    never the float vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from patito_spark.operators.similarity import MAX_BROADCAST_QUERIES
+
+    query_id_col = query_id_col or id_col
+    books = [np.asarray(b, dtype="float64") for b in params["codebooks"]]
+    m, dsub = params["m"], params["dsub"]
+
+    q_pdf = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"pq_adc_topk broadcasts the query set; got more than "
+            f"{MAX_BROADCAST_QUERIES} queries."
+        )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.array([list(v) for v in q_pdf["__qvec"]], dtype="float64")
+    norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = np.divide(q_mat, norms, out=np.zeros_like(q_mat),
+                       where=norms > 0)
+    nq = len(q_ids)
+    # (nq, m, 2**nbits) inner-product lookup tables
+    luts = np.stack(
+        [
+            q_unit[:, s * dsub : (s + 1) * dsub] @ books[s].T
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    bc = codes.sparkSession.sparkContext.broadcast((q_ids, luts))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType, True),
+            T.StructField("neighbor_id", codes.schema[id_col].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    pruned = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(code_col).alias("__code")
+    ).filter(F.col("__code").isNotNull())
+
+    def score(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        b_ids, b_luts = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            c_ids = pdf["neighbor_id"].to_numpy()
+            cmat = np.array([list(c) for c in pdf["__code"]], dtype="int64")
+            # scores[i, j] = sum over subspaces of LUT[j, s, code[i, s]]
+            scores = np.zeros((len(cmat), nq), dtype="float64")
+            for s in range(m):
+                scores += b_luts[:, s, :][:, cmat[:, s]].T
+            take = min(k, len(c_ids))
+            parts = []
+            for j in range(nq):
+                order = np.lexsort((c_ids, -scores[:, j]))[:take]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(b_ids[j], take),
+                            "neighbor_id": c_ids[order],
+                            "score": scores[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = pruned.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

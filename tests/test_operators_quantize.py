@@ -99,3 +99,94 @@ def test_empty_frame_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         fit_scalar_quantizer(df)
+
+
+# ---------------------------------------------------------------------- #
+# Product quantization                                                    #
+# ---------------------------------------------------------------------- #
+
+
+def test_fit_pq_shapes_and_determinism(spark, emb):
+    from patito_spark.operators.quantize import fit_pq
+
+    p1 = fit_pq(emb, m=8, nbits=6)
+    p2 = fit_pq(emb, m=8, nbits=6)
+    assert p1["m"] == 8 and p1["dsub"] == 8 and p1["dim"] == 64
+    assert len(p1["codebooks"]) == 8
+    assert all(len(b) <= 64 for b in p1["codebooks"])  # 2**6 entries max
+    assert p1["codebooks"] == p2["codebooks"]  # seeded fit is stable
+
+    with pytest.raises(ValueError, match="not divisible"):
+        fit_pq(emb, m=7)
+
+
+def test_pq_roundtrip_and_nulls(spark):
+    from patito_spark.operators.quantize import fit_pq, pq_decode, pq_encode
+
+    rng = np.random.RandomState(3)
+    # 4 tight clusters in each 2-dim subspace -> PQ reconstructs well
+    base = rng.normal(size=(4, 8))
+    rows = [
+        (i, (base[i % 4] + 0.01 * rng.normal(size=8)).tolist())
+        for i in range(200)
+    ] + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    params = fit_pq(df.filter("embedding is not null"), m=4, nbits=4)
+    codes = pq_encode(df, params)
+    assert dict(codes.dtypes)["pq_code"] == "array<smallint>"
+    back = {r.vec_id: r.embedding for r in pq_decode(codes, params).collect()}
+    assert back[999] is None
+    orig = {i: np.array(r) for i, r in rows[:200]}
+    errs = [np.abs(np.array(back[i]) - orig[i]).max() for i in orig]
+    assert np.median(errs) < 0.05  # tight clusters reconstruct closely
+
+
+def test_pq_adc_matches_decode_compose_and_recall(spark, emb):
+    """ADC scoring (LUT sums, corpus never reconstructed) must rank like
+    scoring the decoded corpus with the unit query; recall vs exact
+    cosine is pinned at the level synthetic near-orthogonal embeddings
+    support (PQ's worst case — real clustered embeddings do better)."""
+    from patito_spark.operators.quantize import (
+        fit_pq,
+        pq_adc_topk,
+        pq_decode,
+        pq_encode,
+    )
+    from patito_spark.operators.similarity import cosine_topk
+
+    params = fit_pq(emb, m=16, nbits=8)
+    codes = pq_encode(emb, params)
+    queries = emb.orderBy("vec_id").limit(10)
+
+    adc = pq_adc_topk(codes, queries, params, k=10)
+    got = {}
+    for r in adc.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.score))
+
+    # decode-compose oracle: unit query dot reconstructed corpus vector
+    decoded = {r.vec_id: np.array(r.embedding)
+               for r in pq_decode(codes, params).collect()}
+    q_vecs = {r.vec_id: np.array(r.embedding) for r in queries.collect()}
+    for qid, rows_ in got.items():
+        qv = q_vecs[qid] / np.linalg.norm(q_vecs[qid])
+        want = sorted(
+            ((float(qv @ v), -nid) for nid, v in decoded.items()),
+            reverse=True,
+        )[:10]
+        got_sorted = sorted(rows_)
+        for (rank, nid, score), (w_score, w_negid) in zip(got_sorted, want):
+            assert nid == -w_negid
+            assert score == pytest.approx(w_score, rel=1e-9)
+
+    # recall vs exact cosine: each query must at least find itself and
+    # most true neighbors at m=16 on near-orthogonal synthetic vectors
+    exact = {}
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(exact[q] & {nid for _, nid, _ in got[q]}) for q in exact
+    )
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"ADC recall {hits/total:.2f}"
+    for q in exact:
+        assert q in {nid for _, nid, _ in got[q]}  # self-hit survives PQ
