@@ -48,6 +48,9 @@ __all__ = [
     "pq_encode",
     "pq_decode",
     "pq_adc_topk",
+    "IvfAdcIndex",
+    "build_ivfadc_index",
+    "ann_ivfadc_topk",
 ]
 
 # int8 code points used: -127..127 -> 254 quantization steps across the
@@ -477,6 +480,232 @@ def pq_adc_topk(
                     )
                 )
             yield pd.concat(parts, ignore_index=True)
+
+    scored = pruned.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------- #
+# IVFADC: IVF routing over PQ residual codes (the billion-scale recipe)   #
+# ---------------------------------------------------------------------- #
+
+
+class IvfAdcIndex:
+    """IVF cells + PQ codes of the residuals (vector - cell centroid):
+    the composition the public billion-scale systems run (IVFADC,
+    Jégou et al. 2011). The corpus side stores ``(cell, id, pq_code)``
+    — m smallints per vector; the floats are gone."""
+
+    def __init__(self, codes: DataFrame, centroids, pq_params: dict):
+        self.codes = codes  # (cell, neighbor_id, pq_code)
+        self.centroids = centroids  # (n_cells, dim) numpy
+        self.pq = pq_params
+
+    def unpersist(self) -> "IvfAdcIndex":
+        self.codes.unpersist()
+        return self
+
+
+def build_ivfadc_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    n_centroids: Optional[int] = None,
+    seed: int = 42,
+    max_train_vectors: int = 100_000,
+    ivf_index=None,
+    materialize: bool = True,
+) -> IvfAdcIndex:
+    """Build the IVFADC index: coarse IVF cells (reusing
+    :func:`..similarity.build_ivf_index` / a prebuilt index), then PQ
+    codebooks fit on the RESIDUALS (vector minus its cell centroid —
+    residuals concentrate near zero, so the same code budget spends on
+    a much smaller support than raw-vector PQ) and one map-only encode
+    pass. Storage: ``m`` smallints + a cell int per vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from patito_spark.operators.similarity import build_ivf_index
+
+    if ivf_index is None:
+        ivf_index = build_ivf_index(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            seed=seed,
+            max_train_vectors=max_train_vectors,
+            materialize=False,
+        )
+    centroids = np.asarray(ivf_index.centroids, dtype="float64")
+    cents_bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    table = ivf_index.table  # (cell, neighbor_id, __cvec)
+    res_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType(), True),
+            T.StructField(
+                "neighbor_id", table.schema["neighbor_id"].dataType, True
+            ),
+            T.StructField("__rvec", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def residuals(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cents = cents_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([list(v) for v in pdf["__cvec"]], dtype="float64")
+            cells = pdf["cell"].to_numpy()
+            r = mat - cents[cells]
+            yield pd.DataFrame(
+                {
+                    "cell": cells,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "__rvec": list(r),
+                }
+            )
+
+    res = table.mapInPandas(residuals, schema=res_schema)
+    pq = fit_pq(
+        res,
+        vec_col="__rvec",
+        m=m,
+        nbits=nbits,
+        max_train_vectors=max_train_vectors,
+        seed=seed,
+        id_col="neighbor_id",
+    )
+    codes = pq_encode(res, pq, vec_col="__rvec", code_col="pq_code")
+    if materialize:
+        codes = codes.persist()
+    return IvfAdcIndex(codes, centroids, pq)
+
+
+def ann_ivfadc_topk(
+    index: IvfAdcIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC top-k: route each query to its ``n_probe`` nearest cells,
+    ADC-score only those cells' codes.
+
+    Score = ``q_unit · centroid[cell] + sum_s LUT[q, s, code_s]`` —
+    the inner product of the UNIT query with the reconstructed vector
+    (centroid + decoded residual), computed without reconstructing
+    anything: one dot per (query, cell) plus ``m`` lookups per
+    candidate. The codes scan carries a codegen ``cell IN (probed)``
+    filter, so unprobed cells are never deserialized. Returns
+    ``query_id, neighbor_id, score, rank``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from patito_spark.operators.similarity import MAX_BROADCAST_QUERIES
+
+    books = [np.asarray(b, dtype="float64") for b in index.pq["codebooks"]]
+    m, dsub = index.pq["m"], index.pq["dsub"]
+    centroids = index.centroids
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
+
+    q_pdf = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"ann_ivfadc_topk broadcasts the query set; got more than "
+            f"{MAX_BROADCAST_QUERIES} queries."
+        )
+    q_ids = q_pdf["query_id"].to_numpy()
+    q_mat = np.array([list(v) for v in q_pdf["__qvec"]], dtype="float64")
+    norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = np.divide(q_mat, norms, out=np.zeros_like(q_mat),
+                       where=norms > 0)
+    nq = len(q_ids)
+
+    # Driver-side routing (queries are bounded): per-query probed cells
+    # by centroid inner product of the unit query, plus the q·centroid
+    # offset each probed cell contributes to the score.
+    cell_ip = q_unit @ centroids.T  # (nq, n_cells)
+    probed = np.argsort(-cell_ip, axis=1)[:, :n_probe]  # (nq, n_probe)
+    luts = np.stack(
+        [q_unit[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )  # (nq, m, k)
+    # cell -> query indexes probing it (kernel-side candidate masks)
+    cell_queries: dict = {}
+    for j in range(nq):
+        for c in probed[j]:
+            cell_queries.setdefault(int(c), []).append(j)
+    bc = index.codes.sparkSession.sparkContext.broadcast(
+        (q_ids, luts, cell_ip, cell_queries)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType, True),
+            T.StructField(
+                "neighbor_id", index.codes.schema["neighbor_id"].dataType, True
+            ),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    probed_cells = sorted({int(c) for row in probed for c in row})
+    pruned = index.codes.filter(F.col("cell").isin(probed_cells))
+
+    def score(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        b_ids, b_luts, b_cell_ip, b_cellq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for cell, grp in pdf.groupby("cell"):
+                qjs = b_cellq.get(int(cell))
+                if not qjs:
+                    continue
+                c_ids = grp["neighbor_id"].to_numpy()
+                cmat = np.array(
+                    [list(c) for c in grp["pq_code"]], dtype="int64"
+                )
+                take = min(k, len(c_ids))
+                for j in qjs:
+                    s = np.full(len(cmat), b_cell_ip[j, int(cell)])
+                    for sub in range(m):
+                        s = s + b_luts[j, sub, :][cmat[:, sub]]
+                    order = np.lexsort((c_ids, -s))[:take]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.repeat(b_ids[j], take),
+                                "neighbor_id": c_ids[order],
+                                "score": s[order],
+                            }
+                        )
+                    )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     scored = pruned.mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(

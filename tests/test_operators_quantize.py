@@ -190,3 +190,93 @@ def test_pq_adc_matches_decode_compose_and_recall(spark, emb):
     assert hits / total >= 0.5, f"ADC recall {hits/total:.2f}"
     for q in exact:
         assert q in {nid for _, nid, _ in got[q]}  # self-hit survives PQ
+
+
+# ---------------------------------------------------------------------- #
+# IVFADC                                                                  #
+# ---------------------------------------------------------------------- #
+
+
+def test_ivfadc_matches_decode_compose_oracle(spark, emb):
+    """With every cell probed, IVFADC scores must equal the unit query's
+    inner product with (centroid + decoded residual) for every corpus
+    row — the full-coverage oracle; ranking/determinism ride on it."""
+    from patito_spark.operators.quantize import (
+        ann_ivfadc_topk,
+        build_ivfadc_index,
+    )
+
+    idx = build_ivfadc_index(emb, m=16, nbits=8, n_centroids=8)
+    try:
+        queries = emb.orderBy("vec_id").limit(6)
+        out = ann_ivfadc_topk(idx, queries, k=10, n_probe=8)  # all cells
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.query_id, []).append(
+                (r.rank, r.neighbor_id, r.score)
+            )
+
+        books = [np.asarray(b) for b in idx.pq["codebooks"]]
+        m = idx.pq["m"]
+        recon = {}
+        for r in idx.codes.collect():
+            res = np.concatenate([books[s][r.pq_code[s]] for s in range(m)])
+            recon[r.neighbor_id] = idx.centroids[r.cell] + res
+        q_vecs = {r.vec_id: np.array(r.embedding) for r in queries.collect()}
+        for qid, rows_ in got.items():
+            qv = q_vecs[qid] / np.linalg.norm(q_vecs[qid])
+            want = sorted(
+                ((float(qv @ v), -nid) for nid, v in recon.items()),
+                reverse=True,
+            )[:10]
+            for (rank, nid, score), (w_score, w_negid) in zip(
+                sorted(rows_), want
+            ):
+                assert nid == -w_negid
+                assert score == pytest.approx(w_score, rel=1e-9)
+    finally:
+        idx.unpersist()
+
+
+def test_ivfadc_probing_prunes_and_recalls(spark, emb):
+    """n_probe < n_cells returns a subset of the full-probe candidates
+    per query (cell pruning loses candidates, never invents them), the
+    codes scan filters to probed cells, and each query still finds
+    itself (the self-cell is always its top routed cell)."""
+    from patito_spark.operators.quantize import (
+        ann_ivfadc_topk,
+        build_ivfadc_index,
+    )
+    from patito_spark.plans import executed_plan
+
+    idx = build_ivfadc_index(emb, m=8, nbits=6, n_centroids=8)
+    try:
+        queries = emb.orderBy("vec_id").limit(6)
+        full = ann_ivfadc_topk(idx, queries, k=5, n_probe=8)
+        part = ann_ivfadc_topk(idx, queries, k=5, n_probe=2)
+        f = {}
+        for r in full.collect():
+            f.setdefault(r.query_id, {})[r.neighbor_id] = r.score
+        p = {}
+        for r in part.collect():
+            p.setdefault(r.query_id, {})[r.neighbor_id] = r.score
+        for q, neigh in p.items():
+            for nid, score in neigh.items():
+                if nid in f[q]:
+                    assert score == pytest.approx(f[q][nid], rel=1e-12)
+            assert q in neigh  # self-hit survives routing
+        plan = executed_plan(ann_ivfadc_topk(idx, queries, k=5, n_probe=2))
+        assert "cell IN" in plan or "cell#" in plan  # pushed cell filter
+    finally:
+        idx.unpersist()
+
+
+def test_ivfadc_storage_is_codes_only(spark, emb):
+    from patito_spark.operators.quantize import build_ivfadc_index
+
+    idx = build_ivfadc_index(emb, m=8, nbits=8, n_centroids=4)
+    try:
+        assert set(idx.codes.columns) == {"cell", "neighbor_id", "pq_code"}
+        assert dict(idx.codes.dtypes)["pq_code"] == "array<smallint>"
+    finally:
+        idx.unpersist()
