@@ -512,6 +512,40 @@ class IvfAdcIndex:
         self.codes.unpersist()
         return self
 
+    def write(self, path: str, mode: str = "error") -> None:
+        """Durable index: codes as parquet, centroids + codebooks as a
+        tiny metadata table (the :class:`..similarity.IvfIndex`
+        convention) — build once, query from any later session."""
+        import json as _json
+
+        spark = self.codes.sparkSession
+        self.codes.write.mode(mode).parquet(f"{path}/codes")
+        meta = [
+            (
+                i,
+                [float(x) for x in c],
+                _json.dumps(self.pq) if i == 0 else None,
+            )
+            for i, c in enumerate(self.centroids)
+        ]
+        spark.createDataFrame(
+            meta, "cell int, centroid array<double>, pq_json string"
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+    @classmethod
+    def read(cls, spark, path: str, materialize: bool = True) -> "IvfAdcIndex":
+        import json as _json
+
+        import numpy as np
+
+        codes = spark.read.parquet(f"{path}/codes")
+        if materialize:
+            codes = codes.persist()
+        meta = spark.read.parquet(f"{path}/meta").orderBy("cell").collect()
+        centroids = np.array([row["centroid"] for row in meta])
+        pq = _json.loads(meta[0]["pq_json"])
+        return cls(codes, centroids, pq)
+
 
 def build_ivfadc_index(
     corpus: DataFrame,

