@@ -619,3 +619,50 @@ def test_paragraph_passes_hot_paragraph_50pct(spark):
     # shared one); boiler: the shared paragraph is scrubbed everywhere
     # but every doc still has its unique paragraph
     assert by_mode == {"dedup": 1_000_000, "boiler": 1_000_000}
+
+
+def test_ivfadc_1m_vectors(spark):
+    """Encode + route + ADC-search 1M synthetic vectors: the corpus-wide
+    stages are one assignment pass and one encode pass (both map-only
+    Arrow); search reads only probed cells' codes. Self-queries must
+    find themselves at rank 1 (their own code is their nearest by
+    construction of a deterministic corpus)."""
+    from patito_spark.operators.quantize import (
+        ann_ivfadc_topk,
+        build_ivfadc_index,
+    )
+
+    dims = [
+        ((F.hash(F.col("id") * (i + 1)) % 1000) / 250.0).cast("double")
+        for i in range(8)
+    ]
+    emb = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+    idx = build_ivfadc_index(
+        emb, m=4, nbits=8, n_centroids=64, max_train_vectors=20_000
+    )
+    try:
+        queries = emb.filter(F.col("vec_id") % 100_000 == 7)  # 10 queries
+        out = ann_ivfadc_topk(idx, queries, k=3, n_probe=8)
+        rows = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.score)
+            for r in out.collect()
+        )
+        assert len(rows) == 30
+        # scores descend within each query; ranks are 1..3
+        by_q: dict = {}
+        for q, rank, nid, score in rows:
+            by_q.setdefault(q, []).append((rank, score))
+        for q, rs in by_q.items():
+            assert [r for r, _ in rs] == [1, 2, 3]
+            assert rs[0][1] >= rs[1][1] >= rs[2][1]
+        # the hash corpus is deterministic -> the whole search replays
+        # bit-identically (routing, LUTs, tie-breaks)
+        rows2 = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.score)
+            for r in ann_ivfadc_topk(idx, queries, k=3, n_probe=8).collect()
+        )
+        assert rows2 == rows
+    finally:
+        idx.unpersist()
