@@ -33,6 +33,7 @@ def chunk_documents(
     max_tokens: int = 512,
     overlap: int = 0,
     min_chunk_tokens: int = 1,
+    boundary: str = "token",
 ) -> DataFrame:
     """Split documents into whitespace-token windows of ``max_tokens``.
 
@@ -42,11 +43,28 @@ def chunk_documents(
     retrieval indexing); trailing chunks shorter than
     ``min_chunk_tokens`` are dropped.
 
-    Map-only: tokens come from one ``split``, chunk starts from one
+    ``boundary="token"`` (default) cuts at exact token positions —
+    map-only: tokens come from one ``split``, chunk starts from one
     ``sequence``, and each chunk is a ``slice`` + ``array_join`` — cost
     is O(chunks) interpreted ops per document, the token stream itself
-    never leaves the row.
+    never leaves the row. ``boundary="sentence"`` packs whole
+    sentences greedily up to the budget instead (retrieval/RAG
+    chunking: a window that ends mid-sentence embeds and reads worse);
+    a single sentence over the budget is hard-split at token
+    boundaries. Sentence mode is a data-dependent fold, so it runs as
+    one map-only Arrow ``mapInPandas`` stage (still no shuffle);
+    ``overlap`` is token-mode only.
     """
+    if boundary not in ("token", "sentence"):
+        raise ValueError(
+            f"boundary must be 'token' or 'sentence', got {boundary!r}"
+        )
+    if boundary == "sentence":
+        if overlap:
+            raise ValueError("overlap is only supported with boundary='token'")
+        return _chunk_by_sentence(
+            df, id_col, text_col, max_tokens, min_chunk_tokens
+        )
     if overlap >= max_tokens:
         raise ValueError(
             f"overlap ({overlap}) must be smaller than max_tokens "
@@ -82,6 +100,86 @@ def chunk_documents(
         )
         .filter(F.col("n_tokens") >= min_chunk_tokens)
     )
+
+
+#: Sentence boundary: split AFTER ./!/? (optionally followed by a
+#: closing quote/bracket) and before whitespace — deterministic, no
+#: abbreviation model (a heuristic splitter is the corpus-pipeline
+#: standard; a wrong split costs one chunk boundary, never data).
+#: (two alternated lookbehinds — Python re lookbehind is fixed-width)
+_SENTENCE_RE = r"(?:(?<=[.!?])|(?<=[.!?][\"')\]]))\s+"
+
+
+def _chunk_by_sentence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    min_chunk_tokens: int,
+) -> DataFrame:
+    import re
+
+    import pandas as pd
+
+    sent_re = re.compile(_SENTENCE_RE)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("chunk_id", T.IntegerType(), False),
+            T.StructField("chunk_text", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+        ]
+    )
+
+    def chunk(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, cids, texts, ntoks = [], [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                chunks: list = []
+                cur: list = []
+                cur_n = 0
+                for sent in sent_re.split(txt):
+                    stoks = sent.split(" ") if sent else []
+                    sn = len(stoks)
+                    if sn == 0:
+                        continue
+                    if sn > max_tokens:
+                        # oversized sentence: flush, then hard-split it
+                        if cur:
+                            chunks.append((" ".join(cur), cur_n))
+                            cur, cur_n = [], 0
+                        for s in range(0, sn, max_tokens):
+                            w = stoks[s : s + max_tokens]
+                            chunks.append((" ".join(w), len(w)))
+                        continue
+                    if cur_n + sn > max_tokens and cur:
+                        chunks.append((" ".join(cur), cur_n))
+                        cur, cur_n = [], 0
+                    cur.extend(stoks)
+                    cur_n += sn
+                if cur:
+                    chunks.append((" ".join(cur), cur_n))
+                cid = 0
+                for text, n in chunks:
+                    if n < min_chunk_tokens:
+                        continue
+                    ids.append(rid)
+                    cids.append(cid)
+                    texts.append(text)
+                    ntoks.append(n)
+                    cid += 1
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_id": cids,
+                    "chunk_text": texts,
+                    "n_tokens": ntoks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(chunk, schema=out_schema)
 
 
 def pack_sequences(

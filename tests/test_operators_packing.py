@@ -222,3 +222,57 @@ def test_pack_sequences_emit_offsets(spark):
     # default schema unchanged
     base = pack_sequences(df, length_col="n_tok", max_len=16)
     assert "doc_offsets" not in base.columns
+
+
+class TestSentenceChunking:
+    def test_hand_checked_sentence_packing(self, spark):
+        from patito_spark.operators.packing import chunk_documents
+
+        text = "One two three. Four five. Six seven eight nine. Ten!"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_documents(df, max_tokens=6, boundary="sentence").collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # greedy: [One two three. Four five.] = 5 toks; [Six seven eight
+        # nine.] = 4; adding [Ten!] = 5 fits -> second chunk has both
+        assert [(r.chunk_text, r.n_tokens) for r in out] == [
+            ("One two three. Four five.", 5),
+            ("Six seven eight nine. Ten!", 5),
+        ]
+        # no chunk ends mid-sentence
+        assert all(r.chunk_text[-1] in ".!?" for r in out)
+
+    def test_oversized_sentence_hard_splits(self, spark):
+        from patito_spark.operators.packing import chunk_documents
+
+        text = "Short one. " + " ".join(f"w{i}" for i in range(10)) + ". End."
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunk_documents(df, max_tokens=4, boundary="sentence").collect(),
+            key=lambda r: r.chunk_id,
+        )
+        texts = [r.chunk_text for r in out]
+        assert texts[0] == "Short one."
+        # the 10-token sentence splits into 4+4+2 token windows
+        assert [r.n_tokens for r in out] == [2, 4, 4, 2, 1]
+        assert texts[-1] == "End."
+        rejoined = " ".join(texts)
+        assert rejoined == text  # nothing lost, nothing duplicated
+
+    def test_sentence_mode_contracts(self, spark):
+        from patito_spark.operators.packing import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "A b. C d."), (2, None)], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, boundary="sentence", overlap=2)
+        with pytest.raises(ValueError, match="boundary"):
+            chunk_documents(df, boundary="paragraph")
+        out = chunk_documents(
+            df, max_tokens=10, boundary="sentence", min_chunk_tokens=1
+        )
+        rows = out.collect()
+        assert {r.doc_id for r in rows} == {1}  # null text emits nothing
+        assert rows[0].chunk_text == "A b. C d."
