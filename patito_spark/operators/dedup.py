@@ -630,20 +630,41 @@ def simhash_dedup_pairs(
     chunk — so candidates meet in an equi-join on (chunk_id, chunk_value),
     never a cross join. Verified with ``bit_count(a XOR b)``.
     """
-    bits_per_chunk = 64 // chunks
     sigs = simhash_signatures(
         df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
     )
     # The signature table feeds both sides of the pigeonhole self-join;
     # Catalyst would otherwise run the 64-sum aggregation twice.
     sigs = tracked_persist(sigs)
+    return hamming_pairs(sigs, max_hamming=max_hamming, chunks=chunks)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "__id",
+    sig_col: str = "__sig",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs of 64-bit signatures within ``max_hamming`` differing bits.
+
+    The pigeonhole self-join shared by SimHash text dedup and pHash
+    image dedup (any 64-bit fingerprint family): with the signature cut
+    into ``chunks`` pieces, a pair within ``max_hamming < chunks``
+    differing bits must agree on at least one piece, so candidates
+    meet in an equi-join on (chunk_id, chunk_value) — never a cross
+    join — and verify with ``bit_count(a XOR b)``. Callers persist
+    ``sigs`` if computing it is expensive (both sides read it).
+    Returns ``id_a, id_b, hamming`` with ``id_a < id_b``.
+    """
+    bits_per_chunk = 64 // chunks
     chunked = sigs.select(
-        "__id",
-        "__sig",
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("__sig"), c * bits_per_chunk).bitwiseAND(
+                    F.shiftright(F.col(sig_col), c * bits_per_chunk).bitwiseAND(
                         F.lit((1 << bits_per_chunk) - 1).cast("long")
                     )
                     for c in range(chunks)

@@ -250,3 +250,140 @@ def sample_audio_windows(
             )
 
     return pruned.mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------- #
+# Perceptual image hashing + image near-dup dedup                         #
+# ---------------------------------------------------------------------- #
+
+
+def _phash_bits_from_gray(gray) -> int:
+    """Classic 64-bit pHash over a 32x32 grayscale array (public
+    algorithm: 2D DCT-II, keep the top-left 8x8 low-frequency block
+    minus DC, bit = coefficient > median). DCT via an explicit numpy
+    cosine basis — no scipy dependency."""
+    import numpy as np
+
+    n = 32
+    k = np.arange(n)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    dct = basis @ gray.astype("float64") @ basis.T
+    block = dct[:8, :8].flatten()[1:]  # drop the DC term
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    # fold into a signed 64-bit value (bit 63 unused: 63 coefficients)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _pil_phash(payload: bytes) -> int:
+    import io
+
+    import numpy as np
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = np.asarray(
+            img.convert("L").resize((32, 32)), dtype="float64"
+        )
+    return _phash_bits_from_gray(gray)
+
+
+def _fake_phash(payload: bytes) -> int:
+    """Deterministic codec-free stand-in: a 32x32 'image' derived from
+    the byte content (sha256-seeded tile), run through the SAME DCT
+    pipeline — the Spark-side plumbing, chunked self-join and hamming
+    verify are fully real; only the decode is synthetic. Identical
+    payloads collide exactly; unrelated payloads are ~random."""
+    import numpy as np
+
+    digest = hashlib.sha256(payload).digest()
+    rng = np.random.RandomState(
+        int.from_bytes(digest[:4], "big", signed=False)
+    )
+    gray = rng.randint(0, 256, size=(32, 32))
+    return _phash_bits_from_gray(gray)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """64-bit perceptual hash per image blob: ``<id_col>, phash``.
+
+    pHash survives re-encodes, resizes and mild edits (the transforms
+    that defeat byte-level sha256 dedup of crawled images), so hamming
+    distance on it is the standard image near-dup key. Real kernel
+    decodes with Pillow (import-gated); the default deterministic fake
+    exercises the identical schema, batch shape and DCT path without a
+    codec. One map-only Arrow stage.
+    """
+    if use_real_codecs:
+        _require_pil()
+        kern = _pil_phash
+    else:
+        kern = _fake_phash
+
+    pruned = df.select(
+        F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType, True),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [kern(bytes(b)) for b in pdf["blob"]],
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=schema)
+
+
+def image_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    max_hamming: int = 6,
+    chunks: int = 8,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash hamming distance.
+
+    The image-side twin of ``simhash_dedup_pairs``: pHash signatures,
+    then the SHARED pigeonhole machinery
+    (:func:`..dedup.hamming_pairs`) — candidates meet in a chunked
+    equi-join, never a cross join (``max_hamming < chunks`` required
+    for losslessness), verified with ``bit_count(xor)``. Feed the
+    pairs into :func:`..graph.connected_components` + an anti join for
+    one-survivor-per-group dedup, exactly the text composition.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < chunks; got {max_hamming} "
+            f">= {chunks}"
+        )
+    from patito_spark.functions.cache import tracked_persist
+    from patito_spark.operators.dedup import hamming_pairs
+
+    sigs = tracked_persist(
+        image_phash(
+            df, id_col=id_col, blob_col=blob_col,
+            use_real_codecs=use_real_codecs,
+        )
+    )
+    return hamming_pairs(
+        sigs, id_col="doc_id", sig_col="phash",
+        max_hamming=max_hamming, chunks=chunks,
+    )

@@ -175,3 +175,85 @@ class TestAudioWindows:
             sample_audio_windows(
                 self._blobs(spark), window_samples=1024, hop_samples=0
             )
+
+
+class TestImagePhash:
+    def _blobs(self, spark):
+        rows = [
+            (1, bytes(b"image-one-content")),
+            (2, bytes(b"image-one-content")),        # exact byte dup of 1
+            (3, bytes(b"image-three-different")),
+            (4, bytes(b"image-four-other")),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, blob binary")
+
+    def test_phash_deterministic_and_schema(self, spark):
+        from patito_spark.operators.multimodal import image_phash
+
+        df = self._blobs(spark)
+        h1 = {r.doc_id: r.phash for r in image_phash(df).collect()}
+        h2 = {r.doc_id: r.phash for r in image_phash(df).collect()}
+        assert h1 == h2
+        assert h1[1] == h1[2]          # identical payloads collide
+        assert h1[1] != h1[3] != h1[4]
+        assert all(isinstance(v, int) for v in h1.values())
+
+    def test_image_dedup_pairs_pigeonhole(self, spark):
+        from patito_spark.functions.cache import release_caches
+        from patito_spark.operators.multimodal import image_dedup_pairs
+
+        try:
+            pairs = image_dedup_pairs(self._blobs(spark), max_hamming=0)
+            got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+            assert got == {(1, 2): 0}
+        finally:
+            release_caches()
+
+    def test_image_dedup_pairs_hamming_ball(self, spark):
+        """Signatures one bit apart meet through the chunked join; the
+        pigeonhole is lossless for max_hamming < chunks."""
+        from patito_spark.functions.cache import release_caches
+        from patito_spark.operators.dedup import hamming_pairs
+
+        sigs = spark.createDataFrame(
+            [(1, 0b1010100), (2, 0b1010101), (3, 0b1010111), (4, -42)],
+            "doc_id long, phash long",
+        )
+        try:
+            got = {
+                (r.id_a, r.id_b): r.hamming
+                for r in hamming_pairs(
+                    sigs, id_col="doc_id", sig_col="phash",
+                    max_hamming=2, chunks=8,
+                ).collect()
+            }
+            assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 2}
+        finally:
+            release_caches()
+
+    def test_pigeonhole_contract_enforced(self, spark):
+        from patito_spark.operators.multimodal import image_dedup_pairs
+
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_dedup_pairs(self._blobs(spark), max_hamming=8, chunks=8)
+
+    def test_phash_components_compose(self, spark):
+        """pairs -> connected_components -> anti join: the text dedup
+        composition works unchanged on image pairs."""
+        from pyspark.sql import functions as F
+
+        from patito_spark.functions.cache import release_caches
+        from patito_spark.operators.graph import connected_components
+        from patito_spark.operators.multimodal import image_dedup_pairs
+
+        df = self._blobs(spark)
+        try:
+            pairs = image_dedup_pairs(df, max_hamming=0)
+            comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+            drop = comp.filter("node != component").select(
+                F.col("node").alias("doc_id")
+            )
+            kept = df.join(drop, on="doc_id", how="left_anti")
+            assert {r.doc_id for r in kept.collect()} == {1, 3, 4}
+        finally:
+            release_caches()
