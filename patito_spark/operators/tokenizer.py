@@ -38,6 +38,9 @@ __all__ = [
     "bpe_tokens",
     "bpe_token_count",
     "with_bpe_token_count",
+    "load_bpe_vocab",
+    "bpe_token_ids",
+    "with_bpe_token_ids",
 ]
 
 # GPT-2's pre-tokenizer splits contractions, letter runs, digit runs,
@@ -212,3 +215,108 @@ def bpe_token_count(
     """Driver-side token count of one string (the distributed column's
     bit-for-bit reference)."""
     return len(bpe_tokens(text, merges))
+
+
+def load_bpe_vocab(path: str) -> dict:
+    """Parse a GPT-2-format ``vocab.json`` (``{token: id}``, tokens in
+    the :func:`bytes_to_unicode` alphabet — the artifact shipped next
+    to ``merges.txt``)."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        vocab = json.load(fh)
+    if not isinstance(vocab, dict) or not vocab:
+        raise ValueError(f"vocab at {path} is not a non-empty token->id map")
+    return {str(k): int(v) for k, v in vocab.items()}
+
+
+def bpe_token_ids(
+    text: str,
+    merges: Mapping[Tuple[str, str], int],
+    vocab: Mapping[str, int],
+    unk_id: Optional[int] = None,
+) -> list:
+    """Driver-side encode-to-ids (the distributed column's reference).
+
+    A token absent from ``vocab`` maps to ``unk_id``; with
+    ``unk_id=None`` it raises — a REAL byte-level BPE vocab covers
+    every byte, so a miss means mismatched artifacts, which should
+    fail loudly rather than silently corrupt training data.
+    """
+    out = []
+    for tok in bpe_tokens(text, merges):
+        i = vocab.get(tok, unk_id)
+        if i is None:
+            raise ValueError(
+                f"token {tok!r} not in vocab and no unk_id given "
+                "(mismatched merges/vocab artifacts?)"
+            )
+        out.append(i)
+    return out
+
+
+def with_bpe_token_ids(
+    df: DataFrame,
+    merges: Mapping[Tuple[str, str], int],
+    vocab: Mapping[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    unk_id: Optional[int] = None,
+    cache_size: int = 200_000,
+) -> DataFrame:
+    """Append ``out_col`` = the text's BPE token ids (``array<int>``).
+
+    The last step before :func:`..sources.readers.write_training_shards`
+    when shards should carry MODEL ids instead of text. Same lane and
+    cost profile as :func:`with_bpe_token_count` (one map-only Arrow
+    stage, broadcast artifacts, per-task word cache); null text yields
+    null. ``unk_id`` as in :func:`bpe_token_ids`.
+    """
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    merges_bc = sc.broadcast(dict(merges))
+    vocab_bc = sc.broadcast(dict(vocab))
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()), True)]
+    )
+
+    def encode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ranks = merges_bc.value
+        voc = vocab_bc.value
+        b2u = bytes_to_unicode()
+        cache: dict = {}
+
+        def word_ids(word: str) -> list:
+            ids = cache.get(word)
+            if ids is None:
+                mapped = "".join(b2u[b] for b in word.encode("utf-8"))
+                ids = []
+                for tok in _bpe_word(mapped, ranks):
+                    i = voc.get(tok, unk_id)
+                    if i is None:
+                        raise ValueError(
+                            f"token {tok!r} not in vocab and no unk_id "
+                            "given (mismatched merges/vocab artifacts?)"
+                        )
+                    ids.append(i)
+                if len(cache) < cache_size:
+                    cache[word] = ids
+            return ids
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            col = []
+            for t in pdf[text_col]:
+                if t is None:
+                    col.append(None)
+                else:
+                    ids: list = []
+                    for w in _PRETOKEN_RE.findall(t):
+                        ids.extend(word_ids(w))
+                    col.append(ids)
+            pdf[out_col] = col
+            yield pdf
+
+    return df.mapInPandas(encode, schema=schema)

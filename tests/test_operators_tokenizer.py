@@ -146,3 +146,64 @@ def test_load_rejects_malformed(tmp_path):
     p2.write_text("#version: only\n")
     with pytest.raises(ValueError, match="no merges"):
         load_bpe_merges(str(p2))
+
+
+VOCAB = {
+    "hello": 0, "he": 1, "l": 2, "p": 3, "Ġthe": 4, "world": 5, "Ġ": 6,
+    "x": 7, "y": 8, "z": 9, "Ġworld": 10,
+}
+
+
+def test_bpe_token_ids_reference(merges, tmp_path):
+    import json
+
+    from patito_spark.operators.tokenizer import (
+        bpe_token_ids,
+        load_bpe_vocab,
+    )
+
+    p = tmp_path / "vocab.json"
+    p.write_text(json.dumps(VOCAB), encoding="utf-8")
+    vocab = load_bpe_vocab(str(p))
+    assert bpe_token_ids("hello", merges, vocab) == [0]
+    assert bpe_token_ids("help", merges, vocab) == [1, 2, 3]
+    # "hello the" -> hello, Ġthe
+    assert bpe_token_ids("hello the", merges, vocab) == [0, 4]
+    with pytest.raises(ValueError, match="not in vocab"):
+        bpe_token_ids("qq", merges, vocab)
+    assert bpe_token_ids("qq", merges, vocab, unk_id=99) == [99, 99]
+
+
+def test_with_bpe_token_ids_matches_reference(spark, merges):
+    from patito_spark.operators.tokenizer import (
+        bpe_token_ids,
+        with_bpe_token_ids,
+    )
+
+    texts = ["hello the world", "help hello", "xyz", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.token_ids
+        for r in with_bpe_token_ids(df, merges, VOCAB, unk_id=-1).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert out[i] is None
+        else:
+            assert out[i] == bpe_token_ids(t, merges, VOCAB, unk_id=-1), t
+    assert dict(
+        with_bpe_token_ids(df, merges, VOCAB, unk_id=-1).dtypes
+    )["token_ids"] == "array<int>"
+
+
+def test_load_bpe_vocab_rejects_bad(tmp_path):
+    import json
+
+    from patito_spark.operators.tokenizer import load_bpe_vocab
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps([1, 2]))
+    with pytest.raises(ValueError, match="token->id"):
+        load_bpe_vocab(str(p))
