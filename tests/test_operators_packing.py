@@ -276,3 +276,41 @@ class TestSentenceChunking:
         rows = out.collect()
         assert {r.doc_id for r in rows} == {1}  # null text emits nothing
         assert rows[0].chunk_text == "A b. C d."
+
+
+class TestSentenceChunkingProperties:
+    def test_token_stream_preserved_random_texts(self, spark):
+        """For single-space texts, the concatenated chunk token streams
+        equal the original token stream — nothing lost, duplicated or
+        reordered, at any budget (hypothesis-style sweep, deterministic
+        corpus so failures replay)."""
+        import random
+
+        from patito_spark.operators.packing import chunk_documents
+
+        rng = random.Random(11)
+        words = ["alpha", "b.", "c!", "Dd?", "e,f", '"g."', "(h)", "i2"]
+        rows = []
+        for d in range(60):
+            n = rng.randint(1, 40)
+            rows.append((d, " ".join(rng.choice(words) for _ in range(n))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for budget in (1, 3, 7, 64):
+            out = chunk_documents(
+                df, max_tokens=budget, boundary="sentence",
+                min_chunk_tokens=1,
+            )
+            got = {}
+            for r in out.collect():
+                got.setdefault(r.doc_id, []).append(
+                    (r.chunk_id, r.chunk_text, r.n_tokens)
+                )
+            for d, text in rows:
+                chunks = sorted(got.get(d, []))
+                # chunk ids are dense 0..k-1
+                assert [c[0] for c in chunks] == list(range(len(chunks)))
+                # budget respected
+                assert all(c[2] <= budget for c in chunks)
+                # token stream preserved exactly
+                stream = [t for _, ct, _ in chunks for t in ct.split(" ")]
+                assert stream == text.split(" "), (d, budget)
