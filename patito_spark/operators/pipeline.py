@@ -60,6 +60,7 @@ def prepare_training_corpus(
     contamination_action: str = "drop",
     contamination_neardup_threshold: Optional[float] = None,
     max_tokens_per_chunk: Optional[int] = None,
+    chunk_boundary: str = "token",
     pack_max_len: Optional[int] = None,
     domain_col: Optional[str] = None,
     max_docs_per_domain: Optional[int] = None,
@@ -73,7 +74,9 @@ def prepare_training_corpus(
 
     * ``documents`` — cleaned, filtered, deduplicated, decontaminated
       docs (``id_col``, ``text`` cleaned, original columns preserved);
-    * ``chunks`` — present when ``max_tokens_per_chunk`` is set;
+    * ``chunks`` — present when ``max_tokens_per_chunk`` is set
+      (``chunk_boundary="sentence"`` packs whole sentences to the
+      budget — see :func:`..packing.chunk_documents`);
     * ``sequences`` — present when ``pack_max_len`` is set (packs chunks
       when chunking is on, else whole documents);
     * ``stages`` — dict of LAZY per-stage snapshots (one entry per
@@ -334,6 +337,7 @@ def prepare_training_corpus(
             id_col=id_col,
             text_col=text_col,
             max_tokens=max_tokens_per_chunk,
+            boundary=chunk_boundary,
         ).withColumn(
             "chunk_key",
             F.concat_ws(":", F.col(id_col).cast("string"), F.col("chunk_id")),

@@ -455,3 +455,23 @@ def test_attrition_report_empty_stages_raises(spark):
 
     with pytest.raises(ValueError, match="stages is empty"):
         attrition_report({})
+
+
+def test_pipeline_sentence_boundary_chunking(spark):
+    from patito_spark.operators.pipeline import prepare_training_corpus
+
+    rows = [
+        (i, "First sentence here. Second one follows. Third is last.")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_training_corpus(
+        df,
+        min_tokens=2,
+        dedup_threshold=None,
+        max_tokens_per_chunk=5,
+        chunk_boundary="sentence",
+    )
+    chunks = out["chunks"].collect()
+    assert all(r.n_tokens <= 5 for r in chunks)
+    assert all(r.chunk_text.rstrip()[-1] in ".!?" for r in chunks)

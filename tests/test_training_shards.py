@@ -130,3 +130,33 @@ def test_written_row_order_reproducible(spark, corpus, tmp_path):
     assert a == b
     # And the order is the seeded hash order, not insertion order.
     assert any(ids != sorted(ids) for ids in a.values())
+
+
+def test_shards_carry_bpe_token_ids(spark, tmp_path):
+    """The id path end to end: encode with the BPE artifacts, shard,
+    read back — ids survive the parquet roundtrip intact and match the
+    driver reference."""
+    from patito_spark.operators.tokenizer import (
+        bpe_token_ids,
+        load_bpe_merges,
+        with_bpe_token_ids,
+    )
+    from patito_spark.sources.readers import write_training_shards
+
+    mp = tmp_path / "merges.txt"
+    mp.write_text("#v\nh e\nl l\nhe ll\nhell o\n", encoding="utf-8")
+    merges = load_bpe_merges(str(mp))
+    vocab = {"hello": 7, "he": 1, "l": 2, "p": 3, "Ġ": 4, "Ġhello": 5}
+
+    rows = [(i, "hello" + " hello" * (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ids_df = with_bpe_token_ids(df, merges, vocab, unk_id=-1)
+    out_dir = str(tmp_path / "shards")
+    write_training_shards(
+        ids_df, out_dir, target_tokens_per_shard=200, text_col="text"
+    )
+    back = spark.read.parquet(f"{out_dir}/shard=*")
+    got = {r.doc_id: list(r.token_ids) for r in back.collect()}
+    assert len(got) == 30
+    for i, text in rows:
+        assert got[i] == bpe_token_ids(text, merges, vocab, unk_id=-1)
