@@ -573,6 +573,54 @@ def clean_text(text: Union[str, Column]) -> Column:
     return normalize_whitespace(remove_control_chars(strip_html(text)))
 
 
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD).
+
+    Crawled corpora mix composed and decomposed encodings of the same
+    glyph ("é" as U+00E9 vs e + U+0301) and NFKC-foldable compatibility
+    forms (ligatures, full-width Latin) — byte-level dedup keys,
+    shingle hashes and vocabulary counts all silently treat those as
+    different text. Run this BEFORE any hashing stage when the corpus
+    mixes sources; NFC is the safe default (canonical only), NFKC
+    additionally folds compatibility characters (more collisions, some
+    lossy — the usual choice for dedup keys, not for the stored text).
+
+    Spark has no built-in normalizer expression, so this is one
+    map-only Arrow stage over ``unicodedata`` (stdlib, vectorized per
+    batch); rows already normalized pass through byte-identical. Null
+    text stays null. ``out_col=None`` replaces ``text_col``.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(
+            f"form must be one of NFC/NFKC/NFD/NFKD, got {form!r}"
+        )
+    import pandas as pd  # noqa: F401 (schema of the closure)
+
+    target = out_col or text_col
+    fields = list(df.schema.fields)
+    if target not in df.columns:
+        fields = fields + [T.StructField(target, T.StringType(), True)]
+    schema = T.StructType(fields)
+
+    def norm(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[target] = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(norm, schema=schema)
+
+
 def filter_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1025,3 +1025,46 @@ def test_cross_doc_repetition_materializes_gram_stream(spark):
         assert got == want
     finally:
         release_caches()
+
+
+def test_normalize_unicode_forms_and_dedup_keys(spark):
+    import unicodedata
+
+    from patito_spark.operators.text import normalize_unicode
+
+    composed = "café"                  # é composed
+    decomposed = "café"               # e + combining acute
+    fullwidth = "ＣＡＦＥ"  # ＣＡＦＥ (NFKC-foldable)
+    rows = [(1, composed), (2, decomposed), (3, fullwidth), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    nfc = {r.doc_id: r.text for r in normalize_unicode(df, form="NFC").collect()}
+    assert nfc[1] == nfc[2] == composed   # canonical forms collapse
+    assert nfc[3] == fullwidth            # compatibility untouched by NFC
+    assert nfc[4] is None
+
+    nfkc = {r.doc_id: r.text
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[3] == "CAFE"              # compatibility folded
+    assert nfkc[1] == unicodedata.normalize("NFKC", composed)
+
+    # out_col keeps the original text alongside the key
+    keyed = normalize_unicode(df, form="NFKC", out_col="text_norm")
+    assert keyed.columns == ["doc_id", "text", "text_norm"]
+    got = {r.doc_id: (r.text, r.text_norm) for r in keyed.collect()}
+    assert got[2] == (decomposed, composed)
+
+    with pytest.raises(ValueError, match="form must be"):
+        normalize_unicode(df, form="NFX")
+
+    # the dedup payoff: exact dedup collapses 1/2 only after NFC
+    from patito_spark.operators.dedup import dedup_exact
+
+    pre = dedup_exact(df.filter("text is not null"), subset=["text"],
+                      id_col="doc_id")
+    assert pre.count() == 3
+    post = dedup_exact(
+        normalize_unicode(df.filter("text is not null"), form="NFC"),
+        subset=["text"], id_col="doc_id",
+    )
+    assert post.count() == 2
