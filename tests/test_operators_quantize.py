@@ -334,3 +334,62 @@ def test_sq8_composes_with_embedding_dedup(spark, emb):
     for pair, cos in exact.items():
         if pair not in approx:
             assert abs(cos - 0.35) < 0.02, (pair, cos)
+
+
+def test_sq8_encode_matches_duckdb_replay(spark, emb):
+    """The SQ8 code formula is plain arithmetic, so DuckDB replays it
+    value-for-value: round((x - lo)/scale) - 127 clipped — an
+    independent-engine oracle for the encode kernel."""
+    import duckdb
+
+    from patito_spark.operators.quantize import (
+        fit_scalar_quantizer,
+        quantize_embeddings,
+    )
+
+    params = fit_scalar_quantizer(emb)
+    got = {
+        r.vec_id: list(r.embedding_q)
+        for r in quantize_embeddings(emb, params).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view emb as select * from "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    lo_sql = "[" + ",".join(repr(v) for v in params["lo"]) + "]"
+    hi_sql = "[" + ",".join(repr(v) for v in params["hi"]) + "]"
+    con.execute(
+        "create view params as select "
+        "unnest(range(1, 65)) as dim_1based, "
+        f"unnest({lo_sql}::DOUBLE[]) as lo, unnest({hi_sql}::DOUBLE[]) as hi"
+    )
+    want_rows = con.execute(
+        """
+        with elems as (
+            select vec_id, u.x, u.i from emb,
+                 lateral (select unnest(embedding) as x,
+                          generate_subscripts(embedding, 1) as i) u
+        ), coded as (
+            select vec_id, i,
+                   case when hi = lo then 0
+                        else greatest(-127, least(127,
+                             round((x - lo) / ((hi - lo) / 254.0)) - 127))
+                   end as c
+            from elems join params on i = dim_1based
+        )
+        select vec_id, list(c order by i) from coded group by vec_id
+        """
+    ).fetchall()
+    want = {r[0]: [int(v) for v in r[1]] for r in want_rows}
+    assert set(want) == set(got)
+    mismatch = [
+        (k, i) for k in want for i in range(64) if want[k][i] != got[k][i]
+    ]
+    # numpy rint (banker's rounding) vs DuckDB round (half away from
+    # zero) can differ ONLY on exact .5 boundaries — codes then differ
+    # by one step. Require exact agreement everywhere else and a
+    # vanishing boundary rate.
+    for k, i in mismatch:
+        assert abs(want[k][i] - got[k][i]) == 1
+    assert len(mismatch) <= 64 * len(want) * 0.001

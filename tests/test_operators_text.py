@@ -1068,3 +1068,26 @@ def test_normalize_unicode_forms_and_dedup_keys(spark):
         subset=["text"], id_col="doc_id",
     )
     assert post.count() == 2
+
+
+def test_normalize_unicode_nfc_matches_duckdb(spark):
+    """NFC output cross-checked against DuckDB's nfc_normalize on mixed
+    composed/decomposed/multiscript text — two independent Unicode
+    implementations agreeing on every row."""
+    import duckdb
+
+    from patito_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "café"), (2, "café"), (3, "ＣＡＦＥ"), (4, "ñino niño"),
+        (5, "한국어 テスト"), (6, "áêï"), (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in normalize_unicode(df, form="NFC").collect()}
+    con = duckdb.connect()
+    for i, t in rows:
+        want = con.execute(
+            "select nfc_normalize(?)", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t)
