@@ -63,14 +63,23 @@ def fit_scalar_quantizer(
     df: DataFrame,
     vec_col: str = "embedding",
     dim: Optional[int] = None,
+    max_exprs_per_job: int = 2048,
 ) -> dict:
-    """Per-dimension (min, max) ranges in ONE aggregate job.
+    """Per-dimension (min, max) ranges as aggregate jobs over
+    ``element_at`` expressions.
 
     Returns ``{"lo": [...], "hi": [...], "dim": d}`` — driver-side
     lists sized by the embedding width, not the corpus. ``dim`` is
     read from the first row when not given (one tiny extra job).
     Constant dimensions (hi == lo) encode to 0 and decode to the
     constant exactly.
+
+    One job covers up to ``max_exprs_per_job`` min/max expressions
+    (1024 dims at the default); wider embeddings split into
+    ``ceil(2*dim / max)`` sequential jobs — unbounded expression
+    counts stall codegen/analysis long before they hit data limits,
+    while a handful of full-scan jobs is the honest cost of fitting a
+    4096-dim table.
     """
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -78,14 +87,19 @@ def fit_scalar_quantizer(
             raise ValueError("fit_scalar_quantizer: empty DataFrame")
         dim = first["d"]
     v = F.col(vec_col)
-    aggs = []
-    for i in range(dim):
-        e = F.element_at(v, i + 1)
-        aggs.append(F.min(e).alias(f"lo{i}"))
-        aggs.append(F.max(e).alias(f"hi{i}"))
-    row = df.agg(*aggs).first()
-    lo = [float(row[f"lo{i}"]) for i in range(dim)]
-    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    lo: list = []
+    hi: list = []
+    dims_per_job = max(1, max_exprs_per_job // 2)
+    for start in range(0, dim, dims_per_job):
+        stop = min(start + dims_per_job, dim)
+        aggs = []
+        for i in range(start, stop):
+            e = F.element_at(v, i + 1)
+            aggs.append(F.min(e).alias(f"lo{i}"))
+            aggs.append(F.max(e).alias(f"hi{i}"))
+        row = df.agg(*aggs).first()
+        lo.extend(float(row[f"lo{i}"]) for i in range(start, stop))
+        hi.extend(float(row[f"hi{i}"]) for i in range(start, stop))
     return {"lo": lo, "hi": hi, "dim": dim}
 
 

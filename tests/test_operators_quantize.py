@@ -393,3 +393,11 @@ def test_sq8_encode_matches_duckdb_replay(spark, emb):
     for k, i in mismatch:
         assert abs(want[k][i] - got[k][i]) == 1
     assert len(mismatch) <= 64 * len(want) * 0.001
+
+
+def test_fit_splits_wide_embeddings_across_jobs(spark, emb):
+    """max_exprs_per_job below 2*dim forces multiple aggregate jobs; the
+    fitted params must be identical to the single-job fit."""
+    one = fit_scalar_quantizer(emb)
+    split = fit_scalar_quantizer(emb, max_exprs_per_job=20)  # 10 dims/job
+    assert split == one
