@@ -71,8 +71,10 @@ def fit_scalar_quantizer(
     Returns ``{"lo": [...], "hi": [...], "dim": d}`` — driver-side
     lists sized by the embedding width, not the corpus. ``dim`` is
     read from the first row when not given (one tiny extra job).
-    Constant dimensions (hi == lo) encode to 0 and decode to the
-    constant exactly.
+    Constant dimensions (hi == lo) get scale 0, so the encode formula
+    ``round((x - lo) * inv) - 127`` emits code -127 for them; decode
+    (``lo + (code + 127) * scale``) still reproduces the constant
+    exactly.
 
     One job covers up to ``max_exprs_per_job`` min/max expressions
     (1024 dims at the default); wider embeddings split into
@@ -109,7 +111,7 @@ def _scales(params: dict):
     lo = np.asarray(params["lo"], dtype="float64")
     hi = np.asarray(params["hi"], dtype="float64")
     span = hi - lo
-    # constant dims: span 0 -> scale 0 -> code 0, decode returns lo
+    # constant dims: span 0 -> scale 0 -> code -127, decode returns lo
     scale = np.where(span > 0, span / _LEVELS, 0.0)
     inv = np.where(scale > 0, 1.0 / np.where(scale > 0, scale, 1.0), 0.0)
     return lo, scale, inv

@@ -43,15 +43,34 @@ __all__ = [
     "with_bpe_token_ids",
 ]
 
-# GPT-2's pre-tokenizer splits contractions, letter runs, digit runs,
+# GPT-2's pre-tokenizer splits contractions, letter runs, number runs,
 # other-symbol runs (each optionally space-prefixed) and whitespace.
-# The published pattern uses \p{L}/\p{N}; Python's `re` spells the same
-# classes as [^\W\d_] (unicode letters) and \d (unicode digits).
-_PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+"
-    r"|\s+(?!\S)|\s+"
-)
+# The published pattern uses \p{L}/\p{N}, which stdlib `re` lacks, so
+# the classes are reconstructed exactly:
+#   \p{L}  = \w minus '_' minus \d minus the Nl/No numerics ('Ⅻ', '²')
+#   \p{N}  = \d plus Nl/No
+#   [^\s\p{L}\p{N}] = [^\s\w] plus '_'   (Python \w = L + N + '_')
+# The earlier spelling `[^\W\d_]+ / \d+ / [^\s\w]+` had two drifts: '_'
+# matched NO alternative (findall silently DROPPED underscores — lossy
+# for code/snake_case text), and Nl/No numerics grouped with letters.
+# The Nl/No class is built once per process from unicodedata (~0.1 s)
+# and cached; Spark reuses Python workers, so this is a one-time cost.
+
+
+@lru_cache(maxsize=1)
+def _pretoken_re():
+    import unicodedata
+
+    nlno = "".join(
+        re.escape(c)
+        for c in map(chr, range(0x110000))
+        if unicodedata.category(c) in ("Nl", "No")
+    )
+    return re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        rf"| ?[^\W\d_{nlno}]+| ?[\d{nlno}]+| ?(?:[^\s\w]|_)+"
+        r"|\s+(?!\S)|\s+"
+    )
 
 
 @lru_cache(maxsize=1)
@@ -140,7 +159,7 @@ def bpe_tokens(text: str, ranks: Mapping[Tuple[str, str], int]) -> list:
     strings (in the mapped alphabet)."""
     b2u = bytes_to_unicode()
     out: list = []
-    for word in _PRETOKEN_RE.findall(text):
+    for word in _pretoken_re().findall(text):
         mapped = "".join(b2u[b] for b in word.encode("utf-8"))
         out.extend(_bpe_word(mapped, ranks))
     return out
@@ -154,6 +173,7 @@ def _make_count_fn(
     def count(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         ranks = merges_bc.value
         b2u = bytes_to_unicode()
+        pretoken = _pretoken_re()
         cache: dict = {}
 
         def word_count(word: str) -> int:
@@ -168,7 +188,7 @@ def _make_count_fn(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [
-                sum(word_count(w) for w in _PRETOKEN_RE.findall(t))
+                sum(word_count(w) for w in pretoken.findall(t))
                 if t is not None
                 else None
                 for t in pdf[text_col]
@@ -286,6 +306,7 @@ def with_bpe_token_ids(
         ranks = merges_bc.value
         voc = vocab_bc.value
         b2u = bytes_to_unicode()
+        pretoken = _pretoken_re()
         cache: dict = {}
 
         def word_ids(word: str) -> list:
@@ -313,7 +334,7 @@ def with_bpe_token_ids(
                     col.append(None)
                 else:
                     ids: list = []
-                    for w in _PRETOKEN_RE.findall(t):
+                    for w in pretoken.findall(t):
                         ids.extend(word_ids(w))
                     col.append(ids)
             pdf[out_col] = col

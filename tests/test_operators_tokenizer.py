@@ -76,6 +76,38 @@ def test_multibyte_utf8_counts(merges):
     assert bpe_token_count("é", merges) == 2
 
 
+@pytest.mark.parametrize(
+    "text",
+    [
+        "foo_bar",  # the regression: '_' used to match NO alternative
+        "snake_case_name = _private",
+        "__dunder__ and a_b_c",
+        "x_1 + y_2",
+        "tab\tand  spaces",
+        "it's 2026! Ⅻ² ½x",  # Nl/No numerics group with numbers, not letters
+    ],
+)
+def test_pretokenizer_is_lossless(merges, text):
+    # Byte-level BPE must be a lossless encoding: rejoining the tokens
+    # (undoing the byte->unicode map) reproduces the input exactly.
+    b2u = bytes_to_unicode()
+    u2b = {v: k for k, v in b2u.items()}
+    toks = bpe_tokens(text, merges)
+    rejoined = bytes(u2b[ch] for tok in toks for ch in tok).decode("utf-8")
+    assert rejoined == text
+
+
+def test_pretokenizer_numeric_class_matches_published():
+    # '²' (No) and 'Ⅻ' (Nl) are \p{N} in the published GPT-2 pattern:
+    # they must run with digits, not letters, and '_' runs with symbols.
+    from patito_spark.operators.tokenizer import _pretoken_re
+
+    assert _pretoken_re().findall("a²b") == ["a", "²", "b"]
+    assert _pretoken_re().findall("x2²3") == ["x", "2²3"]
+    assert _pretoken_re().findall("a_b") == ["a", "_", "b"]
+    assert _pretoken_re().findall("foo _bar") == ["foo", " _", "bar"]
+
+
 def test_with_bpe_token_count_matches_reference(spark, merges):
     texts = [
         "hello the world",
