@@ -714,7 +714,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.dedup import simhash_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, max_hamming=8, hash_mode="portable").select(
+    return simhash_dedup_pairs(docs, max_hamming=4, hash_mode="portable").select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
 
@@ -803,6 +803,41 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
             assign_metric="cosine",
         )
     return _ANN_INDEX_CACHE[key]
+
+
+def _sq8_params(spark: SparkSession, sf_dir: str):
+    """Session-lived SQ8 quantizer fit (build-once/query-many, the
+    _lsh_index/_ivf_index convention)."""
+    from patito_spark.operators.quantize import fit_scalar_quantizer
+
+    key = ("sq8", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = fit_scalar_quantizer(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization round-trip under the driver oracle (round-11
+    verdict #3): fit -> int8 encode -> decode -> asymmetric cosine
+    top-k of full-precision queries against the RECONSTRUCTED corpus.
+    Every stage is plain arithmetic (floor((x-lo)*inv+0.5)-127 encode,
+    lo+(c+127)*scale decode), so DuckDB replays the whole pipeline —
+    including the per-dimension min/max fit — value-for-value in SQL."""
+    from patito_spark.operators.quantize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from patito_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = _sq8_params(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    codes = quantize_embeddings(emb.select("vec_id", "embedding"), params)
+    back = dequantize_embeddings(codes, params)
+    out = cosine_topk(back, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,8 +1517,9 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH and IVF approximate top-k union-tagged in one slot (round-10
-    merge; same query set, both methods fully value-oracled)."""
+    """LSH, IVF, and SQ8-asymmetric approximate top-k union-tagged in
+    one slot (round-10 merge + round-12 quantization family; same
+    query set, all three methods fully value-oracled)."""
     lsh = ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id",
         "cosine", "rank",
@@ -1492,7 +1528,11 @@ def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "query_id", "neighbor_id",
         "cosine", "rank",
     )
-    return lsh.unionByName(ivf)
+    sq8 = ann_sq8(spark, sf_dir).select(
+        F.lit("sq8").alias("method"), "query_id", "neighbor_id",
+        "cosine", "rank",
+    )
+    return lsh.unionByName(ivf).unionByName(sq8)
 
 
 def dedup_embedding_both(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2031,6 +2071,16 @@ def _simhash_pack_sql() -> str:
     )
 
 
+def _simhash_masks_sql() -> str:
+    """The entry's combination masks (chunks=8, max_hamming=4) as BIGINT
+    literals — same construction the Spark side uses."""
+    from patito_spark.operators.dedup import hamming_combination_masks
+
+    return ", ".join(
+        f"({m})::BIGINT" for m in hamming_combination_masks(8, 4)
+    )
+
+
 def _split_frac_sql() -> str:
     """DuckDB fragment mirroring the portable train/test hash fraction."""
     from patito_spark.operators.sampling import sample_fraction_sql
@@ -2456,8 +2506,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT node FROM dropped)
         """,
         # Replays SimHash in portable-hash mode: per-token ±1 bit votes in
-        # one grouped aggregate, sign-packed signature, pigeonhole
-        # candidate join on 16-bit chunks, bit_count(xor) verify.
+        # one grouped aggregate, sign-packed signature, then the
+        # Manku-2007 combination-keyed pigeonhole (C(8,4)=70 masked
+        # 32-bit keys — recall is EXACT for hamming <= 4, so this also
+        # equals the brute-force pair set), bit_count(xor) verify.
         "dedup_simhash": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -2473,21 +2525,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM votes
             ),
             chunked AS (
-                SELECT doc_id, sig, c AS chunk_id,
-                       (sig >> (c * 16)) & 65535 AS chunk_val
-                FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c)
+                SELECT doc_id, sig, m.mask, sig & m.mask AS key
+                FROM sigs, (SELECT unnest([{_simhash_masks_sql()}])
+                            AS mask) m
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                        a.sig AS sig_a, b.sig AS sig_b
                 FROM chunked a JOIN chunked b
-                  ON a.chunk_id = b.chunk_id
-                 AND a.chunk_val = b.chunk_val
+                  ON a.mask = b.mask
+                 AND a.key = b.key
                  AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
                    bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
-            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 4
         """,
         # Replays ann_lsh_topk: 6-plane buckets on corpus AND queries;
         # multi-probe(1) = the query also probes every bucket one bit-flip
@@ -3066,12 +3118,73 @@ def oracle_sql() -> dict[str, str]:
                n::BIGINT, NULL::DOUBLE
         FROM ({d.pop("q_hourly_gapfill")})
     """
+    # sq8 branch: replays the WHOLE quantization pipeline from the raw
+    # parquet — per-dim min/max fit, floor((x-lo)*inv+0.5)-127 encode
+    # (identical IEEE op sequence to the numpy kernel; inv is the
+    # precomputed reciprocal of span/254), lo+(c+127)*scale decode,
+    # then asymmetric cosine top-k of full-precision queries against
+    # the reconstructed corpus.
+    sq8_sql = """
+        WITH elems AS (
+            SELECT vec_id, u.x, u.i FROM embeddings,
+                 LATERAL (SELECT unnest(embedding::DOUBLE[]) AS x,
+                          generate_subscripts(embedding, 1) AS i) u
+        ),
+        qparams AS (
+            SELECT i, min(x) AS lo, max(x) AS hi FROM elems GROUP BY i
+        ),
+        coded AS (
+            SELECT vec_id, e.i, p.lo, p.hi,
+                   CASE WHEN p.hi = p.lo THEN -127
+                        ELSE greatest(-127, least(127,
+                             floor((e.x - p.lo)
+                                   * (1.0 / ((p.hi - p.lo) / 254.0))
+                                   + 0.5) - 127))
+                   END AS c
+            FROM elems e JOIN qparams p ON e.i = p.i
+        ),
+        decoded AS (
+            SELECT vec_id,
+                   list(lo + (c + 127)
+                        * (CASE WHEN hi = lo THEN 0.0
+                                ELSE (hi - lo) / 254.0 END)
+                        ORDER BY i) AS v
+            FROM coded GROUP BY vec_id
+        ),
+        dnorm AS (
+            SELECT vec_id, v,
+                   sqrt(list_dot_product(v, v)) AS norm
+            FROM decoded
+        ),
+        qn AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(
+                       embedding::DOUBLE[], embedding::DOUBLE[]
+                   )) AS norm
+            FROM embeddings WHERE vec_id < 8
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, c.v) / (q.norm * c.norm)
+                       AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, c.v)
+                                / (q.norm * c.norm) DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM qn q CROSS JOIN dnorm c
+        ) WHERE rank <= 10
+    """
     d["ann_search"] = f"""
         SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
         FROM ({d.pop("ann_lsh")})
         UNION ALL
         SELECT 'ivf', query_id, neighbor_id, cosine, rank
         FROM ({d.pop("ann_ivf")})
+        UNION ALL
+        SELECT 'sq8', query_id, neighbor_id, cosine, rank::BIGINT
+        FROM ({sq8_sql})
     """
     d["dedup_embedding"] = f"""
         SELECT 'exact' AS mode, id_a, id_b, cosine

@@ -620,23 +620,55 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int = 8,
     hash_mode: str = "xxhash64",
+    max_bucket_size: Optional[int] = 100_000,
+    expand: str = "full",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
-    Pigeonhole: with 64 bits in ``chunks`` chunks, any pair within
-    ``max_hamming < chunks`` differing bits must agree on at least one
-    chunk — so candidates meet in an equi-join on (chunk_id, chunk_value),
-    never a cross join. Verified with ``bit_count(a XOR b)``.
+    Candidates meet in :func:`hamming_pairs`' combination-keyed
+    pigeonhole equi-join (never a cross join) and verify with
+    ``bit_count(a XOR b)``. Defaults (``max_hamming=3, chunks=8``) key
+    the join on 40-bit chunk combinations — the Manku et al. (WWW 2007)
+    web-scale configuration.
     """
     sigs = simhash_signatures(
         df, id_col=id_col, text_col=text_col, hash_mode=hash_mode
     )
-    # The signature table feeds both sides of the pigeonhole self-join;
-    # Catalyst would otherwise run the 64-sum aggregation twice.
+    # The signature table feeds the distinct-signature collapse AND the
+    # pair expansion; Catalyst would otherwise run the 64-sum
+    # aggregation twice.
     sigs = tracked_persist(sigs)
-    return hamming_pairs(sigs, max_hamming=max_hamming, chunks=chunks)
+    return hamming_pairs(
+        sigs, max_hamming=max_hamming, chunks=chunks,
+        max_bucket_size=max_bucket_size, expand=expand,
+    )
+
+
+def hamming_combination_masks(chunks: int, max_hamming: int) -> list:
+    """The Manku-2007 combination masks: one signed-64 mask per way of
+    choosing ``chunks - max_hamming`` of the ``chunks`` equal bit
+    slices (all chunks when ``max_hamming >= chunks``, which degrades
+    recall to single-chunk agreement — callers should keep
+    ``max_hamming < chunks``)."""
+    from itertools import combinations
+
+    bits_per_chunk = 64 // chunks
+    agree = max(1, chunks - max_hamming)
+    masks = []
+    for combo in combinations(range(chunks), agree):
+        m = 0
+        for c in combo:
+            m |= ((1 << bits_per_chunk) - 1) << (c * bits_per_chunk)
+        masks.append(m - (1 << 64) if m >= (1 << 63) else m)
+    if len(masks) > 1024:
+        raise ValueError(
+            f"hamming pigeonhole would need C({chunks}, {agree}) = "
+            f"{len(masks)} combination tables; lower `chunks` or "
+            "`max_hamming` (e.g. chunks=8 keeps the table count <= 70)"
+        )
+    return masks
 
 
 def hamming_pairs(
@@ -644,63 +676,191 @@ def hamming_pairs(
     id_col: str = "__id",
     sig_col: str = "__sig",
     max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int = 8,
+    max_bucket_size: Optional[int] = 100_000,
+    expand: str = "full",
 ) -> DataFrame:
     """Pairs of 64-bit signatures within ``max_hamming`` differing bits.
 
     The pigeonhole self-join shared by SimHash text dedup and pHash
-    image dedup (any 64-bit fingerprint family): with the signature cut
-    into ``chunks`` pieces, a pair within ``max_hamming < chunks``
-    differing bits must agree on at least one piece, so candidates
-    meet in an equi-join on (chunk_id, chunk_value) — never a cross
-    join — and verify with ``bit_count(a XOR b)``. Callers persist
-    ``sigs`` if computing it is expensive (both sides read it).
-    Returns ``id_a, id_b, hamming`` with ``id_a < id_b``.
+    image dedup (any 64-bit fingerprint family), built to survive
+    web-scale corpora (Manku et al., WWW 2007 — the construction behind
+    Google's simhash crawl dedup):
+
+    1. **Distinct-signature collapse.** The join runs over DISTINCT
+       signatures only; identical signatures (the degenerate hot case —
+       empty docs, blank images) collapse to ONE row before any join
+       and pair up in a separate linear exact-duplicate pass.
+    2. **Combination keys.** A pair within ``h`` differing bits differs
+       in at most ``h`` of the ``c = chunks`` equal slices, so it
+       agrees EXACTLY on some combination of ``c - h`` slices. Each of
+       the ``C(c, c-h)`` combinations becomes one equi-join key — the
+       signature ANDed with that combination's bit mask — of width
+       ``(c-h) * 64/c`` bits (defaults: 56 keys of 40 bits; the old
+       single-chunk scheme keyed on 64/c bits, quadratic at 1B rows).
+       Recall is exact for ``max_hamming < chunks``.
+    3. **Bucket pre-prune.** A cheap map-side-combined count per
+       (combination, key) keeps only ``1 < n <= max_bucket_size``
+       buckets (same backstop as the MinHash LSH path): a pathological
+       key collision among distinct signatures is dropped by a counter
+       instead of detonating the join. ``None`` disables the guard.
+
+    ``expand`` controls the output contract:
+
+    - ``"full"`` (default): every qualifying pair — ``id_a, id_b,
+      hamming`` with ``id_a < id_b``. Within an exact-duplicate group
+      of g members this is g*(g-1)/2 rows: inherent to the contract,
+      not to the join (candidates stay sub-quadratic).
+    - ``"star"``: a linear-size edge set with the SAME connected
+      components — each member links to its signature group's min-id
+      representative (hamming 0), and near signatures link
+      representative-to-representative. Use this at corpus scale when
+      the pairs feed :func:`..graph.connected_components`.
+
+    Callers persist ``sigs`` if computing it is expensive (the collapse
+    and the expansion both read it).
     """
-    bits_per_chunk = 64 // chunks
-    chunked = sigs.select(
-        F.col(id_col).alias("__id"),
-        F.col(sig_col).alias("__sig"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col(sig_col), c * bits_per_chunk).bitwiseAND(
-                        F.lit((1 << bits_per_chunk) - 1).cast("long")
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("chunk_id", "chunk_val"),
+    if expand not in ("full", "star"):
+        raise ValueError(f"expand must be 'full' or 'star', got {expand!r}")
+    masks = hamming_combination_masks(chunks, max_hamming)
+
+    members = sigs.select(
+        F.col(id_col).alias("__mid"), F.col(sig_col).alias("__msig")
     )
-    left = chunked.select(
-        "chunk_id", "chunk_val",
-        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+    usigs = tracked_persist(members.select(F.col("__msig").alias("__usig")).distinct())
+
+    def keyed(sig_alias: str):
+        # Map-only over the persisted distinct signatures: one AND per
+        # combination, exploded to (combo_id, key) rows.
+        return usigs.select(
+            F.col("__usig").alias(sig_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.col("__usig").bitwiseAND(F.lit(m).cast("long"))
+                        for m in masks
+                    ]
+                )
+            ).alias("__combo", "__key"),
+        )
+
+    left = keyed("sig_a")
+    if max_bucket_size is not None:
+        # Skew guard BEFORE the self-join (the minhash LSH pattern):
+        # per-(combo, key) counts are map-side combined; only
+        # 1 < n <= max_bucket_size buckets survive into the join, so a
+        # pathological key collision among distinct signatures is
+        # dropped by a counter, never materialized as pairs.
+        eligible = (
+            left.groupBy("__combo", "__key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+            .select("__combo", "__key")
+        )
+        left = left.join(eligible, on=["__combo", "__key"], how="left_semi")
+    right = left.select(
+        F.col("__combo").alias("__combo_r"),
+        F.col("__key").alias("__key_r"),
+        F.col("sig_a").alias("sig_b"),
     )
-    right = chunked.select(
-        F.col("chunk_id").alias("chunk_id_r"),
-        F.col("chunk_val").alias("chunk_val_r"),
-        F.col("__id").alias("id_b"),
-        F.col("__sig").alias("sig_b"),
-    )
-    pairs = (
-        left.join(
+    near_sigs = (
+        # shuffle_hash: both sides are the same size and the bucket
+        # pre-prune bounds per-key groups, so the SMJ sort of both
+        # streams is pure overhead (measured 2.0 -> 0.7 s at sf1; per-
+        # partition hash maps stay bounded when shuffle partitions are
+        # sized for the corpus, the normal production setting).
+        left.hint("shuffle_hash").join(
             right,
             on=[
-                left.chunk_id == right.chunk_id_r,
-                left.chunk_val == right.chunk_val_r,
-                left.id_a < right.id_b,
+                left.__combo == right.__combo_r,
+                left.__key == right.__key_r,
+                left.sig_a < right.sig_b,
             ],
         )
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("sig_a", "sig_b", "hamming")
+        .distinct()
     )
-    return pairs
+
+    if expand == "full":
+        # Exact-duplicate pairs (hamming 0): members self-joined on the
+        # full signature — output-sized, candidates never fan out.
+        ma = members.select(
+            F.col("__mid").alias("id_a"), F.col("__msig").alias("__s")
+        )
+        mb = members.select(
+            F.col("__mid").alias("id_b"), F.col("__msig").alias("__s2")
+        )
+        exact = (
+            ma.hint("shuffle_hash")
+            .join(mb, on=[ma.__s == mb.__s2, ma.id_a < mb.id_b])
+            .select("id_a", "id_b", F.lit(0).alias("hamming"))
+        )
+        near = (
+            near_sigs.join(
+                members.select(
+                    F.col("__mid").alias("__ida"),
+                    F.col("__msig").alias("sig_a"),
+                ),
+                on="sig_a",
+            )
+            .join(
+                members.select(
+                    F.col("__mid").alias("__idb"),
+                    F.col("__msig").alias("sig_b"),
+                ),
+                on="sig_b",
+            )
+            .select(
+                F.least("__ida", "__idb").alias("id_a"),
+                F.greatest("__ida", "__idb").alias("id_b"),
+                "hamming",
+            )
+        )
+        out = exact.unionByName(near)
+    else:
+        # Star edges: same connected components, linear output. reps =
+        # min id per signature; members link to their rep, near
+        # signatures link rep-to-rep.
+        groups = tracked_persist(
+            members.groupBy("__msig").agg(F.min("__mid").alias("__rep"))
+        )
+        exact = (
+            members.join(groups, on="__msig")
+            .filter(F.col("__mid") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col("__mid").alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        near = (
+            near_sigs.join(
+                groups.select(
+                    F.col("__msig").alias("sig_a"),
+                    F.col("__rep").alias("__ida"),
+                ),
+                on="sig_a",
+            )
+            .join(
+                groups.select(
+                    F.col("__msig").alias("sig_b"),
+                    F.col("__rep").alias("__idb"),
+                ),
+                on="sig_b",
+            )
+            .select(
+                F.least("__ida", "__idb").alias("id_a"),
+                F.greatest("__ida", "__idb").alias("id_b"),
+                "hamming",
+            )
+        )
+        out = exact.unionByName(near)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 # ---------------------------------------------------------------------- #

@@ -358,16 +358,28 @@ def image_dedup_pairs(
     max_hamming: int = 6,
     chunks: int = 8,
     use_real_codecs: bool = False,
+    max_bucket_size: Optional[int] = 100_000,
+    expand: str = "full",
 ) -> DataFrame:
     """Near-duplicate image pairs by pHash hamming distance.
 
     The image-side twin of ``simhash_dedup_pairs``: pHash signatures,
-    then the SHARED pigeonhole machinery
-    (:func:`..dedup.hamming_pairs`) — candidates meet in a chunked
-    equi-join, never a cross join (``max_hamming < chunks`` required
-    for losslessness), verified with ``bit_count(xor)``. Feed the
-    pairs into :func:`..graph.connected_components` + an anti join for
+    then the SHARED Manku-style pigeonhole machinery
+    (:func:`..dedup.hamming_pairs`) — identical signatures (blank or
+    re-posted images, the degenerate hot case) collapse to one row
+    before any join, candidates meet in a combination-keyed equi-join
+    (never a cross join; ``max_hamming < chunks`` required for exact
+    recall), oversized buckets are dropped by a counter, and survivors
+    verify with ``bit_count(xor)``. Feed the pairs into
+    :func:`..graph.connected_components` + an anti join for
     one-survivor-per-group dedup, exactly the text composition.
+
+    Scale note: the default ``max_hamming=6, chunks=8`` keys the join
+    on C(8,2)=28 16-bit combinations — fine into the hundreds of
+    millions of DISTINCT hashes thanks to the collapse + bucket guard,
+    but a multi-billion-image corpus should lower ``max_hamming`` (3
+    gives 40-bit keys, the Manku web configuration) or pass
+    ``expand="star"`` and a tighter ``max_bucket_size``.
     """
     if max_hamming >= chunks:
         raise ValueError(
@@ -386,4 +398,5 @@ def image_dedup_pairs(
     return hamming_pairs(
         sigs, id_col="doc_id", sig_col="phash",
         max_hamming=max_hamming, chunks=chunks,
+        max_bucket_size=max_bucket_size, expand=expand,
     )

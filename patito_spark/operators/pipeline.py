@@ -52,6 +52,9 @@ def prepare_training_corpus(
     quality_model=None,
     min_model_prob: float = 0.5,
     dedup_threshold: Optional[float] = 0.7,
+    image_blob_col: Optional[str] = None,
+    image_max_hamming: int = 6,
+    image_use_real_codecs: bool = False,
     semantic_threshold: Optional[float] = None,
     embeddings: Optional[DataFrame] = None,
     embedding_col: str = "embedding",
@@ -83,6 +86,8 @@ def prepare_training_corpus(
       stage that actually ran: ``repair_encoding``, ``boilerplate``,
       ``paragraph_dedup``, ``clean``, ``span_dedup``, ``gates``,
       ``perplexity_gate``, ``quality_model_gate``, ``near_dedup``,
+      ``image_dedup`` (when ``image_blob_col`` names a binary image
+      column — pHash near-dup, one survivor per hamming component),
       ``semantic_dedup``, ``decontamination``, ``domain_cap``). Free
       to build; count the ones you care about for a gate-attrition
       report (each count is one scan of that stage's plan).
@@ -222,6 +227,33 @@ def prepare_training_corpus(
             hash_mode=hash_mode,
         )
         stages["near_dedup"] = gated
+    if image_blob_col is not None:
+        # Multimodal corpora get the one-call dedup path text already
+        # has: pHash -> hamming star edges -> connected components ->
+        # anti-join non-representatives (min id survives, exactly the
+        # text composition). Star expansion keeps the edge set LINEAR
+        # even when half the corpus is one re-posted image; documents
+        # with a null blob are kept (no evidence either way).
+        from patito_spark.operators.graph import connected_components
+        from patito_spark.operators.multimodal import image_dedup_pairs
+
+        with_img = gated.filter(F.col(image_blob_col).isNotNull())
+        img_pairs = image_dedup_pairs(
+            with_img,
+            id_col=id_col,
+            blob_col=image_blob_col,
+            max_hamming=image_max_hamming,
+            use_real_codecs=image_use_real_codecs,
+            expand="star",
+        )
+        img_comp = connected_components(
+            img_pairs.select("id_a", "id_b"), id_a="id_a", id_b="id_b"
+        )
+        img_drop = img_comp.filter(
+            F.col("node") != F.col("component")
+        ).select(F.col("node").alias(id_col))
+        gated = gated.join(img_drop, on=id_col, how="left_anti")
+        stages["image_dedup"] = gated
     if semantic_threshold is not None:
         # SemDeDup stage: textual near-dups are already gone (MinHash
         # stage above); this removes *semantic* duplicates — same

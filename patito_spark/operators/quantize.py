@@ -72,7 +72,8 @@ def fit_scalar_quantizer(
     lists sized by the embedding width, not the corpus. ``dim`` is
     read from the first row when not given (one tiny extra job).
     Constant dimensions (hi == lo) get scale 0, so the encode formula
-    ``round((x - lo) * inv) - 127`` emits code -127 for them; decode
+    ``floor((x - lo) * inv + 0.5) - 127`` emits code -127 for them
+    (half-away-from-zero rounding — SQL-portable); decode
     (``lo + (code + 127) * scale``) still reproduces the constant
     exactly.
 
@@ -126,7 +127,7 @@ def quantize_embeddings(
 ) -> DataFrame:
     """Encode ``vec_col`` to an ``array<tinyint>`` code column.
 
-    Codes are ``round((x - lo) / scale) - 127`` clipped to
+    Codes are ``floor((x - lo) / scale + 0.5) - 127`` clipped to
     [-127, 127]; the float column is DROPPED by default (the whole
     point is not carrying it). Null vectors encode to null. Map-only
     Arrow stage, ~dim bytes per row out.
@@ -147,16 +148,25 @@ def quantize_embeddings(
 
     def encode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            codes = []
-            for vec in pdf[vec_col]:
-                if vec is None:
-                    codes.append(None)
-                    continue
-                x = np.asarray(vec, dtype="float64")
-                c = np.rint((x - lo) * inv) - 127.0
-                codes.append(
-                    np.clip(c, -127, 127).astype("int8")
+            # Batched-matrix idiom (same as pq_encode): one (rows, dim)
+            # ndarray op per Arrow batch, not one per row.
+            mask = pdf[vec_col].notna()
+            codes = [None] * len(pdf)
+            if mask.any():
+                mat = np.array(
+                    [list(v) for v in pdf[vec_col][mask]], dtype="float64"
                 )
+                # floor(v + 0.5), not np.rint: the scaled value is
+                # always >= 0, so this is round-half-AWAY-from-zero —
+                # the rounding every SQL engine's round() implements.
+                # rint's banker's rounding differed on exact .5
+                # boundaries, which blocked bit-exact cross-engine
+                # oracles (the driver hash-compares codes).
+                c = np.clip(
+                    np.floor((mat - lo) * inv + 0.5) - 127.0, -127, 127
+                ).astype("int8")
+                it = iter(c)
+                codes = [next(it) if ok else None for ok in mask.to_numpy()]
             out = pdf[names].copy() if names else pd.DataFrame(index=pdf.index)
             out[code_col] = codes
             yield out
@@ -195,13 +205,15 @@ def dequantize_embeddings(
 
     def decode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            vecs = []
-            for code in pdf[code_col]:
-                if code is None:
-                    vecs.append(None)
-                    continue
-                c = np.asarray(code, dtype="float64")
-                vecs.append(lo + (c + 127.0) * scale)
+            mask = pdf[code_col].notna()
+            vecs = [None] * len(pdf)
+            if mask.any():
+                mat = np.array(
+                    [list(c) for c in pdf[code_col][mask]], dtype="float64"
+                )
+                rec = lo + (mat + 127.0) * scale
+                it = iter(rec)
+                vecs = [next(it) if ok else None for ok in mask.to_numpy()]
             out = pdf[names].copy() if names else pd.DataFrame(index=pdf.index)
             out[vec_col] = vecs
             yield out
@@ -259,6 +271,8 @@ def fit_pq(
     max_train_vectors: int = 100_000,
     seed: int = 42,
     id_col: str = "vec_id",
+    n_rows: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> dict:
     """Product-quantization codebooks (Jégou et al. 2011, public IVFADC
     line): the vector splits into ``m`` contiguous subspaces, each with
@@ -271,20 +285,23 @@ def fit_pq(
     100k x 1024 dims x 8 B = ~0.8 GB worst case; size down for wide
     vectors) and runs seeded Lloyd's per subspace. Returns
     ``{"codebooks": [m][k][dsub] lists, "m", "dsub", "dim", "nbits"}``.
-    ``dim`` must be divisible by ``m``.
+    ``dim`` must be divisible by ``m``. Pass ``n_rows``/``dim`` when
+    the caller already knows them (e.g. from an IVF build) to skip the
+    count()/first() probe jobs.
     """
     import numpy as np
 
     from patito_spark.operators.sampling import deterministic_sample
 
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        raise ValueError("fit_pq: empty DataFrame")
-    dim = first["d"]
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("fit_pq: empty DataFrame")
+        dim = first["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    n = df.count()
+    n = n_rows if n_rows is not None else df.count()
     src = df
     if n > max_train_vectors:
         src = deterministic_sample(
@@ -627,19 +644,38 @@ def build_ivfadc_index(
                 }
             )
 
-    res = table.mapInPandas(residuals, schema=res_schema)
-    pq = fit_pq(
-        res,
-        vec_col="__rvec",
-        m=m,
-        nbits=nbits,
-        max_train_vectors=max_train_vectors,
-        seed=seed,
-        id_col="neighbor_id",
-    )
-    codes = pq_encode(res, pq, vec_col="__rvec", code_col="pq_code")
-    if materialize:
-        codes = codes.persist()
+    # The residual stream feeds THREE consumers (the PQ fit's sample
+    # collect, optionally its count, and the encode pass). Unpersisted,
+    # each one re-runs IVF assignment + residual compute over the whole
+    # corpus — two avoidable full scans at index-build time. Persist it
+    # for the build's lifetime; n/dim come from the IVF build when
+    # available so the fit adds no probe jobs.
+    res = table.mapInPandas(residuals, schema=res_schema).persist()
+    try:
+        pq = fit_pq(
+            res,
+            vec_col="__rvec",
+            m=m,
+            nbits=nbits,
+            max_train_vectors=max_train_vectors,
+            seed=seed,
+            id_col="neighbor_id",
+            n_rows=getattr(ivf_index, "n_rows", None),
+            dim=int(centroids.shape[1]),
+        )
+        codes = pq_encode(res, pq, vec_col="__rvec", code_col="pq_code")
+        if materialize:
+            # Force the encode THROUGH the residual cache now, so the
+            # build hands back a materialized index and the residual
+            # cache can be dropped immediately.
+            codes = codes.persist()
+            codes.count()
+    finally:
+        # materialize=False keeps its zero-cache-footprint contract:
+        # the lazy codes recompute residuals when first evaluated, but
+        # the BUILD itself paid one scan (the fit's sample collect)
+        # instead of three.
+        res.unpersist()
     return IvfAdcIndex(codes, centroids, pq)
 
 

@@ -481,10 +481,17 @@ def build_lsh_index(
 class IvfIndex:
     """Reusable IVF index: centroid matrix + the inverted-file table."""
 
-    def __init__(self, table: DataFrame, centroids, assign_metric: str):
+    def __init__(
+        self, table: DataFrame, centroids, assign_metric: str,
+        n_rows: Optional[int] = None,
+    ):
         self.table = table  # (cell, neighbor_id, __cvec)
         self.centroids = centroids  # (n_cells, dim) numpy
         self.assign_metric = assign_metric
+        # Corpus row count when the build already paid for it (None for
+        # centroids_df builds and disk reads) — lets IVFADC's PQ fit
+        # skip a fresh full-corpus count().
+        self.n_rows = n_rows
 
     def unpersist(self) -> "IvfIndex":
         self.table.unpersist()
@@ -595,7 +602,7 @@ def build_ivf_index(
             cent_norm = seq_norm(centroids)
             return _finish_ivf_build(
                 corpus, id_col, vec_col, centroids, cent_norm,
-                assign_metric, materialize,
+                assign_metric, materialize, n_rows=n_corpus,
             )
         if n_corpus > max_train_vectors:
             # Hash-sample (reproducible under retries/AQE) — parquet count()
@@ -624,6 +631,7 @@ def build_ivf_index(
     return _finish_ivf_build(
         corpus, id_col, vec_col, centroids, cent_norm, assign_metric,
         materialize,
+        n_rows=n_corpus if centroids_df is None else None,
     )
 
 
@@ -635,6 +643,7 @@ def _finish_ivf_build(
     cent_norm,
     assign_metric: str,
     materialize: bool,
+    n_rows: Optional[int] = None,
 ) -> IvfIndex:
     """Shared tail of :func:`build_ivf_index`: the map-only cell
     assignment over fixed centroids."""
@@ -672,7 +681,9 @@ def _finish_ivf_build(
     inverted = pruned.mapInPandas(assign, schema=assign_schema)
     if materialize:
         inverted = inverted.persist()
-    return IvfIndex(inverted, centroids, assign_metric=assign_metric)
+    return IvfIndex(
+        inverted, centroids, assign_metric=assign_metric, n_rows=n_rows
+    )
 
 
 def ann_ivf_topk(

@@ -77,6 +77,115 @@ def test_simhash_pairs(docs):
     assert found[(1, 2)] == 0
 
 
+def test_hamming_combination_masks_shape():
+    # c=8, h=3: agree on 5 chunks -> C(8,5)=56 masks, each 40 bits wide
+    masks = dedup.hamming_combination_masks(8, 3)
+    assert len(masks) == 56
+    assert all(bin(m & ((1 << 64) - 1)).count("1") == 40 for m in masks)
+    # c=8, h=0 degenerates to the single full mask (signed -1)
+    assert dedup.hamming_combination_masks(8, 0) == [-1]
+    # h >= c falls back to single-chunk agreement (partial recall)
+    assert len(dedup.hamming_combination_masks(4, 8)) == 4
+    # table-count guard
+    with pytest.raises(ValueError, match="combination tables"):
+        dedup.hamming_combination_masks(16, 8)
+
+
+def _brute_hamming_pairs(rows, max_hamming):
+    out = {}
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1:]:
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= max_hamming:
+                out[(min(ida, idb), max(ida, idb))] = h
+    return out
+
+
+def test_hamming_pairs_exact_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(12)
+    base = rng.getrandbits(63)
+    rows = []
+    for i in range(60):
+        sig = base
+        for _ in range(rng.randrange(0, 7)):  # flip 0-6 bits
+            sig ^= 1 << rng.randrange(64)
+        sig = sig - (1 << 64) if sig >= (1 << 63) else sig
+        rows.append((i, sig))
+    rows += [(100 + i, rng.getrandbits(60)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    for h, c in [(3, 8), (4, 8), (6, 8), (2, 4)]:
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.hamming_pairs(
+                df, id_col="doc_id", sig_col="sig",
+                max_hamming=h, chunks=c,
+            ).collect()
+        }
+        assert got == _brute_hamming_pairs(rows, h), (h, c)
+
+
+def test_hamming_pairs_star_same_components(spark):
+    import random
+
+    from patito_spark.operators.graph import connected_components
+
+    rng = random.Random(5)
+    base = rng.getrandbits(60)
+    rows = [(i, base) for i in range(10)]  # exact-dup group
+    rows += [(20 + i, base ^ (1 << i)) for i in range(4)]  # 1-bit neighbors
+    rows += [(100 + i, rng.getrandbits(60)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+
+    def comps(expand):
+        pairs = dedup.hamming_pairs(
+            df, id_col="doc_id", sig_col="sig",
+            max_hamming=3, chunks=8, expand=expand,
+        )
+        cc = connected_components(pairs.select("id_a", "id_b"))
+        groups = {}
+        for r in cc.collect():
+            groups.setdefault(r.component, set()).add(r.node)
+        return {frozenset(g) for g in groups.values()}
+
+    full, star = comps("full"), comps("star")
+    assert full == star
+    # star output is linear: members->rep stars + rep-to-rep edges
+    n_star = dedup.hamming_pairs(
+        df, id_col="doc_id", sig_col="sig",
+        max_hamming=3, chunks=8, expand="star",
+    ).count()
+    n_full = dedup.hamming_pairs(
+        df, id_col="doc_id", sig_col="sig", max_hamming=3, chunks=8,
+    ).count()
+    assert n_full == 10 * 9 // 2 + 10 * 4 + 4 * 3 // 2  # quadratic in group
+    # star: 9 member->rep edges + rep-to-rep links (4 base-neighbor +
+    # 6 neighbor-neighbor sig pairs)
+    assert n_star == 9 + 4 + 6
+
+
+def test_hamming_pairs_bucket_preprune_drops_hot_key(spark):
+    # 100 DISTINCT sigs differing only in chunk 7: every combination
+    # key not touching chunk 7 puts all 100 in ONE bucket. With
+    # max_bucket_size=50 the counter drops those buckets BEFORE the
+    # join — deliberately sacrificing recall inside the pathological
+    # bucket (that's the guard's contract) while unrelated pairs pass.
+    rows = [(i, (i << 56) | 0x00FFFFFF) for i in range(100)]
+    rows += [(200, 7), (201, 7 | (1 << 40))]  # a real near pair elsewhere
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_pairs(
+            df, id_col="doc_id", sig_col="sig",
+            max_hamming=6, chunks=8, max_bucket_size=50,
+        ).collect()
+    }
+    # the hot bucket was dropped by the counter; the small pair survives
+    assert (200, 201) in got and got[(200, 201)] == 1
+    assert all(a >= 200 for a, _ in got)
+
+
 def test_embedding_dedup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

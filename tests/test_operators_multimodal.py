@@ -257,3 +257,86 @@ class TestImagePhash:
             assert {r.doc_id for r in kept.collect()} == {1, 3, 4}
         finally:
             release_caches()
+
+
+class TestRealCodecKernels:
+    """Real-Pillow smokes (round-11 verdict #2/advice #6): run the
+    import-gated kernels wherever Pillow exists; skip cleanly where it
+    does not. The fake path shares the DCT pipeline, which bounds the
+    risk — these pin the DECODE half."""
+
+    @staticmethod
+    def _png(img) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    @pytest.fixture()
+    def pil(self):
+        return pytest.importorskip("PIL.Image")
+
+    def _gradient(self, pil, w=64, h=64, invert=False):
+        img = pil.new("L", (w, h))
+        img.putdata(
+            [
+                (255 - (x + y) * 255 // (w + h - 2))
+                if invert
+                else (x + y) * 255 // (w + h - 2)
+                for y in range(h)
+                for x in range(w)
+            ]
+        )
+        return img
+
+    def test_pil_phash_deterministic_and_resize_robust(self, pil):
+        from patito_spark.operators.multimodal import _pil_phash
+
+        g64 = self._png(self._gradient(pil))
+        assert _pil_phash(g64) == _pil_phash(g64)
+        # pHash's contract: a resize of the same content hashes nearby
+        g128 = self._png(self._gradient(pil, w=128, h=128))
+        d = bin(
+            (_pil_phash(g64) ^ _pil_phash(g128)) & ((1 << 64) - 1)
+        ).count("1")
+        assert d <= 6
+        # ...and unrelated content does not
+        inv = self._png(self._gradient(pil, invert=True))
+        d2 = bin(
+            (_pil_phash(g64) ^ _pil_phash(inv)) & ((1 << 64) - 1)
+        ).count("1")
+        assert d2 > 6
+
+    def test_pil_decode_features_known_answer(self, pil):
+        from patito_spark.operators.multimodal import _pil_decode_features
+
+        white = self._png(pil.new("L", (32, 32), color=255))
+        black = self._png(pil.new("L", (32, 32), color=0))
+        assert _pil_decode_features(white, dim=4) == [1.0] * 4
+        assert _pil_decode_features(black, dim=4) == [0.0] * 4
+
+    def test_real_codec_dedup_end_to_end(self, spark, pil):
+        from patito_spark.functions.cache import release_caches
+        from patito_spark.operators.multimodal import image_dedup_pairs
+
+        g = self._png(self._gradient(pil))
+        other = self._png(self._gradient(pil, invert=True))
+        df = spark.createDataFrame(
+            [(1, g), (2, g), (3, other)], "doc_id long, blob binary"
+        )
+        try:
+            pairs = image_dedup_pairs(df, max_hamming=0, use_real_codecs=True)
+            got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+            assert got == {(1, 2): 0}
+        finally:
+            release_caches()
+
+    def test_fake_path_needs_no_codec(self, spark):
+        # guard: the default path must keep working with NO Pillow
+        from patito_spark.operators.multimodal import image_phash
+
+        df = spark.createDataFrame(
+            [(1, b"payload")], "doc_id long, blob binary"
+        )
+        assert image_phash(df).count() == 1

@@ -338,8 +338,11 @@ def test_sq8_composes_with_embedding_dedup(spark, emb):
 
 def test_sq8_encode_matches_duckdb_replay(spark, emb):
     """The SQ8 code formula is plain arithmetic, so DuckDB replays it
-    value-for-value: round((x - lo)/scale) - 127 clipped — an
-    independent-engine oracle for the encode kernel."""
+    value-for-value: floor((x - lo) * inv + 0.5) - 127 clipped — an
+    independent-engine oracle for the encode kernel. The replay uses
+    the IDENTICAL IEEE op sequence (subtract, multiply by the
+    precomputed reciprocal, add, floor), so agreement is EXACT — the
+    old rint-based encode needed a .5-boundary tolerance here."""
     import duckdb
 
     from patito_spark.operators.quantize import (
@@ -372,9 +375,10 @@ def test_sq8_encode_matches_duckdb_replay(spark, emb):
                           generate_subscripts(embedding, 1) as i) u
         ), coded as (
             select vec_id, i,
-                   case when hi = lo then 0
+                   case when hi = lo then -127
                         else greatest(-127, least(127,
-                             round((x - lo) / ((hi - lo) / 254.0)) - 127))
+                             floor((x - lo) * (1.0 / ((hi - lo) / 254.0))
+                                   + 0.5) - 127))
                    end as c
             from elems join params on i = dim_1based
         )
@@ -382,17 +386,7 @@ def test_sq8_encode_matches_duckdb_replay(spark, emb):
         """
     ).fetchall()
     want = {r[0]: [int(v) for v in r[1]] for r in want_rows}
-    assert set(want) == set(got)
-    mismatch = [
-        (k, i) for k in want for i in range(64) if want[k][i] != got[k][i]
-    ]
-    # numpy rint (banker's rounding) vs DuckDB round (half away from
-    # zero) can differ ONLY on exact .5 boundaries — codes then differ
-    # by one step. Require exact agreement everywhere else and a
-    # vanishing boundary rate.
-    for k, i in mismatch:
-        assert abs(want[k][i] - got[k][i]) == 1
-    assert len(mismatch) <= 64 * len(want) * 0.001
+    assert want == {k: [int(v) for v in vs] for k, vs in got.items()}
 
 
 def test_fit_splits_wide_embeddings_across_jobs(spark, emb):
@@ -401,3 +395,45 @@ def test_fit_splits_wide_embeddings_across_jobs(spark, emb):
     one = fit_scalar_quantizer(emb)
     split = fit_scalar_quantizer(emb, max_exprs_per_job=20)  # 10 dims/job
     assert split == one
+
+
+def test_ivfadc_build_single_corpus_scan(spark, emb):
+    """The round-11 finding: an unpersisted residual stream made the
+    build re-run IVF assignment + residual compute ~3x (fit count, fit
+    sample collect, encode). Count actual corpus-row reads with an
+    accumulator on the inverted-file lineage: the whole ADC build must
+    pass over the corpus exactly ONCE."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from patito_spark.operators.quantize import build_ivfadc_index
+    from patito_spark.operators.similarity import build_ivf_index
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", emb.schema["vec_id"].dataType, True),
+            T.StructField(
+                "embedding", emb.schema["embedding"].dataType, True
+            ),
+        ]
+    )
+    src = emb.select("vec_id", "embedding")
+    n = src.count()
+    wrapped = src.mapInPandas(counted, schema=schema)
+    # Prebuilt UNMATERIALIZED ivf index: its table lineage flows through
+    # the counter, so every downstream pass over residuals bumps it.
+    ivf = build_ivf_index(wrapped, n_centroids=4, materialize=False)
+    base = acc.value  # the IVF build's own passes (count + kmeans fit)
+    idx = build_ivfadc_index(src, ivf_index=ivf, m=8, nbits=6)
+    assert idx.codes.count() == n
+    # ivf.n_rows is None for a prebuilt index, so fit_pq pays ONE
+    # count... unless the residual persist absorbs it: the fit's count
+    # and sample-collect and the encode all read the one cached pass.
+    assert acc.value - base == n

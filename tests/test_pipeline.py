@@ -475,3 +475,37 @@ def test_pipeline_sentence_boundary_chunking(spark):
     chunks = out["chunks"].collect()
     assert all(r.n_tokens <= 5 for r in chunks)
     assert all(r.chunk_text.rstrip()[-1] in ".!?" for r in chunks)
+
+
+def test_prepare_image_dedup_stage(spark):
+    """Multimodal corpora: docs 20/21 carry byte-identical image blobs
+    (one pHash -> one survives, min id); 22 has a distinct image; 23
+    has NO image and must survive untouched. Attrition is monotone."""
+    from patito_spark.operators.pipeline import attrition_report
+
+    corpus = spark.createDataFrame(
+        [
+            (20, "a photo of a mountain lake at dawn with mist rising",
+             bytearray(b"image-bytes-A")),
+            (21, "the very same photograph reposted on another site ok",
+             bytearray(b"image-bytes-A")),
+            (22, "an entirely different picture of a city street corner",
+             bytearray(b"image-bytes-B")),
+            (23, "a text-only document with no attached image at all",
+             None),
+        ],
+        "doc_id long, text string, blob binary",
+    )
+    out = prepare_training_corpus(
+        corpus,
+        dedup_threshold=None,   # isolate the image stage
+        image_blob_col="blob",
+    )
+    ids = sorted(r.doc_id for r in out["documents"].collect())
+    assert ids == [20, 22, 23]
+    assert "image_dedup" in out["stages"]
+    report = attrition_report(out["stages"], input_df=corpus)
+    rows = {r.stage: r for r in report.collect()}
+    assert rows["image_dedup"].dropped == 1
+    counts = [r.rows for r in report.orderBy("stage_index").collect()]
+    assert counts == sorted(counts, reverse=True)  # monotone attrition

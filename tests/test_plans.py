@@ -261,3 +261,76 @@ def test_lm_quality_scoring_pass_single_corpus_join(spark):
     scoring = plan[start:end]
     assert scoring.count("Join") == 1, scoring
     assert "row_number" not in plan
+
+
+def test_hamming_pairs_plan_sub_quadratic(spark):
+    """hamming_pairs candidate generation: distinct-signature collapse
+    (one HashAggregate before the self-join), an equi-join on the
+    combination keys (SortMergeJoin/ShuffledHashJoin — never a cross
+    product or nested loop), and the bucket pre-prune's counting
+    aggregate + LeftSemi all present in the executed plan."""
+    from patito_spark.operators.dedup import hamming_pairs
+
+    sigs = spark.range(256).selectExpr(
+        "id as doc_id", "cast(hash(id) as long) as sig"
+    )
+    plan = executed_plan(
+        hamming_pairs(sigs, id_col="doc_id", sig_col="sig",
+                      max_hamming=3, chunks=8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan      # bucket pre-prune is wired in
+    assert "posexplode" in plan    # combination keys, not raw sigs
+    # the self-join keys on (combo, masked key) — an equi-join
+    assert "Join" in plan
+
+
+def test_hamming_pairs_star_no_member_fanout(spark):
+    """expand='star' output is member-linear: no member-x-member join
+    survives in the plan (members only join group reps / sig pairs)."""
+    from patito_spark.operators.dedup import hamming_pairs
+
+    sigs = spark.range(256).selectExpr(
+        "id as doc_id", "cast(hash(id % 7) as long) as sig"
+    )
+    out = hamming_pairs(
+        sigs, id_col="doc_id", sig_col="sig",
+        max_hamming=3, chunks=8, expand="star",
+    )
+    assert out.count() == 256 - 7  # one star edge per non-rep member
+    plan = executed_plan(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_topk_rank_window_partial_limit(spark):
+    """pq_adc_topk's global rank window is bounded to k x batches per
+    query by the per-batch local top-k, but a hot query with many
+    batches still funnels its rows to one task — the window survives
+    ONLY because Spark plans a Partial WindowGroupLimit before the
+    exchange (same contract as dedup_exact/kmv_distinct). Assert it for
+    both ADC rankers."""
+    import numpy as np
+
+    from patito_spark.operators.quantize import (
+        build_ivfadc_index,
+        ann_ivfadc_topk,
+        fit_pq,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.limit(2)
+
+    pq = fit_pq(emb, m=4, nbits=4)
+    codes = pq_encode(emb, pq)
+    p1 = executed_plan(pq_adc_topk(codes, queries, pq, k=5))
+    assert "WindowGroupLimit" in p1 and "Partial" in p1
+
+    idx = build_ivfadc_index(emb, m=4, nbits=4, n_centroids=4,
+                             materialize=False)
+    p2 = executed_plan(ann_ivfadc_topk(idx, queries, k=5, n_probe=2))
+    assert "WindowGroupLimit" in p2 and "Partial" in p2

@@ -666,3 +666,51 @@ def test_ivfadc_1m_vectors(spark):
         assert rows2 == rows
     finally:
         idx.unpersist()
+
+
+def test_hamming_pairs_1m_half_degenerate(spark):
+    """The blank-image case: 50% of 1M signatures are ONE value. The
+    distinct-signature collapse turns the hot group into a single row
+    before any join; star expansion keeps the output linear (the full
+    contract would be 125B pairs — inherently unmaterializable)."""
+    from patito_spark.functions.cache import release_caches
+    from patito_spark.operators.dedup import hamming_pairs
+
+    sigs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        # xxhash64, not hash(): the 32-bit murmur leaves the top 32
+        # bits constant, which manufactures ~150k REAL near pairs
+        "if(id % 2 = 0, 42L, xxhash64(id)) as sig",
+    )
+    try:
+        out = hamming_pairs(
+            sigs, id_col="doc_id", sig_col="sig",
+            max_hamming=3, chunks=8, expand="star",
+        )
+        n = out.count()
+    finally:
+        release_caches()
+    # 500k-member degenerate group -> 499,999 star edges; random 64-bit
+    # hashes land within hamming 3 of each other with p ~ 2e-15, so at
+    # most a handful of extra near edges.
+    assert 499_999 <= n <= 500_100
+
+
+def test_image_dedup_pairs_200k_half_blank(spark):
+    """pHash path end-to-end at its degenerate worst: 200k blobs, half
+    byte-identical (one pHash). Star mode completes and stays linear."""
+    from patito_spark.functions.cache import release_caches
+    from patito_spark.operators.multimodal import image_dedup_pairs
+
+    blobs = spark.range(200_000).selectExpr(
+        "id as doc_id",
+        "if(id % 2 = 0, cast('blank' as binary), "
+        "cast(concat('img', id) as binary)) as blob",
+    )
+    try:
+        out = image_dedup_pairs(blobs, expand="star")
+        n = out.count()
+    finally:
+        release_caches()
+    assert n >= 99_999  # the blank group's star edges
+    assert n <= 101_000  # fake-pHash collisions are ~random beyond it
