@@ -746,30 +746,34 @@ def hamming_pairs(
 
     left = keyed("sig_a")
     if max_bucket_size is not None:
-        # Skew guard BEFORE the self-join (the minhash LSH pattern):
-        # per-(combo, key) counts are map-side combined; only
-        # 1 < n <= max_bucket_size buckets survive into the join, so a
-        # pathological key collision among distinct signatures is
-        # dropped by a counter, never materialized as pairs.
-        eligible = (
-            left.groupBy("__combo", "__key")
-            .agg(F.count(F.lit(1)).alias("__n"))
+        # Skew guard fused into the join's OWN exchange: the bucket
+        # count is a window over partitionBy(__combo, __key) — the
+        # exact partitioning and sort the self-join needs — so the
+        # guard adds ZERO exchanges (the earlier count+semi-join shape
+        # cost two more). Only 1 < n <= max_bucket_size buckets survive
+        # into the join; a pathological key collision among distinct
+        # signatures is dropped by a counter, never materialized as
+        # pairs (the giant group sorts spillably in one partition and
+        # dies at the filter).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__combo", "__key")
+        left = (
+            left.withColumn("__n", F.count(F.lit(1)).over(w))
             .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
-            .select("__combo", "__key")
+            .drop("__n")
         )
-        left = left.join(eligible, on=["__combo", "__key"], how="left_semi")
     right = left.select(
         F.col("__combo").alias("__combo_r"),
         F.col("__key").alias("__key_r"),
         F.col("sig_a").alias("sig_b"),
     )
     near_sigs = (
-        # shuffle_hash: both sides are the same size and the bucket
-        # pre-prune bounds per-key groups, so the SMJ sort of both
-        # streams is pure overhead (measured 2.0 -> 0.7 s at sf1; per-
-        # partition hash maps stay bounded when shuffle partitions are
-        # sized for the corpus, the normal production setting).
-        left.hint("shuffle_hash").join(
+        # Both sides carry identical hash(__combo, __key) partitioning
+        # (and, with the guard on, the window's sort), so this planned
+        # as a zero-extra-exchange self-join; output is verified pairs
+        # only.
+        left.join(
             right,
             on=[
                 left.__combo == right.__combo_r,
@@ -787,21 +791,23 @@ def hamming_pairs(
     )
 
     if expand == "full":
-        # Exact-duplicate pairs (hamming 0): members self-joined on the
-        # full signature — output-sized, candidates never fan out.
-        ma = members.select(
-            F.col("__mid").alias("id_a"), F.col("__msig").alias("__s")
+        # Exact-duplicate pairs (hamming 0) ride the SAME two expansion
+        # joins as the near pairs, as diagonal (sig, sig) edges — one
+        # fused pipeline instead of a separate members self-join (the
+        # extra join was pure stage tax: exact groups are output-sized
+        # either way). A diagonal edge expands to BOTH orders of every
+        # member pair plus the self-pairs, so those rows keep only the
+        # strictly-ordered half; off-diagonal pairs keep the
+        # least/greatest ordering (each appears exactly once).
+        edges = near_sigs.unionByName(
+            usigs.select(
+                F.col("__usig").alias("sig_a"),
+                F.col("__usig").alias("sig_b"),
+                F.lit(0).alias("hamming"),
+            )
         )
-        mb = members.select(
-            F.col("__mid").alias("id_b"), F.col("__msig").alias("__s2")
-        )
-        exact = (
-            ma.hint("shuffle_hash")
-            .join(mb, on=[ma.__s == mb.__s2, ma.id_a < mb.id_b])
-            .select("id_a", "id_b", F.lit(0).alias("hamming"))
-        )
-        near = (
-            near_sigs.join(
+        out = (
+            edges.join(
                 members.select(
                     F.col("__mid").alias("__ida"),
                     F.col("__msig").alias("sig_a"),
@@ -815,13 +821,16 @@ def hamming_pairs(
                 ),
                 on="sig_b",
             )
+            .filter(
+                (F.col("sig_a") != F.col("sig_b"))
+                | (F.col("__ida") < F.col("__idb"))
+            )
             .select(
                 F.least("__ida", "__idb").alias("id_a"),
                 F.greatest("__ida", "__idb").alias("id_b"),
                 "hamming",
             )
         )
-        out = exact.unionByName(near)
     else:
         # Star edges: same connected components, linear output. reps =
         # min id per signature; members link to their rep, near

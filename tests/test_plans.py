@@ -266,9 +266,10 @@ def test_lm_quality_scoring_pass_single_corpus_join(spark):
 def test_hamming_pairs_plan_sub_quadratic(spark):
     """hamming_pairs candidate generation: distinct-signature collapse
     (one HashAggregate before the self-join), an equi-join on the
-    combination keys (SortMergeJoin/ShuffledHashJoin — never a cross
-    product or nested loop), and the bucket pre-prune's counting
-    aggregate + LeftSemi all present in the executed plan."""
+    combination keys (never a cross product or nested loop), and the
+    bucket guard fused into the join's own exchange as a window count
+    over partitionBy(combo, key) — BOTH join sides must reuse that one
+    exchange (a count+semi-join guard costs two more)."""
     from patito_spark.operators.dedup import hamming_pairs
 
     sigs = spark.range(256).selectExpr(
@@ -280,10 +281,43 @@ def test_hamming_pairs_plan_sub_quadratic(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan      # bucket pre-prune is wired in
+    assert "Window" in plan        # bucket guard is wired in
     assert "posexplode" in plan    # combination keys, not raw sigs
     # the self-join keys on (combo, masked key) — an equi-join
     assert "Join" in plan
+    # At corpus size the self-join goes sort-merge — pin with broadcast
+    # off that the candidate stage pays at most TWO (combo, key)
+    # shuffles of the exploded stream (one per join side; the window
+    # guard rides them for free — the count+semi-join shape cost a
+    # third). Self-join disambiguation re-aliases the right subtree, so
+    # Spark does not collapse them into one ReusedExchange.
+    import re
+
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    old_aqe = conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan2 = executed_plan(
+            hamming_pairs(sigs, id_col="doc_id", sig_col="sig",
+                          max_hamming=3, chunks=8)
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        else:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    combo_exchanges = re.findall(
+        r"Exchange hashpartitioning\(__combo", plan2
+    )
+    assert 1 <= len(combo_exchanges) <= 2, plan2
+    assert "Window" in plan2
 
 
 def test_hamming_pairs_star_no_member_fanout(spark):

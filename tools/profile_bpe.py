@@ -1,0 +1,172 @@
+"""BPE token-accounting throughput at sf1 (round-11 verdict #8).
+
+No GPT-2 merges.txt ships in this container, so the profile trains a
+small byte-level BPE merge table ON THE CORPUS ITSELF (driver-side,
+seeded, the published greedy pair-count loop) and measures the
+distributed counter with it. Merge-table size shifts the per-word merge
+depth roughly logarithmically; the word-cache hit rate — measured here
+with accumulators — is the dominant throughput factor either way, so
+the docs/s row is representative of a real 50k-merge artifact within a
+small constant.
+
+Usage: python tools/profile_bpe.py [--sf-dir .localdata/sf1] [--merges 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import sys
+import time
+
+
+def train_merges(texts, n_merges: int, max_types: int = 30_000) -> dict:
+    """Tiny driver-side BPE trainer (published algorithm: count symbol
+    pairs over the word-frequency table, merge the most frequent,
+    repeat). Bounded by max_types word forms."""
+    from patito_spark.operators.tokenizer import (
+        _pretoken_re,
+        bytes_to_unicode,
+    )
+
+    b2u = bytes_to_unicode()
+    freq = collections.Counter()
+    pat = _pretoken_re()
+    for t in texts:
+        for w in pat.findall(t):
+            freq["".join(b2u[b] for b in w.encode("utf-8"))] += 1
+    words = {
+        tuple(w): c
+        for w, c in freq.most_common(max_types)
+    }
+    ranks: dict = {}
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for parts, c in words.items():
+            for p in zip(parts, parts[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        ranks[best] = len(ranks)
+        merged = {}
+        a, b = best
+        ab = a + b
+        for parts, c in words.items():
+            out = []
+            i = 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        words = merged
+    return ranks
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".localdata/sf1")
+    ap.add_argument("--merges", type=int, default=1000)
+    ap.add_argument("--train-docs", type=int, default=2000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+
+    sample = [
+        r.text for r in docs.limit(args.train_docs).select("text").collect()
+    ]
+    t0 = time.time()
+    merges = train_merges(sample, args.merges)
+    t_train = time.time() - t0
+
+    # Instrumented copy of the distributed counter: accumulators tally
+    # cache hits/misses so the Zipf-cache claim gets a measured number.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from patito_spark.operators.tokenizer import (
+        _bpe_word,
+        _pretoken_re,
+        bytes_to_unicode,
+    )
+
+    sc = spark.sparkContext
+    hits = sc.accumulator(0)
+    misses = sc.accumulator(0)
+    tokens_acc = sc.accumulator(0)
+    merges_bc = sc.broadcast(dict(merges))
+
+    def count(batches):
+        ranks = merges_bc.value
+        b2u = bytes_to_unicode()
+        pat = _pretoken_re()
+        cache: dict = {}
+        h = m = tok = 0
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                total = 0
+                for w in pat.findall(t):
+                    n = cache.get(w)
+                    if n is None:
+                        m += 1
+                        mapped = "".join(b2u[b] for b in w.encode("utf-8"))
+                        n = len(_bpe_word(mapped, ranks))
+                        if len(cache) < 200_000:
+                            cache[w] = n
+                    else:
+                        h += 1
+                    total += n
+                tok += total
+                out.append(total)
+            yield pd.DataFrame({"n": out})
+        hits.add(h)
+        misses.add(m)
+        tokens_acc.add(tok)
+
+    schema = T.StructType([T.StructField("n", T.LongType())])
+    src = docs.select("text")
+    # warm the scan cache distinction out of the way
+    src.count()
+    t0 = time.time()
+    src.mapInPandas(count, schema=schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = time.time() - t0
+
+    n_tok = tokens_acc.value
+    hr = hits.value / max(1, hits.value + misses.value)
+    print(
+        f"sf_dir={args.sf_dir} merges={len(merges)} "
+        f"(trained {t_train:.1f}s on {args.train_docs} docs)"
+    )
+    print(
+        f"docs={n_docs} chars={n_chars} tokens={n_tok} wall={wall:.2f}s "
+        f"docs/s={n_docs / wall:,.0f} tokens/s={n_tok / wall:,.0f} "
+        f"MB/s={n_chars / wall / 1e6:.1f} cache_hit_rate={hr:.4f}"
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
