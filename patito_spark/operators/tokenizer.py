@@ -45,32 +45,46 @@ __all__ = [
 
 # GPT-2's pre-tokenizer splits contractions, letter runs, number runs,
 # other-symbol runs (each optionally space-prefixed) and whitespace.
-# The published pattern uses \p{L}/\p{N}, which stdlib `re` lacks, so
-# the classes are reconstructed exactly:
-#   \p{L}  = \w minus '_' minus \d minus the Nl/No numerics ('Ⅻ', '²')
-#   \p{N}  = \d plus Nl/No
-#   [^\s\p{L}\p{N}] = [^\s\w] plus '_'   (Python \w = L + N + '_')
+# The published pattern uses \p{L}/\p{N}, which stdlib `re` lacks.
 # The earlier spelling `[^\W\d_]+ / \d+ / [^\s\w]+` had two drifts: '_'
 # matched NO alternative (findall silently DROPPED underscores — lossy
-# for code/snake_case text), and Nl/No numerics grouped with letters.
-# The Nl/No class is built once per process from unicodedata (~0.1 s)
-# and cached; Spark reuses Python workers, so this is a one-time cost.
+# for code/snake_case text), and the Nl/No numerics ('Ⅻ', '²', '½')
+# grouped with letters instead of \p{N} number runs.
+#
+# The underscore fix lives in the pattern itself ((?:[^\s\w]|_) — '_'
+# joins the symbol run, as published). The Nl/No fix does NOT: an
+# enumerated ~900-char class made matching 11x slower (sre scans class
+# items per input char). Instead, non-ASCII text is first TRANSLATED
+# so every Nl/No char becomes '0' (one C pass, 1:1 length-preserving),
+# the cheap pattern splits the translated text — '\d' now means exactly
+# \p{N} — and the spans slice the ORIGINAL text, so token bytes are
+# untouched. ASCII text (no Nl/No possible) skips the translate
+# entirely. The translate table is built once per process from
+# unicodedata, and only when non-ASCII text actually appears.
+_FAST_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
 
 
 @lru_cache(maxsize=1)
-def _pretoken_re():
+def _nlno_to_digit() -> dict:
     import unicodedata
 
-    nlno = "".join(
-        re.escape(c)
-        for c in map(chr, range(0x110000))
-        if unicodedata.category(c) in ("Nl", "No")
-    )
-    return re.compile(
-        r"'s|'t|'re|'ve|'m|'ll|'d"
-        rf"| ?[^\W\d_{nlno}]+| ?[\d{nlno}]+| ?(?:[^\s\w]|_)+"
-        r"|\s+(?!\S)|\s+"
-    )
+    return {
+        cp: 0x30  # '0'
+        for cp in range(0x110000)
+        if unicodedata.category(chr(cp)) in ("Nl", "No")
+    }
+
+
+def _pretokenize(text: str) -> list:
+    """GPT-2 pre-token split with exact \\p{L}/\\p{N} semantics."""
+    if text.isascii():
+        return _FAST_RE.findall(text)
+    mapped = text.translate(_nlno_to_digit())
+    return [text[m.start(): m.end()] for m in _FAST_RE.finditer(mapped)]
 
 
 @lru_cache(maxsize=1)
@@ -159,7 +173,7 @@ def bpe_tokens(text: str, ranks: Mapping[Tuple[str, str], int]) -> list:
     strings (in the mapped alphabet)."""
     b2u = bytes_to_unicode()
     out: list = []
-    for word in _pretoken_re().findall(text):
+    for word in _pretokenize(text):
         mapped = "".join(b2u[b] for b in word.encode("utf-8"))
         out.extend(_bpe_word(mapped, ranks))
     return out
@@ -173,7 +187,6 @@ def _make_count_fn(
     def count(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         ranks = merges_bc.value
         b2u = bytes_to_unicode()
-        pretoken = _pretoken_re()
         cache: dict = {}
 
         def word_count(word: str) -> int:
@@ -188,7 +201,7 @@ def _make_count_fn(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [
-                sum(word_count(w) for w in pretoken.findall(t))
+                sum(word_count(w) for w in _pretokenize(t))
                 if t is not None
                 else None
                 for t in pdf[text_col]
@@ -306,7 +319,6 @@ def with_bpe_token_ids(
         ranks = merges_bc.value
         voc = vocab_bc.value
         b2u = bytes_to_unicode()
-        pretoken = _pretoken_re()
         cache: dict = {}
 
         def word_ids(word: str) -> list:
@@ -334,7 +346,7 @@ def with_bpe_token_ids(
                     col.append(None)
                 else:
                     ids: list = []
-                    for w in pretoken.findall(t):
+                    for w in _pretokenize(t):
                         ids.extend(word_ids(w))
                     col.append(ids)
             pdf[out_col] = col

@@ -99,13 +99,18 @@ def test_pretokenizer_is_lossless(merges, text):
 
 def test_pretokenizer_numeric_class_matches_published():
     # '²' (No) and 'Ⅻ' (Nl) are \p{N} in the published GPT-2 pattern:
-    # they must run with digits, not letters, and '_' runs with symbols.
-    from patito_spark.operators.tokenizer import _pretoken_re
+    # they must run with digits, not letters, and '_' runs with
+    # symbols. The Nl/No handling goes through the translate-and-slice
+    # path, so also pin that sliced tokens carry the ORIGINAL bytes.
+    from patito_spark.operators.tokenizer import _pretokenize
 
-    assert _pretoken_re().findall("a²b") == ["a", "²", "b"]
-    assert _pretoken_re().findall("x2²3") == ["x", "2²3"]
-    assert _pretoken_re().findall("a_b") == ["a", "_", "b"]
-    assert _pretoken_re().findall("foo _bar") == ["foo", " _", "bar"]
+    assert _pretokenize("a²b") == ["a", "²", "b"]
+    assert _pretokenize("x2²3") == ["x", "2²3"]
+    assert _pretokenize("Ⅻ½ mixed") == ["Ⅻ½", " mixed"]
+    assert _pretokenize("a_b") == ["a", "_", "b"]
+    assert _pretokenize("foo _bar") == ["foo", " _", "bar"]
+    # non-ASCII letters still group as letters through the slice path
+    assert _pretokenize("café 2²") == ["café", " 2²"]
 
 
 def test_with_bpe_token_count_matches_reference(spark, merges):

@@ -25,15 +25,14 @@ def train_merges(texts, n_merges: int, max_types: int = 30_000) -> dict:
     pairs over the word-frequency table, merge the most frequent,
     repeat). Bounded by max_types word forms."""
     from patito_spark.operators.tokenizer import (
-        _pretoken_re,
+        _pretokenize,
         bytes_to_unicode,
     )
 
     b2u = bytes_to_unicode()
     freq = collections.Counter()
-    pat = _pretoken_re()
     for t in texts:
-        for w in pat.findall(t):
+        for w in _pretokenize(t):
             freq["".join(b2u[b] for b in w.encode("utf-8"))] += 1
     words = {
         tuple(w): c
@@ -106,7 +105,7 @@ def main() -> None:
 
     from patito_spark.operators.tokenizer import (
         _bpe_word,
-        _pretoken_re,
+        _pretokenize,
         bytes_to_unicode,
     )
 
@@ -116,23 +115,22 @@ def main() -> None:
     tokens_acc = sc.accumulator(0)
     merges_bc = sc.broadcast(dict(merges))
 
-    def count(batches):
+    def count(batches, cache_size=200_000):
         ranks = merges_bc.value
         b2u = bytes_to_unicode()
-        pat = _pretoken_re()
         cache: dict = {}
         h = m = tok = 0
         for pdf in batches:
             out = []
             for t in pdf["text"]:
                 total = 0
-                for w in pat.findall(t):
+                for w in _pretokenize(t):
                     n = cache.get(w)
                     if n is None:
                         m += 1
                         mapped = "".join(b2u[b] for b in w.encode("utf-8"))
                         n = len(_bpe_word(mapped, ranks))
-                        if len(cache) < 200_000:
+                        if len(cache) < cache_size:
                             cache[w] = n
                     else:
                         h += 1
@@ -148,23 +146,27 @@ def main() -> None:
     src = docs.select("text")
     # warm the scan cache distinction out of the way
     src.count()
-    t0 = time.time()
-    src.mapInPandas(count, schema=schema).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    wall = time.time() - t0
-
-    n_tok = tokens_acc.value
-    hr = hits.value / max(1, hits.value + misses.value)
     print(
         f"sf_dir={args.sf_dir} merges={len(merges)} "
         f"(trained {t_train:.1f}s on {args.train_docs} docs)"
     )
-    print(
-        f"docs={n_docs} chars={n_chars} tokens={n_tok} wall={wall:.2f}s "
-        f"docs/s={n_docs / wall:,.0f} tokens/s={n_tok / wall:,.0f} "
-        f"MB/s={n_chars / wall / 1e6:.1f} cache_hit_rate={hr:.4f}"
-    )
+    for tag, cs in (("cached", 200_000), ("no-cache bound", 0)):
+        hits.value = 0
+        misses.value = 0
+        tokens_acc.value = 0
+        t0 = time.time()
+        src.mapInPandas(
+            lambda b, cs=cs: count(b, cache_size=cs), schema=schema
+        ).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        n_tok = tokens_acc.value
+        hr = hits.value / max(1, hits.value + misses.value)
+        print(
+            f"[{tag}] docs={n_docs} chars={n_chars} tokens={n_tok} "
+            f"wall={wall:.2f}s docs/s={n_docs / wall:,.0f} "
+            f"tokens/s={n_tok / wall:,.0f} "
+            f"MB/s={n_chars / wall / 1e6:.1f} cache_hit_rate={hr:.4f}"
+        )
 
 
 if __name__ == "__main__":
