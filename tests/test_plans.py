@@ -215,6 +215,43 @@ def test_rank_limited_windows_plan_partial_window_group_limit(spark):
     assert "WindowGroupLimit" in p2 and "Partial" in p2
 
 
+def test_adc_topk_plan_partial_window_group_limit(spark):
+    """pq_adc_topk / ann_ivfadc_topk end in row_number <= k over
+    partitionBy(query_id). The per-batch local top-k already bounds the
+    window input to k x |queries| x n_batches rows, but a single hot
+    query with many batches still funnels to one task UNLESS Spark
+    plans the Partial WindowGroupLimit before the exchange — each map
+    task then forwards at most k rows per query_id, so the reduce-side
+    window sees <= k x n_tasks rows per query no matter how many
+    batches scored it. Pin that plan shape for both ADC rankers."""
+    from patito_spark.operators.quantize import (
+        build_ivfadc_index,
+        ann_ivfadc_topk,
+        fit_pq,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.range(256).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 7 as double), cast(id % 5 as double), "
+        "cast(id % 3 as double), cast(id % 11 as double)) as embedding",
+    )
+    qs = emb.limit(3)
+
+    pq = fit_pq(emb, m=2, nbits=4, n_rows=256, dim=4)
+    codes = pq_encode(emb, pq)
+    p1 = executed_plan(pq_adc_topk(codes, qs, pq, k=5, id_col="vec_id"))
+    assert "WindowGroupLimit" in p1 and "Partial" in p1
+
+    idx = build_ivfadc_index(emb, n_centroids=4, m=2, nbits=4, id_col="vec_id")
+    try:
+        p2 = executed_plan(ann_ivfadc_topk(idx, qs, k=5, n_probe=2))
+        assert "WindowGroupLimit" in p2 and "Partial" in p2
+    finally:
+        idx.unpersist()
+
+
 def test_paragraph_passes_plan_fused_no_expand(spark):
     """paragraph_passes (round 11): the stacked stats aggregates plan as
     PARTIAL (map-side combined) min-struct/count with no Expand (the
