@@ -125,6 +125,86 @@ def extract_image_features(
     return pruned.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def _require_av():
+    """Import-try gate for the real video codec path (PyAV)."""
+    try:
+        import av  # noqa: F401
+
+        return av
+    except ImportError as exc:  # pragma: no cover - av absent in CI env
+        raise NotImplementedError(
+            "use_real_codecs=True requires PyAV (av), which is not "
+            "installed in this environment. The deterministic fake kernel "
+            "(use_real_codecs=False) exercises the identical Spark "
+            "contract: schema, Arrow batching, 1→many fan-out."
+        ) from exc
+
+
+def _av_keyframes(payload: bytes) -> list[tuple[int, Optional[int], str]]:
+    """Real video kernel: demux + decode ONLY keyframes (PyAV's
+    ``skip_frame = "NONKEY"`` makes the decoder drop non-key packets, so
+    cost scales with keyframe count, not frame count) and emit
+    frame-accurate presentation timestamps: ``pts_ms = pts * time_base``
+    straight from the container, no frame-rate arithmetic."""
+    import io
+
+    import av
+
+    out = []
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        stream.codec_context.skip_frame = "NONKEY"
+        tb = stream.time_base
+        for frame_no, frame in enumerate(container.decode(stream)):
+            pts_ms = None
+            if frame.pts is not None and tb is not None:
+                pts_ms = int(frame.pts * tb * 1000)
+            rgb = frame.to_ndarray(format="rgb24")
+            out.append(
+                (frame_no, pts_ms, hashlib.sha256(rgb.tobytes()).hexdigest())
+            )
+    return out
+
+
+def _require_soundfile():
+    """Import-try gate for the real audio codec path (soundfile)."""
+    try:
+        import soundfile  # noqa: F401
+
+        return soundfile
+    except ImportError as exc:  # pragma: no cover - absent in CI env
+        raise NotImplementedError(
+            "use_real_codecs=True requires soundfile, which is not "
+            "installed in this environment. The deterministic fake kernel "
+            "(use_real_codecs=False) exercises the identical Spark "
+            "contract: schema, Arrow batching, windowing mechanics."
+        ) from exc
+
+
+def _sf_decode_mono(payload: bytes):
+    """Real audio kernel: decode with soundfile, mono-mix multi-channel
+    streams. Returns float64 samples in the decoder's [-1, 1] scale."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    data, _sr = sf.read(io.BytesIO(payload), dtype="float64")
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return np.ascontiguousarray(data)
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("pts_ms", T.LongType(), True),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,46 +212,54 @@ def sample_video_frames(
     every_n_bytes: int = 1024,
     use_real_codecs: bool = False,
 ) -> DataFrame:
-    """'Frame-sample' a binary video column: one row per sampled frame.
+    """Frame-sample a binary video column: one row per sampled frame with
+    a frame-accurate ``pts_ms`` timestamp.
 
-    The fake kernel slices the byte stream every ``every_n_bytes``; a real
-    implementation would demux + decode keyframes. Output fan-out (1 → many
-    rows) happens inside mapInPandas, so no exploded intermediate ever
-    materializes driver-side.
+    ``use_real_codecs=True`` demuxes + decodes KEYFRAMES with PyAV
+    (import-gated at plan build so a missing codec fails fast on the
+    driver); ``pts_ms`` is the keyframe's container presentation
+    timestamp and ``frame_sha256`` hashes the decoded RGB plane. The
+    fake kernel slices the byte stream every ``every_n_bytes`` over the
+    SAME schema (``pts_ms`` = byte offset, a deterministic stand-in
+    position). Output fan-out (1 → many rows) happens inside
+    mapInPandas, so no exploded intermediate ever materializes
+    driver-side.
     """
     if use_real_codecs:
-        raise NotImplementedError("Video codecs not available; see module doc.")
+        _require_av()  # fail fast on the driver, not per-task
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("frame_no", T.IntegerType(), False),
-            T.StructField("frame_sha256", T.StringType(), False),
-        ]
-    )
     pruned = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_ids, out_nos, out_hashes = [], [], []
+            out_ids, out_nos, out_pts, out_hashes = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
                 data = bytes(payload)
+                if use_real_codecs:
+                    for frame_no, pts_ms, digest in _av_keyframes(data):
+                        out_ids.append(doc_id)
+                        out_nos.append(frame_no)
+                        out_pts.append(pts_ms)
+                        out_hashes.append(digest)
+                    continue
                 for frame_no, start in enumerate(
                     range(0, max(len(data), 1), every_n_bytes)
                 ):
                     chunk = data[start : start + every_n_bytes]
                     out_ids.append(doc_id)
                     out_nos.append(frame_no)
+                    out_pts.append(start)
                     out_hashes.append(hashlib.sha256(chunk).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": out_ids,
                     "frame_no": out_nos,
+                    "pts_ms": pd.array(out_pts, dtype="Int64"),
                     "frame_sha256": out_hashes,
                 }
             )
 
-    return pruned.mapInPandas(batches, schema=schema)
+    return pruned.mapInPandas(batches, schema=VIDEO_FRAMES_SCHEMA)
 
 
 def sample_audio_windows(
@@ -188,16 +276,19 @@ def sample_audio_windows(
     audio windows). The deterministic fake kernel interprets the payload
     as raw 16-bit PCM — the windowing/hop mechanics, Arrow-batched
     1→many fan-out, and feature shape (per-window RMS energy + content
-    hash) are the real plumbing; a real implementation swaps the PCM
-    interpretation for a decoder (soundfile/librosa — not in this
-    container, so ``use_real_codecs=True`` raises, same contract as the
-    image/video kernels). ``hop_samples`` defaults to ``window_samples``
+    hash) are the real plumbing either way. ``hop_samples`` defaults to
+    ``window_samples``
     (no overlap); smaller hops give standard overlapping analysis
     windows. Windows shorter than ``window_samples`` at the tail are
     emitted (flagged by ``n_samples``) so no audio is silently dropped.
+
+    ``use_real_codecs=True`` decodes with soundfile (import-gated at
+    plan build): samples are the decoded float stream (multi-channel
+    mono-mixed), RMS is on the decoder's [-1, 1] scale, and the window
+    hash covers the float64 sample bytes.
     """
     if use_real_codecs:
-        raise NotImplementedError("Audio codecs not available; see module doc.")
+        _require_soundfile()  # fail fast on the driver, not per-task
     # `or` would turn an explicit hop_samples=0 into no-overlap windowing
     # instead of the ValueError below; only None means "default to window".
     hop = window_samples if hop_samples is None else hop_samples
@@ -222,10 +313,13 @@ def sample_audio_windows(
             ids, nos, ns, rms, hashes = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
                 data = bytes(payload)
-                usable = len(data) - (len(data) % 2)
-                samples = np.frombuffer(data[:usable], dtype="<i2")
+                if use_real_codecs:
+                    samples = _sf_decode_mono(data)
+                else:
+                    usable = len(data) - (len(data) % 2)
+                    samples = np.frombuffer(data[:usable], dtype="<i2")
                 if len(samples) == 0:
-                    samples = np.zeros(1, dtype="<i2")
+                    samples = np.zeros(1, dtype=samples.dtype)
                 for window_no, start in enumerate(
                     range(0, len(samples), hop)
                 ):
