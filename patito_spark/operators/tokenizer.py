@@ -29,7 +29,7 @@ import re
 from functools import lru_cache
 from typing import Iterable, Iterator, Mapping, Optional, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -41,6 +41,11 @@ __all__ = [
     "load_bpe_vocab",
     "bpe_token_ids",
     "with_bpe_token_ids",
+    "bpe_word_frequencies",
+    "learn_bpe_merges",
+    "train_bpe",
+    "save_bpe_merges",
+    "build_bpe_vocab",
 ]
 
 # GPT-2's pre-tokenizer splits contractions, letter runs, number runs,
@@ -353,3 +358,205 @@ def with_bpe_token_ids(
             yield pdf
 
     return df.mapInPandas(encode, schema=schema)
+
+
+# ---------------------------------------------------------------------- #
+# BPE training: distributed word-frequency collapse + driver merge loop   #
+# ---------------------------------------------------------------------- #
+
+
+def bpe_word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_types: Optional[int] = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus word-frequency table in the :func:`bytes_to_unicode`
+    alphabet: ``(word string, count long)``.
+
+    This is the collapse that makes BPE training corpus-size-
+    independent (Sennrich et al. 2016's learner operates on a word
+    frequency dict, not the token stream): each Arrow batch folds into
+    a local Counter before anything is emitted, so the exchange carries
+    distinct-words-per-batch rows, and one mergeable sum finishes the
+    job. ``max_word_types`` keeps the EXACT top-K by (count desc, word
+    asc) — the deterministic TakeOrdered shape, no rand() — which also
+    bounds the driver collect in :func:`train_bpe`.
+    """
+    import collections
+
+    schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("count", T.LongType(), False),
+        ]
+    )
+
+    def count_words(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        b2u = bytes_to_unicode()
+        for pdf in batches:
+            ctr: collections.Counter = collections.Counter()
+            for t in pdf[text_col]:
+                if t is None:
+                    continue
+                for w in _pretokenize(t):
+                    ctr["".join(b2u[c] for c in w.encode("utf-8"))] += 1
+            if ctr:
+                yield pd.DataFrame(
+                    {"word": list(ctr.keys()), "count": list(ctr.values())}
+                )
+
+    out = (
+        df.select(text_col)
+        .mapInPandas(count_words, schema=schema)
+        .groupBy("word")
+        .agg(F.sum("count").alias("count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    if max_word_types is not None:
+        out = out.orderBy(
+            F.col("count").desc(), F.col("word").asc()
+        ).limit(max_word_types)
+    return out
+
+
+def learn_bpe_merges(word_freqs: Mapping[str, int], n_merges: int) -> dict:
+    """The driver-side greedy merge loop (Sennrich et al. 2016; the
+    indexed incremental variant subword-nmt ships): repeatedly merge
+    the most frequent adjacent symbol pair, ties broken toward the
+    lexicographically largest pair (subword-nmt's ``max(key=(count,
+    pair))``). Returns ``{(a, b): rank}`` compatible with every
+    ``with_bpe_*`` operator and :func:`save_bpe_merges`.
+
+    Incremental bookkeeping — pair->count, count->pairs buckets, and a
+    pair->word-ids index — makes each merge cost O(total length of the
+    words containing the pair), not O(vocabulary); a full recount pass
+    per merge is the naive reference the tests replay against.
+    """
+    words: list = []
+    freqs: list = []
+    for w, c in word_freqs.items():
+        if c <= 0:
+            raise ValueError(f"word frequency must be positive: {w!r}={c}")
+        words.append(list(w))
+        freqs.append(int(c))
+
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for i, (syms, c) in enumerate(zip(words, freqs)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+
+    buckets: dict = {}
+    for p, c in pair_counts.items():
+        buckets.setdefault(c, set()).add(p)
+    state = {"maxc": max(buckets) if buckets else 0}
+
+    def bump(p, delta):
+        old = pair_counts.pop(p, 0)
+        if old > 0:
+            b = buckets[old]
+            b.discard(p)
+            if not b:
+                del buckets[old]
+        new = old + delta
+        if new > 0:
+            pair_counts[p] = new
+            buckets.setdefault(new, set()).add(p)
+            if new > state["maxc"]:
+                state["maxc"] = new
+
+    ranks: dict = {}
+    while len(ranks) < n_merges:
+        while state["maxc"] > 0 and state["maxc"] not in buckets:
+            state["maxc"] -= 1
+        if state["maxc"] <= 0:
+            break
+        best = max(buckets[state["maxc"]])
+        a, b = best
+        ab = a + b
+        ranks[best] = len(ranks)
+        for i in list(pair_words.get(best, ())):
+            syms, c = words[i], freqs[i]
+            for p in zip(syms, syms[1:]):
+                bump(p, -c)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(i)
+            out = []
+            j, n = 0, len(syms)
+            while j < n:
+                if j < n - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            for p in zip(out, out[1:]):
+                bump(p, c)
+                pair_words.setdefault(p, set()).add(i)
+    return ranks
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 1000,
+    max_word_types: int = 200_000,
+    min_count: int = 1,
+) -> dict:
+    """Train a byte-level BPE merge table on a corpus column.
+
+    One distributed aggregate (the :func:`bpe_word_frequencies`
+    collapse — the only stage that sees corpus-sized data) feeds the
+    driver-side :func:`learn_bpe_merges` loop, whose cost scales with
+    DISTINCT word forms (``max_word_types``-bounded), not tokens: the
+    published recipe every production tokenizer trainer uses, and the
+    right split at 100 TB — counting is embarrassingly parallel, merge
+    learning is inherently sequential and tiny. The result feeds
+    :func:`with_bpe_token_count` / :func:`with_bpe_token_ids` /
+    :func:`save_bpe_merges` / :func:`build_bpe_vocab` directly.
+    """
+    rows = bpe_word_frequencies(
+        df, text_col=text_col, max_word_types=max_word_types,
+        min_count=min_count,
+    ).collect()
+    return learn_bpe_merges(
+        {r["word"]: r["count"] for r in rows}, n_merges
+    )
+
+
+def save_bpe_merges(merges: Mapping[Tuple[str, str], int], path: str) -> None:
+    """Write ``{(a, b): rank}`` as a GPT-2-format ``merges.txt``
+    (:func:`load_bpe_merges` round-trips it)."""
+    ordered = sorted(merges.items(), key=lambda kv: kv[1])
+    for i, (_, rank) in enumerate(ordered):
+        if rank != i:
+            raise ValueError(
+                f"merge ranks must be dense 0..n-1; saw rank {rank} at "
+                f"position {i}"
+            )
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for (a, b), _ in ordered:
+            fh.write(f"{a} {b}\n")
+
+
+def build_bpe_vocab(merges: Mapping[Tuple[str, str], int]) -> dict:
+    """The token->id vocab implied by a merge table: ids 0..255 are the
+    :func:`bytes_to_unicode` alphabet in byte order, then one token per
+    merge in rank order — every token :func:`bpe_tokens` can emit under
+    these merges has an id, so ``with_bpe_token_ids(..., unk_id=None)``
+    never raises on a matched pair of artifacts."""
+    b2u = bytes_to_unicode()
+    vocab = {b2u[i]: i for i in range(256)}
+    for (a, b), _ in sorted(merges.items(), key=lambda kv: kv[1]):
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab

@@ -244,3 +244,175 @@ def test_load_bpe_vocab_rejects_bad(tmp_path):
     p.write_text(json.dumps([1, 2]))
     with pytest.raises(ValueError, match="token->id"):
         load_bpe_vocab(str(p))
+
+
+# ---------------------------------------------------------------------- #
+# BPE training (round 12)                                                 #
+# ---------------------------------------------------------------------- #
+
+
+def _naive_learn(word_freqs, n_merges):
+    """Full-recount reference learner (the published greedy loop,
+    recounting every pair each iteration) — the bit-exact oracle for the
+    incremental learner's bookkeeping."""
+    import collections
+
+    words = {}
+    for w, c in word_freqs.items():
+        t = tuple(w)
+        words[t] = words.get(t, 0) + c
+    ranks = {}
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for parts, c in words.items():
+            for p in zip(parts, parts[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        ranks[best] = len(ranks)
+        a, b = best
+        ab = a + b
+        merged = {}
+        for parts, c in words.items():
+            out = []
+            i = 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        words = merged
+    return ranks
+
+
+def _corpus_word_freqs(texts):
+    import collections
+
+    from patito_spark.operators.tokenizer import (
+        _pretokenize,
+        bytes_to_unicode,
+    )
+
+    b2u = bytes_to_unicode()
+    freq = collections.Counter()
+    for t in texts:
+        for w in _pretokenize(t):
+            freq["".join(b2u[c] for c in w.encode("utf-8"))] += 1
+    return dict(freq)
+
+
+def test_learn_bpe_merges_matches_naive_reference():
+    from patito_spark.operators.tokenizer import learn_bpe_merges
+
+    texts = [
+        "the cat sat on the mat, the cat sat again",
+        "low lower lowest newer newest wider widest",
+        "aaa aaaa aaaaa overlap overlap overlap",
+        "snake_case_names and CamelCase and 1234 numbers",
+    ]
+    wf = _corpus_word_freqs(texts)
+    for n in (1, 5, 25, 200):
+        assert learn_bpe_merges(wf, n) == _naive_learn(wf, n)
+
+
+def test_learn_bpe_merges_matches_naive_randomized():
+    import random
+
+    from patito_spark.operators.tokenizer import learn_bpe_merges
+
+    rng = random.Random(42)
+    for trial in range(20):
+        wf = {}
+        for _ in range(rng.randint(1, 40)):
+            w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 8)))
+            wf[w] = wf.get(w, 0) + rng.randint(1, 9)
+        n = rng.randint(1, 30)
+        assert learn_bpe_merges(wf, n) == _naive_learn(wf, n), (trial, wf, n)
+
+
+def test_learn_bpe_overlapping_pairs_exact():
+    """'aaaa' holds three overlapping (a,a) occurrences but greedy
+    left-to-right replacement merges two; bookkeeping must count the
+    rebuilt word, not arithmetic over occurrences."""
+    from patito_spark.operators.tokenizer import learn_bpe_merges
+
+    ranks = learn_bpe_merges({"aaaa": 3}, 2)
+    assert ranks == {("a", "a"): 0, ("aa", "aa"): 1}
+
+
+def test_bpe_word_frequencies_matches_driver_counter(spark, sf_dir):
+    from patito_spark.operators.tokenizer import bpe_word_frequencies
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    texts = [r.text for r in docs.select("text").collect() if r.text is not None]
+    got = {
+        r["word"]: r["count"]
+        for r in bpe_word_frequencies(docs, "text").collect()
+    }
+    assert got == _corpus_word_freqs(texts)
+
+
+def test_bpe_word_frequencies_topk_deterministic(spark):
+    from patito_spark.operators.tokenizer import bpe_word_frequencies
+
+    df = spark.createDataFrame(
+        [("b b c c a a x",), ("y z w v u t s",)], "text string"
+    )
+    rows = bpe_word_frequencies(df, "text", max_word_types=3).collect()
+    # words are in the mapped alphabet (space -> 'Ġ'); the doubled words
+    # win, and the count-1 tie breaks word-ascending ('b' < 'y' < 'Ġ…')
+    assert sorted((r["word"], r["count"]) for r in rows) == [
+        ("b", 1), ("Ġa", 2), ("Ġc", 2),
+    ]
+
+
+def test_train_bpe_end_to_end_and_artifacts(spark, sf_dir, tmp_path):
+    from patito_spark.operators.tokenizer import (
+        build_bpe_vocab,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe,
+        with_bpe_token_count,
+        with_bpe_token_ids,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    small = train_bpe(docs, n_merges=30)
+    # the synthetic corpus holds ~61 distinct words; asking for far more
+    # merges than exist must terminate cleanly at pair exhaustion
+    big = train_bpe(docs, n_merges=10_000)
+    assert len(small) == 30 and 30 < len(big) < 10_000
+    # a longer table extends, never rewrites, the shorter one
+    assert all(big[p] == r for p, r in small.items())
+
+    # merges.txt round-trip
+    path = str(tmp_path / "merges.txt")
+    save_bpe_merges(big, path)
+    assert load_bpe_merges(path) == big
+
+    # more merges never increase the token count (prefix-run argument)
+    counted = (
+        with_bpe_token_count(docs, small, out_col="n_small")
+        .transform(lambda d: with_bpe_token_count(d, big, out_col="n_big"))
+        .select("n_small", "n_big")
+        .collect()
+    )
+    assert all(r.n_big <= r.n_small for r in counted)
+    assert any(r.n_big < r.n_small for r in counted)
+
+    # the implied vocab covers every token the merges can emit
+    vocab = build_bpe_vocab(big)
+    ids = with_bpe_token_ids(docs, big, vocab, unk_id=None)
+    row = ids.select(F.sum(F.size("token_ids")).alias("s")).first()
+    assert row.s > 0
+
+
+def test_save_bpe_merges_rejects_sparse_ranks(tmp_path):
+    from patito_spark.operators.tokenizer import save_bpe_merges
+
+    with pytest.raises(ValueError, match="dense"):
+        save_bpe_merges({("a", "b"): 0, ("b", "c"): 2}, str(tmp_path / "m.txt"))

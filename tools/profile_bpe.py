@@ -1,9 +1,10 @@
 """BPE token-accounting throughput at sf1 (round-11 verdict #8).
 
 No GPT-2 merges.txt ships in this container, so the profile trains a
-small byte-level BPE merge table ON THE CORPUS ITSELF (driver-side,
-seeded, the published greedy pair-count loop) and measures the
-distributed counter with it. Merge-table size shifts the per-word merge
+small byte-level BPE merge table ON THE CORPUS ITSELF (the
+operators.tokenizer.train_bpe path: distributed word-frequency
+collapse + driver merge loop) and measures the distributed counter
+with it. Merge-table size shifts the per-word merge
 depth roughly logarithmically; the word-cache hit rate — measured here
 with accumulators — is the dominant throughput factor either way, so
 the docs/s row is representative of a real 50k-merge artifact within a
@@ -15,55 +16,8 @@ Usage: python tools/profile_bpe.py [--sf-dir .localdata/sf1] [--merges 1000]
 from __future__ import annotations
 
 import argparse
-import collections
 import sys
 import time
-
-
-def train_merges(texts, n_merges: int, max_types: int = 30_000) -> dict:
-    """Tiny driver-side BPE trainer (published algorithm: count symbol
-    pairs over the word-frequency table, merge the most frequent,
-    repeat). Bounded by max_types word forms."""
-    from patito_spark.operators.tokenizer import (
-        _pretokenize,
-        bytes_to_unicode,
-    )
-
-    b2u = bytes_to_unicode()
-    freq = collections.Counter()
-    for t in texts:
-        for w in _pretokenize(t):
-            freq["".join(b2u[b] for b in w.encode("utf-8"))] += 1
-    words = {
-        tuple(w): c
-        for w, c in freq.most_common(max_types)
-    }
-    ranks: dict = {}
-    for _ in range(n_merges):
-        pairs = collections.Counter()
-        for parts, c in words.items():
-            for p in zip(parts, parts[1:]):
-                pairs[p] += c
-        if not pairs:
-            break
-        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
-        ranks[best] = len(ranks)
-        merged = {}
-        a, b = best
-        ab = a + b
-        for parts, c in words.items():
-            out = []
-            i = 0
-            while i < len(parts):
-                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(parts[i])
-                    i += 1
-            merged[tuple(out)] = merged.get(tuple(out), 0) + c
-        words = merged
-    return ranks
 
 
 def main() -> None:
@@ -87,15 +41,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from patito_spark.operators.tokenizer import train_bpe
+
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_docs = docs.count()
     n_chars = docs.agg(F.sum(F.length("text"))).first()[0]
 
-    sample = [
-        r.text for r in docs.limit(args.train_docs).select("text").collect()
-    ]
     t0 = time.time()
-    merges = train_merges(sample, args.merges)
+    merges = train_bpe(
+        docs.limit(args.train_docs), n_merges=args.merges
+    )
     t_train = time.time() - t0
 
     # Instrumented copy of the distributed counter: accumulators tally
