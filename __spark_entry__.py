@@ -1768,25 +1768,76 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_t(spark, sf_dir, "documents"), top_n=500)
 
 
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF rows over the documents table.
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval: every ~997th document's first three
+    tokens stand in for a query batch. Ranking orders by the ROUNDED
+    score (4 dp) with a doc_id tie-break so the rank column is
+    deterministic across engines despite float summation order."""
+    from pyspark.sql import Window
 
-    Runs with the default broadcast-probe gate ON, so the oracle compare
-    covers the persist-before-probe path (text.py: vocab cached across
-    the count + join). ln() is not IEEE-determined, so idf/tf_idf are
-    rounded to 6 dp for the value-hash compare; tf is an exact division
-    and passes through untouched.
+    from patito_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 997 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("query"),
+    )
+    scored = bm25_scores(docs, queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("score", 4).alias("score_r"),
+            "rank",
+        )
+    )
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF rows + BM25 retrieval union-tagged in one slot
+    (round-12 merge: BM25 is the text-side retrieval twin and reuses
+    the same corpus-aggregate shape).
+
+    TF-IDF runs with the default broadcast-probe gate ON, so the oracle
+    compare covers the persist-before-probe path (text.py: vocab cached
+    across the count + join). ln() is not IEEE-determined, so idf/
+    tf_idf are rounded to 6 dp and the BM25 score (a float sum) to 4 dp
+    for the value-hash compare; tf is an exact division and passes
+    through untouched.
     """
     from patito_spark.operators.text import tf_idf
 
     out = tf_idf(_t(spark, sf_dir, "documents"))
-    return out.select(
+    tfidf = out.select(
+        F.lit("tfidf").alias("mode"),
         "doc_id",
         "token",
         "tf",
         F.round("idf", 6).alias("idf_r"),
         F.round("tf_idf", 6).alias("tf_idf_r"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("double").alias("score_r"),
+        F.lit(None).cast("long").alias("rank"),
     )
+    bm = text_bm25(spark, sf_dir).select(
+        F.lit("bm25").alias("mode"),
+        "doc_id",
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("double").alias("tf"),
+        F.lit(None).cast("double").alias("idf_r"),
+        F.lit(None).cast("double").alias("tf_idf_r"),
+        "query_id",
+        "score_r",
+        "rank",
+    )
+    return tfidf.unionByName(bm)
 
 
 def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2989,17 +3040,65 @@ def oracle_sql() -> dict[str, str]:
                 SELECT token, count(DISTINCT doc_id) AS doc_freq
                 FROM pairs GROUP BY token
             ),
-            n_docs AS (SELECT count(*)::DOUBLE AS nd FROM documents)
-            SELECT c.doc_id, c.token,
+            n_docs AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            -- BM25 branch: every ~997th doc's first three tokens as the
+            -- query batch; Lucene IDF ln(1 + (N - df + .5)/(df + .5));
+            -- rank over the ROUNDED score with doc_id tie-break.
+            qterms AS (
+                SELECT DISTINCT doc_id AS query_id,
+                       unnest(string_split(text, ' ')[1:3]) AS token
+                FROM documents WHERE doc_id % 997 = 0
+            ),
+            stats AS (
+                SELECT count(*)::DOUBLE AS nd,
+                       avg(len(string_split(text, ' '))) AS avgdl
+                FROM documents
+            ),
+            dfreq AS (
+                SELECT token, count(*) AS df
+                FROM counts
+                WHERE token IN (SELECT token FROM qterms)
+                GROUP BY token
+            ),
+            bm25 AS (
+                SELECT q.query_id, c.doc_id,
+                       round(sum(
+                           ln(1 + (s.nd - f.df + 0.5) / (f.df + 0.5))
+                           * c.n * 2.2
+                           / (c.n + 1.2 * (1 - 0.75
+                                           + 0.75 * c.total / s.avgdl))
+                       ), 4) AS score_r
+                FROM counts c
+                JOIN qterms q USING (token)
+                JOIN dfreq f USING (token)
+                CROSS JOIN stats s
+                GROUP BY q.query_id, c.doc_id
+            ),
+            bm25_ranked AS (
+                SELECT query_id, doc_id, score_r,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_r DESC, doc_id ASC
+                       ) AS rank
+                FROM bm25
+            )
+            SELECT 'tfidf' AS mode, c.doc_id, c.token,
                    c.n / c.total AS tf,
                    round(ln((nd + 1.0) / (v.doc_freq + 1.0)) + 1.0, 6)
                        AS idf_r,
                    round((c.n / c.total)
                          * (ln((nd + 1.0) / (v.doc_freq + 1.0)) + 1.0), 6)
-                       AS tf_idf_r
+                       AS tf_idf_r,
+                   NULL::BIGINT AS query_id,
+                   NULL::DOUBLE AS score_r,
+                   NULL::BIGINT AS rank
             FROM counts c
             JOIN vocab v USING (token)
             CROSS JOIN n_docs
+            UNION ALL
+            SELECT 'bm25', doc_id, NULL, NULL, NULL, NULL,
+                   query_id, score_r, rank
+            FROM bm25_ranked WHERE rank <= 20
         """,
         # Replays unigram_logloss (self-LM, add-1 smoothing):
         # p(t) = (count(t) + 1) / (total + V + 1), per-doc mean NLL and

@@ -870,6 +870,133 @@ def tf_idf(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "query",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: Optional[int] = None,
+    n_docs: Optional[int] = None,
+    avgdl: Optional[float] = None,
+    max_broadcast_query_terms: Optional[int] = None,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson et al.; the Lucene non-negative
+    IDF variant): score every document against a small query set.
+
+    ``score(q, d) = Σ_{t ∈ q} ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))`` with set
+    semantics over query terms (duplicate query tokens score once, the
+    standard short-query form). Returns ``query_id, <id_col>, score``
+    sparse rows — only (query, doc) pairs sharing a term appear; add
+    ``top_k`` for ranked retrieval (appends ``rank``, ties break on
+    doc id). The text-side retrieval twin of ``cosine_topk`` — the
+    standard first stage for decontamination-by-retrieval and
+    description-based corpus selection.
+
+    Scale shape: ONE tokenize + explode + (doc, token) aggregate over
+    the corpus (the :func:`tf_idf` shape; document length rides the
+    aggregate key, so scoring needs no join-back), plus one map-only
+    scalar pass for (N, avgdl) — skipped entirely when the caller
+    passes ``n_docs`` and ``avgdl``. The query side is exploded
+    to distinct (query, term) rows and BROADCAST (optionally gated, see
+    below), so corpus postings are pruned to query terms by a map-side hash
+    join before anything shuffles; document frequencies come from the
+    pruned postings (df_t counts ALL docs containing t because the
+    posting list for t survives pruning whole). One corpus shuffle
+    (the aggregate), one tiny reduce per (query, doc); the optional
+    ``top_k`` window plans a Partial WindowGroupLimit above the
+    exchange. Summation order varies with partitioning — compare
+    scores with a tolerance or round, like every LM score here.
+
+    ``max_broadcast_query_terms`` guards the broadcast with an exact
+    count when set (pass ``similarity.MAX_BROADCAST_QUERIES`` for the
+    standard cap); the default ``None`` skips the probe job — the
+    query side of a retrieval call is normally known-small, and an
+    oversized one fails at broadcast build with Spark's own limit
+    rather than silently degrading.
+    """
+    if n_docs is None or avgdl is None:
+        stats = df.agg(
+            F.count("*").alias("__n"),
+            F.avg(F.size(tokens(text_col))).alias("__avgdl"),
+        ).first()
+        n_docs = n_docs if n_docs is not None else stats["__n"]
+        if avgdl is None:
+            avgdl = float(stats["__avgdl"] or 0.0) or 1.0
+    n = n_docs
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(query_text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    if max_broadcast_query_terms is not None:
+        n_terms = qterms.count()
+        if n_terms > max_broadcast_query_terms:
+            raise ValueError(
+                f"bm25_scores broadcasts the (query, term) set; got "
+                f"{n_terms} distinct pairs > {max_broadcast_query_terms}. "
+                "Split the query batch."
+            )
+
+    counts = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).groupBy(id_col, "token", "__dl").agg(F.count("*").alias("__n"))
+
+    # Prune postings to query terms FIRST (map-side broadcast hash
+    # join): df_t and avgdl must not depend on the pruning, so avgdl
+    # comes from the corpus aggregate below and df_t from the pruned
+    # postings — the full posting list of every surviving term is
+    # intact, making its distinct-doc count exact.
+    term_list = F.broadcast(qterms.select("token").distinct())
+    postings = counts.join(term_list, on="token")
+
+    from patito_spark.functions.cache import tracked_persist
+
+    postings = tracked_persist(postings)
+    doc_freq = postings.groupBy("token").agg(
+        F.count("*").alias("__df")
+    )
+    idf = F.log(
+        1.0
+        + (F.lit(float(n)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("__n")
+        * (k1 + 1.0)
+        / (
+            F.col("__n")
+            + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(doc_freq), on="token")
+        .join(F.broadcast(qterms), on="token")
+        .select("query_id", id_col, term_score.alias("__s"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    if top_k is None:
+        return scored
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def unigram_logloss(
     df: DataFrame,
     text_col: str = "text",

@@ -1091,3 +1091,161 @@ def test_normalize_unicode_nfc_matches_duckdb(spark):
             "select nfc_normalize(?)", [t]
         ).fetchone()[0]
         assert got[i] == want, (i, t)
+
+
+# ---------------------------------------------------------------------- #
+# BM25 retrieval (round 12)                                               #
+# ---------------------------------------------------------------------- #
+
+
+class TestBm25:
+    def _corpus(self, spark, n=40):
+        rows = [
+            (d, " ".join(f"w{(d * 7 + i * 3) % 25}" for i in range(6 + d % 5)))
+            for d in range(n)
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _queries(self, spark):
+        qrows = [(100, "w0 w3"), (101, "w24 w1 w1"), (102, "zz w5")]
+        return qrows, spark.createDataFrame(qrows, "query_id long, query string")
+
+    @staticmethod
+    def _bm25_py(rows, qrows, k1=1.2, b=0.75):
+        import math
+        from collections import Counter
+
+        docs = {d: t.split(" ") for d, t in rows}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        df_t = Counter()
+        for toks in docs.values():
+            for t in set(toks):
+                df_t[t] += 1
+        out = {}
+        for qid, q in qrows:
+            for d, toks in docs.items():
+                tf = Counter(toks)
+                s = 0.0
+                hit = False
+                for t in set(q.split(" ")):
+                    if tf[t] == 0:
+                        continue
+                    hit = True
+                    idf = math.log(
+                        1 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5)
+                    )
+                    s += idf * tf[t] * (k1 + 1) / (
+                        tf[t] + k1 * (1 - b + b * len(toks) / avgdl)
+                    )
+                if hit:
+                    out[(qid, d)] = s
+        return out
+
+    def test_matches_python_reference(self, spark):
+        rows, df = self._corpus(spark)
+        qrows, qdf = self._queries(spark)
+        got = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in ops.bm25_scores(df, qdf).collect()
+        }
+        want = self._bm25_py(rows, qrows)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        rows, df = self._corpus(spark, n=60)
+        qrows, qdf = self._queries(spark)
+        got = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in ops.bm25_scores(df, qdf).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        con.execute("CREATE TABLE qs(query_id BIGINT, query VARCHAR)")
+        con.executemany("INSERT INTO qs VALUES (?, ?)", qrows)
+        want = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                """
+                WITH counts AS (
+                    SELECT doc_id,
+                           len(string_split(text, ' ')) AS dl,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM docs
+                ),
+                postings AS (
+                    SELECT doc_id, token, dl, count(*) AS n
+                    FROM counts GROUP BY doc_id, token, dl
+                ),
+                qterms AS (
+                    SELECT DISTINCT query_id,
+                           unnest(string_split(query, ' ')) AS token
+                    FROM qs
+                ),
+                stats AS (
+                    SELECT count(*)::DOUBLE AS nd,
+                           avg(len(string_split(text, ' '))) AS avgdl
+                    FROM docs
+                ),
+                dfreq AS (
+                    SELECT token, count(*) AS df
+                    FROM postings
+                    WHERE token IN (SELECT token FROM qterms)
+                    GROUP BY token
+                )
+                SELECT q.query_id, p.doc_id,
+                       sum(ln(1 + (s.nd - f.df + 0.5) / (f.df + 0.5))
+                           * p.n * 2.2
+                           / (p.n + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)))
+                           AS score
+                FROM postings p
+                JOIN qterms q USING (token)
+                JOIN dfreq f USING (token)
+                CROSS JOIN stats s
+                GROUP BY q.query_id, p.doc_id
+                """
+            ).fetchall()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+    def test_topk_rank_and_plan(self, spark):
+        from patito_spark.plans import executed_plan
+
+        _, df = self._corpus(spark)
+        _, qdf = self._queries(spark)
+        out = ops.bm25_scores(df, qdf, top_k=3)
+        plan = executed_plan(out)
+        # the query-term prune must be a broadcast join and the top-k
+        # window must keep its map-side partial limit
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "BroadcastHashJoin" in plan
+        rows = out.collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append((r.rank, r.score))
+        for q, rs in per_q.items():
+            rs.sort()
+            assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+            scores = [s for _, s in rs]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_query_term_cap(self, spark):
+        _, df = self._corpus(spark)
+        _, qdf = self._queries(spark)
+        with pytest.raises(ValueError, match="Split the query batch"):
+            ops.bm25_scores(df, qdf, max_broadcast_query_terms=2)
+
+    def test_duplicate_query_tokens_score_once(self, spark):
+        _, df = self._corpus(spark)
+        q1 = spark.createDataFrame([(1, "w0 w0 w0")], "query_id long, query string")
+        q2 = spark.createDataFrame([(1, "w0")], "query_id long, query string")
+        s1 = {r.doc_id: r.score for r in ops.bm25_scores(df, q1).collect()}
+        s2 = {r.doc_id: r.score for r in ops.bm25_scores(df, q2).collect()}
+        assert s1 == s2
