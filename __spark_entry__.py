@@ -1867,7 +1867,19 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numbers as the three separate operators to summation order
     # (pinned by test_lm_quality_scores_matches_three_operator_composition).
     s = lm_quality_scores(docs, target)
-    return s.select(
+    # Round-12 addition: interpolated Kneser-Ney bigram scores ride the
+    # same slot. kneser_ney_logloss builds the identical positioned
+    # (prev, w) pair aggregate lm_quality_scores persists, so Spark's
+    # cache manager substitutes it — the KN columns cost the pair-table
+    # joins and one extra corpus-stream join, not a rebuild.
+    from patito_spark.operators.text import kneser_ney_logloss
+
+    kn = kneser_ney_logloss(docs).select(
+        "doc_id",
+        F.round("kn_ce", 4).alias("kn_ce_r"),
+        F.round("kn_ppl", 4).alias("kn_ppl_r"),
+    )
+    return s.join(kn, on="doc_id").select(
         "doc_id",
         "n_tokens",
         F.round("cross_entropy", 4).alias("cross_entropy_r"),
@@ -1876,6 +1888,8 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dsir_weight", 4).alias("dsir_weight_r"),
         F.round("bigram_ce", 4).alias("bigram_ce_r"),
         F.round("bigram_ppl", 4).alias("bigram_ppl_r"),
+        "kn_ce_r",
+        "kn_ppl_r",
     )
 
 
@@ -3195,14 +3209,55 @@ def oracle_sql() -> dict[str, str]:
                        round(avg(nll), 4) AS bigram_ce_r,
                        round(exp(avg(nll)), 4) AS bigram_ppl_r
                 FROM bi_nll GROUP BY doc_id
+            ),
+            -- interpolated Kneser-Ney replay (round 12): discount 0.75,
+            -- continuation distribution over distinct-bigram types with
+            -- the add-1 floor; doc-initial / unseen history -> p_cont.
+            kn_hist AS (
+                SELECT w1, sum(cnt)::DOUBLE AS c_prev,
+                       count(*)::DOUBLE AS n1p_prev
+                FROM bi_lm GROUP BY w1
+            ),
+            kn_cont AS (
+                SELECT w2, count(*)::DOUBLE AS n1p_cont
+                FROM bi_lm GROUP BY w2
+            ),
+            kn_b AS (SELECT count(*)::DOUBLE AS b FROM bi_lm),
+            kn_nll AS (
+                SELECT p.doc_id,
+                       CASE WHEN p.w_prev IS NOT NULL
+                                 AND h.c_prev IS NOT NULL
+                         THEN -ln(greatest(coalesce(bi.cnt, 0) - 0.75, 0)
+                                      / h.c_prev
+                                  + 0.75 * h.n1p_prev / h.c_prev
+                                    * ((coalesce(c.n1p_cont, 0) + 1.0)
+                                       / (kb.b + 1.0 * (tot.v + 1))))
+                         ELSE -ln((coalesce(c.n1p_cont, 0) + 1.0)
+                                  / (kb.b + 1.0 * (tot.v + 1)))
+                       END AS nll
+                FROM pos p
+                LEFT JOIN bi_lm bi ON p.w_prev = bi.w1 AND p.w = bi.w2
+                LEFT JOIN kn_hist h ON p.w_prev = h.w1
+                LEFT JOIN kn_cont c ON p.w = c.w2
+                CROSS JOIN kn_b kb
+                CROSS JOIN tot
+            ),
+            kn_scores AS (
+                SELECT doc_id,
+                       round(avg(nll), 4) AS kn_ce_r,
+                       round(exp(avg(nll)), 4) AS kn_ppl_r
+                FROM kn_nll GROUP BY doc_id
             )
             SELECT u.doc_id, u.n_tokens,
                    round(u.h_raw, 4) AS cross_entropy_r,
                    round(exp(u.h_raw), 4) AS perplexity_r,
                    round(u.lr, 4) AS log_ratio_r,
                    round(exp(u.lr), 4) AS dsir_weight_r,
-                   b.bigram_ce_r, b.bigram_ppl_r
-            FROM uni_scores u JOIN bi_scores b USING (doc_id)
+                   b.bigram_ce_r, b.bigram_ppl_r,
+                   k.kn_ce_r, k.kn_ppl_r
+            FROM uni_scores u
+            JOIN bi_scores b USING (doc_id)
+            JOIN kn_scores k USING (doc_id)
         """,
     }
     # ---- round-10 union-tagged slot merges (frees entries under the ----

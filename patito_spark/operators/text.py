@@ -1226,6 +1226,134 @@ def bigram_logloss(
     )
 
 
+def kneser_ney_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    smoothing_k: float = 1.0,
+    max_broadcast_vocab: int = 2_000_000,
+) -> DataFrame:
+    """Per-document bigram cross-entropy under interpolated Kneser-Ney
+    (Kneser & Ney 1995; Chen & Goodman 1998's interpolated form, the
+    smoothing KenLM made standard for LM-based corpus filtering).
+
+    ``p(w|prev) = max(c(prev,w) − D, 0)/c(prev)
+    + D·N1+(prev,·)/c(prev) · p_cont(w)`` with the continuation
+    distribution ``p_cont(w) = (N1+(·,w) + k)/(B + k·(V+1))`` —
+    ``N1+`` are DISTINCT-bigram-type counts, ``B`` the total bigram
+    type count, and the add-``k`` floor (a web-scale robustness
+    addition to the textbook form, same idiom as the unigram path)
+    keeps unseen continuations finite. Document-initial tokens and
+    unseen histories score ``p_cont`` alone. Where stupid backoff
+    (:func:`bigram_logloss`) scores what FOLLOWS frequent histories,
+    KN's continuation distribution punishes tokens that only ever
+    appear in one context — the burstiness signal (boilerplate, SEO
+    keyword stuffing) that raw frequency smoothing misses.
+
+    Self-LM by construction (score a corpus against its own pair
+    statistics — the outlier-surfacing corpus-gate use); scoring
+    against a curated reference belongs to :func:`lm_quality_scores`'
+    target path. Returns ``<id_col>, n_tokens, kn_ce, kn_ppl``
+    (natural log; ~1e-12 summation noise — compare with tolerance).
+
+    Scale shape (the :func:`lm_quality_scores` recipe): ONE positioned
+    (prev, w) pair aggregate over the corpus; every count the formula
+    needs — ``c(prev)``, ``N1+(prev,·)``, ``N1+(·,w)``, ``B``, ``V`` —
+    is a grouped aggregate OVER THE PAIR TABLE (cost ∝ distinct pairs,
+    not tokens); the per-pair NLL table joins back to the corpus
+    stream exactly once (null-safe on prev for document-initial
+    tokens); one per-doc aggregate with map-side combine. All side
+    tables are vocabulary-sized and broadcast under
+    ``max_broadcast_vocab``.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    from patito_spark.functions.cache import tracked_persist
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    positioned = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(toks, F.lit(1), n - F.lit(1)),
+                ),
+                toks,
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        F.col("pos").getField("0").alias("__w_prev"),
+        F.col("pos").getField("1").alias("__w"),
+    )
+
+    pair_counts = tracked_persist(
+        positioned.groupBy("__w_prev", "__w").agg(
+            F.count("*").alias("__pair_n")
+        )
+    )
+    bigrams = pair_counts.filter(F.col("__w_prev").isNotNull())
+
+    # One action: vocab size (continuation floor), bigram type count B,
+    # pair-table row count (score-table broadcast gate) — and the
+    # pair_counts cache materialization.
+    stats = pair_counts.agg(
+        F.count_distinct("__w").alias("v"),
+        F.count("__w_prev").alias("b"),
+        F.count("*").alias("np"),
+    ).first()
+    v, b_types, n_pairs = stats["v"], stats["b"], stats["np"]
+    cont_denom = float(b_types) + smoothing_k * (v + 1)
+
+    def _side(frame: DataFrame, rows: int) -> DataFrame:
+        return F.broadcast(frame) if rows <= max_broadcast_vocab else frame
+
+    hist = bigrams.groupBy("__w_prev").agg(
+        F.sum("__pair_n").alias("__c_prev"),
+        F.count("*").alias("__n1p_prev"),
+    )
+    cont = bigrams.groupBy("__w").agg(F.count("*").alias("__n1p_cont"))
+
+    tbl = (
+        pair_counts.join(_side(hist, v), on="__w_prev", how="left")
+        .join(_side(cont, v), on="__w", how="left")
+    )
+    p_cont = (
+        F.coalesce(F.col("__n1p_cont"), F.lit(0)) + F.lit(smoothing_k)
+    ) / F.lit(cont_denom)
+    d = F.lit(float(discount))
+    p = (
+        F.when(
+            F.col("__w_prev").isNotNull() & F.col("__c_prev").isNotNull(),
+            F.greatest(F.col("__pair_n") - d, F.lit(0.0))
+            / F.col("__c_prev")
+            + d * F.col("__n1p_prev") / F.col("__c_prev") * p_cont,
+        ).otherwise(p_cont)
+    )
+    score_tbl = _side(
+        tbl.select(
+            F.col("__w_prev").alias("__sp"),
+            F.col("__w").alias("__sw"),
+            (-F.log(p)).alias("__kn_nll"),
+        ),
+        n_pairs,
+    )
+    scored = positioned.join(
+        score_tbl,
+        F.col("__w_prev").eqNullSafe(F.col("__sp"))
+        & (F.col("__w") == F.col("__sw")),
+        how="left",
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("__kn_nll").alias("kn_ce"),
+        F.exp(F.avg("__kn_nll")).alias("kn_ppl"),
+    )
+
+
 def lm_quality_scores(
     raw: DataFrame,
     target: Optional[DataFrame] = None,

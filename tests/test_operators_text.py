@@ -1249,3 +1249,193 @@ class TestBm25:
         s1 = {r.doc_id: r.score for r in ops.bm25_scores(df, q1).collect()}
         s2 = {r.doc_id: r.score for r in ops.bm25_scores(df, q2).collect()}
         assert s1 == s2
+
+
+# ---------------------------------------------------------------------- #
+# Interpolated Kneser-Ney (round 12)                                      #
+# ---------------------------------------------------------------------- #
+
+
+class TestKneserNey:
+    def _corpus(self, spark, n=50):
+        rows = [
+            (d, " ".join(f"w{(d * 5 + i * 7) % 30}" for i in range(5 + d % 6)))
+            for d in range(n)
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _kn_py(rows, discount=0.75, k=1.0):
+        import math
+        from collections import Counter
+
+        docs = {d: t.split(" ") for d, t in rows}
+        pair_n = Counter()
+        for toks in docs.values():
+            prevs = [None] + toks[:-1]
+            for p, w in zip(prevs, toks):
+                pair_n[(p, w)] += 1
+        bigrams = {pw: c for pw, c in pair_n.items() if pw[0] is not None}
+        vocab = {w for _, w in pair_n}
+        v = len(vocab)
+        b = len(bigrams)
+        c_prev = Counter()
+        n1p_prev = Counter()
+        n1p_cont = Counter()
+        for (p, w), c in bigrams.items():
+            c_prev[p] += c
+            n1p_prev[p] += 1
+            n1p_cont[w] += 1
+        cont_denom = b + k * (v + 1)
+
+        def p_cont(w):
+            return (n1p_cont[w] + k) / cont_denom
+
+        out = {}
+        for d, toks in docs.items():
+            prevs = [None] + toks[:-1]
+            nll = 0.0
+            for p, w in zip(prevs, toks):
+                if p is not None and c_prev[p] > 0:
+                    prob = (
+                        max(pair_n[(p, w)] - discount, 0.0) / c_prev[p]
+                        + discount * n1p_prev[p] / c_prev[p] * p_cont(w)
+                    )
+                else:
+                    prob = p_cont(w)
+                nll += -math.log(prob)
+            out[d] = (len(toks), nll / len(toks))
+        return out
+
+    def test_matches_python_reference(self, spark):
+        rows, df = self._corpus(spark)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["kn_ce"])
+            for r in ops.kneser_ney_logloss(df).collect()
+        }
+        want = self._kn_py(rows)
+        assert set(got) == set(want)
+        for d, (nt, ce) in want.items():
+            assert got[d][0] == nt
+            assert got[d][1] == pytest.approx(ce, rel=1e-12)
+
+    def test_matches_duckdb(self, spark):
+        import duckdb
+
+        rows, df = self._corpus(spark, n=80)
+        got = {
+            r["doc_id"]: r["kn_ce"]
+            for r in ops.kneser_ney_logloss(df).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+        want = dict(
+            con.execute(
+                """
+                WITH toks AS (
+                    SELECT doc_id, string_split(text, ' ') AS t FROM docs
+                ),
+                positioned AS (
+                    SELECT doc_id,
+                           CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+                           t[i] AS w
+                    FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+                ),
+                pairs AS (
+                    SELECT prev, w, count(*) AS n
+                    FROM positioned GROUP BY prev, w
+                ),
+                bi AS (SELECT * FROM pairs WHERE prev IS NOT NULL),
+                consts AS (
+                    SELECT (SELECT count(DISTINCT w) FROM pairs) AS v,
+                           (SELECT count(*) FROM bi) AS b
+                ),
+                hist AS (
+                    SELECT prev, sum(n)::DOUBLE AS c_prev,
+                           count(*)::DOUBLE AS n1p_prev
+                    FROM bi GROUP BY prev
+                ),
+                cont AS (
+                    SELECT w, count(*)::DOUBLE AS n1p_cont
+                    FROM bi GROUP BY w
+                ),
+                scoretbl AS (
+                    SELECT p.prev, p.w,
+                           -ln(CASE WHEN p.prev IS NOT NULL THEN
+                                 greatest(p.n - 0.75, 0) / h.c_prev
+                                 + 0.75 * h.n1p_prev / h.c_prev
+                                   * ((coalesce(c.n1p_cont, 0) + 1.0)
+                                      / (s.b + 1.0 * (s.v + 1)))
+                               ELSE
+                                 (coalesce(c.n1p_cont, 0) + 1.0)
+                                 / (s.b + 1.0 * (s.v + 1))
+                               END) AS nll
+                    FROM pairs p
+                    LEFT JOIN hist h ON p.prev = h.prev
+                    LEFT JOIN cont c ON p.w = c.w
+                    CROSS JOIN consts s
+                )
+                SELECT pos.doc_id, avg(st.nll) AS kn_ce
+                FROM positioned pos
+                JOIN scoretbl st
+                  ON pos.prev IS NOT DISTINCT FROM st.prev
+                 AND pos.w = st.w
+                GROUP BY pos.doc_id
+                """
+            ).fetchall()
+        )
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+    def test_distribution_approximately_normalized(self, spark):
+        """For every seen history, Σ_w p(w|prev) over the vocabulary
+        stays ≤ 1 (the interpolation is a proper distribution up to the
+        add-k continuation floor's reserved mass)."""
+        rows, _ = self._corpus(spark)
+        from collections import Counter
+        import math
+
+        docs = {d: t.split(" ") for d, t in rows}
+        pair_n = Counter()
+        for toks in docs.values():
+            prevs = [None] + toks[:-1]
+            for p, w in zip(prevs, toks):
+                if p is not None:
+                    pair_n[(p, w)] += 1
+        vocab = sorted({w for toks in docs.values() for w in toks})
+        v, b = len(vocab), len(pair_n)
+        c_prev, n1p_prev, n1p_cont = Counter(), Counter(), Counter()
+        for (p, w), c in pair_n.items():
+            c_prev[p] += c
+            n1p_prev[p] += 1
+            n1p_cont[w] += 1
+        for prev in list(c_prev):
+            total = 0.0
+            for w in vocab:
+                pc = (n1p_cont[w] + 1.0) / (b + v + 1.0)
+                total += (
+                    max(pair_n[(prev, w)] - 0.75, 0.0) / c_prev[prev]
+                    + 0.75 * n1p_prev[prev] / c_prev[prev] * pc
+                )
+            assert total <= 1.0 + 1e-9
+
+    def test_continuation_distribution_signal(self, spark):
+        """The KN property stupid backoff lacks: a token seen after
+        MANY distinct histories ('x', 6 contexts) out-scores an
+        equally-frequent token welded to ONE history ('y', 6
+        occurrences after 'g' only) when both appear after a novel
+        shared history 'q' — the interpolation weight routes through
+        p_cont, which counts CONTEXTS, not occurrences."""
+        rows = [(i, f"{h} x") for i, h in enumerate("abcdef")]
+        rows += [(10 + i, "g y") for i in range(6)]
+        rows += [(100, "q x"), (101, "q y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.kn_ce for r in ops.kneser_ney_logloss(df).collect()}
+        assert out[100] < out[101]
+
+    def test_discount_validation(self, spark):
+        _, df = self._corpus(spark, n=5)
+        with pytest.raises(ValueError, match="discount"):
+            ops.kneser_ney_logloss(df, discount=1.5)
