@@ -1866,20 +1866,14 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass feeds every lookup + the single per-doc aggregate. Same
     # numbers as the three separate operators to summation order
     # (pinned by test_lm_quality_scores_matches_three_operator_composition).
-    s = lm_quality_scores(docs, target)
-    # Round-12 addition: interpolated Kneser-Ney bigram scores ride the
-    # same slot. kneser_ney_logloss builds the identical positioned
-    # (prev, w) pair aggregate lm_quality_scores persists, so Spark's
-    # cache manager substitutes it — the KN columns cost the pair-table
-    # joins and one extra corpus-stream join, not a rebuild.
-    from patito_spark.operators.text import kneser_ney_logloss
-
-    kn = kneser_ney_logloss(docs).select(
-        "doc_id",
-        F.round("kn_ce", 4).alias("kn_ce_r"),
-        F.round("kn_ppl", 4).alias("kn_ppl_r"),
-    )
-    return s.join(kn, on="doc_id").select(
+    # Round-12 addition: interpolated Kneser-Ney scores ride the same
+    # slot via the FUSED path — the KN NLL is a pure function of the
+    # (prev, w) pair, so it joins the fused score table and costs two
+    # pair-table joins, zero extra corpus-stream joins (equivalence to
+    # the standalone kneser_ney_logloss is pinned in
+    # test_lm_quality_scores_kn_matches_standalone).
+    s = lm_quality_scores(docs, target, kneser_ney=True)
+    return s.select(
         "doc_id",
         "n_tokens",
         F.round("cross_entropy", 4).alias("cross_entropy_r"),
@@ -1888,8 +1882,8 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dsir_weight", 4).alias("dsir_weight_r"),
         F.round("bigram_ce", 4).alias("bigram_ce_r"),
         F.round("bigram_ppl", 4).alias("bigram_ppl_r"),
-        "kn_ce_r",
-        "kn_ppl_r",
+        F.round("kn_ce", 4).alias("kn_ce_r"),
+        F.round("kn_ppl", 4).alias("kn_ppl_r"),
     )
 
 

@@ -1365,10 +1365,19 @@ def lm_quality_scores(
     length_normalize: bool = True,
     max_bigrams: Optional[int] = 4_000_000,
     max_broadcast_vocab: int = 2_000_000,
+    kneser_ney: bool = False,
+    kn_discount: float = 0.75,
 ) -> DataFrame:
     """Fused self-LM quality stack: unigram perplexity, bigram
     stupid-backoff perplexity, and (when ``target`` is given) DSIR
     importance weights — all in TWO corpus passes total.
+    ``kneser_ney=True`` additionally emits ``kn_ce, kn_ppl``
+    (:func:`kneser_ney_logloss` numbers, to summation order) for the
+    cost of two pair-table joins — the KN NLL is a pure function of
+    the (prev, w) pair, so it rides the SAME fused score table and the
+    same single corpus-stream join. KN statistics always come from the
+    UNCAPPED pair table (``max_bigrams`` prunes only the
+    stupid-backoff LM; KN's discounting is its own tail treatment).
 
     Numerically identical (to summation order, ~1e-12) to composing
     :func:`unigram_logloss` + :func:`bigram_logloss` +
@@ -1466,6 +1475,7 @@ def lm_quality_scores(
     ).first()
     total, v = stats["t"] or 0, stats["v"]
     n_pairs, n_bi = stats["np"], stats["nb"]
+    b_types = n_bi  # uncapped bigram type count — KN's B
     denom = float(total) + smoothing_k * (v + 1)
 
     bi = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
@@ -1500,11 +1510,27 @@ def lm_quality_scores(
         F.col("token").alias("__w_prev"), F.col("count").alias("__prev_n")
     )
     tbl = (
-        pair_counts.select("__w_prev", "__w")
+        pair_counts.select("__w_prev", "__w", "__pair_n")
         .join(_side(bi, n_bi), on=["__w_prev", "__w"], how="left")
         .join(_side(uni_w, v), on="__w", how="left")
         .join(_side(uni_prev, v), on="__w_prev", how="left")
     )
+    if kneser_ney:
+        if not 0 < kn_discount < 1:
+            raise ValueError(
+                f"kn_discount must be in (0, 1), got {kn_discount}"
+            )
+        kn_src = pair_counts.filter(F.col("__w_prev").isNotNull())
+        kn_hist = kn_src.groupBy("__w_prev").agg(
+            F.sum("__pair_n").alias("__kn_c_prev"),
+            F.count("*").alias("__kn_n1p_prev"),
+        )
+        kn_cont = kn_src.groupBy("__w").agg(
+            F.count("*").alias("__kn_n1p_cont")
+        )
+        tbl = tbl.join(_side(kn_hist, v), on="__w_prev", how="left").join(
+            _side(kn_cont, v), on="__w", how="left"
+        )
     if target is not None:
         t_lm = tracked_persist(
             build_vocab(target, text_col=text_col, id_col=id_col).select(
@@ -1544,6 +1570,24 @@ def lm_quality_scores(
         uni_nll.alias("__uni_nll"),
         (-F.log(p_bi)).alias("__bi_nll"),
     ]
+    if kneser_ney:
+        kn_cont_denom = float(b_types) + smoothing_k * (v + 1)
+        kn_p_cont = (
+            F.coalesce(F.col("__kn_n1p_cont"), F.lit(0))
+            + F.lit(smoothing_k)
+        ) / F.lit(kn_cont_denom)
+        kd = F.lit(float(kn_discount))
+        kn_p = F.when(
+            F.col("__w_prev").isNotNull()
+            & F.col("__kn_c_prev").isNotNull(),
+            F.greatest(F.col("__pair_n") - kd, F.lit(0.0))
+            / F.col("__kn_c_prev")
+            + kd
+            * F.col("__kn_n1p_prev")
+            / F.col("__kn_c_prev")
+            * kn_p_cont,
+        ).otherwise(kn_p_cont)
+        score_cols.append((-F.log(kn_p)).alias("__kn_nll"))
     if target is not None:
         t_nll = -F.log(
             (F.coalesce(F.col("__cnt_t"), F.lit(0)) + F.lit(smoothing_k))
@@ -1569,6 +1613,9 @@ def lm_quality_scores(
         F.avg("__bi_nll").alias("bigram_ce"),
         F.exp(F.avg("__bi_nll")).alias("bigram_ppl"),
     ]
+    if kneser_ney:
+        aggs.append(F.avg("__kn_nll").alias("kn_ce"))
+        aggs.append(F.exp(F.avg("__kn_nll")).alias("kn_ppl"))
     if target is not None:
         aggs.append(F.avg("__t_nll").alias("cross_entropy_target"))
     out = scored.groupBy(id_col).agg(*aggs)
@@ -1581,13 +1628,18 @@ def lm_quality_scores(
     # summed log-ratio past ln(DBL_MAX) would otherwise poison
     # weighted_sample's mean-weight rescale with Infinity.
     exponent = log_ratio / F.lit(float(temperature))
-    return out.select(
+    final_cols = [
         id_col,
         "n_tokens",
         "cross_entropy",
         "perplexity",
         "bigram_ce",
         "bigram_ppl",
+    ]
+    if kneser_ney:
+        final_cols += ["kn_ce", "kn_ppl"]
+    return out.select(
+        *final_cols,
         log_ratio.alias("log_ratio"),
         F.exp(
             F.greatest(F.least(exponent, F.lit(700.0)), F.lit(-700.0))

@@ -1439,3 +1439,40 @@ class TestKneserNey:
         _, df = self._corpus(spark, n=5)
         with pytest.raises(ValueError, match="discount"):
             ops.kneser_ney_logloss(df, discount=1.5)
+
+
+def test_lm_quality_scores_kn_matches_standalone(spark):
+    """kneser_ney=True on the fused stack reproduces the standalone
+    kneser_ney_logloss numbers (same per-pair expressions hoisted into
+    the shared score table; only summation order may differ)."""
+    rows = [
+        (d, " ".join(f"w{(d * 5 + i * 7) % 30}" for i in range(5 + d % 6)))
+        for d in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fused = {
+        r["doc_id"]: (r["n_tokens"], r["kn_ce"], r["kn_ppl"])
+        for r in ops.lm_quality_scores(df, kneser_ney=True).collect()
+    }
+    alone = {
+        r["doc_id"]: (r["n_tokens"], r["kn_ce"], r["kn_ppl"])
+        for r in ops.kneser_ney_logloss(df).collect()
+    }
+    assert set(fused) == set(alone)
+    for d in alone:
+        assert fused[d][0] == alone[d][0]
+        assert fused[d][1] == pytest.approx(alone[d][1], rel=1e-12)
+        assert fused[d][2] == pytest.approx(alone[d][2], rel=1e-12)
+
+
+def test_lm_quality_scores_kn_with_target_column_order(spark):
+    rows = [(d, f"w{d % 7} w{(d + 1) % 7} w{(d + 3) % 7}") for d in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id % 3 = 0")
+    out = ops.lm_quality_scores(df, target, kneser_ney=True)
+    assert out.columns == [
+        "doc_id", "n_tokens", "cross_entropy", "perplexity",
+        "bigram_ce", "bigram_ppl", "kn_ce", "kn_ppl",
+        "log_ratio", "dsir_weight", "cross_entropy_target",
+    ]
+    assert out.count() == 30
