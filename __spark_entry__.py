@@ -1741,6 +1741,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-entry correctness budget with every operator still value-oracled.
     The projection branch and the langid hash-agg branch join on doc_id.
     """
+    from patito_spark.operators.heuristics import c4_rules, gopher_rules
     from patito_spark.operators.text import (
         detect_language_agg,
         fingerprint,
@@ -1748,10 +1749,26 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    per_doc = docs.select(
+    # Round-12 addition: the published Gopher + C4 rule sets ride the
+    # same slot — appended to the SAME projection as quality/fp (pure
+    # codegen, one scan branch; only langid needs its aggregate join).
+    per_doc = c4_rules(gopher_rules(docs)).select(
         "doc_id",
         quality_score("text").alias("quality"),
         fingerprint("text").alias("fp"),
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "rule_stop_words",
+        "pass_gopher",
+        "frac_terminal_punct",
+        "rule_min_sentences",
+        "rule_no_lorem",
+        "rule_no_brace",
+        "pass_c4",
     )
     return per_doc.join(detect_language_agg(docs), "doc_id")
 
@@ -2999,10 +3016,81 @@ def oracle_sql() -> dict[str, str]:
                        END AS lang_pred
                 FROM scores
             )
-            SELECT d.doc_id, q.quality, md5(lower(d.text)) AS fp, l.lang_pred
+            ,
+            -- Gopher (Rae et al. 2021) + C4 (Raffel et al. 2020) rule
+            -- replays (round 12): counts via regexp_extract_all where
+            -- Spark uses regexp_count, list_distinct+list_intersect for
+            -- Spark's set-semantics array_intersect.
+            r AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS nw,
+                       len(string_split(text, chr(10))) AS nl,
+                       length(replace(text, ' ', ''))::DOUBLE
+                           / len(string_split(text, ' ')) AS mwl,
+                       (length(text) - length(replace(text, '#', '')))
+                       + len(regexp_extract_all(text, '\\.\\.\\.'))
+                           AS nsym,
+                       len(regexp_extract_all(text,
+                           '(?m)^[ \\t]*(?:[-*•]|\\d+[.)])[ \\t]'))
+                           AS bullets,
+                       len(regexp_extract_all(text,
+                           '(?m)(?:\\.\\.\\.|…)[ \\t]*$')) AS ellip,
+                       len(regexp_extract_all(text,
+                           '(?:^| )[^ ]*[A-Za-z]')) AS alphaw,
+                       len(list_distinct(list_intersect(
+                           string_split(text, ' '),
+                           ['the','be','to','of','and','that','have','with']
+                       ))) AS stop_hits,
+                       len(regexp_extract_all(text,
+                           '(?m)[.!?"][ \\t]*$')) AS termlines,
+                       len(regexp_extract_all(text, '[.!?]')) AS sents,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{{') AS has_brace
+                FROM documents
+            ),
+            rules AS (
+                SELECT doc_id,
+                       (nw >= 50 AND nw <= 100000) AS rule_word_count,
+                       (nw > 0 AND mwl >= 3.0 AND mwl <= 10.0)
+                           AS rule_mean_word_len,
+                       (nw > 0 AND nsym::DOUBLE / nw <= 0.1)
+                           AS rule_symbol_ratio,
+                       (nl > 0 AND bullets::DOUBLE / nl <= 0.9)
+                           AS rule_bullet_lines,
+                       (nl > 0 AND ellip::DOUBLE / nl <= 0.3)
+                           AS rule_ellipsis_lines,
+                       (nw > 0 AND alphaw::DOUBLE / nw >= 0.8)
+                           AS rule_alpha_words,
+                       (stop_hits >= 2) AS rule_stop_words,
+                       CASE WHEN nl > 0
+                            THEN termlines::DOUBLE / nl ELSE 0.0 END
+                           AS frac_terminal_punct,
+                       (nl > 0 AND termlines = nl) AS rule_terminal_punct,
+                       (sents >= 3) AS rule_min_sentences,
+                       NOT has_lorem AS rule_no_lorem,
+                       NOT has_brace AS rule_no_brace
+                FROM r
+            )
+            SELECT d.doc_id, q.quality, md5(lower(d.text)) AS fp,
+                   l.lang_pred,
+                   ru.rule_word_count, ru.rule_mean_word_len,
+                   ru.rule_symbol_ratio, ru.rule_bullet_lines,
+                   ru.rule_ellipsis_lines, ru.rule_alpha_words,
+                   ru.rule_stop_words,
+                   (ru.rule_word_count AND ru.rule_mean_word_len
+                    AND ru.rule_symbol_ratio AND ru.rule_bullet_lines
+                    AND ru.rule_ellipsis_lines AND ru.rule_alpha_words
+                    AND ru.rule_stop_words) AS pass_gopher,
+                   ru.frac_terminal_punct, ru.rule_min_sentences,
+                   ru.rule_no_lorem, ru.rule_no_brace,
+                   (ru.rule_terminal_punct AND ru.rule_min_sentences
+                    AND ru.rule_no_lorem AND ru.rule_no_brace
+                    AND NOT contains(lower(d.text), 'javascript'))
+                       AS pass_c4
             FROM documents d
             JOIN q USING (doc_id)
             JOIN l USING (doc_id)
+            JOIN rules ru USING (doc_id)
         """,
         # Replays build_vocab(top_n=500): two-stage (token, doc) → token
         # aggregate, deterministic top-N tie-break (count desc, token asc).

@@ -1,0 +1,217 @@
+"""Published document-quality rule sets as codegen-only projections.
+
+Two canonical web-corpus filters, implemented rule-for-rule from their
+papers so planners can cite exact provenance instead of "a quality
+score":
+
+- **Gopher rules** (Rae et al. 2021, "Scaling Language Models: ...
+  Gopher", Table A1 quality heuristics);
+- **C4 rules** (Raffel et al. 2020, "Exploring the Limits of Transfer
+  Learning...", the C4 cleaning heuristics).
+
+Every rule is a pure function of the text column — booleans computed in
+the scan's projection (WholeStageCodegen, no shuffle, no Python), so at
+100 TB the gate costs one pass that fuses with whatever else reads the
+corpus. Each operator returns per-rule booleans PLUS the conjunction, so
+attrition analysis can ask "which rule killed this document" without a
+second pass; filter with ``.filter("pass_gopher")`` /
+``.filter("pass_c4")`` or compose via
+:func:`..pipeline.prepare_training_corpus`'s custom-filter hooks.
+
+Tokenization matches the repo convention (single-space split — see
+``text.tokens``) so every rule replays bit-for-bit in the DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from patito_spark.operators.text import tokens
+
+# The Gopher stop-word list (Rae et al. 2021: "contains at least 2 of
+# the following English words: the, be, to, of, and, that, have, with").
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _lines(text_col: str) -> Column:
+    return F.split(F.col(text_col), "\n")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+    stop_words: Sequence[str] = GOPHER_STOP_WORDS,
+) -> DataFrame:
+    """Append the Gopher quality-rule booleans (defaults = the paper's
+    published thresholds) and their conjunction ``pass_gopher``.
+
+    Rules (Rae et al. 2021, Table A1):
+
+    - ``rule_word_count``: 50 ≤ words ≤ 100,000;
+    - ``rule_mean_word_len``: mean word length in [3, 10];
+    - ``rule_symbol_ratio``: (# of ``#`` or ``...``) / words ≤ 0.1;
+    - ``rule_bullet_lines``: ≤ 90% of lines start with a bullet;
+    - ``rule_ellipsis_lines``: ≤ 30% of lines end with ``...``/``…``;
+    - ``rule_alpha_words``: ≥ 80% of words contain ≥ 1 alphabetic char;
+    - ``rule_stop_words``: ≥ 2 distinct words from the paper's 8-word
+      English stop list appear.
+
+    All columns are codegen expressions over the text scan — null text
+    fails every rule (null-safe false), empty docs fail the count rule
+    and divide-by-zero ratios are guarded to false.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    lines = _lines(text_col)
+    n_lines = F.size(lines)
+
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        / n_words.cast("double")
+    )
+    # All counts below are regexp_count/length expressions, NOT
+    # higher-order-function lambdas — HOF lambdas evaluate interpreted
+    # per element and break whole-stage codegen (the rounds-9/10 purge);
+    # these stay inside the fused scan projection.
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    ) + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    bullet_lines = F.regexp_count(
+        F.col(text_col), F.lit(r"(?m)^[ \t]*(?:[-*•]|\d+[.)])[ \t]")
+    )
+    ellipsis_lines = F.regexp_count(
+        F.col(text_col), F.lit(r"(?m)(?:\.\.\.|…)[ \t]*$")
+    )
+    # each letter-containing token collapses to one marker; counting
+    # markers counts alpha words without a per-token lambda
+    alpha_words = F.regexp_count(
+        F.col(text_col), F.lit(r"(?:^| )[^ ]*[A-Za-z]")
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in stop_words])
+        )
+    )
+
+    nonempty = n_words > 0
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": nonempty
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "rule_symbol_ratio": nonempty
+        & (n_symbols.cast("double") / n_words <= max_symbol_word_ratio),
+        "rule_bullet_lines": (n_lines > 0)
+        & (
+            bullet_lines.cast("double") / n_lines
+            <= max_bullet_line_frac
+        ),
+        "rule_ellipsis_lines": (n_lines > 0)
+        & (
+            ellipsis_lines.cast("double") / n_lines
+            <= max_ellipsis_line_frac
+        ),
+        "rule_alpha_words": nonempty
+        & (alpha_words.cast("double") / n_words >= min_alpha_word_frac),
+        "rule_stop_words": stop_hits >= min_stop_word_hits,
+    }
+    out = df
+    for name, expr in rules.items():
+        out = out.withColumn(
+            name, F.coalesce(expr, F.lit(False))
+        )
+    passed = None
+    for name in rules:
+        passed = F.col(name) if passed is None else passed & F.col(name)
+    return out.withColumn("pass_gopher", passed)
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_words_per_line: int = 0,
+    blocklist: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Append the C4 cleaning-rule booleans (Raffel et al. 2020) and
+    their conjunction ``pass_c4``.
+
+    Rules:
+
+    - ``rule_terminal_punct``: every line ends in terminal punctuation
+      (``. ! ? "``) — C4 drops non-conforming LINES; as a document
+      gate this is the strict form, and ``frac_terminal_punct`` is
+      emitted alongside so callers can threshold softly instead;
+    - ``rule_min_sentences``: ≥ 3 sentences (terminal-punctuation
+      occurrences, the paper's proxy);
+    - ``rule_no_lorem``: no ``lorem ipsum`` (case-insensitive);
+    - ``rule_no_brace``: no ``{`` (code marker);
+    - ``rule_no_javascript``: no line containing ``javascript``
+      (case-insensitive — C4's line rule, strict doc form);
+    - ``rule_blocklist``: none of ``blocklist`` appears
+      (case-insensitive substring; default None skips the rule — the
+      paper's "List of Dirty, Naughty ..." list is a deployment
+      choice, not shipped here).
+
+    ``min_words_per_line`` > 0 adds the common C4-variant line-length
+    gate (every line has ≥ N words). All codegen; null text fails all.
+    """
+    text = F.col(text_col)
+    n_lines = F.size(_lines(text_col))
+    # regexp_count, not a per-line HOF lambda (codegen; see gopher_rules)
+    term_lines = F.regexp_count(text, F.lit(r'(?m)[.!?"][ \t]*$'))
+    sentences = F.regexp_count(text, F.lit(r"[.!?]"))
+    lower = F.lower(text)
+
+    rules = {
+        "rule_terminal_punct": (n_lines > 0) & (term_lines == n_lines),
+        "rule_min_sentences": sentences >= min_sentences,
+        "rule_no_lorem": ~lower.contains("lorem ipsum"),
+        "rule_no_brace": ~text.contains("{"),
+        "rule_no_javascript": ~lower.contains("javascript"),
+    }
+    if min_words_per_line > 0:
+        # opt-in extension; a line with >= N words carries >= N-1 spaces
+        short_line = F.regexp_count(
+            text,
+            F.lit(
+                r"(?m)^(?:[^ \n]*(?: [^ \n]*){0,%d})$"
+                % (min_words_per_line - 2)
+            )
+            if min_words_per_line >= 2
+            else F.lit(r"(?m)^$"),
+        )
+        rules["rule_line_words"] = (n_lines > 0) & (short_line == 0)
+    if blocklist:
+        bad = None
+        for w in blocklist:
+            hit = lower.contains(w.lower())
+            bad = hit if bad is None else bad | hit
+        rules["rule_blocklist"] = ~bad
+
+    out = df.withColumn(
+        "frac_terminal_punct",
+        F.coalesce(
+            F.when(n_lines > 0, term_lines.cast("double") / n_lines),
+            F.lit(0.0),
+        ),
+    )
+    for name, expr in rules.items():
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+    passed = None
+    for name in rules:
+        passed = F.col(name) if passed is None else passed & F.col(name)
+    return out.withColumn("pass_c4", passed)

@@ -38,6 +38,7 @@ def prepare_training_corpus(
     benchmark: Optional[DataFrame] = None,
     repair_encoding: bool = False,
     min_quality: Optional[float] = None,
+    rule_sets: Optional[Sequence[str]] = None,
     languages: Optional[Sequence[str]] = None,
     min_tokens: Optional[int] = 5,
     max_shared_gram_frac: Optional[float] = None,
@@ -172,6 +173,28 @@ def prepare_training_corpus(
         max_shared_gram_frac=max_shared_gram_frac,
     )
     stages["gates"] = gated
+    if rule_sets:
+        # Published rule-set gates (round 12): pure codegen projections
+        # that fuse into the same scan as the generic gates above; the
+        # boolean columns are dropped after filtering so downstream
+        # stages see the original schema.
+        from patito_spark.operators.heuristics import c4_rules, gopher_rules
+
+        unknown = set(rule_sets) - {"gopher", "c4"}
+        if unknown:
+            raise ValueError(
+                f"unknown rule_sets {sorted(unknown)}; "
+                "supported: 'gopher', 'c4'"
+            )
+        before = gated.columns
+        if "gopher" in rule_sets:
+            gated = gopher_rules(gated, text_col=text_col).filter(
+                "pass_gopher"
+            )
+        if "c4" in rule_sets:
+            gated = c4_rules(gated, text_col=text_col).filter("pass_c4")
+        gated = gated.select(*before)
+        stages["rule_sets"] = gated
     if max_perplexity is not None:
         # Anti-join against the EXCEEDING docs (not semi-join against the
         # passing ones): documents that produce zero token rows are absent
