@@ -233,3 +233,32 @@ def test_pipeline_rule_sets_stage(spark):
     assert out["stages"]["rule_sets"].columns == df.columns
     with pytest.raises(ValueError, match="unknown rule_sets"):
         prepare_training_corpus(df, rule_sets=["nope"])
+
+
+def test_rules_compose_with_streams(spark, tmp_path):
+    """Both rule sets are stateless projections, so they run unchanged
+    on a readStream — the ingestion-time admission shape (gate docs as
+    they arrive, no batch re-pass)."""
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the cat and the dog have fun with a ball that rolls. " * 5),
+            (2, "lorem ipsum."),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    gated = c4_rules(gopher_rules(stream, min_words=5)).filter(
+        "pass_gopher AND pass_c4"
+    )
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("t_rule_gated")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select doc_id from t_rule_gated").collect()
+    assert [r.doc_id for r in rows] == [1]
