@@ -45,6 +45,7 @@ __all__ = [
     "learn_bpe_merges",
     "train_bpe",
     "save_bpe_merges",
+    "save_bpe_vocab",
     "build_bpe_vocab",
 ]
 
@@ -560,3 +561,17 @@ def build_bpe_vocab(merges: Mapping[Tuple[str, str], int]) -> dict:
         if tok not in vocab:
             vocab[tok] = len(vocab)
     return vocab
+
+
+def save_bpe_vocab(vocab: Mapping[str, int], path: str) -> None:
+    """Write a ``{token: id}`` vocab as GPT-2-format ``vocab.json``
+    (:func:`load_bpe_vocab` round-trips it). Ids must be unique —
+    duplicate ids silently corrupt decode tables, so they fail here."""
+    import json
+
+    ids = list(vocab.values())
+    if len(set(ids)) != len(ids):
+        raise ValueError("save_bpe_vocab: duplicate ids in vocab")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({str(k): int(v) for k, v in vocab.items()}, fh,
+                  ensure_ascii=False)

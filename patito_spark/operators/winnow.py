@@ -1,0 +1,163 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+the MOSS local fingerprinting algorithm) and fingerprint-bucketed
+near-dup pairs.
+
+Where MinHash estimates WHOLE-document Jaccard and exact-substring
+span dedup needs byte-identical runs, winnowing detects PARTIAL
+overlap with a guarantee: any shared token run of at least
+``w + k − 1`` tokens produces at least one shared fingerprint
+(the paper's theorem 1 for window size ``w`` over token ``k``-grams).
+That is the plagiarism/quote/boilerplate-overlap detector — the gap
+between "similar documents" and "identical substrings".
+
+Scale shape: fingerprint selection is DOCUMENT-LOCAL, so it runs as
+one Arrow-batched ``mapInPandas`` stage (the ``repetition_stats``
+precedent: no shuffle at all until pairing); pairing is the
+MinHash-style bucketed join — count-guarded buckets, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+# Polynomial gram-hash constants: multiplications wrap mod 2^64 (numpy
+# uint64 arithmetic), which is a valid rolling-hash ring; crc32 gives a
+# deterministic per-token value (PYTHONHASHSEED-independent).
+_BASE = 1_000_003
+
+
+def _doc_fingerprints(tokens, k: int, w: int):
+    """Pure-Python/numpy winnow of ONE document; returns the distinct
+    (fingerprint, position) selections. Exposed for the tests'
+    bit-exact reference and reused verbatim by the distributed stage."""
+    import numpy as np
+
+    n = len(tokens)
+    if n < k:
+        return []
+    th = np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in tokens], dtype="uint64"
+    )
+    # gram hash g_i = sum_j th[i+j] * BASE^(k-1-j), vectorized
+    powers = np.array(
+        [pow(_BASE, k - 1 - j, 1 << 64) for j in range(k)], dtype="uint64"
+    )
+    n_grams = n - k + 1
+    g = np.zeros(n_grams, dtype="uint64")
+    for j in range(k):
+        g += th[j : j + n_grams] * powers[j]
+    if n_grams <= w:
+        # fewer grams than one full window: one window = everything,
+        # rightmost minimum
+        rev = g[::-1]
+        pos = n_grams - 1 - int(np.argmin(rev))
+        return [(int(g[pos]), pos)]
+    # windows of w grams; rightmost-min per window via reversed argmin
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(g, w)
+    rev = wins[:, ::-1]
+    arg = w - 1 - np.argmin(rev, axis=1)
+    pos = arg + np.arange(len(wins))
+    sel = sorted({(int(g[p]), int(p)) for p in pos})
+    return sel
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprints: ``<id_col>, fp, pos`` rows.
+
+    ``k`` = gram length (noise threshold: matches shorter than ``k``
+    tokens are never detected), ``w`` = window (guarantee threshold:
+    matches of at least ``w + k − 1`` tokens are ALWAYS detected —
+    Schleimer et al.'s winnowing guarantee). Selection is the paper's
+    robust variant: the rightmost minimal gram hash of every window,
+    deduplicated. Document-local, one Arrow stage, no shuffle; null
+    and shorter-than-``k`` documents yield no rows (no fingerprint, no
+    false pair).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    schema = T.StructType(
+        [
+            T.StructField(
+                id_col, df.schema[id_col].dataType, False
+            ),
+            T.StructField("fp", T.LongType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
+    pruned = df.select(id_col, text_col)
+
+    def winnow(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps, poss = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                for fp, pos in _doc_fingerprints(text.split(" "), k, w):
+                    ids.append(doc_id)
+                    # uint64 -> signed 64-bit for Spark LongType
+                    fps.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
+                    poss.append(pos)
+            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
+
+    return pruned.mapInPandas(winnow, schema=schema)
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing at least
+    ``min_shared`` distinct winnowing fingerprints. Returns
+    ``id_a, id_b, shared_fps`` with ``id_a < id_b``.
+
+    The pairing is the MinHash-style bucketed join, never all-pairs: a
+    map-side-combined count per fingerprint drops degenerate buckets
+    (boilerplate grams shared by thousands of docs — the same failure
+    mode as empty-document MinHash bands) BEFORE any member list
+    materializes, surviving buckets join within themselves, and the
+    per-pair distinct-fingerprint count is one hash aggregate.
+    ``min_shared`` > 1 suppresses single-gram coincidences; callers
+    needing exact overlap extents verify survivors with
+    ``..spans.dedup_spans`` on the candidate set.
+    """
+    from patito_spark.functions.cache import tracked_persist
+
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, w=w
+    ).select(F.col(id_col).alias("__id"), "fp").distinct()
+    fps = tracked_persist(fps)
+    eligible = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
+        .select("fp")
+    )
+    survivors = fps.join(eligible, on="fp", how="left_semi")
+    a = survivors.select("fp", F.col("__id").alias("id_a"))
+    b = survivors.select("fp", F.col("__id").alias("id_b"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

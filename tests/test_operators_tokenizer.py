@@ -416,3 +416,18 @@ def test_save_bpe_merges_rejects_sparse_ranks(tmp_path):
 
     with pytest.raises(ValueError, match="dense"):
         save_bpe_merges({("a", "b"): 0, ("b", "c"): 2}, str(tmp_path / "m.txt"))
+
+
+def test_save_bpe_vocab_roundtrip(tmp_path):
+    from patito_spark.operators.tokenizer import (
+        build_bpe_vocab,
+        load_bpe_vocab,
+        save_bpe_vocab,
+    )
+
+    vocab = build_bpe_vocab({("a", "b"): 0, ("ab", "c"): 1})
+    path = str(tmp_path / "vocab.json")
+    save_bpe_vocab(vocab, path)
+    assert load_bpe_vocab(path) == vocab
+    with pytest.raises(ValueError, match="duplicate ids"):
+        save_bpe_vocab({"a": 1, "b": 1}, path)

@@ -1,0 +1,150 @@
+"""Winnowing fingerprints: the paper's guarantee, a bit-exact pure
+reference, bucketed pairing, and the degenerate-bucket guard."""
+
+import random
+
+import pytest
+
+from patito_spark.operators.winnow import (
+    _doc_fingerprints,
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+
+def _reference_winnow(tokens, k, w):
+    """Independent reference: build gram hashes the slow way, take the
+    rightmost-min of every length-w window explicitly."""
+    import zlib
+
+    n = len(tokens)
+    if n < k:
+        return set()
+    th = [zlib.crc32(t.encode("utf-8")) for t in tokens]
+    mod = 1 << 64
+    grams = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h + th[i + j] * pow(1_000_003, k - 1 - j, mod)) % mod
+        grams.append(h)
+    sel = set()
+    n_windows = max(len(grams) - w + 1, 1)
+    for i in range(n_windows):
+        win = grams[i : i + w]
+        m = min(win)
+        # rightmost minimum
+        p = i + max(j for j, v in enumerate(win) if v == m)
+        sel.add((grams[p], p))
+    return sel
+
+
+def test_selection_matches_reference_randomized():
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(40):
+        n = rng.randint(1, 60)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        k = rng.randint(1, 6)
+        w = rng.randint(1, 6)
+        got = set(_doc_fingerprints(toks, k, w))
+        want = _reference_winnow(toks, k, w)
+        assert got == want, (trial, toks, k, w)
+
+
+def test_winnowing_guarantee_shared_runs_always_detected():
+    """Theorem 1: a shared run of >= w + k - 1 tokens yields at least
+    one shared fingerprint, wherever it sits in either document."""
+    rng = random.Random(21)
+    vocab = [f"a{i}" for i in range(200)]
+    k, w = 4, 5
+    run_len = w + k - 1
+    for trial in range(30):
+        shared = [rng.choice(vocab) for _ in range(run_len)]
+        d1 = (
+            [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+            + shared
+            + [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        )
+        d2 = (
+            [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+            + shared
+            + [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        )
+        f1 = {fp for fp, _ in _doc_fingerprints(d1, k, w)}
+        f2 = {fp for fp, _ in _doc_fingerprints(d2, k, w)}
+        assert f1 & f2, (trial, shared)
+
+
+def test_noise_threshold_short_matches_invisible():
+    """Matches shorter than k tokens never produce a shared gram."""
+    k, w = 5, 4
+    d1 = [f"x{i}" for i in range(30)]
+    d2 = [f"y{i}" for i in range(30)]
+    # plant a k-1 token overlap
+    d2[10:14] = d1[10:14]
+    f1 = {fp for fp, _ in _doc_fingerprints(d1, k, w)}
+    f2 = {fp for fp, _ in _doc_fingerprints(d2, k, w)}
+    assert not (f1 & f2)
+
+
+def test_distributed_matches_local(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a completely different document with other words entirely here"),
+        (3, None),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp, r.pos)
+        for r in winnow_fingerprints(df, k=3, w=3).collect()
+    }
+    want = set()
+    for d, t in rows:
+        if t is None:
+            continue
+        for fp, pos in _doc_fingerprints(t.split(" "), 3, 3):
+            want.add((d, fp - (1 << 64) if fp >= 1 << 63 else fp, pos))
+    assert got == want
+    # doc 4 has < k tokens -> no rows
+    assert not any(d == 4 for d, _, _ in got)
+
+
+def test_pairs_detect_partial_overlap(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, "intro words " + base + " closing remarks here"),
+        (2, "other opening " + base + " different ending text"),
+        (3, "nothing in common with anybody else at all whatsoever truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_pairs(df, k=3, w=3, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_degenerate_bucket_guard(spark):
+    """A fingerprint shared by every document (boilerplate) must be
+    dropped by the count guard, not expanded into n^2 pairs."""
+    boiler = "call one eight hundred now for your free quote today friends"
+    rows = [(i, boiler) for i in range(20)] + [
+        (100, "unique text that matches nothing else in this corpus here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_pairs(df, k=3, w=3, min_shared=1, max_bucket_size=5)
+    assert out.count() == 0  # every shared bucket exceeds the cap
+
+
+def test_pair_plan_no_cartesian(spark):
+    from patito_spark.plans import executed_plan
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} " * 10) for i in range(8)], "doc_id long, text string"
+    )
+    plan = executed_plan(winnow_pairs(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
