@@ -19,7 +19,7 @@ MinHash-style bucketed join — count-guarded buckets, never all-pairs.
 from __future__ import annotations
 
 import zlib
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Optional
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -158,6 +158,60 @@ def winnow_pairs(
         a.join(b, on="fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: Optional[str] = None,
+    ref_id_col: Optional[str] = None,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-corpus partial-overlap scan: which corpus documents share
+    at least ``min_shared`` winnowing fingerprints with ANY reference
+    document (benchmark suite, held-out eval set). Returns
+    ``<id_col>, ref_id, shared_fps``.
+
+    The partial-overlap complement to ``..contamination``'s n-gram
+    scans: a paraphrased-but-quoting document that embeds a ≥ w+k−1
+    token run of a benchmark item is guaranteed a shared fingerprint.
+    The reference side is usually tiny (benchmarks), so its
+    fingerprint table broadcasts; the corpus side is fingerprinted in
+    one shuffle-free Arrow pass and joined map-side. The count guard
+    runs on the REFERENCE buckets (a degenerate reference fingerprint
+    — boilerplate instructions shared by thousands of items — would
+    otherwise fan every matching corpus doc out across all of them).
+    """
+    ref_text = ref_text_col or text_col
+    ref_id = ref_id_col or id_col
+    corpus = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, w=w
+    ).select(F.col(id_col), "fp").distinct()
+    refs = winnow_fingerprints(
+        reference, text_col=ref_text, id_col=ref_id, k=k, w=w
+    ).select(F.col(ref_id).alias("ref_id"), "fp").distinct()
+
+    from patito_spark.functions.cache import tracked_persist
+
+    refs = tracked_persist(refs)
+    eligible = (
+        refs.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("fp")
+    )
+    ref_side = F.broadcast(refs.join(eligible, on="fp", how="left_semi"))
+    return (
+        corpus.join(ref_side, on="fp")
+        .groupBy(id_col, "ref_id")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )

@@ -148,3 +148,49 @@ def test_pair_plan_no_cartesian(spark):
     plan = executed_plan(winnow_pairs(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_against_decontamination(spark):
+    from patito_spark.operators.winnow import winnow_against
+    from patito_spark.plans import executed_plan
+
+    bench_item = "which year did the treaty of westphalia end the thirty years war"
+    corpus = spark.createDataFrame(
+        [
+            (1, "some page quoting: " + bench_item + " trailing commentary"),
+            (2, "clean document about cooking pasta with fresh tomatoes daily"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, bench_item)], "qid long, question string"
+    )
+    hits = winnow_against(
+        corpus, bench, ref_text_col="question", ref_id_col="qid",
+        k=3, w=3, min_shared=1,
+    )
+    got = {(r.doc_id, r.ref_id) for r in hits.collect()}
+    assert got == {(1, 900)}
+    # the reference fingerprint side must broadcast
+    assert "BroadcastHashJoin" in executed_plan(
+        winnow_against(corpus, bench, ref_text_col="question",
+                       ref_id_col="qid", k=3, w=3)
+    )
+
+
+def test_winnow_against_degenerate_reference_guard(spark):
+    from patito_spark.operators.winnow import winnow_against
+
+    boiler = "answer the following question to the best of your ability now"
+    bench = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], "qid long, question string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "a page that embeds " + boiler + " somewhere in its body")],
+        "doc_id long, text string",
+    )
+    out = winnow_against(
+        corpus, bench, ref_text_col="question", ref_id_col="qid",
+        k=3, w=3, min_shared=1, max_bucket_size=5,
+    )
+    assert out.count() == 0
