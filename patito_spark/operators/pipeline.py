@@ -220,9 +220,20 @@ def prepare_training_corpus(
                 unigram_lm=perplexity_lm,
                 bigram_lm=perplexity_bigram_lm,
             )
+        elif perplexity_order == 3:
+            if perplexity_lm is not None or perplexity_bigram_lm is not None:
+                raise ValueError(
+                    "perplexity_order=3 scores against the corpus's own "
+                    "trigram statistics; external LMs are not supported"
+                )
+            from patito_spark.operators.text import trigram_logloss
+
+            scored = trigram_logloss(
+                gated, text_col=text_col, id_col=id_col
+            ).withColumnRenamed("trigram_ppl", "perplexity")
         else:
             raise ValueError(
-                f"perplexity_order must be 1 or 2, got {perplexity_order}"
+                f"perplexity_order must be 1, 2 or 3, got {perplexity_order}"
             )
         reject = (
             scored.filter(F.col("perplexity") > max_perplexity)

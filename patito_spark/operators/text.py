@@ -1354,6 +1354,181 @@ def kneser_ney_logloss(
     )
 
 
+def trigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    smoothing_k: float = 1.0,
+    max_trigrams: Optional[int] = 4_000_000,
+    max_broadcast_vocab: int = 2_000_000,
+) -> DataFrame:
+    """Per-document order-3 cross-entropy under stupid backoff (Brants
+    et al. 2007) — the next rung of the unigram→bigram ladder toward
+    the 5-gram-KenLM filters CCNet uses.
+
+    Score per position: ``c(w1,w2,w3)/c(w1,w2)`` when the trigram is
+    in the LM; else ``backoff`` times the BIGRAM score
+    (``c(w2,w3)/c(w2)`` else ``backoff × p_uni``); document-initial
+    and second tokens fall to the unigram / bigram cases naturally
+    (null history slots). Self-LM (score the corpus against its own
+    statistics). Returns ``<id_col>, n_tokens, trigram_ce,
+    trigram_ppl``.
+
+    Scale shape (the fused-LM recipe, one order up): ONE positioned
+    (prev2, prev1, w) TRIPLE aggregate over the corpus; the bigram and
+    unigram tables are DERIVED from the triple table (every adjacent
+    pair occurs exactly once as the (prev1, w) slots of some triple,
+    every token once as ``w``), so no second corpus scan; the per-triple
+    NLL table joins back to the corpus stream exactly once (null-safe
+    history keys); one per-doc aggregate. ``max_trigrams`` prunes the
+    trigram LM top-N (TakeOrdered), the pruned tail backing off
+    smoothly. All side tables broadcast-gate on exact counts from one
+    stats action. Summation noise ~1e-12 — compare with tolerance.
+    """
+    if not 0 < backoff <= 1:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    from patito_spark.functions.cache import tracked_persist
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nulls1 = F.array(F.lit(None).cast("string"))
+    nulls2 = F.array(
+        F.lit(None).cast("string"), F.lit(None).cast("string")
+    )
+    # history arrays built as slice(concat(nulls, toks), 1, n): always
+    # exactly n long, so arrays_zip never pads (a concat(nulls2, slice)
+    # spelling overshoots to n+1 for single-token docs)
+    positioned = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.concat(nulls2, toks), F.lit(1), n),
+                F.slice(F.concat(nulls1, toks), F.lit(1), n),
+                toks,
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        F.col("pos").getField("0").alias("__p2"),
+        F.col("pos").getField("1").alias("__p1"),
+        F.col("pos").getField("2").alias("__w"),
+    )
+
+    triples = tracked_persist(
+        positioned.groupBy("__p2", "__p1", "__w").agg(
+            F.count("*").alias("__tri_n")
+        )
+    )
+    # derived lower orders: the (p1, w) slots of the triples carry every
+    # adjacent pair exactly once; `w` carries every token exactly once
+    pairs = triples.filter(F.col("__p1").isNotNull()).groupBy(
+        "__p1", "__w"
+    ).agg(F.sum("__tri_n").alias("__pair_n"))
+    pairs = tracked_persist(pairs)
+    uni = triples.groupBy("__w").agg(F.sum("__tri_n").alias("__uni_n"))
+    uni = tracked_persist(uni)
+
+    stats = triples.agg(
+        F.sum("__tri_n").alias("t"),
+        F.count_distinct("__w").alias("v"),
+        F.count("*").alias("ntr"),
+        F.sum(
+            F.when(F.col("__p2").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("ntri_full"),
+    ).first()
+    total, v = stats["t"] or 0, stats["v"]
+    n_triples = stats["ntr"]
+    denom = float(total) + smoothing_k * (v + 1)
+
+    tri_lm = triples.filter(F.col("__p2").isNotNull()).select(
+        "__p2", "__p1", "__w", F.col("__tri_n").alias("__lm_tri_n")
+    )
+    n_tri_lm = stats["ntri_full"]
+    if max_trigrams is not None and n_tri_lm > max_trigrams:
+        tri_lm = tri_lm.orderBy(
+            F.col("__lm_tri_n").desc(),
+            F.col("__p2").asc(),
+            F.col("__p1").asc(),
+            F.col("__w").asc(),
+        ).limit(max_trigrams)
+        n_tri_lm = max_trigrams
+
+    def _side(frame: DataFrame, rows: int) -> DataFrame:
+        return F.broadcast(frame) if rows <= max_broadcast_vocab else frame
+
+    # pair-table row count bounds derived sides; v bounds the uni sides
+    n_pairs_bound = n_triples  # pairs <= triples rows
+    tbl = (
+        triples.select("__p2", "__p1", "__w")
+        .join(
+            _side(tri_lm, n_tri_lm), on=["__p2", "__p1", "__w"], how="left"
+        )
+        .join(
+            _side(
+                pairs.select(
+                    F.col("__p1").alias("__p2"),
+                    F.col("__w").alias("__p1"),
+                    F.col("__pair_n").alias("__ctx_n"),
+                ),
+                n_pairs_bound,
+            ),
+            on=["__p2", "__p1"],
+            how="left",
+        )
+        .join(_side(pairs, n_pairs_bound), on=["__p1", "__w"], how="left")
+        .join(
+            _side(
+                uni.select(
+                    F.col("__w").alias("__p1"),
+                    F.col("__uni_n").alias("__prev_n"),
+                ),
+                v,
+            ),
+            on="__p1",
+            how="left",
+        )
+        .join(_side(uni, v), on="__w", how="left")
+    )
+    p_uni = (
+        F.coalesce(F.col("__uni_n"), F.lit(0)) + F.lit(smoothing_k)
+    ) / F.lit(denom)
+    p_bi = (
+        F.when(
+            F.col("__pair_n").isNotNull() & F.col("__prev_n").isNotNull(),
+            F.col("__pair_n") / F.col("__prev_n"),
+        )
+        .when(F.col("__p1").isNotNull(), F.lit(backoff) * p_uni)
+        .otherwise(p_uni)
+    )
+    p_tri = F.when(
+        F.col("__lm_tri_n").isNotNull() & F.col("__ctx_n").isNotNull(),
+        F.col("__lm_tri_n") / F.col("__ctx_n"),
+    ).when(F.col("__p2").isNotNull(), F.lit(backoff) * p_bi).otherwise(p_bi)
+
+    score_tbl = _side(
+        tbl.select(
+            F.col("__p2").alias("__s2"),
+            F.col("__p1").alias("__s1"),
+            F.col("__w").alias("__sw"),
+            (-F.log(p_tri)).alias("__nll"),
+        ),
+        n_triples,
+    )
+    scored = positioned.join(
+        score_tbl,
+        F.col("__p2").eqNullSafe(F.col("__s2"))
+        & F.col("__p1").eqNullSafe(F.col("__s1"))
+        & (F.col("__w") == F.col("__sw")),
+        how="left",
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("__nll").alias("trigram_ce"),
+        F.exp(F.avg("__nll")).alias("trigram_ppl"),
+    )
+
+
 def lm_quality_scores(
     raw: DataFrame,
     target: Optional[DataFrame] = None,

@@ -1476,3 +1476,144 @@ def test_lm_quality_scores_kn_with_target_column_order(spark):
         "log_ratio", "dsir_weight", "cross_entropy_target",
     ]
     assert out.count() == 30
+
+
+class TestTrigramLogloss:
+    @staticmethod
+    def _tri_py(rows, backoff=0.4, k=1.0):
+        import math
+        from collections import Counter
+
+        docs = {d: t.split(" ") for d, t in rows}
+        uni, bi, tri = Counter(), Counter(), Counter()
+        for toks in docs.values():
+            for i, w in enumerate(toks):
+                uni[w] += 1
+                if i >= 1:
+                    bi[(toks[i - 1], w)] += 1
+                if i >= 2:
+                    tri[(toks[i - 2], toks[i - 1], w)] += 1
+        total, v = sum(uni.values()), len(uni)
+        denom = total + k * (v + 1)
+
+        def p_uni(w):
+            return (uni.get(w, 0) + k) / denom
+
+        def p_bi(p1, w):
+            if bi.get((p1, w)) and uni.get(p1):
+                return bi[(p1, w)] / uni[p1]
+            return backoff * p_uni(w)
+
+        out = {}
+        for d, toks in docs.items():
+            nll = 0.0
+            for i, w in enumerate(toks):
+                if i == 0:
+                    p = p_uni(w)
+                elif i == 1:
+                    p = p_bi(toks[0], w)
+                else:
+                    p2, p1 = toks[i - 2], toks[i - 1]
+                    if tri.get((p2, p1, w)) and bi.get((p2, p1)):
+                        p = tri[(p2, p1, w)] / bi[(p2, p1)]
+                    else:
+                        p = backoff * p_bi(p1, w)
+                nll += -math.log(p)
+            out[d] = (len(toks), nll / len(toks))
+        return out
+
+    def _corpus(self, spark, n=50):
+        rows = [
+            (d, " ".join(f"w{(d * 3 + i * 5) % 20}" for i in range(1 + d % 9)))
+            for d in range(n)
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_python_reference(self, spark):
+        rows, df = self._corpus(spark)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["trigram_ce"])
+            for r in ops.trigram_logloss(df).collect()
+        }
+        want = self._tri_py(rows)
+        assert set(got) == set(want)
+        for d, (nt, ce) in want.items():
+            assert got[d][0] == nt, d
+            assert got[d][1] == pytest.approx(ce, rel=1e-12), d
+
+    def test_single_and_two_token_docs(self, spark):
+        rows = [(1, "solo"), (2, "two words"), (3, "a b c")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["trigram_ce"])
+            for r in ops.trigram_logloss(df).collect()
+        }
+        want = self._tri_py(rows)
+        assert {d: g[0] for d, g in got.items()} == {1: 1, 2: 2, 3: 3}
+        for d in want:
+            assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+
+    def test_pruned_trigram_lm_backs_off(self, spark):
+        rows, df = self._corpus(spark, n=40)
+        full = {
+            r["doc_id"]: r["trigram_ce"]
+            for r in ops.trigram_logloss(df).collect()
+        }
+        pruned = {
+            r["doc_id"]: r["trigram_ce"]
+            for r in ops.trigram_logloss(df, max_trigrams=5).collect()
+        }
+        # pruning never crashes and only ever RAISES per-doc loss
+        # (backoff is multiplicative < 1 on a probability <= the MLE)
+        assert set(full) == set(pruned)
+        assert all(pruned[d] >= full[d] - 1e-9 for d in full)
+        assert any(pruned[d] > full[d] + 1e-9 for d in full)
+
+    def test_order_discrimination(self, spark):
+        """A doc with the corpus's trigrams intact scores better at
+        order 3 than a doc that preserves only bigram structure."""
+        base = "the cat sat on the mat and then the cat slept well"
+        rows = [(i, base) for i in range(10)]
+        # bigram-preserving scramble: rotate bigram pairs
+        rows.append((100, "the cat sat on the mat and then the cat slept well"))
+        rows.append((101, "the mat and then the cat sat on the cat slept well"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["trigram_ce"]
+            for r in ops.trigram_logloss(df).collect()
+        }
+        assert got[100] < got[101]
+
+
+def test_pipeline_perplexity_order3_gate(spark):
+    """perplexity_order=3 wires trigram_logloss into the gate: pick a
+    threshold between the corpus's own score spread and assert the gate
+    drops exactly the docs the operator scores above it. (Self-LM
+    trigram semantics — unique contexts score near-deterministically —
+    are pinned in TestTrigramLogloss; this tests the plumbing.)"""
+    from patito_spark.operators.pipeline import prepare_training_corpus
+
+    base = "the cat sat on the mat and then the cat slept well here"
+    rows = [(i, base) for i in range(10)]
+    # shares every trigram CONTEXT with base but diverges in the
+    # continuations -> strictly higher self-LM trigram perplexity
+    rows.append((100, "the cat sat on the mat and then the cat sat on"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ppl = {
+        r.doc_id: r.trigram_ppl for r in ops.trigram_logloss(df).collect()
+    }
+    assert ppl[100] > ppl[0]
+    thr = (ppl[0] + ppl[100]) / 2
+    out = prepare_training_corpus(
+        df, min_tokens=None, dedup_threshold=None,
+        max_perplexity=thr, perplexity_order=3,
+    )
+    kept = {r.doc_id for r in out["documents"].select("doc_id").collect()}
+    assert kept == set(range(10))
+    with pytest.raises(ValueError, match="own"):
+        prepare_training_corpus(
+            df, max_perplexity=5.0, perplexity_order=3,
+            perplexity_lm=df.selectExpr("text as token", "doc_id as count"),
+        )
+    with pytest.raises(ValueError, match="must be 1, 2 or 3"):
+        prepare_training_corpus(df, max_perplexity=5.0, perplexity_order=4)
