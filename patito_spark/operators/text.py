@@ -945,23 +945,46 @@ def bm25_scores(
                 "Split the query batch."
             )
 
-    counts = df.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("token"),
-    ).groupBy(id_col, "token", "__dl").agg(F.count("*").alias("__n"))
+    counts = _bm25_postings(df, text_col, id_col)
 
     # Prune postings to query terms FIRST (map-side broadcast hash
     # join): df_t and avgdl must not depend on the pruning, so avgdl
     # comes from the corpus aggregate below and df_t from the pruned
     # postings — the full posting list of every surviving term is
     # intact, making its distinct-doc count exact.
+    return _bm25_rank(
+        counts, qterms, n, avgdl, k1, b, top_k, id_col, persist=True
+    )
+
+
+def _bm25_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The BM25 corpus aggregate: one (doc, token, doc-length) count."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias("token"),
+    ).groupBy(id_col, "token", "__dl").agg(F.count("*").alias("__n"))
+
+
+def _bm25_rank(
+    counts: DataFrame,
+    qterms: DataFrame,
+    n: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    top_k: Optional[int],
+    id_col: str,
+    persist: bool,
+) -> DataFrame:
+    """Score pruned postings against a broadcast (query, term) set."""
     term_list = F.broadcast(qterms.select("token").distinct())
     postings = counts.join(term_list, on="token")
 
-    from patito_spark.functions.cache import tracked_persist
+    if persist:
+        from patito_spark.functions.cache import tracked_persist
 
-    postings = tracked_persist(postings)
+        postings = tracked_persist(postings)
     doc_freq = postings.groupBy("token").agg(
         F.count("*").alias("__df")
     )
@@ -994,6 +1017,101 @@ def bm25_scores(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
+    )
+
+
+class Bm25Index:
+    """Reusable BM25 index: the persisted (doc, token, dl) postings
+    aggregate plus its corpus statistics — build once, serve many query
+    batches without re-scanning the corpus (the ``LshIndex``/
+    ``IvfIndex`` contract for the text side)."""
+
+    def __init__(
+        self, postings: DataFrame, n_docs: int, avgdl: float, id_col: str
+    ):
+        self.postings = postings
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.id_col = id_col
+
+    def unpersist(self) -> "Bm25Index":
+        self.postings.unpersist()
+        return self
+
+    def write(self, path: str, mode: str = "error") -> None:
+        spark = self.postings.sparkSession
+        self.postings.write.mode(mode).parquet(f"{path}/postings")
+        spark.createDataFrame(
+            [(int(self.n_docs), float(self.avgdl), self.id_col)],
+            "n_docs long, avgdl double, id_col string",
+        ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+    @classmethod
+    def read(cls, spark, path: str, materialize: bool = True) -> "Bm25Index":
+        postings = spark.read.parquet(f"{path}/postings")
+        if materialize:
+            postings = postings.persist()
+        meta = spark.read.parquet(f"{path}/meta").first()
+        return cls(postings, meta["n_docs"], meta["avgdl"], meta["id_col"])
+
+
+def build_bm25_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Bm25Index:
+    """Build the :class:`Bm25Index`: ONE corpus aggregate, persisted,
+    with (n_docs, avgdl) derived from the SAME materialization (sum of
+    within-doc counts over distinct docs — no second text scan; the
+    stats action doubles as the cache materialization). Documents with
+    null text carry no postings and are absent from the statistics —
+    the retrieval semantics (they can never match a query anyway).
+    """
+    from patito_spark.functions.cache import tracked_persist
+
+    postings = tracked_persist(_bm25_postings(df, text_col, id_col))
+    stats = postings.agg(
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.sum("__n").alias("tt"),
+    ).first()
+    n_docs = stats["nd"] or 0
+    avgdl = (float(stats["tt"]) / n_docs) if n_docs else 1.0
+    return Bm25Index(postings, n_docs, avgdl, id_col)
+
+
+def bm25_topk(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    query_text_col: str = "query",
+    query_id_col: str = "query_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_broadcast_query_terms: Optional[int] = None,
+) -> DataFrame:
+    """Ranked BM25 retrieval against a prebuilt :class:`Bm25Index` —
+    each query batch costs one broadcast prune + one tiny aggregate +
+    the partial-limited rank window; the corpus is never re-scanned.
+    Returns ``query_id, <id_col>, score, rank``.
+    """
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(query_text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    if max_broadcast_query_terms is not None:
+        n_terms = qterms.count()
+        if n_terms > max_broadcast_query_terms:
+            raise ValueError(
+                f"bm25_topk broadcasts the (query, term) set; got "
+                f"{n_terms} distinct pairs > {max_broadcast_query_terms}. "
+                "Split the query batch."
+            )
+    return _bm25_rank(
+        index.postings, qterms, index.n_docs, index.avgdl,
+        k1, b, k, index.id_col, persist=False,
     )
 
 

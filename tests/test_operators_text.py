@@ -1617,3 +1617,63 @@ def test_pipeline_perplexity_order3_gate(spark):
         )
     with pytest.raises(ValueError, match="must be 1, 2 or 3"):
         prepare_training_corpus(df, max_perplexity=5.0, perplexity_order=4)
+
+
+class TestBm25Index:
+    def test_index_matches_direct_and_roundtrips(self, spark, tmp_path):
+        from patito_spark.operators.text import (
+            Bm25Index,
+            bm25_scores,
+            bm25_topk,
+            build_bm25_index,
+        )
+
+        rows = [
+            (d, " ".join(f"w{(d * 7 + i * 3) % 25}" for i in range(6 + d % 5)))
+            for d in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        qdf = spark.createDataFrame(
+            [(100, "w0 w3"), (101, "w24 w1")], "query_id long, query string"
+        )
+        direct = {
+            (r.query_id, r.doc_id): (r.score, r.rank)
+            for r in bm25_scores(df, qdf, top_k=5).collect()
+        }
+        idx = build_bm25_index(df)
+        via_index = {
+            (r.query_id, r.doc_id): (r.score, r.rank)
+            for r in bm25_topk(idx, qdf, k=5).collect()
+        }
+        assert set(direct) == set(via_index)
+        for key in direct:
+            assert via_index[key][0] == pytest.approx(direct[key][0], rel=1e-12)
+            assert via_index[key][1] == direct[key][1]
+
+        path = str(tmp_path / "bm25")
+        idx.write(path)
+        idx2 = Bm25Index.read(spark, path)
+        assert idx2.n_docs == idx.n_docs
+        assert idx2.avgdl == pytest.approx(idx.avgdl)
+        again = {
+            (r.query_id, r.doc_id): r.rank
+            for r in bm25_topk(idx2, qdf, k=5).collect()
+        }
+        assert again == {k: v[1] for k, v in via_index.items()}
+        idx2.unpersist()
+        idx.unpersist()
+
+    def test_query_batch_never_rescans_corpus(self, spark):
+        """After the index materializes, a query batch's plan reads the
+        cached postings (InMemoryTableScan), not the documents scan."""
+        from patito_spark.operators.text import bm25_topk, build_bm25_index
+
+        df = spark.createDataFrame(
+            [(d, f"w{d % 5} w{(d + 1) % 5} common") for d in range(30)],
+            "doc_id long, text string",
+        )
+        idx = build_bm25_index(df)
+        qdf = spark.createDataFrame([(1, "common")], "query_id long, query string")
+        plan = bm25_topk(idx, qdf, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        idx.unpersist()

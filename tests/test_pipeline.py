@@ -373,9 +373,11 @@ def test_prepare_bigram_perplexity_gate(spark):
 
     assert kept(1) == [1, 2]   # unigram: scramble indistinguishable
     assert kept(2) == [1]      # bigram: scramble gates out
+    # order 3 is supported since round 12 (self-LM only); unsupported
+    # orders still fail loudly
     with pytest.raises(ValueError, match="perplexity_order"):
         prepare_training_corpus(probe, max_perplexity=10.0,
-                                perplexity_order=3)
+                                perplexity_order=4)
 
 
 def test_prepare_repair_encoding_stage(spark):
