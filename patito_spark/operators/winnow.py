@@ -215,3 +215,77 @@ def winnow_against(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def winnow_admission(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: Optional[str] = None,
+    ref_id_col: Optional[str] = None,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_reference_fps: int = 5_000_000,
+) -> DataFrame:
+    """Ingestion-time contamination gate: annotate each document (batch
+    OR stream — the check is stateless) with ``n_shared_fps`` against a
+    static reference corpus and ``admitted`` (shared < ``min_shared``).
+
+    The reference fingerprint SET is collected once (bounded by
+    ``max_reference_fps`` — benchmark suites are small; a web-scale
+    reference belongs in :func:`winnow_against`'s join form) and
+    broadcast; each arriving document is fingerprinted and checked
+    inside the same Arrow batch, so the operator is a pure map — it
+    composes with ``readStream`` with no state store, no watermark, and
+    no output-mode constraints. All input columns pass through.
+    """
+    ref_text = ref_text_col or text_col
+    ref_id = ref_id_col or id_col
+    ref_rows = (
+        winnow_fingerprints(
+            reference, text_col=ref_text, id_col=ref_id, k=k, w=w
+        )
+        .select("fp")
+        .distinct()
+        .limit(max_reference_fps + 1)
+        .collect()
+    )
+    if len(ref_rows) > max_reference_fps:
+        raise ValueError(
+            f"winnow_admission collects the reference fingerprint set; "
+            f"got more than {max_reference_fps} distinct fingerprints. "
+            "Use winnow_against (join form) for corpus-scale references."
+        )
+    ref_set = frozenset(r["fp"] for r in ref_rows)
+    bc = df.sparkSession.sparkContext.broadcast(ref_set)
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_shared_fps", T.IntegerType(), False),
+            T.StructField("admitted", T.BooleanType(), False),
+        ]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def gate(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        refs = bc.value
+        for pdf in batches:
+            shared = []
+            for text in pdf[text_col]:
+                if text is None:
+                    shared.append(0)
+                    continue
+                fps = {
+                    fp - (1 << 64) if fp >= 1 << 63 else fp
+                    for fp, _ in _doc_fingerprints(text.split(" "), k, w)
+                }
+                shared.append(len(fps & refs))
+            out = pdf[names].copy()
+            out["n_shared_fps"] = shared
+            out["admitted"] = [s < min_shared for s in shared]
+            yield out
+
+    return df.mapInPandas(gate, schema=schema)

@@ -194,3 +194,54 @@ def test_winnow_against_degenerate_reference_guard(spark):
         k=3, w=3, min_shared=1, max_bucket_size=5,
     )
     assert out.count() == 0
+
+
+def test_winnow_admission_batch_and_stream(spark, tmp_path):
+    from patito_spark.operators.winnow import winnow_admission
+
+    bench_item = "what is the capital city of the ancient kingdom of lydia"
+    bench = spark.createDataFrame([(1, bench_item)], "qid long, question string")
+    rows = [
+        (1, "prefix text then " + bench_item + " suffix commentary words"),
+        (2, "a perfectly clean document about gardening in early spring"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_shared_fps, r.admitted)
+        for r in winnow_admission(
+            df, bench, ref_text_col="question", ref_id_col="qid",
+            k=3, w=3, min_shared=1,
+        ).collect()
+    }
+    assert out[1][0] >= 1 and not out[1][1]
+    assert out[2] == (0, True)
+    assert out[3] == (0, True)  # null text: nothing shared, admitted
+
+    # identical semantics on a stream (stateless map, append mode)
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    gated = winnow_admission(
+        stream, bench, ref_text_col="question", ref_id_col="qid",
+        k=3, w=3, min_shared=1,
+    ).filter("admitted")
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory").queryName("t_winnow_admit")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    kept = {r.doc_id for r in spark.sql("select doc_id from t_winnow_admit").collect()}
+    assert kept == {2, 3}
+
+
+def test_winnow_admission_reference_cap(spark):
+    from patito_spark.operators.winnow import winnow_admission
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="join form"):
+        winnow_admission(docs, docs, k=2, w=2, max_reference_fps=3)
