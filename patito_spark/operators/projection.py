@@ -228,3 +228,37 @@ def random_projection(
             yield out
 
     return df.mapInPandas(project, schema=schema)
+
+
+def pca_k_for_variance(params: dict, target: float = 0.95) -> int:
+    """Smallest ``k`` whose leading eigenvalues capture ``target`` of
+    the total variance — the standard way to budget a reduction before
+    re-fitting with ``k`` (fit once at full rank, pick, truncate:
+    ``params["components"][:k]`` is exactly the k-fit, so no second
+    corpus pass is needed either)."""
+    if not 0 < target <= 1:
+        raise ValueError(f"target must be in (0, 1], got {target}")
+    ev = params["explained_variance"]
+    total = sum(ev)
+    if total <= 0:
+        return 1
+    acc = 0.0
+    for i, v in enumerate(ev):
+        acc += v
+        if acc / total >= target:
+            return i + 1
+    return len(ev)
+
+
+def truncate_pca(params: dict, k: int) -> dict:
+    """The k-component fit extracted from a full-rank fit (identical to
+    re-fitting with ``k`` — components are eigenvector prefixes)."""
+    if not 1 <= k <= params["k"]:
+        raise ValueError(f"k must be in [1, {params['k']}], got {k}")
+    return {
+        "mean": params["mean"],
+        "components": params["components"][:k],
+        "explained_variance": params["explained_variance"][:k],
+        "dim": params["dim"],
+        "k": k,
+    }

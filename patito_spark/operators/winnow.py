@@ -124,10 +124,16 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_bucket_size: int = 1000,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Partial-overlap candidate pairs: documents sharing at least
     ``min_shared`` distinct winnowing fingerprints. Returns
-    ``id_a, id_b, shared_fps`` with ``id_a < id_b``.
+    ``id_a, id_b, shared_fps`` with ``id_a < id_b``;
+    ``with_containment=True`` appends ``containment`` =
+    ``shared_fps / min(|fps_a|, |fps_b|)`` — 1.0 means the smaller
+    document's selected fingerprints are entirely inside the larger's
+    (the quote/subset signal; Broder's containment over the
+    fingerprint sample).
 
     The pairing is the MinHash-style bucketed join, never all-pairs: a
     map-side-combined count per fingerprint drops degenerate buckets
@@ -154,12 +160,41 @@ def winnow_pairs(
     survivors = fps.join(eligible, on="fp", how="left_semi")
     a = survivors.select("fp", F.col("__id").alias("id_a"))
     b = survivors.select("fp", F.col("__id").alias("id_b"))
-    return (
+    pairs = (
         a.join(b, on="fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+    if not with_containment:
+        return pairs
+    # per-doc TOTAL fingerprint counts come from the persisted fps
+    # table (pre-prune: the denominator is the document's real
+    # fingerprint set, not the guard's survivors)
+    sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_fps"))
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("__id").alias("id_a"), F.col("__n_fps").alias("__na")
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("__id").alias("id_b"), F.col("__n_fps").alias("__nb")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            (
+                F.col("shared_fps")
+                / F.least(F.col("__na"), F.col("__nb")).cast("double")
+            ).alias("containment"),
+        )
     )
 
 

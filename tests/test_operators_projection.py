@@ -144,3 +144,25 @@ def test_pca_composes_with_quantize_and_ann(spark, emb):
     # self is always the top hit in the reduced space too
     for q in {k[0] for k in got}:
         assert got[(q, 1)] == q
+
+
+def test_k_for_variance_and_truncation(spark, emb):
+    from patito_spark.operators.projection import (
+        pca_k_for_variance,
+        truncate_pca,
+    )
+
+    full = fit_pca(emb)
+    k95 = pca_k_for_variance(full, 0.95)
+    ev = full["explained_variance"]
+    assert sum(ev[:k95]) / sum(ev) >= 0.95
+    assert k95 == 1 or sum(ev[: k95 - 1]) / sum(ev) < 0.95
+    # truncation == re-fit
+    direct = fit_pca(emb, k=k95)
+    trunc = truncate_pca(full, k95)
+    assert np.allclose(trunc["components"], direct["components"], atol=1e-10)
+    assert pca_k_for_variance(full, 1.0) == full["k"]
+    with pytest.raises(ValueError):
+        pca_k_for_variance(full, 0.0)
+    with pytest.raises(ValueError):
+        truncate_pca(full, 0)

@@ -245,3 +245,28 @@ def test_winnow_admission_reference_cap(spark):
     )
     with pytest.raises(ValueError, match="join form"):
         winnow_admission(docs, docs, k=2, w=2, max_reference_fps=3)
+
+
+def test_pairs_containment_score(spark):
+    from patito_spark.operators.winnow import (
+        _doc_fingerprints,
+        winnow_pairs,
+    )
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    long_doc = (
+        "opening words here " + quote + " and a much longer tail that "
+        "keeps going with many additional tokens to dilute the overlap"
+    )
+    rows = [(1, quote), (2, long_doc)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_pairs(
+        df, k=3, w=3, min_shared=1, with_containment=True
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    n1 = len(_doc_fingerprints(quote.split(" "), 3, 3))
+    assert (r.id_a, r.id_b) == (1, 2)
+    # doc 1 IS the quote: every one of its fingerprints appears in doc 2
+    assert r.containment == pytest.approx(r.shared_fps / n1)
+    assert r.containment >= 0.8
