@@ -66,7 +66,12 @@ def gopher_rules(
     - ``rule_ellipsis_lines``: ≤ 30% of lines end with ``...``/``…``;
     - ``rule_alpha_words``: ≥ 80% of words contain ≥ 1 alphabetic char;
     - ``rule_stop_words``: ≥ 2 distinct words from the paper's 8-word
-      English stop list appear.
+      English stop list appear. Matching is case-sensitive over raw
+      single-space-split tokens (the repo's oracle-replayable
+      convention), which is stricter than Rae et al.'s intent —
+      ``The`` or ``the,`` don't count. Pre-normalize (lowercase,
+      strip punctuation) upstream if paper-exact stop-word fidelity
+      matters more than the shared-scan projection.
 
     All columns are codegen expressions over the text scan — null text
     fails every rule (null-safe false), empty docs fail the count rule
@@ -77,18 +82,19 @@ def gopher_rules(
     lines = _lines(text_col)
     n_lines = F.size(lines)
 
+    # length minus spaces: a single-space split of n_words tokens has
+    # exactly n_words − 1 delimiters, so no string-rewrite pass is
+    # needed to total the word characters.
     mean_word_len = (
-        F.length(F.regexp_replace(F.col(text_col), " ", ""))
+        (F.length(F.col(text_col)) - (n_words - 1))
         / n_words.cast("double")
     )
-    # All counts below are regexp_count/length expressions, NOT
-    # higher-order-function lambdas — HOF lambdas evaluate interpreted
-    # per element and break whole-stage codegen (the rounds-9/10 purge);
-    # these stay inside the fused scan projection.
-    n_symbols = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
-    ) + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    # All counts below are regexp_count expressions, NOT higher-order-
+    # function lambdas — HOF lambdas evaluate interpreted per element
+    # and break whole-stage codegen (the rounds-9/10 purge); these stay
+    # inside the fused scan projection. '#' and '...' share no
+    # characters, so ONE alternation pass counts both exactly.
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
     bullet_lines = F.regexp_count(
         F.col(text_col), F.lit(r"(?m)^[ \t]*(?:[-*•]|\d+[.)])[ \t]")
     )
@@ -96,9 +102,12 @@ def gopher_rules(
         F.col(text_col), F.lit(r"(?m)(?:\.\.\.|…)[ \t]*$")
     )
     # each letter-containing token collapses to one marker; counting
-    # markers counts alpha words without a per-token lambda
+    # markers counts alpha words without a per-token lambda. The
+    # token-body class excludes letters so the scan reaches the FIRST
+    # letter and stops — no per-token backtrack from the tail (the
+    # naive [^ ]*[A-Za-z] form grabs the whole token then walks back).
     alpha_words = F.regexp_count(
-        F.col(text_col), F.lit(r"(?:^| )[^ ]*[A-Za-z]")
+        F.col(text_col), F.lit(r"(?:^| )[^ A-Za-z]*[A-Za-z]")
     )
     stop_hits = F.size(
         F.array_intersect(
@@ -167,7 +176,11 @@ def c4_rules(
       choice, not shipped here).
 
     ``min_words_per_line`` > 0 adds the common C4-variant line-length
-    gate (every line has ≥ N words). All codegen; null text fails all.
+    gate (every line has ≥ N words). Blank and whitespace-only lines
+    are IGNORED by the gate — paragraph-separated text (the common
+    case) must not fail on its separators — so ``min_words_per_line=1``
+    is trivially true and the gate bites from 2 up. All codegen; null
+    text fails all.
     """
     text = F.col(text_col)
     n_lines = F.size(_lines(text_col))
@@ -183,18 +196,21 @@ def c4_rules(
         "rule_no_brace": ~text.contains("{"),
         "rule_no_javascript": ~lower.contains("javascript"),
     }
-    if min_words_per_line > 0:
-        # opt-in extension; a line with >= N words carries >= N-1 spaces
+    if min_words_per_line >= 2:
+        # opt-in extension; a line with >= N words carries >= N-1
+        # spaces. The lookahead requires at least one non-space char so
+        # blank/whitespace-only lines never count as short (see above).
         short_line = F.regexp_count(
             text,
             F.lit(
-                r"(?m)^(?:[^ \n]*(?: [^ \n]*){0,%d})$"
+                r"(?m)^(?= *[^ \n])[^ \n]*(?: [^ \n]*){0,%d}$"
                 % (min_words_per_line - 2)
-            )
-            if min_words_per_line >= 2
-            else F.lit(r"(?m)^$"),
+            ),
         )
         rules["rule_line_words"] = (n_lines > 0) & (short_line == 0)
+    elif min_words_per_line > 0:
+        # every non-blank line has >= 1 word by the split convention
+        rules["rule_line_words"] = n_lines > 0
     if blocklist:
         bad = None
         for w in blocklist:

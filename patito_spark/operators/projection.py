@@ -10,10 +10,14 @@ Arrow, so the whole chain fuses into one corpus pass after the fit.
 
 PCA fit is EXACT over the full corpus, not sampled: each task
 accumulates its partition's Gram partial (d×d), row sum (d) and count
-across Arrow batches and emits ONE partial row per partition — ~
-``n_partitions × d²`` doubles to the driver (32 MB at 1024 d × 32
-partitions), never the vectors themselves. The driver assembles the
-covariance and eigendecomposes (numpy, d×d — seconds at d=4096).
+across Arrow batches and emits ONE partial row per partition; the
+partials are then summed IN SPARK by a tree reduction (depth grows
+with the log of the partition count), so the driver receives exactly
+ONE (n, s[d], g[d×d]) triple regardless of how many input partitions
+there are — at 10⁶ partitions and d = 1024 the old per-partition
+collect would have shipped ~8 TB of 8.4 MB Gram partials to the
+driver; the tree ships one. The driver then assembles the covariance
+and eigendecomposes (numpy, d×d — seconds at d=4096).
 """
 
 from __future__ import annotations
@@ -50,9 +54,13 @@ def fit_pca(
     centered or cosine-normalized corpora) — then ``mean`` is zeros.
 
     One corpus pass: per-partition Gram/sum/count partials (see module
-    doc), driver-side eigh of the d×d covariance. Null vectors are
-    skipped (they stay null under :func:`pca_project`).
+    doc) tree-reduced in Spark to a single triple, driver-side eigh of
+    the d×d covariance. Null vectors are skipped (they stay null under
+    :func:`pca_project`); a ragged vector (length ≠ ``dim``) fails
+    fast with a clear error instead of a shape-mismatch traceback.
     """
+    import math
+
     import numpy as np
 
     if dim is None:
@@ -76,6 +84,14 @@ def fit_pca(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            bad = next(
+                (len(v) for v in pdf["__v"] if len(v) != d), None
+            )
+            if bad is not None:
+                raise ValueError(
+                    f"fit_pca: ragged vector column — expected length "
+                    f"{d}, found {bad}"
+                )
             mat = np.array([list(v) for v in pdf["__v"]], dtype="float64")
             g += mat.T @ mat
             s += mat.sum(axis=0)
@@ -85,12 +101,32 @@ def fit_pca(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    rows = pruned.mapInPandas(partials, schema=_PARTIAL_SCHEMA).collect()
-    if not rows:
-        raise ValueError("fit_pca: no non-null vectors")
-    n = sum(r["n"] for r in rows)
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    # Tree-reduce the per-partition partials EXECUTOR-SIDE: the driver
+    # receives one (n, s, g) triple, not one per partition — the
+    # per-partition collect was O(partitions × d²) driver memory, the
+    # one genuinely non-scalable shape flagged at 100 TB partition
+    # counts. Depth scales with log₈(P) so no single reduce task holds
+    # more than ~8 sibling partials at once.
+    partial_rdd = (
+        pruned.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+        .rdd.map(
+            lambda r: (
+                int(r["n"]),
+                np.asarray(r["s"], dtype="float64"),
+                np.asarray(r["g"], dtype="float64"),
+            )
+        )
+    )
+    p_count = max(partial_rdd.getNumPartitions(), 2)
+    depth = max(2, int(math.ceil(math.log(p_count, 8))))
+    try:
+        n, s, g_flat = partial_rdd.treeReduce(
+            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+            depth=depth,
+        )
+    except ValueError as exc:  # empty RDD: every vector was null
+        raise ValueError("fit_pca: no non-null vectors") from exc
+    g = g_flat.reshape(d, d)
 
     mean = s / n if center else np.zeros(d)
     # covariance = E[xxᵀ] − μμᵀ (population, the exact moments we hold)
@@ -114,6 +150,22 @@ def fit_pca(
     }
 
 
+def _check_out_col(
+    df: DataFrame, vec_col: str, out_col: str, keep_vec: bool
+) -> None:
+    """Fail fast on a duplicate output name (a colliding schema only
+    errors at execution time, with an opaque Spark message)."""
+    retained = {
+        f.name for f in df.schema.fields if keep_vec or f.name != vec_col
+    }
+    if out_col in retained:
+        raise ValueError(
+            f"out_col {out_col!r} collides with a retained input column; "
+            "pick a different out_col or drop/rename the input "
+            "(keep_vec=False drops vec_col, freeing its name)"
+        )
+
+
 def pca_project(
     df: DataFrame,
     params: dict,
@@ -133,6 +185,7 @@ def pca_project(
     mean = np.asarray(params["mean"], dtype="float64")
     comps = np.asarray(params["components"], dtype="float64")
 
+    _check_out_col(df, vec_col, out_col, keep_vec)
     out_fields = [
         f for f in df.schema.fields if keep_vec or f.name != vec_col
     ]
@@ -195,6 +248,7 @@ def random_projection(
         dim = first["d"]
     d = int(dim)
 
+    _check_out_col(df, vec_col, out_col, keep_vec)
     out_fields = [
         f for f in df.schema.fields if keep_vec or f.name != vec_col
     ]

@@ -102,6 +102,33 @@ class TestC4Rules:
         assert not out[3].rule_blocklist
         assert out[1].rule_blocklist
 
+    def test_line_words_ignores_blank_lines(self, spark):
+        """Paragraph-separated text (blank-line separators, the common
+        case) must not fail the line-length gate on its separators;
+        whitespace-only lines are blank too; a real short line still
+        fails; min_words_per_line=1 is trivially true under the
+        ignore-blank convention."""
+        df = spark.createDataFrame(
+            [
+                (1, "a solid first paragraph.\n\nand a second one."),
+                (2, "a solid first paragraph.\n   \nand a second one."),
+                (3, "a solid first paragraph.\n\nshort."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in c4_rules(df, min_words_per_line=2).collect()
+        }
+        assert out[1].rule_line_words
+        assert out[2].rule_line_words
+        assert not out[3].rule_line_words
+        one = {
+            r.doc_id: r
+            for r in c4_rules(df, min_words_per_line=1).collect()
+        }
+        assert all(one[i].rule_line_words for i in (1, 2, 3))
+
     def test_plan_map_only_codegen(self, spark, sf_dir):
         from patito_spark.plans import executed_plan, has_whole_stage_codegen
 

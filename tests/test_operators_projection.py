@@ -166,3 +166,51 @@ def test_k_for_variance_and_truncation(spark, emb):
         pca_k_for_variance(full, 0.0)
     with pytest.raises(ValueError):
         truncate_pca(full, 0)
+
+
+def test_fit_reduction_is_distributed_o1_to_driver(spark, emb):
+    """fit_pca must not collect per-partition partials: the driver
+    receives ONE tree-reduced triple. DataFrame.collect is the
+    per-partition-collect code path — patch it to explode; the
+    treeReduce path never touches it (dim passed explicitly so the
+    probe .first() is skipped too)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    d = len(emb.first().embedding)
+    with mock.patch.object(
+        DataFrame,
+        "collect",
+        side_effect=AssertionError("fit_pca collected a DataFrame"),
+    ):
+        params = fit_pca(emb.repartition(16), k=3, dim=d)
+    assert params["k"] == 3 and params["dim"] == d
+
+
+def test_fit_ragged_vectors_clear_error(spark):
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [4.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged vector"):
+        fit_pca(df, dim=3)
+
+
+def test_fit_all_null_clear_error(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        fit_pca(df, dim=3)
+
+
+def test_project_out_col_collision_errors(spark, emb):
+    params = fit_pca(emb, k=2)
+    with pytest.raises(ValueError, match="collides"):
+        pca_project(emb, params, out_col="embedding", keep_vec=True)
+    with pytest.raises(ValueError, match="collides"):
+        pca_project(emb, params, out_col="vec_id")
+    with pytest.raises(ValueError, match="collides"):
+        random_projection(emb, out_dim=4, out_col="embedding", keep_vec=True)
+    # dropping the input frees its name (the rename-in-place idiom)
+    out = pca_project(emb, params, out_col="embedding", keep_vec=False)
+    assert out.columns.count("embedding") == 1
