@@ -3145,10 +3145,13 @@ def oracle_sql() -> dict[str, str]:
                        unnest(string_split(text, ' ')[1:3]) AS token
                 FROM documents WHERE doc_id % 997 = 0
             ),
+            -- posting-bearing docs only (the build_bm25_index
+            -- convention, now shared by bm25_scores): null-text docs
+            -- carry no postings and are excluded from N and avgdl
             stats AS (
                 SELECT count(*)::DOUBLE AS nd,
                        avg(len(string_split(text, ' '))) AS avgdl
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ),
             dfreq AS (
                 SELECT token, count(*) AS df

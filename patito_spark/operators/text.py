@@ -899,9 +899,17 @@ def bm25_scores(
 
     Scale shape: ONE tokenize + explode + (doc, token) aggregate over
     the corpus (the :func:`tf_idf` shape; document length rides the
-    aggregate key, so scoring needs no join-back), plus one map-only
-    scalar pass for (N, avgdl) — skipped entirely when the caller
-    passes ``n_docs`` and ``avgdl``. The query side is exploded
+    aggregate key, so scoring needs no join-back). When the caller
+    omits ``n_docs``/``avgdl`` they are derived from that SAME
+    aggregate (persisted; the stats action doubles as the cache
+    materialization), so the default call is single-scan — and uses
+    the same corpus-statistics convention as :func:`build_bm25_index`:
+    N counts posting-bearing documents and avgdl averages over them,
+    so ``bm25_scores(corpus, q)`` and
+    ``bm25_topk(build_bm25_index(corpus), q)`` score identically even
+    when null-text documents exist (null-text docs carry no postings,
+    can never match a query, and are excluded from the statistics on
+    both paths). The query side is exploded
     to distinct (query, term) rows and BROADCAST (optionally gated, see
     below), so corpus postings are pruned to query terms by a map-side hash
     join before anything shuffles; document frequencies come from the
@@ -919,14 +927,28 @@ def bm25_scores(
     oversized one fails at broadcast build with Spark's own limit
     rather than silently degrading.
     """
+    counts = _bm25_postings(df, text_col, id_col)
+    prune_persist = True
     if n_docs is None or avgdl is None:
-        stats = df.agg(
-            F.count("*").alias("__n"),
-            F.avg(F.size(tokens(text_col))).alias("__avgdl"),
+        # Derive the statistics from the postings aggregate itself —
+        # distinct-doc rows carry __dl and within-doc counts sum to the
+        # token total — instead of a second tokenize+size corpus scan.
+        # Persisting BEFORE the stats action makes that action the
+        # cache materialization; the rank branches below then re-read
+        # the cache, keeping the default call single-scan.
+        from patito_spark.functions.cache import tracked_persist
+
+        counts = tracked_persist(counts)
+        prune_persist = False
+        stats = counts.agg(
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.sum("__n").alias("tt"),
         ).first()
-        n_docs = n_docs if n_docs is not None else stats["__n"]
+        nd = stats["nd"] or 0
+        if n_docs is None:
+            n_docs = nd
         if avgdl is None:
-            avgdl = float(stats["__avgdl"] or 0.0) or 1.0
+            avgdl = (float(stats["tt"]) / nd) if nd else 1.0
     n = n_docs
 
     qterms = (
@@ -945,15 +967,16 @@ def bm25_scores(
                 "Split the query batch."
             )
 
-    counts = _bm25_postings(df, text_col, id_col)
-
     # Prune postings to query terms FIRST (map-side broadcast hash
     # join): df_t and avgdl must not depend on the pruning, so avgdl
-    # comes from the corpus aggregate below and df_t from the pruned
+    # comes from the corpus aggregate above and df_t from the pruned
     # postings — the full posting list of every surviving term is
-    # intact, making its distinct-doc count exact.
+    # intact, making its distinct-doc count exact. When the corpus
+    # aggregate is already persisted (stats path) the pruned subset is
+    # not re-persisted: both rank branches re-read the cache.
     return _bm25_rank(
-        counts, qterms, n, avgdl, k1, b, top_k, id_col, persist=True
+        counts, qterms, n, avgdl, k1, b, top_k, id_col,
+        persist=prune_persist,
     )
 
 

@@ -133,7 +133,17 @@ def winnow_pairs(
     ``shared_fps / min(|fps_a|, |fps_b|)`` — 1.0 means the smaller
     document's selected fingerprints are entirely inside the larger's
     (the quote/subset signal; Broder's containment over the
-    fingerprint sample).
+    fingerprint sample). On that path ``shared_fps`` is recomputed
+    EXACTLY from the unpruned fingerprint sets of the surviving pairs
+    (one join fan-out bounded by candidate count × per-doc
+    fingerprints), so a true quote whose remaining shared fingerprints
+    fall in pruned boilerplate buckets still reports containment 1.0 —
+    the numerator and denominator come from the same unpruned sets.
+    Without containment, ``shared_fps`` counts only guard-surviving
+    buckets (a lower bound). Candidate GENERATION always runs on the
+    guarded buckets; a pair whose every shared fingerprint sits in an
+    over-``max_bucket_size`` bucket is never generated (the standard
+    LSH-style recall trade).
 
     The pairing is the MinHash-style bucketed join, never all-pairs: a
     map-side-combined count per fingerprint drops degenerate buckets
@@ -169,12 +179,25 @@ def winnow_pairs(
     )
     if not with_containment:
         return pairs
-    # per-doc TOTAL fingerprint counts come from the persisted fps
-    # table (pre-prune: the denominator is the document's real
-    # fingerprint set, not the guard's survivors)
+    # Numerator AND denominator from the persisted UNPRUNED fps table:
+    # the exact shared count re-derives per surviving pair (fan each
+    # pair out to doc-a's fingerprints, probe doc-b's set on (id, fp)),
+    # so bucket pruning biases neither side of the ratio.
+    exact = (
+        pairs.select("id_a", "id_b")
+        .join(
+            fps.select(F.col("__id").alias("id_a"), "fp"), on="id_a"
+        )
+        .join(
+            fps.select(F.col("__id").alias("id_b"), "fp"),
+            on=["id_b", "fp"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
     sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__n_fps"))
     return (
-        pairs.join(
+        exact.join(
             sizes.select(
                 F.col("__id").alias("id_a"), F.col("__n_fps").alias("__na")
             ),

@@ -1250,6 +1250,72 @@ class TestBm25:
         s2 = {r.doc_id: r.score for r in ops.bm25_scores(df, q2).collect()}
         assert s1 == s2
 
+    def test_null_text_convention_matches_index_path(self, spark):
+        """bm25_scores (default stats) and bm25_topk(build_bm25_index)
+        must score IDENTICALLY when null-text docs exist: both derive
+        N/avgdl from posting-bearing docs only (advice r12: the two
+        entry points previously disagreed on the corpus statistics)."""
+        from patito_spark.operators.text import bm25_topk, build_bm25_index
+
+        rows, _ = self._corpus(spark, n=30)
+        rows = rows + [(900, None), (901, None), (902, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _, qdf = self._queries(spark)
+        direct = {
+            (r.query_id, r.doc_id): r.score
+            for r in ops.bm25_scores(df, qdf, top_k=5).collect()
+        }
+        idx = build_bm25_index(df)
+        via_index = {
+            (r.query_id, r.doc_id): r.score
+            for r in bm25_topk(idx, qdf, k=5).collect()
+        }
+        idx.unpersist()
+        assert set(direct) == set(via_index)
+        for key in direct:
+            assert direct[key] == pytest.approx(via_index[key], rel=1e-12)
+        # and the statistics exclude the null docs: same as a corpus
+        # that never had them
+        clean = {
+            (r.query_id, r.doc_id): r.score
+            for r in ops.bm25_scores(
+                spark.createDataFrame(
+                    rows[:30], "doc_id long, text string"
+                ),
+                qdf,
+                top_k=5,
+            ).collect()
+        }
+        assert set(direct) == set(clean)
+        for key in direct:
+            assert direct[key] == pytest.approx(clean[key], rel=1e-12)
+
+    def test_default_stats_single_corpus_scan(self, spark, sf_dir):
+        """The default call (no n_docs/avgdl) derives the statistics
+        from its own postings aggregate: the returned plan reads the
+        corpus ONLY through the persisted aggregate (InMemoryTableScan),
+        never a second parquet scan (verdict r12 #6)."""
+        from patito_spark.plans import executed_plan
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        qdf = spark.createDataFrame(
+            [(1, "fast value the"), (2, "merge table")],
+            "query_id long, query string",
+        )
+        out = ops.bm25_scores(docs, qdf, top_k=3)
+        plan = executed_plan(out)
+        # both rank branches (doc_freq + scoring) read the cache
+        assert plan.count("InMemoryTableScan") >= 2
+        # every FileScan in the text is an InMemoryRelation REPRINT of
+        # the cached aggregate's lineage (each reprint embeds the
+        # corpus FileScan twice under AQE: final + '== Initial Plan ==');
+        # a genuine second corpus scan would push the FileScan count
+        # past the reprints.
+        assert plan.count("FileScan parquet") <= 2 * plan.count(
+            "InMemoryRelation"
+        )
+        assert out.count() > 0
+
 
 # ---------------------------------------------------------------------- #
 # Interpolated Kneser-Ney (round 12)                                      #

@@ -270,3 +270,38 @@ def test_pairs_containment_score(spark):
     # doc 1 IS the quote: every one of its fingerprints appears in doc 2
     assert r.containment == pytest.approx(r.shared_fps / n1)
     assert r.containment >= 0.8
+
+
+def test_containment_exact_under_bucket_pruning(spark):
+    """A quote whose fingerprints partly land in pruned boilerplate
+    buckets must still report full containment: the with_containment
+    path recomputes shared_fps from the UNPRUNED sets of surviving
+    pairs (advice r12 — the pruned numerator biased the score down)."""
+    from patito_spark.operators.winnow import winnow_pairs
+
+    boiler = "standard footer text repeated on every single page here"
+    unique = "rare shared passage linking exactly these two documents"
+    # docs 1 and 2 share boiler AND unique; docs 3..14 carry boiler
+    # only, making its fingerprint buckets degenerate (> max 10)
+    rows = [
+        (1, unique + " " + boiler),
+        (2, "prefix words then " + unique + " " + boiler + " tail end"),
+    ] + [
+        (i, f"filler {i} opening remark " + boiler + f" closing {i}")
+        for i in range(3, 15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=3, w=3, min_shared=1, max_bucket_size=10)
+    pruned = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_pairs(df, **kw).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): (r.shared_fps, r.containment)
+        for r in winnow_pairs(df, with_containment=True, **kw).collect()
+    }
+    assert (1, 2) in pruned and (1, 2) in exact
+    # the boilerplate fingerprints were invisible to the pruned count
+    assert exact[(1, 2)][0] > pruned[(1, 2)]
+    # and containment uses the same unpruned sets on both sides
+    assert 0 < exact[(1, 2)][1] <= 1.0
