@@ -1889,7 +1889,13 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-table joins, zero extra corpus-stream joins (equivalence to
     # the standalone kneser_ney_logloss is pinned in
     # test_lm_quality_scores_kn_matches_standalone).
-    s = lm_quality_scores(docs, target, kneser_ney=True)
+    # Round-13 addition: order-3 stupid-backoff scores ride the same
+    # slot the same way — trigram=True widens the positioned stream to
+    # triples, derives the pair table from the triple aggregate (still
+    # two corpus passes) and appends trigram_ce/ppl to the one fused
+    # score table (equivalence to the standalone trigram_logloss is
+    # pinned in test_lm_quality_scores_trigram_matches_standalone).
+    s = lm_quality_scores(docs, target, kneser_ney=True, trigram=True)
     return s.select(
         "doc_id",
         "n_tokens",
@@ -1901,6 +1907,8 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bigram_ppl", 4).alias("bigram_ppl_r"),
         F.round("kn_ce", 4).alias("kn_ce_r"),
         F.round("kn_ppl", 4).alias("kn_ppl_r"),
+        F.round("trigram_ce", 4).alias("trigram_ce_r"),
+        F.round("trigram_ppl", 4).alias("trigram_ppl_r"),
     )
 
 
@@ -3332,6 +3340,66 @@ def oracle_sql() -> dict[str, str]:
                        round(avg(nll), 4) AS kn_ce_r,
                        round(exp(avg(nll)), 4) AS kn_ppl_r
                 FROM kn_nll GROUP BY doc_id
+            ),
+            -- order-3 stupid backoff replay (round 13): trigram LM from
+            -- (p2, p1, w) positions, context counts reuse bi_lm;
+            -- p = c(p2,p1,w)/c(p2,p1) when the trigram is in the LM,
+            -- else 0.4 * the bigram score (itself backing off to
+            -- 0.4 * add-1 unigram); first/second tokens fall through
+            -- the null history slots naturally.
+            tpos AS (
+                SELECT doc_id,
+                       CASE WHEN u.i >= 3 THEN t[u.i - 2] END AS p2,
+                       CASE WHEN u.i >= 2 THEN t[u.i - 1] END AS p1,
+                       t[u.i] AS w
+                FROM toks,
+                UNNEST(generate_series(1, len(t))) AS u(i)
+            ),
+            tri_lm AS (
+                SELECT p2, p1, w, count(*)::BIGINT AS cnt
+                FROM tpos WHERE p2 IS NOT NULL GROUP BY p2, p1, w
+            ),
+            tri_nll AS (
+                SELECT p.doc_id,
+                       CASE
+                         WHEN tl.cnt IS NOT NULL AND cx.cnt IS NOT NULL
+                           THEN -ln(tl.cnt / cx.cnt::DOUBLE)
+                         WHEN p.p2 IS NOT NULL
+                           THEN -ln(0.4 * (CASE
+                             WHEN bi.cnt IS NOT NULL
+                                  AND prev.count IS NOT NULL
+                               THEN bi.cnt / prev.count::DOUBLE
+                             WHEN p.p1 IS NOT NULL
+                               THEN 0.4 * (coalesce(cur.count, 0) + 1.0)
+                                    / (tot.total + 1.0 * (tot.v + 1))
+                             ELSE (coalesce(cur.count, 0) + 1.0)
+                                  / (tot.total + 1.0 * (tot.v + 1))
+                           END))
+                         ELSE -ln(CASE
+                             WHEN bi.cnt IS NOT NULL
+                                  AND prev.count IS NOT NULL
+                               THEN bi.cnt / prev.count::DOUBLE
+                             WHEN p.p1 IS NOT NULL
+                               THEN 0.4 * (coalesce(cur.count, 0) + 1.0)
+                                    / (tot.total + 1.0 * (tot.v + 1))
+                             ELSE (coalesce(cur.count, 0) + 1.0)
+                                  / (tot.total + 1.0 * (tot.v + 1))
+                           END)
+                       END AS nll
+                FROM tpos p
+                LEFT JOIN tri_lm tl
+                  ON p.p2 = tl.p2 AND p.p1 = tl.p1 AND p.w = tl.w
+                LEFT JOIN bi_lm cx ON p.p2 = cx.w1 AND p.p1 = cx.w2
+                LEFT JOIN bi_lm bi ON p.p1 = bi.w1 AND p.w = bi.w2
+                LEFT JOIN lm cur ON p.w = cur.token
+                LEFT JOIN lm prev ON p.p1 = prev.token
+                CROSS JOIN tot
+            ),
+            tri_scores AS (
+                SELECT doc_id,
+                       round(avg(nll), 4) AS trigram_ce_r,
+                       round(exp(avg(nll)), 4) AS trigram_ppl_r
+                FROM tri_nll GROUP BY doc_id
             )
             SELECT u.doc_id, u.n_tokens,
                    round(u.h_raw, 4) AS cross_entropy_r,
@@ -3339,10 +3407,12 @@ def oracle_sql() -> dict[str, str]:
                    round(u.lr, 4) AS log_ratio_r,
                    round(exp(u.lr), 4) AS dsir_weight_r,
                    b.bigram_ce_r, b.bigram_ppl_r,
-                   k.kn_ce_r, k.kn_ppl_r
+                   k.kn_ce_r, k.kn_ppl_r,
+                   t.trigram_ce_r, t.trigram_ppl_r
             FROM uni_scores u
             JOIN bi_scores b USING (doc_id)
             JOIN kn_scores k USING (doc_id)
+            JOIN tri_scores t USING (doc_id)
         """,
     }
     # ---- round-10 union-tagged slot merges (frees entries under the ----

@@ -1683,6 +1683,8 @@ def lm_quality_scores(
     max_broadcast_vocab: int = 2_000_000,
     kneser_ney: bool = False,
     kn_discount: float = 0.75,
+    trigram: bool = False,
+    max_trigrams: Optional[int] = 4_000_000,
 ) -> DataFrame:
     """Fused self-LM quality stack: unigram perplexity, bigram
     stupid-backoff perplexity, and (when ``target`` is given) DSIR
@@ -1694,6 +1696,18 @@ def lm_quality_scores(
     same single corpus-stream join. KN statistics always come from the
     UNCAPPED pair table (``max_bigrams`` prunes only the
     stupid-backoff LM; KN's discounting is its own tail treatment).
+
+    ``trigram=True`` additionally emits ``trigram_ce, trigram_ppl``
+    (:func:`trigram_logloss` numbers, to summation order) and STILL
+    costs two corpus passes: the positioned stream widens to
+    (prev2, prev1, w) triples, the base aggregate becomes the TRIPLE
+    table, and the pair table every other score reads is DERIVED from
+    it (each adjacent pair occurs exactly once as the (prev1, w) slots
+    of some triple — integer sums, so every pair-level count is
+    bit-identical to the pair-mode build). The fused score table then
+    keys on the triple and the corpus stream still joins it exactly
+    once. The price is score-table cardinality: O(distinct triples)
+    instead of O(distinct pairs) — the gates below account for it.
 
     Numerically identical (to summation order, ~1e-12) to composing
     :func:`unigram_logloss` + :func:`bigram_logloss` +
@@ -1726,10 +1740,11 @@ def lm_quality_scores(
     with unseen tokens at the count-0 floor.
 
     Returns ``<id_col>, n_tokens, cross_entropy, perplexity,
-    bigram_ce, bigram_ppl`` plus, with ``target``, ``log_ratio,
-    dsir_weight, cross_entropy_target`` (the ``dsir_weights``
-    ``return_components`` columns; ``cross_entropy`` doubles as its
-    ``cross_entropy_raw``).
+    bigram_ce, bigram_ppl`` plus, with ``kneser_ney``, ``kn_ce,
+    kn_ppl``, with ``trigram``, ``trigram_ce, trigram_ppl``, and with
+    ``target``, ``log_ratio, dsir_weight, cross_entropy_target`` (the
+    ``dsir_weights`` ``return_components`` columns; ``cross_entropy``
+    doubles as its ``cross_entropy_raw``).
     """
     if not 0 < backoff <= 1:
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
@@ -1743,52 +1758,105 @@ def lm_quality_scores(
     # operator (the explode runs twice: LM build + scoring).
     toks = tokens(text_col)
     n = F.size(toks)
-    positioned = raw.select(
-        F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.concat(
-                    F.array(F.lit(None).cast("string")),
-                    F.slice(toks, F.lit(1), n - F.lit(1)),
-                ),
-                toks,
-            )
-        ).alias("pos"),
-    ).select(
-        id_col,
-        F.col("pos").getField("0").alias("__w_prev"),
-        F.col("pos").getField("1").alias("__w"),
-    )
-
-    # LM-build pass: ONE corpus aggregate. The pair table is persisted —
-    # the unigram derivation, its totals action, the bigram slice and
-    # every broadcast side read this one materialization.
-    pair_counts = tracked_persist(
-        positioned.groupBy("__w_prev", "__w").agg(
-            F.count("*").alias("__pair_n")
+    if trigram:
+        nulls1 = F.array(F.lit(None).cast("string"))
+        nulls2 = F.array(
+            F.lit(None).cast("string"), F.lit(None).cast("string")
         )
-    )
+        positioned = raw.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.concat(nulls2, toks), F.lit(1), n),
+                    F.slice(F.concat(nulls1, toks), F.lit(1), n),
+                    toks,
+                )
+            ).alias("pos"),
+        ).select(
+            id_col,
+            F.col("pos").getField("0").alias("__p2"),
+            F.col("pos").getField("1").alias("__w_prev"),
+            F.col("pos").getField("2").alias("__w"),
+        )
+    else:
+        positioned = raw.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.concat(
+                        F.array(F.lit(None).cast("string")),
+                        F.slice(toks, F.lit(1), n - F.lit(1)),
+                    ),
+                    toks,
+                )
+            ).alias("pos"),
+        ).select(
+            id_col,
+            F.col("pos").getField("0").alias("__w_prev"),
+            F.col("pos").getField("1").alias("__w"),
+        )
+
+    # LM-build pass: ONE corpus aggregate. The base table is persisted —
+    # every derivation, totals action and broadcast side reads this one
+    # materialization. In trigram mode the base aggregate is the TRIPLE
+    # table and the pair table is derived from it (integer sums — every
+    # pair count bit-identical to the pair-mode build, no second corpus
+    # pass).
+    # ONE stats action computes every scalar this function needs — the
+    # token total and vocab size (smoothing denominator) AND the exact
+    # row counts for the broadcast gates (v is NOT a safe proxy for the
+    # bigram side: bi can hold up to max_bigrams = 2x the default
+    # broadcast cap while v sits under it, nor for the fused score
+    # table below). It doubles as the base table's cache
+    # materialization. Driver actions are serial round trips — at sf1
+    # each costs ~0.3 s of scheduling regardless of data size, so an
+    # action ladder would be pure latency.
+    if trigram:
+        triple_counts = tracked_persist(
+            positioned.groupBy("__p2", "__w_prev", "__w").agg(
+                F.count("*").alias("__tri_n")
+            )
+        )
+        stats = triple_counts.agg(
+            F.sum("__tri_n").alias("t"),
+            F.count_distinct("__w").alias("v"),
+            F.count_distinct(F.struct("__w_prev", "__w")).alias("np"),
+            F.count_distinct(
+                F.when(
+                    F.col("__w_prev").isNotNull(),
+                    F.struct("__w_prev", "__w"),
+                )
+            ).alias("nb"),
+            F.count("*").alias("ntr"),
+            F.sum(
+                F.when(F.col("__p2").isNotNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("ntri_full"),
+        ).first()
+        n_triples, n_tri_lm = stats["ntr"], stats["ntri_full"] or 0
+        pair_counts = tracked_persist(
+            triple_counts.groupBy("__w_prev", "__w").agg(
+                F.sum("__tri_n").alias("__pair_n")
+            )
+        )
+    else:
+        pair_counts = tracked_persist(
+            positioned.groupBy("__w_prev", "__w").agg(
+                F.count("*").alias("__pair_n")
+            )
+        )
+        stats = pair_counts.agg(
+            F.sum("__pair_n").alias("t"),
+            F.count_distinct("__w").alias("v"),
+            F.count("*").alias("np"),
+            F.count("__w_prev").alias("nb"),
+        ).first()
     uni = tracked_persist(
         pair_counts.groupBy("__w")
         .agg(F.sum("__pair_n").alias("count"))
         .select(F.col("__w").alias("token"), "count")
     )
-    # ONE action computes every scalar this function needs — the token
-    # total and vocab size (smoothing denominator) AND the exact row
-    # counts for the broadcast gates (v is NOT a safe proxy for the
-    # bigram side: bi can hold up to max_bigrams = 2x the default
-    # broadcast cap while v sits under it, nor for the fused score
-    # table below). It doubles as pair_counts' cache materialization.
-    # Driver actions are serial round trips — at sf1 each costs ~0.3 s
-    # of scheduling regardless of data size, so the previous
-    # three-action ladder (persist count, uni totals, gate counts) was
-    # pure latency.
-    stats = pair_counts.agg(
-        F.sum("__pair_n").alias("t"),
-        F.count_distinct("__w").alias("v"),
-        F.count("*").alias("np"),
-        F.count("__w_prev").alias("nb"),
-    ).first()
     total, v = stats["t"] or 0, stats["v"]
     n_pairs, n_bi = stats["np"], stats["nb"]
     b_types = n_bi  # uncapped bigram type count — KN's B
@@ -1825,12 +1893,44 @@ def lm_quality_scores(
     uni_prev = uni.select(
         F.col("token").alias("__w_prev"), F.col("count").alias("__prev_n")
     )
+    if trigram:
+        # base = the triple table; the pair count each pair-level score
+        # reads joins on as a side (every (prev, w) of a triple exists
+        # in the derived pair table by construction)
+        base = triple_counts.select("__p2", "__w_prev", "__w").join(
+            _side(pair_counts, n_pairs), on=["__w_prev", "__w"], how="left"
+        )
+    else:
+        base = pair_counts.select("__w_prev", "__w", "__pair_n")
     tbl = (
-        pair_counts.select("__w_prev", "__w", "__pair_n")
-        .join(_side(bi, n_bi), on=["__w_prev", "__w"], how="left")
+        base.join(_side(bi, n_bi), on=["__w_prev", "__w"], how="left")
         .join(_side(uni_w, v), on="__w", how="left")
         .join(_side(uni_prev, v), on="__w_prev", how="left")
     )
+    if trigram:
+        tri_lm = triple_counts.filter(F.col("__p2").isNotNull()).select(
+            "__p2", "__w_prev", "__w", F.col("__tri_n").alias("__lm_tri_n")
+        )
+        if max_trigrams is not None and n_tri_lm > max_trigrams:
+            tri_lm = tri_lm.orderBy(
+                F.col("__lm_tri_n").desc(),
+                F.col("__p2").asc(),
+                F.col("__w_prev").asc(),
+                F.col("__w").asc(),
+            ).limit(max_trigrams)
+            n_tri_lm = max_trigrams
+        # trigram context counts c(p2, p1) are the derived pair table
+        # re-keyed one slot left
+        ctx = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
+            F.col("__w_prev").alias("__p2"),
+            F.col("__w").alias("__w_prev"),
+            F.col("__pair_n").alias("__ctx_n"),
+        )
+        tbl = tbl.join(
+            _side(tri_lm, n_tri_lm),
+            on=["__p2", "__w_prev", "__w"],
+            how="left",
+        ).join(_side(ctx, n_bi), on=["__p2", "__w_prev"], how="left")
     if kneser_ney:
         if not 0 < kn_discount < 1:
             raise ValueError(
@@ -1886,6 +1986,18 @@ def lm_quality_scores(
         uni_nll.alias("__uni_nll"),
         (-F.log(p_bi)).alias("__bi_nll"),
     ]
+    if trigram:
+        p_tri = (
+            F.when(
+                F.col("__lm_tri_n").isNotNull()
+                & F.col("__ctx_n").isNotNull(),
+                F.col("__lm_tri_n") / F.col("__ctx_n"),
+            )
+            .when(F.col("__p2").isNotNull(), F.lit(backoff) * p_bi)
+            .otherwise(p_bi)
+        )
+        score_cols.insert(0, F.col("__p2").alias("__s2"))
+        score_cols.append((-F.log(p_tri)).alias("__tri_nll"))
     if kneser_ney:
         kn_cont_denom = float(b_types) + smoothing_k * (v + 1)
         kn_p_cont = (
@@ -1910,17 +2022,21 @@ def lm_quality_scores(
             / F.lit(t_denom)
         )
         score_cols.append(t_nll.alias("__t_nll"))
-    score_tbl = _side(tbl.select(*score_cols), n_pairs)
+    score_tbl = _side(
+        tbl.select(*score_cols), n_triples if trigram else n_pairs
+    )
 
     # The single corpus-stream join. prev is NULL on document-initial
     # tokens and the score table keeps those pairs, so the prev key
     # compares null-safely (<=>) — still a hash-joinable equi key.
-    scored = positioned.join(
-        score_tbl,
-        F.col("__w_prev").eqNullSafe(F.col("__sp"))
-        & (F.col("__w") == F.col("__sw")),
-        how="left",
+    join_cond = F.col("__w_prev").eqNullSafe(F.col("__sp")) & (
+        F.col("__w") == F.col("__sw")
     )
+    if trigram:
+        join_cond = (
+            F.col("__p2").eqNullSafe(F.col("__s2")) & join_cond
+        )
+    scored = positioned.join(score_tbl, join_cond, how="left")
 
     aggs = [
         F.count("*").alias("n_tokens"),
@@ -1932,6 +2048,9 @@ def lm_quality_scores(
     if kneser_ney:
         aggs.append(F.avg("__kn_nll").alias("kn_ce"))
         aggs.append(F.exp(F.avg("__kn_nll")).alias("kn_ppl"))
+    if trigram:
+        aggs.append(F.avg("__tri_nll").alias("trigram_ce"))
+        aggs.append(F.exp(F.avg("__tri_nll")).alias("trigram_ppl"))
     if target is not None:
         aggs.append(F.avg("__t_nll").alias("cross_entropy_target"))
     out = scored.groupBy(id_col).agg(*aggs)
@@ -1954,6 +2073,8 @@ def lm_quality_scores(
     ]
     if kneser_ney:
         final_cols += ["kn_ce", "kn_ppl"]
+    if trigram:
+        final_cols += ["trigram_ce", "trigram_ppl"]
     return out.select(
         *final_cols,
         log_ratio.alias("log_ratio"),

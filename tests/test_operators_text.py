@@ -1743,3 +1743,56 @@ class TestBm25Index:
         plan = bm25_topk(idx, qdf, k=3)._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan
         idx.unpersist()
+
+
+def test_lm_quality_scores_trigram_matches_standalone(spark):
+    """trigram=True on the fused stack reproduces the standalone
+    trigram_logloss numbers AND leaves every pair-level score identical
+    to the pair-mode fused path (the pair table is derived from the
+    triple table by integer sums, so all counts are bit-equal)."""
+    rows = [
+        (d, " ".join(f"w{(d * 5 + i * 7) % 30}" for i in range(5 + d % 6)))
+        for d in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id % 3 = 0")
+    fused = {
+        r["doc_id"]: r
+        for r in ops.lm_quality_scores(
+            df, target, kneser_ney=True, trigram=True
+        ).collect()
+    }
+    tri_alone = {
+        r["doc_id"]: r for r in ops.trigram_logloss(df).collect()
+    }
+    pair_mode = {
+        r["doc_id"]: r
+        for r in ops.lm_quality_scores(
+            df, target, kneser_ney=True
+        ).collect()
+    }
+    assert set(fused) == set(tri_alone) == set(pair_mode)
+    for d in fused:
+        assert fused[d]["n_tokens"] == tri_alone[d]["n_tokens"]
+        assert fused[d]["trigram_ce"] == pytest.approx(
+            tri_alone[d]["trigram_ce"], rel=1e-12
+        )
+        assert fused[d]["trigram_ppl"] == pytest.approx(
+            tri_alone[d]["trigram_ppl"], rel=1e-12
+        )
+        for c in (
+            "cross_entropy", "perplexity", "bigram_ce", "bigram_ppl",
+            "kn_ce", "kn_ppl", "log_ratio", "dsir_weight",
+        ):
+            assert fused[d][c] == pytest.approx(
+                pair_mode[d][c], rel=1e-12
+            ), c
+    cols = ops.lm_quality_scores(
+        df, target, kneser_ney=True, trigram=True
+    ).columns
+    assert cols == [
+        "doc_id", "n_tokens", "cross_entropy", "perplexity",
+        "bigram_ce", "bigram_ppl", "kn_ce", "kn_ppl",
+        "trigram_ce", "trigram_ppl",
+        "log_ratio", "dsir_weight", "cross_entropy_target",
+    ]
