@@ -625,15 +625,47 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs + winnowing (MOSS) partial-overlap
+    pairs union-tagged in one slot (round-13 merge: the winnow family's
+    driver CORRECTNESS row). The winnow branch runs hash_mode='portable'
+    (60-bit md5 gram hashes) so DuckDB replays the ENTIRE pipeline
+    value-for-value: gram hashing, the rightmost-min window selection,
+    bucket count-guard, candidate pairing, the exact unpruned shared
+    recount and the containment ratio (ints divided identically in both
+    engines — no rounding needed)."""
     from patito_spark.operators.dedup import ngram_jaccard_pairs
+    from patito_spark.operators.winnow import winnow_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
+    jac = ngram_jaccard_pairs(
         docs,
         threshold=0.82,
         ngram=1,
         scope=F.col("doc_id") < 150,
+    ).select(
+        F.lit("jaccard").alias("mode"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "jaccard",
+        F.lit(None).cast("long").alias("shared_fps"),
+        F.lit(None).cast("double").alias("containment"),
     )
+    win = winnow_pairs(
+        docs.filter(F.col("doc_id") < 2000),
+        k=5,
+        w=4,
+        min_shared=2,
+        with_containment=True,
+        hash_mode="portable",
+    ).select(
+        F.lit("winnow").alias("mode"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("shared_fps").cast("long"),
+        "containment",
+    )
+    return jac.unionByName(win)
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2482,15 +2514,89 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_distinct(string_split(text, ' ')) AS grams
                 FROM documents WHERE doc_id < 150
+            ),
+            -- winnow branch (round 13): full MOSS replay under the
+            -- portable md5 gram hash. 5-gram hashes, windows of 4,
+            -- rightmost-min selection per window (list_max over the
+            -- argmin positions), distinct fingerprints per doc, bucket
+            -- guard (>1, <=1000), candidate pairs sharing >=2 guarded
+            -- fingerprints, exact shared recount from UNPRUNED sets,
+            -- containment = shared / min(|fps|).
+            win_toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents
+                WHERE doc_id < 2000 AND text IS NOT NULL
+            ),
+            win_grams AS (
+                SELECT doc_id,
+                       [('0x' || substring(
+                            md5(array_to_string(t[i:i+4], ' ')), 1, 15
+                        ))::BIGINT
+                        for i in generate_series(1, len(t) - 4)] AS g
+                FROM win_toks WHERE len(t) >= 5
+            ),
+            win_sel AS (
+                SELECT doc_id,
+                       list_distinct([
+                           g[list_max([
+                               j for j in generate_series(
+                                   s, least(s + 3, len(g)))
+                               if g[j] = list_aggregate(
+                                   g[s:least(s + 3, len(g))], 'min')
+                           ])]
+                           for s in generate_series(
+                               1, greatest(1, len(g) - 3))
+                       ]) AS fps
+                FROM win_grams
+            ),
+            win_fps AS (
+                SELECT doc_id, unnest(fps) AS fp FROM win_sel
+            ),
+            win_eligible AS (
+                SELECT fp FROM win_fps GROUP BY fp
+                HAVING count(*) > 1 AND count(*) <= 1000
+            ),
+            win_surv AS (
+                SELECT f.doc_id, f.fp
+                FROM win_fps f JOIN win_eligible e USING (fp)
+            ),
+            win_cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM win_surv a
+                JOIN win_surv b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+                HAVING count(*) >= 2
+            ),
+            win_exact AS (
+                SELECT c.id_a, c.id_b, count(*) AS shared_fps
+                FROM win_cand c
+                JOIN win_fps fa ON fa.doc_id = c.id_a
+                JOIN win_fps fb
+                  ON fb.doc_id = c.id_b AND fb.fp = fa.fp
+                GROUP BY c.id_a, c.id_b
+            ),
+            win_sizes AS (
+                SELECT doc_id, count(*) AS n_fps
+                FROM win_fps GROUP BY doc_id
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            SELECT 'jaccard' AS mode, a.doc_id AS id_a, b.doc_id AS id_b,
                    len(list_intersect(a.grams, b.grams))::DOUBLE
                    / (len(a.grams) + len(b.grams)
-                      - len(list_intersect(a.grams, b.grams))) AS jaccard
+                      - len(list_intersect(a.grams, b.grams))) AS jaccard,
+                   NULL::BIGINT AS shared_fps,
+                   NULL::DOUBLE AS containment
             FROM toks a JOIN toks b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / (len(a.grams) + len(b.grams)
                      - len(list_intersect(a.grams, b.grams))) >= 0.82
+            UNION ALL
+            SELECT 'winnow', e.id_a, e.id_b, NULL::DOUBLE,
+                   e.shared_fps,
+                   e.shared_fps / least(sa.n_fps, sb.n_fps)::DOUBLE
+            FROM win_exact e
+            JOIN win_sizes sa ON sa.doc_id = e.id_a
+            JOIN win_sizes sb ON sb.doc_id = e.id_b
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (

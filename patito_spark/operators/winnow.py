@@ -29,8 +29,57 @@ from pyspark.sql import types as T
 # deterministic per-token value (PYTHONHASHSEED-independent).
 _BASE = 1_000_003
 
+#: hex chars of md5 used by the portable gram hash (60 bits < 2^63 —
+#: the ``functions.hashing.portable_hash64`` convention, so DuckDB
+#: replays it as ('0x' || substring(md5(gram), 1, 15))::BIGINT).
+_PORTABLE_HEX = 15
 
-def _doc_fingerprints(tokens, k: int, w: int):
+
+def _gram_hashes(tokens, k: int, hash_mode: str):
+    """uint64 gram-hash array for one document (``len(tokens) ≥ k``).
+
+    ``crc32poly`` (default): crc32 token hashes combined by the mod-2^64
+    polynomial — vectorized, the production path. ``portable``: 60-bit
+    md5 of the space-joined gram string — slower, but engine-independent
+    so the correctness oracles replay selection value-for-value in SQL
+    (the ``functions.hashing`` portable convention).
+    """
+    import numpy as np
+
+    n_grams = len(tokens) - k + 1
+    if hash_mode == "portable":
+        import hashlib
+
+        return np.array(
+            [
+                int(
+                    hashlib.md5(
+                        " ".join(tokens[i : i + k]).encode("utf-8")
+                    ).hexdigest()[:_PORTABLE_HEX],
+                    16,
+                )
+                for i in range(n_grams)
+            ],
+            dtype="uint64",
+        )
+    if hash_mode != "crc32poly":
+        raise ValueError(
+            f"unknown hash mode {hash_mode!r}; use 'crc32poly' or 'portable'"
+        )
+    th = np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in tokens], dtype="uint64"
+    )
+    # gram hash g_i = sum_j th[i+j] * BASE^(k-1-j), vectorized
+    powers = np.array(
+        [pow(_BASE, k - 1 - j, 1 << 64) for j in range(k)], dtype="uint64"
+    )
+    g = np.zeros(n_grams, dtype="uint64")
+    for j in range(k):
+        g += th[j : j + n_grams] * powers[j]
+    return g
+
+
+def _doc_fingerprints(tokens, k: int, w: int, hash_mode: str = "crc32poly"):
     """Pure-Python/numpy winnow of ONE document; returns the distinct
     (fingerprint, position) selections. Exposed for the tests'
     bit-exact reference and reused verbatim by the distributed stage."""
@@ -39,17 +88,8 @@ def _doc_fingerprints(tokens, k: int, w: int):
     n = len(tokens)
     if n < k:
         return []
-    th = np.array(
-        [zlib.crc32(t.encode("utf-8")) for t in tokens], dtype="uint64"
-    )
-    # gram hash g_i = sum_j th[i+j] * BASE^(k-1-j), vectorized
-    powers = np.array(
-        [pow(_BASE, k - 1 - j, 1 << 64) for j in range(k)], dtype="uint64"
-    )
+    g = _gram_hashes(tokens, k, hash_mode)
     n_grams = n - k + 1
-    g = np.zeros(n_grams, dtype="uint64")
-    for j in range(k):
-        g += th[j : j + n_grams] * powers[j]
     if n_grams <= w:
         # fewer grams than one full window: one window = everything,
         # rightmost minimum
@@ -73,6 +113,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    hash_mode: str = "crc32poly",
 ) -> DataFrame:
     """Per-document winnowing fingerprints: ``<id_col>, fp, pos`` rows.
 
@@ -106,7 +147,9 @@ def winnow_fingerprints(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                for fp, pos in _doc_fingerprints(text.split(" "), k, w):
+                for fp, pos in _doc_fingerprints(
+                    text.split(" "), k, w, hash_mode
+                ):
                     ids.append(doc_id)
                     # uint64 -> signed 64-bit for Spark LongType
                     fps.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
@@ -125,6 +168,7 @@ def winnow_pairs(
     min_shared: int = 2,
     max_bucket_size: int = 1000,
     with_containment: bool = False,
+    hash_mode: str = "crc32poly",
 ) -> DataFrame:
     """Partial-overlap candidate pairs: documents sharing at least
     ``min_shared`` distinct winnowing fingerprints. Returns
@@ -158,7 +202,8 @@ def winnow_pairs(
     from patito_spark.functions.cache import tracked_persist
 
     fps = winnow_fingerprints(
-        df, text_col=text_col, id_col=id_col, k=k, w=w
+        df, text_col=text_col, id_col=id_col, k=k, w=w,
+        hash_mode=hash_mode,
     ).select(F.col(id_col).alias("__id"), "fp").distinct()
     fps = tracked_persist(fps)
     eligible = (
@@ -232,6 +277,7 @@ def winnow_against(
     w: int = 4,
     min_shared: int = 2,
     max_bucket_size: int = 1000,
+    hash_mode: str = "crc32poly",
 ) -> DataFrame:
     """Cross-corpus partial-overlap scan: which corpus documents share
     at least ``min_shared`` winnowing fingerprints with ANY reference
@@ -251,10 +297,12 @@ def winnow_against(
     ref_text = ref_text_col or text_col
     ref_id = ref_id_col or id_col
     corpus = winnow_fingerprints(
-        df, text_col=text_col, id_col=id_col, k=k, w=w
+        df, text_col=text_col, id_col=id_col, k=k, w=w,
+        hash_mode=hash_mode,
     ).select(F.col(id_col), "fp").distinct()
     refs = winnow_fingerprints(
-        reference, text_col=ref_text, id_col=ref_id, k=k, w=w
+        reference, text_col=ref_text, id_col=ref_id, k=k, w=w,
+        hash_mode=hash_mode,
     ).select(F.col(ref_id).alias("ref_id"), "fp").distinct()
 
     from patito_spark.functions.cache import tracked_persist
@@ -286,6 +334,7 @@ def winnow_admission(
     w: int = 4,
     min_shared: int = 2,
     max_reference_fps: int = 5_000_000,
+    hash_mode: str = "crc32poly",
 ) -> DataFrame:
     """Ingestion-time contamination gate: annotate each document (batch
     OR stream — the check is stateless) with ``n_shared_fps`` against a
@@ -303,7 +352,8 @@ def winnow_admission(
     ref_id = ref_id_col or id_col
     ref_rows = (
         winnow_fingerprints(
-            reference, text_col=ref_text, id_col=ref_id, k=k, w=w
+            reference, text_col=ref_text, id_col=ref_id, k=k, w=w,
+            hash_mode=hash_mode,
         )
         .select("fp")
         .distinct()
@@ -338,7 +388,9 @@ def winnow_admission(
                     continue
                 fps = {
                     fp - (1 << 64) if fp >= 1 << 63 else fp
-                    for fp, _ in _doc_fingerprints(text.split(" "), k, w)
+                    for fp, _ in _doc_fingerprints(
+                        text.split(" "), k, w, hash_mode
+                    )
                 }
                 shared.append(len(fps & refs))
             out = pdf[names].copy()
