@@ -872,6 +872,70 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _pca_params(spark: SparkSession, sf_dir: str):
+    """Session-lived exact-PCA fit (build-once/query-many, the
+    _lsh_index/_ivf_index convention). k=16 of 64: the synthetic
+    spectrum is noise-flat, but reduced-space COSINE depends only on
+    the spanned subspace (basis rotations and sign flips cancel in the
+    dot products), so the oracle's independent numpy eigh agrees to
+    ~1e-12 and both engines rank over the 4-dp-rounded score."""
+    from patito_spark.operators.projection import fit_pca
+
+    key = ("pca", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = fit_pca(
+            _t(spark, sf_dir, "embeddings"), k=16
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
+def ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-PCA footprint path under the driver oracle (round-13
+    verdict #7): fit_pca(k=16) -> pca_project -> exact cosine top-10 in
+    the reduced space. The oracle recomputes the fit from the same
+    parquet with numpy (same Gram moments, eigh, sign convention) and
+    replays the projection + scoring in SQL; scores are rounded to 4 dp
+    and the rank window orders by the ROUNDED score with an id
+    tie-break (the bm25 discipline), because two independent
+    eigendecompositions agree only to float noise. SQ8 is deliberately
+    NOT stacked here — quantization boundaries flip under 1e-12 input
+    noise; the PCA->SQ8->ANN composition is pinned in
+    tests/test_operators_projection.py instead."""
+    from pyspark.sql import Window
+
+    from patito_spark.operators.projection import pca_project
+    from patito_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = _pca_params(spark, sf_dir)
+    reduced = pca_project(
+        emb.select("vec_id", "embedding"), params, out_col="embedding"
+    )
+    queries = pca_project(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding"),
+        params,
+        out_col="embedding",
+    )
+    # k=30 margin, then re-rank by the rounded score: batch-local
+    # pruning under the exact order keeps every candidate that can
+    # reach the rounded top-10 unless >20 docs tie at the boundary
+    # value (not observed; ties break on id deterministically).
+    scored = cosine_topk(reduced, queries, k=30)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 4).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k over a prebuilt index. Value-oracled:
     hyperplanes are deterministic constants, buckets are sign bits of
@@ -1549,9 +1613,10 @@ def q_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH, IVF, and SQ8-asymmetric approximate top-k union-tagged in
-    one slot (round-10 merge + round-12 quantization family; same
-    query set, all three methods fully value-oracled)."""
+    """LSH, IVF, SQ8-asymmetric and PCA-reduced top-k union-tagged in
+    one slot (round-10 merge + round-12 quantization family + round-13
+    dimensionality reduction; same query set, all four methods fully
+    value-oracled)."""
     lsh = ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id",
         "cosine", "rank",
@@ -1564,7 +1629,11 @@ def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sq8").alias("method"), "query_id", "neighbor_id",
         "cosine", "rank",
     )
-    return lsh.unionByName(ivf).unionByName(sq8)
+    pca = ann_pca(spark, sf_dir).select(
+        F.lit("pca").alias("method"), "query_id", "neighbor_id",
+        "cosine", "rank",
+    )
+    return lsh.unionByName(ivf).unionByName(sq8).unionByName(pca)
 
 
 def dedup_embedding_both(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2095,6 +2164,38 @@ def _ivf_cells_at_compare_sf() -> int:
     return _ivf_cells_for(
         os.environ.get("PATITO_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     )
+
+
+def _pca_fit_at_compare_sf(k: int = 16):
+    """Independent numpy PCA fit over the embeddings at the SF the
+    oracle is being run against (PATITO_ORACLE_SF_DIR contract): the
+    same exact second moments, eigh, descending sort and
+    largest-|coeff|-positive sign convention as fit_pca — but computed
+    from a plain in-memory matrix, so the ann_search pca mode's oracle
+    genuinely cross-checks the distributed fit, not a copy of its
+    output. Returns (mean[d], components[k][d], d)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        os.environ.get("PATITO_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    mat = np.array(
+        pq.read_table(path, columns=["embedding"])["embedding"]
+        .to_pylist(),
+        dtype="float64",
+    )
+    mean = mat.mean(axis=0)
+    cov = (mat.T @ mat) / len(mat) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    comps = evecs[:, order][:, :k].T.copy()
+    for row in comps:
+        j = int(np.argmax(np.abs(row)))
+        if row[j] < 0:
+            row *= -1.0
+    return mean.tolist(), comps.tolist(), mat.shape[1]
 
 
 # The portable hash is 60-bit (top 4 bits constant 0), so SimHash bits
@@ -3591,6 +3692,54 @@ def oracle_sql() -> dict[str, str]:
             FROM qn q CROSS JOIN dnorm c
         ) WHERE rank <= 10
     """
+    # pca mode (round 13): independent numpy fit embedded as literals;
+    # projection, cosine and the rounded-score rank window replay in
+    # SQL. Reduced-space cosine is basis-invariant, so the two
+    # independent eigendecompositions agree to float noise and the 4-dp
+    # rounding + id tie-break absorbs it (see ann_pca docstring).
+    pca_mean, pca_comps, pca_d = _pca_fit_at_compare_sf(k=16)
+    pca_k = len(pca_comps)
+    mean_lit = "[" + ", ".join(repr(x) for x in pca_mean) + "]"
+    comps_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in row) + "]"
+            for row in pca_comps
+        )
+        + "]"
+    )
+    pca_sql = f"""
+        WITH pm AS (
+            SELECT {mean_lit}::DOUBLE[] AS mu,
+                   {comps_lit}::DOUBLE[][] AS w
+        ),
+        proj AS (
+            SELECT vec_id,
+                   [list_dot_product(
+                        [embedding[i]::DOUBLE - mu[i]
+                         for i in generate_series(1, {pca_d})],
+                        w[j])
+                    for j in generate_series(1, {pca_k})] AS v
+            FROM embeddings, pm
+        ),
+        pn AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+            FROM proj
+        ),
+        qn AS (SELECT vec_id, v, norm FROM pn WHERE vec_id < 8)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (q.norm * c.norm), 4) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                      / (q.norm * c.norm), 4) DESC,
+                                c.vec_id ASC
+                   ) AS rank
+            FROM qn q CROSS JOIN pn c
+        ) WHERE rank <= 10
+    """
     d["ann_search"] = f"""
         SELECT 'lsh' AS method, query_id, neighbor_id, cosine, rank
         FROM ({d.pop("ann_lsh")})
@@ -3600,6 +3749,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'sq8', query_id, neighbor_id, cosine, rank::BIGINT
         FROM ({sq8_sql})
+        UNION ALL
+        SELECT 'pca', query_id, neighbor_id, cosine, rank::BIGINT
+        FROM ({pca_sql})
     """
     d["dedup_embedding"] = f"""
         SELECT 'exact' AS mode, id_a, id_b, cosine

@@ -60,6 +60,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--only", default=None)
     a = ap.parse_args(argv)
 
+    # Scale-dependent oracle fragments (LSH plane count, IVF cells, the
+    # PCA fit literals) must derive from the SF being verified, not the
+    # sf0.01 default — without this, every non-default --sf-dir run
+    # reported spurious ann/embedding mismatches (the baseline_duckdb.py
+    # contract, applied here in round 13).
+    os.environ["PATITO_ORACLE_SF_DIR"] = a.sf_dir
+
     spark = get_session("verify-entries")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
