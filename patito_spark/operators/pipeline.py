@@ -50,6 +50,7 @@ def prepare_training_corpus(
     perplexity_lm: Optional[DataFrame] = None,
     perplexity_order: int = 1,
     perplexity_bigram_lm: Optional[DataFrame] = None,
+    perplexity_arpa=None,
     quality_model=None,
     min_model_prob: float = 0.5,
     dedup_threshold: Optional[float] = 0.7,
@@ -231,9 +232,39 @@ def prepare_training_corpus(
             scored = trigram_logloss(
                 gated, text_col=text_col, id_col=id_col
             ).withColumnRenamed("trigram_ppl", "perplexity")
+        elif perplexity_order >= 4:
+            # CCNet's production shape: a PRETRAINED n-gram artifact
+            # (typically a 5-gram KenLM .arpa), not the corpus's own
+            # statistics. perplexity_arpa is an arpa.ArpaLm or a path
+            # load_arpa can read; perplexity_order caps the backoff
+            # chain below the artifact's order when smaller.
+            if perplexity_arpa is None:
+                raise ValueError(
+                    f"perplexity_order={perplexity_order} scores against "
+                    "a pretrained .arpa artifact; pass perplexity_arpa="
+                    "ArpaLm-or-path (operators.arpa.load_arpa)"
+                )
+            from patito_spark.operators.arpa import (
+                ArpaLm,
+                arpa_logloss,
+                load_arpa,
+            )
+
+            lm = (
+                perplexity_arpa
+                if isinstance(perplexity_arpa, ArpaLm)
+                else load_arpa(gated.sparkSession, perplexity_arpa)
+            )
+            scored = arpa_logloss(
+                gated,
+                lm,
+                text_col=text_col,
+                id_col=id_col,
+                order=perplexity_order,
+            ).withColumnRenamed("arpa_ppl", "perplexity")
         else:
             raise ValueError(
-                f"perplexity_order must be 1, 2 or 3, got {perplexity_order}"
+                f"perplexity_order must be >= 1, got {perplexity_order}"
             )
         reject = (
             scored.filter(F.col("perplexity") > max_perplexity)
@@ -318,12 +349,49 @@ def prepare_training_corpus(
         )
         gated = gated.join(dropped, on=id_col, how="left_anti")
         stages["semantic_dedup"] = gated
-    if contamination_action not in ("drop", "scrub"):
+    if contamination_action not in ("drop", "scrub", "winnow"):
         raise ValueError(
-            f"contamination_action must be 'drop' or 'scrub', "
+            f"contamination_action must be 'drop', 'scrub' or 'winnow', "
             f"got {contamination_action!r}"
         )
-    if benchmark is not None and contamination_action == "scrub":
+    if benchmark is not None and contamination_action == "winnow":
+        # Partial-overlap decontamination (MOSS winnowing): drops any
+        # document sharing a fingerprint with a benchmark item. k and w
+        # derive from contamination_ngram so the winnowing GUARANTEE
+        # matches the n-gram contract — any shared run of at least
+        # contamination_ngram tokens (= w + k − 1) always produces a
+        # shared fingerprint — while also (probabilistically) catching
+        # shorter k-token quotes that the exact n-gram scan's longer
+        # window misses. Reference fingerprints broadcast; min_shared=1
+        # because decontamination is the paranoid direction.
+        from patito_spark.operators.winnow import winnow_against
+
+        wk = (contamination_ngram + 2) // 2
+        ww = contamination_ngram + 1 - wk
+        hit = winnow_against(
+            gated,
+            benchmark,
+            text_col=text_col,
+            id_col=id_col,
+            k=wk,
+            w=ww,
+            min_shared=1,
+            hash_mode=hash_mode
+            if hash_mode in ("crc32poly", "portable")
+            else "crc32poly",
+        ).select(id_col)
+        gated = gated.join(hit, on=id_col, how="left_anti")
+        if contamination_neardup_threshold is not None:
+            near = minhash_dedup_against(
+                gated,
+                benchmark,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=contamination_neardup_threshold,
+                hash_mode=hash_mode,
+            ).select(id_col)
+            gated = gated.join(near, on=id_col, how="left_anti")
+    elif benchmark is not None and contamination_action == "scrub":
         # Surgical decontamination: cut just the leaked spans instead of
         # dropping whole documents (scrub_spans docstring). Docs reduced
         # to nothing still drop via its remainder gate; the near-dup

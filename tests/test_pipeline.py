@@ -318,6 +318,74 @@ def test_prepare_contamination_scrub_action(spark):
         )
 
 
+def test_prepare_contamination_winnow_action(spark):
+    """contamination_action='winnow' (round 13): the MOSS partial-
+    overlap gate drops a document embedding a benchmark run of at
+    least contamination_ngram tokens while a clean doc survives; k/w
+    derive from contamination_ngram so the winnowing guarantee matches
+    the n-gram contract."""
+    leak = "name the largest planet jupiter obviously said the proctor"
+    corpus = spark.createDataFrame(
+        [
+            (50, f"long introduction text then {leak} and some closing"),
+            (51, "completely clean article with original content here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, f"quiz item preamble {leak} answer key")],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus,
+        benchmark=bench,
+        contamination_ngram=8,
+        contamination_action="winnow",
+        min_tokens=2,
+        dedup_threshold=None,
+    )
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert ids == {51}
+    assert "decontamination" in out["stages"]
+
+
+def test_prepare_arpa_perplexity_gate(spark, tmp_path):
+    """perplexity_order=5 with a pretrained .arpa artifact (round 13,
+    the CCNet shape): in-model docs survive, out-of-model gibberish
+    gates out; a path string loads through load_arpa."""
+    arpa = tmp_path / "tiny.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=4\nngram 2=3\n\n"
+        "\\1-grams:\n-3.0\t<unk>\n-0.3\t<s>\t-0.2\n"
+        "-0.4\tgood\t-0.1\n-0.4\ttext\n\n"
+        "\\2-grams:\n-0.1\t<s> good\n-0.1\tgood text\n-0.2\ttext good\n\n"
+        "\\end\\\n"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "good text good text good text"),
+            (2, "zz qq ww rr tt yy uu ii oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        corpus,
+        max_perplexity=50.0,
+        perplexity_order=5,
+        perplexity_arpa=str(arpa),
+        min_tokens=2,
+        dedup_threshold=None,
+    )
+    ids = {r.doc_id for r in out["documents"].collect()}
+    assert ids == {1}
+    assert "perplexity_gate" in out["stages"]
+    with pytest.raises(ValueError, match="perplexity_arpa"):
+        prepare_training_corpus(
+            corpus, max_perplexity=50.0, perplexity_order=5,
+            dedup_threshold=None,
+        )
+
+
 def test_prepare_domain_cap_stage(spark):
     # 30 docs in domain A (quality rises with id), 3 in domain B;
     # cap at 5 keeping best quality -> A's top-5 ids, B untouched.
