@@ -114,6 +114,7 @@ def winnow_fingerprints(
     k: int = 5,
     w: int = 4,
     hash_mode: str = "crc32poly",
+    positions: bool = True,
 ) -> DataFrame:
     """Per-document winnowing fingerprints: ``<id_col>, fp, pos`` rows.
 
@@ -125,18 +126,22 @@ def winnow_fingerprints(
     deduplicated. Document-local, one Arrow stage, no shuffle; null
     and shorter-than-``k`` documents yield no rows (no fingerprint, no
     false pair).
+
+    ``positions=False`` drops the ``pos`` column and emits each
+    document's DISTINCT fingerprint values instead — deduplicated
+    inside the Arrow kernel, so the (id, fp) rows are globally distinct
+    BY CONSTRUCTION and the pairing consumers skip a whole
+    distinct-exchange over the fingerprint stream.
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    schema = T.StructType(
-        [
-            T.StructField(
-                id_col, df.schema[id_col].dataType, False
-            ),
-            T.StructField("fp", T.LongType(), False),
-            T.StructField("pos", T.IntegerType(), False),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, df.schema[id_col].dataType, False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+    if positions:
+        fields.append(T.StructField("pos", T.IntegerType(), False))
+    schema = T.StructType(fields)
     pruned = df.select(id_col, text_col)
 
     def winnow(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -147,14 +152,25 @@ def winnow_fingerprints(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                for fp, pos in _doc_fingerprints(
-                    text.split(" "), k, w, hash_mode
-                ):
-                    ids.append(doc_id)
-                    # uint64 -> signed 64-bit for Spark LongType
-                    fps.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
-                    poss.append(pos)
-            yield pd.DataFrame({id_col: ids, "fp": fps, "pos": poss})
+                sel = _doc_fingerprints(text.split(" "), k, w, hash_mode)
+                if positions:
+                    for fp, pos in sel:
+                        ids.append(doc_id)
+                        # uint64 -> signed 64-bit for Spark LongType
+                        fps.append(
+                            fp - (1 << 64) if fp >= 1 << 63 else fp
+                        )
+                        poss.append(pos)
+                else:
+                    for fp in {f for f, _ in sel}:
+                        ids.append(doc_id)
+                        fps.append(
+                            fp - (1 << 64) if fp >= 1 << 63 else fp
+                        )
+            cols = {id_col: ids, "fp": fps}
+            if positions:
+                cols["pos"] = poss
+            yield pd.DataFrame(cols)
 
     return pruned.mapInPandas(winnow, schema=schema)
 
@@ -199,20 +215,30 @@ def winnow_pairs(
     needing exact overlap extents verify survivors with
     ``..spans.dedup_spans`` on the candidate set.
     """
+    from pyspark.sql import Window
+
     from patito_spark.functions.cache import tracked_persist
 
     fps = winnow_fingerprints(
         df, text_col=text_col, id_col=id_col, k=k, w=w,
-        hash_mode=hash_mode,
-    ).select(F.col(id_col).alias("__id"), "fp").distinct()
+        hash_mode=hash_mode, positions=False,
+    ).select(F.col(id_col).alias("__id"), "fp")
+    # rows are distinct by construction (doc-local dedup in the Arrow
+    # kernel) — no distinct exchange before the persist
     fps = tracked_persist(fps)
-    eligible = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # Bucket guard fused into the join's OWN exchange (the
+    # hamming_pairs round-12 shape): the member count is a window over
+    # partitionBy(fp) — the exact partitioning the self-join needs —
+    # so the guard adds ZERO exchanges; the earlier count + semi-join
+    # spelling paid an extra aggregate exchange plus a join before
+    # anything paired.
+    survivors = (
+        fps.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
-        .select("fp")
+        .drop("__n")
     )
-    survivors = fps.join(eligible, on="fp", how="left_semi")
     a = survivors.select("fp", F.col("__id").alias("id_a"))
     b = survivors.select("fp", F.col("__id").alias("id_b"))
     pairs = (
@@ -298,12 +324,12 @@ def winnow_against(
     ref_id = ref_id_col or id_col
     corpus = winnow_fingerprints(
         df, text_col=text_col, id_col=id_col, k=k, w=w,
-        hash_mode=hash_mode,
-    ).select(F.col(id_col), "fp").distinct()
+        hash_mode=hash_mode, positions=False,
+    ).select(F.col(id_col), "fp")
     refs = winnow_fingerprints(
         reference, text_col=ref_text, id_col=ref_id, k=k, w=w,
-        hash_mode=hash_mode,
-    ).select(F.col(ref_id).alias("ref_id"), "fp").distinct()
+        hash_mode=hash_mode, positions=False,
+    ).select(F.col(ref_id).alias("ref_id"), "fp")
 
     from patito_spark.functions.cache import tracked_persist
 

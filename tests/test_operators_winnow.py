@@ -148,6 +148,10 @@ def test_pair_plan_no_cartesian(spark):
     plan = executed_plan(winnow_pairs(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # bucket guard fused as a window over partitionBy(fp) — the
+    # hamming_pairs shape; the count+semi-join spelling cost an extra
+    # aggregate exchange plus a join
+    assert "Window" in plan
 
 
 def test_winnow_against_decontamination(spark):
