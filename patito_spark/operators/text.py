@@ -1817,16 +1817,12 @@ def lm_quality_scores(
                 F.count("*").alias("__tri_n")
             )
         )
-        stats = triple_counts.agg(
+        # Action 1 (triple table, distinct-free — a multi-distinct agg
+        # here would expand the big triple stream several times):
+        # totals + the triple-side gate counts; doubles as the triple
+        # cache materialization.
+        tstats = triple_counts.agg(
             F.sum("__tri_n").alias("t"),
-            F.count_distinct("__w").alias("v"),
-            F.count_distinct(F.struct("__w_prev", "__w")).alias("np"),
-            F.count_distinct(
-                F.when(
-                    F.col("__w_prev").isNotNull(),
-                    F.struct("__w_prev", "__w"),
-                )
-            ).alias("nb"),
             F.count("*").alias("ntr"),
             F.sum(
                 F.when(F.col("__p2").isNotNull(), F.lit(1)).otherwise(
@@ -1834,12 +1830,21 @@ def lm_quality_scores(
                 )
             ).alias("ntri_full"),
         ).first()
-        n_triples, n_tri_lm = stats["ntr"], stats["ntri_full"] or 0
+        n_triples, n_tri_lm = tstats["ntr"], tstats["ntri_full"] or 0
         pair_counts = tracked_persist(
             triple_counts.groupBy("__w_prev", "__w").agg(
                 F.sum("__tri_n").alias("__pair_n")
             )
         )
+        # Action 2 (derived pair table — vocabulary²-bounded, far
+        # smaller): vocab size + the pair-side gate counts; doubles as
+        # the pair cache materialization every later side reads.
+        stats = pair_counts.agg(
+            F.lit(tstats["t"]).alias("t"),
+            F.count_distinct("__w").alias("v"),
+            F.count("*").alias("np"),
+            F.count("__w_prev").alias("nb"),
+        ).first()
     else:
         pair_counts = tracked_persist(
             positioned.groupBy("__w_prev", "__w").agg(

@@ -66,6 +66,13 @@ def assert_results_match(name, spark_rows, spark_cols, duck_rows, duck_cols):
                 )
 
 
+import os
+
+# Scale-dependent oracle fragments (LSH planes, IVF cells, the PCA fit
+# literals) must derive from the SF this replica compares at — the
+# PATITO_ORACLE_SF_DIR contract every oracle harness follows
+# (baseline_duckdb.py, verify_entries.py).
+os.environ["PATITO_ORACLE_SF_DIR"] = SF_DIR
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
