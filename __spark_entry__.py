@@ -1886,14 +1886,36 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(_t(spark, sf_dir, "documents"), top_n=500)
 
 
+def _bm25_index(spark: SparkSession, sf_dir: str):
+    """Session-lived Bm25Index (build-once/query-many — the
+    _lsh_index/_ivf_index convention): the corpus postings aggregate
+    persists across query batches; the bench therefore measures the
+    production steady state (cache-read + broadcast prune + rank),
+    and the driver compare covers the Index's cached-read path."""
+    from patito_spark.operators.text import build_bm25_index
+
+    key = ("bm25", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        _ANN_INDEX_CACHE[key] = build_bm25_index(
+            _t(spark, sf_dir, "documents")
+        )
+    return _ANN_INDEX_CACHE[key]
+
+
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-20 retrieval: every ~997th document's first three
-    tokens stand in for a query batch. Ranking orders by the ROUNDED
-    score (4 dp) with a doc_id tie-break so the rank column is
-    deterministic across engines despite float summation order."""
+    """Okapi BM25 top-20 retrieval THROUGH the build-once Bm25Index
+    (round-13 rotation: the cached-read path earns the driver
+    CORRECTNESS row; scores are identical to bm25_scores under the
+    shared posting-bearing-docs convention, so the oracle replay is
+    unchanged). Every ~997th document's first three tokens stand in
+    for a query batch. bm25_topk prunes to the exact-score top-30,
+    then ranking re-orders by the ROUNDED score (4 dp) with a doc_id
+    tie-break so the rank column is deterministic across engines
+    despite float summation order (exact ties already order by id, so
+    the margin only has to absorb near-ties at the boundary)."""
     from pyspark.sql import Window
 
-    from patito_spark.operators.text import bm25_scores
+    from patito_spark.operators.text import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") % 997 == 0).select(
@@ -1902,12 +1924,13 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.col("text"), " "), 1, 3), " "
         ).alias("query"),
     )
-    scored = bm25_scores(docs, queries)
+    scored = bm25_topk(_bm25_index(spark, sf_dir), queries, k=30)
     w = Window.partitionBy("query_id").orderBy(
         F.round("score", 4).desc(), F.col("doc_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.drop("rank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
         .select(
             "query_id",

@@ -1090,9 +1090,12 @@ def build_bm25_index(
     null text carry no postings and are absent from the statistics —
     the retrieval semantics (they can never match a query anyway).
     """
-    from patito_spark.functions.cache import tracked_persist
-
-    postings = tracked_persist(_bm25_postings(df, text_col, id_col))
+    # Plain persist, NOT tracked_persist: the postings are a
+    # session-lived artifact OWNED BY THE INDEX (release via
+    # index.unpersist()), the LshIndex/IvfIndex convention —
+    # build-once/query-many is the steady state, and a tracked persist
+    # would be swept by release_caches() between query batches.
+    postings = _bm25_postings(df, text_col, id_col).persist()
     stats = postings.agg(
         F.count_distinct(F.col(id_col)).alias("nd"),
         F.sum("__n").alias("tt"),
