@@ -186,3 +186,19 @@ def test_null_and_empty_text(spark, lm):
     rows = {r["doc_id"]: r for r in arpa_logloss(df, lm).collect()}
     assert 1 not in rows  # null text carries no positions
     assert rows[2]["n_tokens"] == 2
+
+
+def test_plan_broadcast_lookups_no_cartesian(spark, lm):
+    """All 2N-1 model lookups broadcast (artifact-sized sides) and the
+    scoring is the fused-score-table shape: no cartesian, no
+    nested-loop join, and the corpus stream joins the score table
+    exactly once (a SortMergeJoin would mean a lookup missed its
+    broadcast gate at this size)."""
+    from patito_spark.plans import executed_plan
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = executed_plan(arpa_logloss(df, lm))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -714,3 +714,37 @@ def test_image_dedup_pairs_200k_half_blank(spark):
         release_caches()
     assert n >= 99_999  # the blank group's star edges
     assert n <= 101_000  # fake-pHash collisions are ~random beyond it
+
+
+def test_arpa_logloss_1m_docs(spark, tmp_path):
+    """Pretrained-.arpa scoring at 1M synthetic docs: the distinct
+    (h.., w) tuple aggregate, broadcast model lookups and the
+    null-safe corpus join complete without driver-side blowups; every
+    doc scores finite."""
+    from patito_spark.operators.arpa import arpa_logloss, load_arpa
+
+    arpa = tmp_path / "smoke.arpa"
+    lines = ["\\data\\", "ngram 1=52", "ngram 2=3", "", "\\1-grams:"]
+    lines.append("-2.5\t<unk>")
+    lines.append("-0.5\t<s>\t-0.2")
+    for i in range(50):
+        lines.append(f"-1.{i % 9}\tw{i}\t-0.1")
+    lines += ["", "\\2-grams:", "-0.3\t<s> w0", "-0.4\tw0 w1",
+              "-0.5\tw1 w2", "", "\\end\\"]
+    arpa.write_text("\n".join(lines) + "\n")
+    lm = load_arpa(spark, str(arpa))
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat('w', id % 64, ' w', (id + 1) % 64, ' w', (id + 2) % 64,"
+        " ' w', (id * 7) % 64, ' w', (id * 11) % 64) as text",
+    )
+    out = arpa_logloss(docs, lm, order=2)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("arpa_ce").alias("lo"),
+        F.max("arpa_ce").alias("hi"),
+    ).first()
+    assert agg["n"] == 1_000_000
+    assert 0.0 < agg["lo"] <= agg["hi"] < 50.0
+    lm.unpersist()
