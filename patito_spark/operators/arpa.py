@@ -415,3 +415,83 @@ def kenlm_logloss(
             )
 
     return pruned.mapInPandas(score, schema=schema)
+
+
+def arpa_admission(
+    df: DataFrame,
+    lm: ArpaLm,
+    max_ppl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: Optional[int] = None,
+    bos: bool = True,
+    oov_log10: float = -7.0,
+    max_broadcast_ngrams: int = 5_000_000,
+) -> DataFrame:
+    """Ingestion-time CCNet gate: annotate each document (batch OR
+    stream — the check is stateless) with ``arpa_ppl`` against a
+    pretrained artifact and ``admitted`` (ppl ≤ ``max_ppl``). All
+    input columns pass through.
+
+    The model tables are collected once (bounded by
+    ``max_broadcast_ngrams`` total rows — a pruned filter model;
+    corpus-scale models belong in :func:`arpa_logloss`'s join form)
+    and broadcast as plain dicts; each arriving document scores inside
+    the same Arrow batch through :func:`score_arpa_py` — the
+    bit-exact reference the join form is pinned against — so the
+    operator is a pure map: it composes with ``readStream`` with no
+    state store, no watermark, and no output-mode constraints (the
+    ``winnow_admission`` contract).
+    """
+    n_order = min(order or lm.order, lm.order)
+    total_rows = sum(lm.counts.values())
+    if total_rows > max_broadcast_ngrams:
+        raise ValueError(
+            f"arpa_admission collects the model ({total_rows} n-gram "
+            f"rows > {max_broadcast_ngrams}); use arpa_logloss (join "
+            "form) for corpus-scale models, or prune the artifact"
+        )
+    ngrams = {}
+    for k, tbl in lm.tables.items():
+        if k > n_order:
+            continue
+        for r in tbl.collect():
+            ngrams[tuple(r["gram"].split(" "))] = (r["logp"], r["bo"])
+    bc = df.sparkSession.sparkContext.broadcast(
+        (ngrams, lm.unk_log10)
+    )
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("arpa_ppl", T.DoubleType(), True),
+            T.StructField("admitted", T.BooleanType(), False),
+        ]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def gate(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        model, unk = bc.value
+        for pdf in batches:
+            ppls, adm = [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    ppls.append(None)
+                    adm.append(True)  # no evidence either way
+                    continue
+                _, _, ppl = score_arpa_py(
+                    {0: text.split(" ")},
+                    model,
+                    order=n_order,
+                    bos=bos,
+                    unk_log10=unk,
+                    oov_log10=oov_log10,
+                )[0]
+                ppls.append(ppl)
+                adm.append(ppl <= max_ppl)
+            out = pdf[names].copy()
+            out["arpa_ppl"] = ppls
+            out["admitted"] = adm
+            yield out
+
+    return df.mapInPandas(gate, schema=schema)

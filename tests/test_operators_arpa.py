@@ -202,3 +202,46 @@ def test_plan_broadcast_lookups_no_cartesian(spark, lm):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_admission_matches_join_form_and_streams(spark, lm, tmp_path):
+    """arpa_admission (broadcast-dict map) reproduces arpa_logloss's
+    perplexities (same reference scorer, 1e-9) and composes with
+    readStream as a stateless map - the winnow_admission contract."""
+    from patito_spark.operators.arpa import arpa_admission, arpa_logloss
+
+    df = spark.createDataFrame(
+        DOCS + [(9, None)], "doc_id long, text string"
+    )
+    gated = {r.doc_id: r for r in arpa_admission(df, lm, max_ppl=12.0).collect()}
+    joined = {r.doc_id: r for r in arpa_logloss(df, lm).collect()}
+    for d, row in joined.items():
+        assert gated[d].arpa_ppl == pytest.approx(
+            row.arpa_ppl, rel=1e-9
+        ), d
+        assert gated[d].admitted == (row.arpa_ppl <= 12.0)
+    assert gated[9].arpa_ppl is None and gated[9].admitted
+    assert set(gated) == set(joined) | {9}
+
+    # streaming composition: same gate over a file stream
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        arpa_admission(stream, lm, max_ppl=12.0)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == set(gated)
+    for d in joined:
+        assert got[d].admitted == gated[d].admitted
+
+    with pytest.raises(ValueError, match="join form"):
+        arpa_admission(df, lm, max_ppl=1.0, max_broadcast_ngrams=3)
