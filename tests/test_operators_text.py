@@ -1681,8 +1681,12 @@ def test_pipeline_perplexity_order3_gate(spark):
             df, max_perplexity=5.0, perplexity_order=3,
             perplexity_lm=df.selectExpr("text as token", "doc_id as count"),
         )
-    with pytest.raises(ValueError, match="must be 1, 2 or 3"):
+    # round 13: order >= 4 is the pretrained-.arpa path and demands an
+    # artifact; order 0 is invalid outright
+    with pytest.raises(ValueError, match="perplexity_arpa"):
         prepare_training_corpus(df, max_perplexity=5.0, perplexity_order=4)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        prepare_training_corpus(df, max_perplexity=5.0, perplexity_order=0)
 
 
 class TestBm25Index:
