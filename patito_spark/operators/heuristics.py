@@ -102,12 +102,15 @@ def gopher_rules(
         F.col(text_col), F.lit(r"(?m)(?:\.\.\.|…)[ \t]*$")
     )
     # each letter-containing token collapses to one marker; counting
-    # markers counts alpha words without a per-token lambda. The
-    # token-body class excludes letters so the scan reaches the FIRST
-    # letter and stops — no per-token backtrack from the tail (the
-    # naive [^ ]*[A-Za-z] form grabs the whole token then walks back).
+    # markers counts alpha words without a per-token lambda. Keep the
+    # greedy [^ ]* body: it consumes the WHOLE token and backtracks to
+    # the last letter, so each match leaves almost no restart
+    # positions behind. The "backtrack-free" [^ A-Za-z]*[A-Za-z]
+    # spelling stops at the FIRST letter and forces the engine to
+    # re-attempt a match at every remaining character of the token —
+    # measured 4x slower on sf1 documents (round-13 A/B race).
     alpha_words = F.regexp_count(
-        F.col(text_col), F.lit(r"(?:^| )[^ A-Za-z]*[A-Za-z]")
+        F.col(text_col), F.lit(r"(?:^| )[^ ]*[A-Za-z]")
     )
     stop_hits = F.size(
         F.array_intersect(
