@@ -300,6 +300,62 @@ def test_lm_quality_scoring_pass_single_corpus_join(spark):
     assert "row_number" not in plan
 
 
+def test_lm_quality_trigram_mode_single_corpus_join(spark):
+    """trigram=True (round 13) keeps the fused contract: the positioned
+    stream widens to triples but STILL joins the score table exactly
+    once (null-safe p2/prev keys); the trigram LM, context counts and
+    every pair-level lookup live inside the small build side."""
+    from patito_spark.operators.text import lm_quality_scores
+
+    docs = spark.range(64).selectExpr(
+        "id as doc_id",
+        "concat('tok a b c d ', cast(id % 4 as string)) as text",
+    )
+    target = docs.filter("doc_id % 2 = 0")
+    plan = executed_plan(
+        lm_quality_scores(docs, target, kneser_ney=True, trigram=True)
+    )
+    assert "__s2" in plan  # triple-keyed fused score table in play
+    start = plan.index("partial_count(1), partial_avg")
+    end = plan.index("Generate explode(arrays_zip", start)
+    scoring = plan[start:end]
+    assert scoring.count("Join") == 1, scoring
+    assert "row_number" not in plan
+
+
+def test_winnow_pairs_exchange_reuse(spark):
+    """winnow_pairs (round 13): the window bucket guard rides the
+    self-join's own fp partitioning — with broadcast off, the pairing
+    stage pays at most TWO fp exchanges of the fingerprint stream (one
+    per join side; the count+semi-join spelling cost an extra
+    aggregate exchange plus a join)."""
+    import re
+
+    from patito_spark.operators.winnow import winnow_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 40}" for j in range(12)))
+         for i in range(64)],
+        "doc_id long, text string",
+    )
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    old_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = executed_plan(winnow_pairs(df, min_shared=1))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    fp_exchanges = re.findall(r"Exchange hashpartitioning\(fp", plan)
+    assert 1 <= len(fp_exchanges) <= 2, plan
+    assert "Window" in plan
+
+
 def test_hamming_pairs_plan_sub_quadratic(spark):
     """hamming_pairs candidate generation: distinct-signature collapse
     (one HashAggregate before the self-join), an equi-join on the
