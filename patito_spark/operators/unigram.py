@@ -592,3 +592,130 @@ def with_unigram_token_count(
             yield out_pdf
 
     return df.mapInPandas(count, schema=schema)
+
+
+def sample_segment(
+    word: str,
+    logp: Mapping[str, float],
+    max_piece_len: int,
+    alpha: float,
+    rng,
+) -> list:
+    """One sampled segmentation from ``p(seg | word)^α / Z`` —
+    forward-filtering backward-sampling over the lattice (the paper's
+    subword-regularization draw; ``α → ∞`` recovers Viterbi, small α
+    flattens toward uniform over segmentations). OOV single characters
+    get the ``UNK_LOG_PROB`` floor, as in :func:`viterbi_segment`."""
+    import math as _math
+
+    n = len(word)
+    alpha = float(alpha)
+    # forward mass in log space under the tempered scores
+    fwd = [_NEG_INF] * (n + 1)
+    fwd[0] = 0.0
+    arcs: list = [[] for _ in range(n + 1)]  # arcs[j] = [(i, piece, a*lp)]
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if j - i == 1:
+                    lp = UNK_LOG_PROB
+                else:
+                    continue
+            score = alpha * lp
+            arcs[j].append((i, piece, score))
+            if fwd[i] != _NEG_INF:
+                fwd[j] = _logsumexp2(fwd[j], fwd[i] + score)
+    if fwd[n] == _NEG_INF:
+        raise ValueError(f"unsegmentable word {word!r}")
+    pieces = []
+    j = n
+    while j > 0:
+        total = fwd[j]
+        r = rng.random()
+        acc = 0.0
+        chosen = None
+        for i, piece, score in arcs[j]:
+            if fwd[i] == _NEG_INF:
+                continue
+            acc += _math.exp(fwd[i] + score - total)
+            if r < acc:
+                chosen = (i, piece)
+                break
+        if chosen is None:  # float-sum slack: take the last valid arc
+            for i, piece, score in reversed(arcs[j]):
+                if fwd[i] != _NEG_INF:
+                    chosen = (i, piece)
+                    break
+        i, piece = chosen
+        pieces.append(piece)
+        j = i
+    pieces.reverse()
+    return pieces
+
+
+def with_unigram_sampled_ids(
+    df: DataFrame,
+    logp: Mapping[str, float],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    max_piece_len: int = 8,
+    alpha: float = 0.2,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append SAMPLED piece ids — the paper's subword regularization:
+    each epoch's seed draws a different segmentation of the same text,
+    so the model sees segmentation variants as augmentation. The draw
+    is seeded per (seed, document id), NEVER rand(): the same
+    (seed, doc) pair yields the same ids at any partitioning or retry
+    (the repo's determinism contract), and a new epoch = a new seed."""
+    import zlib as _zlib
+
+    from patito_spark.operators.tokenizer import (
+        _pretokenize,
+        bytes_to_unicode,
+    )
+
+    ids = build_unigram_vocab(logp)
+    bc = df.sparkSession.sparkContext.broadcast((dict(logp), ids))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType()), True)]
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def encode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import random
+
+        import pandas as pd
+
+        lp, vocab_ids = bc.value
+        b2u = bytes_to_unicode()
+
+        for pdf in batches:
+            col = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    col.append(None)
+                    continue
+                rng = random.Random(
+                    (seed << 32)
+                    ^ _zlib.crc32(str(doc_id).encode("utf-8"))
+                )
+                out: list = []
+                for w in _pretokenize(text):
+                    word = "".join(b2u[c] for c in w.encode("utf-8"))
+                    out.extend(
+                        vocab_ids.get(p, 0)
+                        for p in sample_segment(
+                            word, lp, max_piece_len, alpha, rng
+                        )
+                    )
+                col.append(out)
+            out_pdf = pdf[names].copy()
+            out_pdf[out_col] = col
+            yield out_pdf
+
+    return df.mapInPandas(encode, schema=schema)

@@ -201,3 +201,88 @@ def test_encoding_ids_and_counts(spark):
     assert counts[2] is None
     assert counts[1] == len(out[1].token_ids)
     assert counts[3] == len(out[3].token_ids)
+
+
+class TestSampledSegmentation:
+    def test_high_alpha_recovers_viterbi(self):
+        import random
+
+        from patito_spark.operators.unigram import sample_segment
+
+        rng = random.Random(7)
+        for word in ("abab", "ababa", "bbaab"):
+            want, _ = viterbi_segment(word, LOGP, MAXLEN)
+            for _ in range(5):
+                got = sample_segment(word, LOGP, MAXLEN, 1000.0, rng)
+                assert got == want, word
+
+    def test_sampling_distribution_matches_tempered_posterior(self):
+        import math
+        import random
+        from collections import Counter
+
+        from patito_spark.operators.unigram import sample_segment
+
+        word, alpha = "abab", 0.7
+        segs = list(all_segmentations(word, LOGP, MAXLEN))
+        weights = [
+            math.exp(alpha * sum(LOGP[p] for p in s)) for s in segs
+        ]
+        z = sum(weights)
+        want = {tuple(s): w / z for s, w in zip(segs, weights)}
+        rng = random.Random(123)
+        n = 20_000
+        got = Counter(
+            tuple(sample_segment(word, LOGP, MAXLEN, alpha, rng))
+            for _ in range(n)
+        )
+        assert set(got) <= set(want)
+        for seg, p in want.items():
+            freq = got[seg] / n
+            # 4-sigma binomial band
+            sigma = math.sqrt(p * (1 - p) / n)
+            assert abs(freq - p) < 4 * sigma + 1e-3, (seg, freq, p)
+
+    def test_dataframe_sampling_deterministic_and_epochwise(self, spark):
+        from patito_spark.operators.unigram import (
+            with_unigram_sampled_ids,
+        )
+
+        lp = learn_unigram_pieces(WORDS, vocab_size=8, seed_size=50,
+                                  max_piece_len=3)
+        ids = build_unigram_vocab(lp)
+        inv = {i: p for p, i in ids.items()}
+        df = spark.createDataFrame(
+            [(i, "abab ababa bbaab") for i in range(30)] + [(99, None)],
+            "doc_id long, text string",
+        )
+        a = {
+            r.doc_id: r.token_ids
+            for r in with_unigram_sampled_ids(
+                df, lp, max_piece_len=3, alpha=0.3, seed=1
+            ).collect()
+        }
+        b = {
+            r.doc_id: r.token_ids
+            for r in with_unigram_sampled_ids(
+                df.repartition(8), lp, max_piece_len=3, alpha=0.3, seed=1
+            ).collect()
+        }
+        assert a == b  # partitioning-invariant (seeded per doc)
+        assert a[99] is None
+        c = {
+            r.doc_id: r.token_ids
+            for r in with_unigram_sampled_ids(
+                df, lp, max_piece_len=3, alpha=0.3, seed=2
+            ).collect()
+        }
+        assert any(a[d] != c[d] for d in range(30))  # new epoch varies
+        # draws differ ACROSS docs under one seed too (augmentation,
+        # not one shared sample)
+        assert len({tuple(v) for d, v in a.items() if v}) > 1
+        # every sampled id decodes to a valid piece covering the text
+        for d in range(30):
+            decoded = "".join(
+                inv[i] for i in a[d] if inv[i] != UNK_PIECE
+            )
+            assert "ababababa" in decoded.replace("Ġ", "")
