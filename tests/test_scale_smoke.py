@@ -748,3 +748,65 @@ def test_arpa_logloss_1m_docs(spark, tmp_path):
     assert agg["n"] == 1_000_000
     assert 0.0 < agg["lo"] <= agg["hi"] < 50.0
     lm.unpersist()
+
+
+def test_trigram_fused_1m_docs(spark):
+    """lm_quality_scores(trigram=True) at 1M docs: the triple-table
+    base aggregate, the derived pair table and the triple-keyed score
+    join complete with finite scores (the round-13 fused shape's big
+    aggregate is the triple table — this is its blow-up guard)."""
+    from patito_spark.operators.text import lm_quality_scores
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "concat('w', id % 97, ' w', (id + 1) % 97, ' w', (id * 3) % 97,"
+        " ' w', (id * 7) % 97, ' w', (id * 11) % 97) as text",
+    )
+    out = lm_quality_scores(docs, kneser_ney=True, trigram=True)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("trigram_ce").alias("lo"),
+        F.max("trigram_ce").alias("hi"),
+    ).first()
+    assert agg["n"] == 1_000_000
+    assert 0.0 < agg["lo"] <= agg["hi"] < 50.0
+
+
+def test_winnow_pairs_200k_boilerplate_half(spark):
+    """winnow_pairs at its degenerate worst: 200k docs where HALF share
+    one boilerplate sentence. The shared fingerprints land in a bucket
+    of ~100k members — the count guard must drop it BEFORE pairing
+    (an unguarded self-join would face ~5B candidate rows) while the
+    planted unique near-dup pair still surfaces."""
+    from patito_spark.functions.cache import release_caches
+    from patito_spark.operators.winnow import winnow_pairs
+
+    boiler = "all rights reserved contact the site administrator today"
+    docs = spark.range(200_000).selectExpr(
+        "id as doc_id",
+        f"if(id % 2 = 0, concat('doc ', id, ' opening words then "
+        f"{boiler} and unique tail ', id * 7), "
+        f"concat('free text body ', id, ' with its own run of tokens "
+        f"number ', id * 13, ' extended'))  as text",
+    )
+    # plant one true partial-overlap pair OUTSIDE the boilerplate set
+    quote = "a very specific quoted passage repeated in exactly two docs"
+    planted = spark.createDataFrame(
+        [
+            (900_001, "first holder of " + quote + " with extra prose"),
+            (900_002, "second place where " + quote + " appears too"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        out = winnow_pairs(
+            docs.unionByName(planted), min_shared=2,
+            max_bucket_size=1000,
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in out.filter("id_a >= 900000").collect()
+        }
+    finally:
+        release_caches()
+    assert (900_001, 900_002) in pairs
