@@ -316,3 +316,72 @@ def truncate_pca(params: dict, k: int) -> dict:
         "dim": params["dim"],
         "k": k,
     }
+
+
+def opq_eigen_allocation(explained_variance, m: int) -> list:
+    """Parametric OPQ dimension allocation (Ge et al. 2013, "Optimized
+    Product Quantization", the eigenvalue-allocation variant): assign
+    PCA dimensions to ``m`` product-quantizer subspaces so the PRODUCT
+    of eigenvalues per subspace balances — the free-rotation family's
+    closed-form member for Gaussian data, and the standard fix for
+    PQ's weakness on anisotropic (PCA'd) vectors, where a contiguous
+    split gives the first subspace all the variance.
+
+    Greedy (LPT over SHIFTED log-eigenvalues): every subspace ends
+    with exactly ``d/m`` dimensions, so subtracting the minimum log
+    from every value shifts each final subspace sum by the same
+    constant — balance is unchanged — while making the values
+    non-negative, which is what the longest-processing-time greedy
+    needs (raw logs of sub-1 eigenvalues are negative, and a
+    min-product rule then keeps attracting mass to whichever bucket
+    already has the most). Dimensions in descending shifted order,
+    each to the unfilled subspace with the smallest current sum.
+    Returns a permutation ``perm`` with ``perm[i]`` = the PCA
+    dimension placed at output slot ``i`` (slots are contiguous per
+    subspace, so a plain contiguous PQ split downstream sees the
+    balanced allocation).
+    """
+    import math
+
+    d = len(explained_variance)
+    if m < 1 or d % m != 0:
+        raise ValueError(
+            f"m must divide the dimension: d={d}, m={m}"
+        )
+    per = d // m
+    logs = [
+        math.log(max(float(v), 1e-300)) for v in explained_variance
+    ]
+    lo = min(logs)
+    shifted = [v - lo for v in logs]
+    order = sorted(range(d), key=lambda i: (-shifted[i], i))
+    load = [0.0] * m
+    members: list = [[] for _ in range(m)]
+    for dim in order:
+        candidates = [g for g in range(m) if len(members[g]) < per]
+        g = min(candidates, key=lambda g: (load[g], g))
+        members[g].append(dim)
+        load[g] += shifted[dim]
+    perm: list = []
+    for g in range(m):
+        perm.extend(members[g])
+    return perm
+
+
+def opq_reorder(params: dict, m: int) -> dict:
+    """Apply :func:`opq_eigen_allocation` to a :func:`fit_pca` fit by
+    REORDERING its components — projection through the reordered fit
+    IS the allocated rotation, so the PCA→OPQ→PQ chain costs zero
+    extra corpus passes: ``pca_project(df, opq_reorder(fit, m))``
+    feeds ``..quantize.fit_pq(m=m)`` directly. Explained variances are
+    permuted alongside (they describe output slots)."""
+    perm = opq_eigen_allocation(params["explained_variance"], m)
+    return {
+        "mean": params["mean"],
+        "components": [params["components"][i] for i in perm],
+        "explained_variance": [
+            params["explained_variance"][i] for i in perm
+        ],
+        "dim": params["dim"],
+        "k": params["k"],
+    }

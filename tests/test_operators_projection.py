@@ -214,3 +214,72 @@ def test_project_out_col_collision_errors(spark, emb):
     # dropping the input frees its name (the rename-in-place idiom)
     out = pca_project(emb, params, out_col="embedding", keep_vec=False)
     assert out.columns.count("embedding") == 1
+
+
+class TestOpqAllocation:
+    def test_balances_log_products(self):
+        from patito_spark.operators.projection import opq_eigen_allocation
+
+        ev = [2.0 ** -i for i in range(16)]
+        perm = opq_eigen_allocation(ev, 4)
+        assert sorted(perm) == list(range(16))
+        per = 4
+        logs = [
+            sum(np.log(ev[i]) for i in perm[g * per:(g + 1) * per])
+            for g in range(4)
+        ]
+        naive = [
+            sum(np.log(e) for e in ev[g * per:(g + 1) * per])
+            for g in range(4)
+        ]
+        assert max(logs) - min(logs) < (max(naive) - min(naive)) / 4
+
+    def test_errors_on_indivisible(self):
+        from patito_spark.operators.projection import opq_eigen_allocation
+
+        with pytest.raises(ValueError, match="divide"):
+            opq_eigen_allocation([1.0] * 10, 4)
+
+    def test_reorder_composes_and_improves_pq(self, spark):
+        """PCA -> eigenvalue-allocated reorder -> PQ beats the naive
+        contiguous split on anisotropic data (Ge et al. 2013's point):
+        same fit, same PQ budget, lower reconstruction MSE."""
+        from patito_spark.operators.projection import opq_reorder
+        from patito_spark.operators.quantize import (
+            fit_pq,
+            pq_decode,
+            pq_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        d, n, m = 16, 600, 4
+        scales = np.array([2.0 ** -(i / 2) for i in range(d)])
+        mat = rng.standard_normal((n, d)) * scales
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+        params = fit_pca(df)
+        alloc = opq_reorder(params, m)
+        assert sorted(map(tuple, alloc["components"])) == sorted(
+            map(tuple, params["components"])
+        )
+
+        def mse(fit):
+            proj = pca_project(df, fit, out_col="embedding")
+            pq = fit_pq(proj, m=m, nbits=4, seed=3)
+            back = pq_decode(pq_encode(proj, pq), pq)
+            err = 0.0
+            orig = {
+                r.vec_id: np.array(r.embedding)
+                for r in proj.collect()
+            }
+            for r in back.collect():
+                err += float(
+                    np.sum(
+                        (np.array(r.embedding) - orig[r.vec_id]) ** 2
+                    )
+                )
+            return err / len(orig)
+
+        assert mse(alloc) < mse(params) * 0.95
