@@ -234,3 +234,185 @@ def c4_rules(
     for name in rules:
         passed = F.col(name) if passed is None else passed & F.col(name)
     return out.withColumn("pass_c4", passed)
+
+
+#: Gopher repetition thresholds (Rae et al. 2021, Table A2): a document
+#: FAILS when the metric exceeds the threshold.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2_gram_char_frac": 0.20,
+    "top_3_gram_char_frac": 0.18,
+    "top_4_gram_char_frac": 0.16,
+    "dup_5_gram_char_frac": 0.15,
+    "dup_6_gram_char_frac": 0.14,
+    "dup_7_gram_char_frac": 0.13,
+    "dup_8_gram_char_frac": 0.12,
+    "dup_9_gram_char_frac": 0.11,
+    "dup_10_gram_char_frac": 0.10,
+}
+
+
+def _repetition_metrics(text: str) -> dict:
+    """All thirteen Table-A2 repetition metrics of ONE document — the
+    pure function the distributed stage maps and the tests pin by
+    hand. Conventions (the paper under-specifies; these follow the
+    common public implementations and are documented here):
+
+    - duplicate line/paragraph fraction = (occurrences − distinct) /
+      total units (lines split on ``\\n``, paragraphs on blank lines);
+      the char variants count the characters of those SURPLUS
+      occurrences over the document's total characters;
+    - top n-gram char fraction (n = 2..4) = occurrences of the single
+      most frequent n-gram × its character length (spaces included) /
+      total characters; ties break to the lexicographically smallest
+      gram (deterministic across engines);
+    - duplicate n-gram char fraction (n = 5..10) = characters covered
+      by the UNION of all occurrences of every n-gram appearing more
+      than once / total characters (span marking — overlapping
+      duplicates never double-count).
+    """
+    from collections import Counter
+
+    out: dict = {}
+    n_chars = len(text)
+    denom_chars = float(n_chars) if n_chars else 1.0
+
+    def unit_stats(units):
+        units = [u for u in units]
+        total = len(units)
+        if total == 0:
+            return 0.0, 0.0
+        ctr = Counter(units)
+        dup_units = total - len(ctr)
+        dup_chars = sum(
+            (cnt - 1) * len(u) for u, cnt in ctr.items() if cnt > 1
+        )
+        return dup_units / total, dup_chars / denom_chars
+
+    import re as _re
+
+    lines = text.split("\n")
+    paras = [p for p in _re.split(r"\n{2,}", text)]
+    out["dup_line_frac"], out["dup_line_char_frac"] = unit_stats(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = unit_stats(paras)
+
+    toks = text.split(" ")
+    n_toks = len(toks)
+    # token char offsets for span marking (single-space delimiters)
+    starts = []
+    pos = 0
+    for t in toks:
+        starts.append(pos)
+        pos += len(t) + 1
+
+    for n in (2, 3, 4):
+        key = f"top_{n}_gram_char_frac"
+        if n_toks < n:
+            out[key] = 0.0
+            continue
+        ctr = Counter(
+            tuple(toks[i : i + n]) for i in range(n_toks - n + 1)
+        )
+        top_gram, top_cnt = min(
+            ctr.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        gram_chars = sum(len(t) for t in top_gram) + (n - 1)
+        out[key] = (top_cnt * gram_chars) / denom_chars
+
+    for n in range(5, 11):
+        key = f"dup_{n}_gram_char_frac"
+        if n_toks < n:
+            out[key] = 0.0
+            continue
+        ctr = Counter(
+            tuple(toks[i : i + n]) for i in range(n_toks - n + 1)
+        )
+        marked = bytearray(n_chars)
+        for i in range(n_toks - n + 1):
+            gram = tuple(toks[i : i + n])
+            if ctr[gram] < 2:
+                continue
+            lo = starts[i]
+            hi = starts[i + n - 1] + len(toks[i + n - 1])
+            for j in range(lo, hi):
+                marked[j] = 1
+        out[key] = sum(marked) / denom_chars
+    return out
+
+
+def gopher_repetition_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: Optional[dict] = None,
+) -> DataFrame:
+    """Append the FULL Gopher repetition filter table (Rae et al. 2021,
+    Table A2): thirteen metric columns, a ``rule_rep_*`` boolean per
+    metric (True = within threshold) and the conjunction
+    ``pass_repetition``.
+
+    Completes the rule coverage next to :func:`gopher_rules` (Table A1
+    quality heuristics): duplicate line/paragraph fractions and their
+    character variants, top 2–4-gram character fractions, duplicate
+    5–10-gram character fractions — the boilerplate/keyword-stuffing
+    battery. Strictly DOCUMENT-LOCAL, so it runs as one Arrow-batched
+    ``mapInPandas`` stage (the ``repetition_stats`` precedent): zero
+    shuffles, no per-gram rows materialize, composes with streams.
+    Null text fails every rule. See :func:`_repetition_metrics` for
+    the exact conventions where the paper under-specifies.
+    """
+    from pyspark.sql import types as T
+
+    thr = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(thr)
+        if unknown:
+            raise ValueError(
+                f"unknown repetition thresholds {sorted(unknown)}"
+            )
+        thr.update(thresholds)
+    metric_names = list(GOPHER_REPETITION_THRESHOLDS)
+
+    fields = list(df.schema.fields)
+    for mname in metric_names:
+        fields.append(T.StructField(mname, T.DoubleType(), False))
+        fields.append(
+            T.StructField(f"rule_rep_{mname}", T.BooleanType(), False)
+        )
+    fields.append(T.StructField("pass_repetition", T.BooleanType(), False))
+    schema = T.StructType(fields)
+    names = [f.name for f in df.schema.fields]
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict = {m: [] for m in metric_names}
+            rules: dict = {m: [] for m in metric_names}
+            passed = []
+            for text in pdf[text_col]:
+                if text is None:
+                    for m in metric_names:
+                        cols[m].append(1.0)
+                        rules[m].append(False)
+                    passed.append(False)
+                    continue
+                metrics = _repetition_metrics(text)
+                ok = True
+                for m in metric_names:
+                    v = metrics[m]
+                    good = v <= thr[m]
+                    ok = ok and good
+                    cols[m].append(v)
+                    rules[m].append(good)
+                passed.append(ok)
+            out = pdf[names].copy()
+            for m in metric_names:
+                out[m] = cols[m]
+                out[f"rule_rep_{m}"] = rules[m]
+            out["pass_repetition"] = passed
+            yield out
+
+    return df.mapInPandas(compute, schema=schema)

@@ -179,13 +179,17 @@ def prepare_training_corpus(
         # that fuse into the same scan as the generic gates above; the
         # boolean columns are dropped after filtering so downstream
         # stages see the original schema.
-        from patito_spark.operators.heuristics import c4_rules, gopher_rules
+        from patito_spark.operators.heuristics import (
+            c4_rules,
+            gopher_repetition_rules,
+            gopher_rules,
+        )
 
-        unknown = set(rule_sets) - {"gopher", "c4"}
+        unknown = set(rule_sets) - {"gopher", "c4", "gopher_repetition"}
         if unknown:
             raise ValueError(
                 f"unknown rule_sets {sorted(unknown)}; "
-                "supported: 'gopher', 'c4'"
+                "supported: 'gopher', 'c4', 'gopher_repetition'"
             )
         before = gated.columns
         if "gopher" in rule_sets:
@@ -194,6 +198,12 @@ def prepare_training_corpus(
             )
         if "c4" in rule_sets:
             gated = c4_rules(gated, text_col=text_col).filter("pass_c4")
+        if "gopher_repetition" in rule_sets:
+            # the Table-A2 battery is doc-local Counter work, so this
+            # one runs as an Arrow stage, not a codegen projection
+            gated = gopher_repetition_rules(
+                gated, text_col=text_col
+            ).filter("pass_repetition")
         gated = gated.select(*before)
         stages["rule_sets"] = gated
     if max_perplexity is not None:

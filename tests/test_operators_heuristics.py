@@ -289,3 +289,82 @@ def test_rules_compose_with_streams(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("select doc_id from t_rule_gated").collect()
     assert [r.doc_id for r in rows] == [1]
+
+
+class TestGopherRepetitionRules:
+    def test_hand_checked_metrics(self):
+        from patito_spark.operators.heuristics import _repetition_metrics
+
+        # duplicate 5-gram: "a b c d e" twice; union span marking
+        text = "a b c d e a b c d e x"
+        m = _repetition_metrics(text)
+        assert m["dup_5_gram_char_frac"] == pytest.approx(18 / 21)
+        # overlapping duplicated grams never double-count characters
+        assert 0.0 <= m["dup_6_gram_char_frac"] <= 1.0
+        # top 2-gram: every adjacent pair; "a b" occurs twice (9 pairs
+        # total), gram chars = 3, doc chars = 21
+        assert m["top_2_gram_char_frac"] == pytest.approx(2 * 3 / 21)
+
+        lines = _repetition_metrics("dup line\ndup line\nfresh one")
+        assert lines["dup_line_frac"] == pytest.approx(1 / 3)
+        assert lines["dup_line_char_frac"] == pytest.approx(
+            len("dup line") / len("dup line\ndup line\nfresh one")
+        )
+
+        paras = _repetition_metrics("para one\n\npara one\n\nother")
+        assert paras["dup_para_frac"] == pytest.approx(1 / 3)
+
+        short = _repetition_metrics("a b")
+        assert short["dup_10_gram_char_frac"] == 0.0
+        assert short["top_4_gram_char_frac"] == 0.0
+
+    def test_dataframe_rules_and_thresholds(self, spark):
+        from patito_spark.operators.heuristics import (
+            GOPHER_REPETITION_THRESHOLDS,
+            gopher_repetition_rules,
+        )
+
+        spam = " ".join(["buy cheap pills now today"] * 30)
+        clean = " ".join(f"w{i} x{i * 7 % 13}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, spam), (2, clean), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in gopher_repetition_rules(df).collect()}
+        assert not out[1].pass_repetition  # keyword stuffing gates out
+        assert out[1].dup_5_gram_char_frac > 0.9
+        assert out[2].pass_repetition
+        assert not out[3].pass_repetition  # null text fails all
+        # per-rule booleans exist for every Table-A2 metric
+        for m in GOPHER_REPETITION_THRESHOLDS:
+            assert hasattr(out[1], f"rule_rep_{m}")
+        # threshold override flips a rule
+        loose = {
+            r.doc_id: r
+            for r in gopher_repetition_rules(
+                df, thresholds={"dup_5_gram_char_frac": 1.0}
+            ).collect()
+        }
+        assert loose[1].rule_rep_dup_5_gram_char_frac
+        with pytest.raises(ValueError, match="unknown repetition"):
+            gopher_repetition_rules(df, thresholds={"nope": 0.5})
+
+    def test_pipeline_rule_set_wiring(self, spark):
+        from patito_spark.operators.pipeline import prepare_training_corpus
+
+        spam = " ".join(["buy cheap pills now today"] * 30)
+        clean = " ".join(f"w{i} x{i * 7 % 13}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, spam), (2, clean)], "doc_id long, text string"
+        )
+        out = prepare_training_corpus(
+            df,
+            rule_sets=["gopher_repetition"],
+            min_tokens=2,
+            dedup_threshold=None,
+        )
+        ids = {r.doc_id for r in out["documents"].collect()}
+        assert ids == {2}
+        assert "rule_sets" in out["stages"]
+        # the rule columns are dropped after filtering
+        assert "pass_repetition" not in out["documents"].columns
