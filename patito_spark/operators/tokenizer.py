@@ -575,3 +575,22 @@ def save_bpe_vocab(vocab: Mapping[str, int], path: str) -> None:
     with open(path, "w", encoding="utf-8") as fh:
         json.dump({str(k): int(v) for k, v in vocab.items()}, fh,
                   ensure_ascii=False)
+
+
+def bpe_decode_ids(ids, vocab: Mapping[str, int]) -> str:
+    """Invert :func:`bpe_token_ids`: ids → alphabet tokens → raw bytes
+    → text (the GPT-2 decode; bytes_to_unicode is bijective, so
+    round-trips are exact for any id sequence the encoder emitted).
+    Unknown ids raise — a BPE vocab covers every emittable token, so
+    an unknown id means the ids and the vocab are from different
+    artifacts."""
+    inv = {i: t for t, i in vocab.items()}
+    u2b = {c: b for b, c in bytes_to_unicode().items()}
+    try:
+        joined = "".join(inv[i] for i in ids)
+    except KeyError as exc:
+        raise ValueError(
+            f"id {exc.args[0]} is not in this vocab ({len(vocab)} "
+            "entries) — ids and vocab come from different artifacts"
+        ) from None
+    return bytes(u2b[c] for c in joined).decode("utf-8", errors="replace")

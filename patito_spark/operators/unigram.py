@@ -719,3 +719,28 @@ def with_unigram_sampled_ids(
             yield out_pdf
 
     return df.mapInPandas(encode, schema=schema)
+
+
+def unigram_decode_ids(ids, logp: Mapping[str, float]) -> str:
+    """Invert :func:`with_unigram_token_ids`: ids → pieces → raw bytes
+    → text (pieces live in the GPT-2 byte alphabet, which is
+    bijective, so in-vocabulary round-trips are exact). ``<unk>`` (id
+    0) decodes to U+FFFD — the encoder only emits it for characters
+    the vocabulary never saw, so the original bytes are genuinely
+    gone."""
+    from patito_spark.operators.tokenizer import bytes_to_unicode
+
+    inv = {i: p for p, i in build_unigram_vocab(logp).items()}
+    u2b = {c: b for b, c in bytes_to_unicode().items()}
+    out = bytearray()
+    for i in ids:
+        piece = inv.get(i)
+        if piece is None:
+            raise ValueError(
+                f"id {i} is not in this vocab ({len(inv)} entries)"
+            )
+        if piece == UNK_PIECE:
+            out.extend("�".encode("utf-8"))
+            continue
+        out.extend(u2b[c] for c in piece)
+    return out.decode("utf-8", errors="replace")

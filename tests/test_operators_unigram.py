@@ -286,3 +286,41 @@ class TestSampledSegmentation:
                 inv[i] for i in a[d] if inv[i] != UNK_PIECE
             )
             assert "ababababa" in decoded.replace("Ġ", "")
+
+
+def test_decode_round_trips(spark):
+    """encode -> decode recovers the original text exactly for
+    in-vocabulary input, for BOTH tokenizer families (the byte
+    alphabet is bijective)."""
+    from patito_spark.operators.tokenizer import (
+        bpe_decode_ids,
+        build_bpe_vocab,
+        train_bpe,
+        with_bpe_token_ids,
+    )
+    from patito_spark.operators.unigram import unigram_decode_ids
+
+    texts = ["abab ababa bbaab", "aab babb abab", "café abab"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=20)
+    vocab = build_bpe_vocab(merges)
+    out = {
+        r.doc_id: r.token_ids
+        for r in with_bpe_token_ids(df, merges, vocab).collect()
+    }
+    for i, t in enumerate(texts):
+        assert bpe_decode_ids(out[i], vocab) == t
+    with pytest.raises(ValueError, match="different artifacts"):
+        bpe_decode_ids([10 ** 9], vocab)
+
+    lp = train_unigram(df, vocab_size=64, seed_size=200, max_piece_len=4)
+    uni = {
+        r.doc_id: r.token_ids
+        for r in with_unigram_token_ids(df, lp, max_piece_len=4).collect()
+    }
+    for i, t in enumerate(texts):
+        assert unigram_decode_ids(uni[i], lp) == t
+    with pytest.raises(ValueError, match="not in this vocab"):
+        unigram_decode_ids([10 ** 9], lp)
