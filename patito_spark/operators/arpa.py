@@ -184,11 +184,17 @@ def arpa_logloss(
     has none. ``order`` caps the chain below the artifact's (e.g.
     score 5-gram files as trigrams for an A/B).
 
-    Scale shape (see module doc): one corpus explode, one distinct
-    (h.., w) tuple aggregate, 2·order−1 gram/context lookups joined on
-    the TUPLE table (each gated to broadcast under
-    ``max_broadcast_ngrams`` table rows), one null-safe corpus-stream
-    join, one per-doc aggregate.
+    Scale shape: when the WHOLE model fits the broadcast gate (the
+    normal case — a filter artifact is fixed-size), the scoring pass
+    is SHUFFLE-FREE: one corpus explode, 2·order−1 map-side broadcast
+    hash joins straight on the positioned stream, one map-side-combined
+    per-doc aggregate (its exchange is the only shuffle in the plan —
+    plan-asserted). Above the gate (a corpus-scale model) the operator
+    falls back to the fused-tuple shape: one distinct (h.., w) tuple
+    aggregate, the lookups joined on the TUPLE table (O(distinct
+    tuples) join work), one null-safe corpus-stream join — two extra
+    exchanges, but the model-side shuffle joins touch each distinct
+    tuple once instead of every position.
     """
     n_order = min(order or lm.order, lm.order)
     if n_order < 1:
@@ -219,12 +225,26 @@ def arpa_logloss(
         positioned = positioned.filter(F.col("__i") > 0)
     positioned = positioned.drop("__i")
 
-    tuples = tracked_persist(
-        positioned.groupBy(*h_names).agg(F.count("*").alias("__cnt"))
-    )
-    # one action: the exact broadcast-gate count for the fused score
-    # table below, doubling as the tuple cache materialization
-    n_tuples = tuples.count()
+    # Broadcast-able model (the filter-artifact case): skip the tuple
+    # aggregate entirely — every lookup is a map-side hash join on the
+    # positioned stream, so nothing shuffles before the per-doc
+    # aggregate. A corpus-scale model would turn those into repeated
+    # corpus-wide shuffle joins; there the distinct-tuple collapse
+    # pays for its one exchange.
+    direct = sum(lm.counts.values()) <= max_broadcast_ngrams
+    if direct:
+        tuples = positioned
+        n_tuples = None
+    else:
+        tuples = tracked_persist(
+            positioned.groupBy(*h_names).agg(
+                F.count("*").alias("__cnt")
+            )
+        )
+        # one action: the exact broadcast-gate count for the fused
+        # score table below, doubling as the tuple cache
+        # materialization
+        n_tuples = tuples.count()
 
     def _side(frame: DataFrame, rows: int) -> DataFrame:
         return F.broadcast(frame) if rows <= max_broadcast_ngrams else frame
@@ -297,18 +317,23 @@ def arpa_logloss(
         expr = F.when(lp.isNotNull(), lp + acc).otherwise(expr)
     nll = -expr * F.lit(LN10)
 
-    score_tbl = _side(
-        tbl.select(
-            *[F.col(c).alias(f"__s_{c}") for c in h_names],
-            nll.alias("__nll"),
-        ),
-        n_tuples,
-    )
-    cond = None
-    for c in h_names:
-        eq = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
-        cond = eq if cond is None else cond & eq
-    scored = positioned.join(score_tbl, cond, how="left")
+    if direct:
+        # the lookups already rode the positioned stream — score in
+        # place, one aggregate, done
+        scored = tbl.select(F.col(id_col), nll.alias("__nll"))
+    else:
+        score_tbl = _side(
+            tbl.select(
+                *[F.col(c).alias(f"__s_{c}") for c in h_names],
+                nll.alias("__nll"),
+            ),
+            n_tuples,
+        )
+        cond = None
+        for c in h_names:
+            eq = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+            cond = eq if cond is None else cond & eq
+        scored = positioned.join(score_tbl, cond, how="left")
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.avg("__nll").alias("arpa_ce"),

@@ -189,11 +189,11 @@ def test_null_and_empty_text(spark, lm):
 
 
 def test_plan_broadcast_lookups_no_cartesian(spark, lm):
-    """All 2N-1 model lookups broadcast (artifact-sized sides) and the
-    scoring is the fused-score-table shape: no cartesian, no
-    nested-loop join, and the corpus stream joins the score table
-    exactly once (a SortMergeJoin would mean a lookup missed its
-    broadcast gate at this size)."""
+    """Broadcast-able model -> the DIRECT path: every lookup is a
+    map-side BroadcastHashJoin on the positioned stream and the ONLY
+    exchange in the whole plan is the per-doc aggregate's (round 13:
+    the tuple collapse is reserved for corpus-scale models - a filter
+    artifact must score shuffle-free)."""
     from patito_spark.plans import executed_plan
 
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
@@ -202,6 +202,29 @@ def test_plan_broadcast_lookups_no_cartesian(spark, lm):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tuple_fallback_matches_direct(spark, lm):
+    """Forcing the tuple path (gate between the largest table and the
+    model total) reproduces the direct path's scores - same NLL
+    expression, different join topology."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    direct = {
+        r["doc_id"]: r["arpa_ce"]
+        for r in arpa_logloss(df, lm).collect()
+    }
+    # counts are {1:7, 2:5, 3:3}: 10 < 15 total forces the tuple shape
+    # while every per-order side still broadcasts
+    tup = {
+        r["doc_id"]: r["arpa_ce"]
+        for r in arpa_logloss(
+            df, lm, max_broadcast_ngrams=10
+        ).collect()
+    }
+    assert set(direct) == set(tup)
+    for d in direct:
+        assert tup[d] == pytest.approx(direct[d], rel=1e-12)
 
 
 def test_admission_matches_join_form_and_streams(spark, lm, tmp_path):
