@@ -383,6 +383,7 @@ def quantile_bins(
     output_col: str = "bin",
     relative_error: float = 0.001,
     breakpoints: Optional[Sequence[float]] = None,
+    group_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Assign each row its quantile bin of ``score_col`` (0 .. n_bins-1).
 
@@ -406,9 +407,48 @@ def quantile_bins(
     Null scores get a null bin. Duplicate breakpoints (massively
     repeated score values) collapse those bins to empty — mass goes to
     the highest bin whose breakpoint equals the value.
+
+    ``group_cols`` bins WITHIN each group against that group's own
+    quantiles (round 13 — the CCNet shape: perplexity terciles are per
+    LANGUAGE, or a corpus-wide tercile would just rank languages).
+    One grouped ``percentile_approx`` aggregate (mergeable sketch,
+    group-count rows), breakpoint arrays broadcast-joined back, and
+    the bin index unrolls to ``n_bins − 1`` static element
+    comparisons — still a codegen projection, no window, no shuffle of
+    the data stream. Groups whose scores are all null bin to null.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")
+    if group_cols:
+        if breakpoints is not None:
+            raise ValueError(
+                "breakpoints and group_cols are mutually exclusive — "
+                "precomputed breakpoints are a single global ladder"
+            )
+        probs = [i / n_bins for i in range(1, n_bins)]
+        acc = max(int(1.0 / relative_error), 100)
+        bps = (
+            df.groupBy(*group_cols)
+            .agg(
+                F.percentile_approx(
+                    score_col, probs, F.lit(acc)
+                ).alias("__bps")
+            )
+        )
+        joined = df.join(F.broadcast(bps), on=list(group_cols), how="left")
+        score = F.col(score_col)
+        bin_idx = sum(
+            (
+                score >= F.element_at(F.col("__bps"), k + 1)
+            ).cast("int")
+            for k in range(n_bins - 1)
+        )
+        return joined.withColumn(
+            output_col,
+            F.when(
+                score.isNotNull() & F.col("__bps").isNotNull(), bin_idx
+            ).cast("int"),
+        ).drop("__bps")
     if breakpoints is None:
         probs = [i / n_bins for i in range(1, n_bins)]
         breakpoints = df.stat.approxQuantile(
@@ -431,3 +471,40 @@ def quantile_bins(
         output_col,
         F.when(score.isNotNull(), bin_idx).cast("int"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    ppl_col: str = "perplexity",
+    group_cols: Sequence[str] = ("lang",),
+    output_col: str = "ccnet_bucket",
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per-GROUP
+    perplexity terciles — ``head`` is each language's lowest-perplexity
+    third (what CCNet keeps for high-quality corpora), ``tail`` its
+    highest. A thin labeling layer over :func:`quantile_bins` with
+    ``group_cols``, so the cost is one grouped sketch aggregate plus a
+    map-only assignment; rows with null perplexity (or an all-null
+    group) get a null bucket. More or fewer ``labels`` give finer or
+    coarser splits (len(labels) bins)."""
+    if len(labels) < 2:
+        raise ValueError("need at least two labels")
+    binned = quantile_bins(
+        df,
+        ppl_col,
+        n_bins=len(labels),
+        output_col="__ccnet_bin",
+        relative_error=relative_error,
+        group_cols=list(group_cols),
+    )
+    label_expr = None
+    for i, name in enumerate(labels):
+        cond = F.col("__ccnet_bin") == i
+        label_expr = (
+            F.when(cond, F.lit(name))
+            if label_expr is None
+            else label_expr.when(cond, F.lit(name))
+        )
+    return binned.withColumn(output_col, label_expr).drop("__ccnet_bin")

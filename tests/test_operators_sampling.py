@@ -543,3 +543,81 @@ class TestSampleExactN:
 
         want = sorted(sorted(range(100), key=phash)[:7])
         assert got == want
+
+
+class TestGroupedQuantileBins:
+    def test_per_group_terciles(self, spark):
+        """Each group bins against ITS OWN distribution: two languages
+        with disjoint perplexity ranges still split ~equal thirds
+        within themselves (a global ladder would put all of lang B in
+        the top bin)."""
+        from patito_spark.operators.sampling import quantile_bins
+
+        rows = [(i, "a", float(i)) for i in range(90)] + [
+            (1000 + i, "b", 1000.0 + i) for i in range(90)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+        out = quantile_bins(
+            df, "ppl", n_bins=3, group_cols=["lang"]
+        )
+        counts = {
+            (r.lang, r.bin): r["count"]
+            for r in out.groupBy("lang", "bin").count().collect()
+        }
+        for lang in ("a", "b"):
+            for b in (0, 1, 2):
+                assert 20 <= counts[(lang, b)] <= 40, counts
+        # monotone within group: bin 0 holds the smallest scores
+        rows_a = {
+            r.doc_id: r.bin for r in out.filter("lang = 'a'").collect()
+        }
+        assert rows_a[0] == 0 and rows_a[89] == 2
+
+    def test_null_handling_and_exclusivity(self, spark):
+        from patito_spark.operators.sampling import quantile_bins
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", None), (3, "z", None)],
+            "doc_id long, lang string, ppl double",
+        )
+        out = {r.doc_id: r.bin for r in quantile_bins(
+            df, "ppl", n_bins=2, group_cols=["lang"]
+        ).collect()}
+        assert out[2] is None and out[3] is None
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            quantile_bins(
+                df, "ppl", n_bins=2, group_cols=["lang"],
+                breakpoints=[0.5],
+            )
+
+    def test_ccnet_buckets_labels_and_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from patito_spark.operators.sampling import ccnet_buckets
+        from patito_spark.plans import executed_plan
+
+        rows = [(i, "en", float(i % 30)) for i in range(90)] + [
+            (100 + i, "de", float(50 + i % 30)) for i in range(90)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, perplexity double"
+        )
+        out = ccnet_buckets(df)
+        got = out.groupBy("lang", "ccnet_bucket").count().collect()
+        langs = {(r.lang, r.ccnet_bucket) for r in got}
+        for lang in ("en", "de"):
+            assert {(lang, "head"), (lang, "middle"), (lang, "tail")} <= langs
+        # head = the LOWEST-perplexity third of each language
+        en_head_max = (
+            out.filter("lang = 'en' and ccnet_bucket = 'head'")
+            .agg(F.max("perplexity")).first()[0]
+        )
+        en_tail_min = (
+            out.filter("lang = 'en' and ccnet_bucket = 'tail'")
+            .agg(F.min("perplexity")).first()[0]
+        )
+        assert en_head_max < en_tail_min
+        # breakpoint side broadcasts; the data stream never shuffles
+        plan = executed_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
