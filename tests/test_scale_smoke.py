@@ -810,3 +810,27 @@ def test_winnow_pairs_200k_boilerplate_half(spark):
     finally:
         release_caches()
     assert (900_001, 900_002) in pairs
+
+
+def test_gopher_repetition_rules_200k_docs(spark):
+    """The Table-A2 battery at 200k synthetic docs: doc-local Counter
+    + span-marking work stays an Arrow map (no shuffle before the
+    count), throughput sane, spammy docs gate out."""
+    from patito_spark.operators.heuristics import gopher_repetition_rules
+
+    docs = spark.range(200_000).selectExpr(
+        "id as doc_id",
+        "if(id % 10 = 0,"
+        " concat_ws(' ', transform(sequence(1, 40),"
+        "   i -> 'buy cheap pills now')),"
+        " concat_ws(' ', transform(sequence(1, 40),"
+        "   i -> concat('w', (id + i * 7) % 9973)))) as text",
+    )
+    out = gopher_repetition_rules(docs)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("pass_repetition").cast("int")).alias("passed"),
+    ).first()
+    assert agg["n"] == 200_000
+    # the 10% stuffed docs fail, the fresh ones pass
+    assert 175_000 <= agg["passed"] <= 185_000
