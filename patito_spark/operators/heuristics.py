@@ -262,13 +262,19 @@ def _repetition_metrics(text: str) -> dict:
     common public implementations and are documented here):
 
     - duplicate line/paragraph fraction = (occurrences − distinct) /
-      total units (lines split on ``\\n``, paragraphs on blank lines);
-      the char variants count the characters of those SURPLUS
-      occurrences over the document's total characters;
+      total units (lines split on ``\\n``, paragraphs on blank lines;
+      empty/whitespace-only units are EXCLUDED from both the counts
+      and the totals — otherwise the blank lines separating paragraphs
+      count as duplicates of each other and a normal all-unique
+      multi-paragraph doc fails the 0.30 gate); the char variants
+      count the characters of those SURPLUS occurrences over the
+      document's total characters;
     - top n-gram char fraction (n = 2..4) = occurrences of the single
-      most frequent n-gram × its character length (spaces included) /
-      total characters; ties break to the lexicographically smallest
-      gram (deterministic across engines);
+      most frequent n-gram × the sum of its token lengths (spaces
+      EXCLUDED, matching the calibration of the public threshold
+      imports — Dolma/NeMo sum token lengths only) / total characters;
+      ties break to the lexicographically smallest gram (deterministic
+      across engines);
     - duplicate n-gram char fraction (n = 5..10) = characters covered
       by the UNION of all occurrences of every n-gram appearing more
       than once / total characters (span marking — overlapping
@@ -281,7 +287,7 @@ def _repetition_metrics(text: str) -> dict:
     denom_chars = float(n_chars) if n_chars else 1.0
 
     def unit_stats(units):
-        units = [u for u in units]
+        units = [u for u in units if u.strip()]
         total = len(units)
         if total == 0:
             return 0.0, 0.0
@@ -319,7 +325,7 @@ def _repetition_metrics(text: str) -> dict:
         top_gram, top_cnt = min(
             ctr.items(), key=lambda kv: (-kv[1], kv[0])
         )
-        gram_chars = sum(len(t) for t in top_gram) + (n - 1)
+        gram_chars = sum(len(t) for t in top_gram)
         out[key] = (top_cnt * gram_chars) / denom_chars
 
     for n in range(5, 11):

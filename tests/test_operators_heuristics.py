@@ -302,8 +302,9 @@ class TestGopherRepetitionRules:
         # overlapping duplicated grams never double-count characters
         assert 0.0 <= m["dup_6_gram_char_frac"] <= 1.0
         # top 2-gram: every adjacent pair; "a b" occurs twice (9 pairs
-        # total), gram chars = 3, doc chars = 21
-        assert m["top_2_gram_char_frac"] == pytest.approx(2 * 3 / 21)
+        # total), gram chars = 2 (token lengths only, no spaces —
+        # matches the public threshold calibration), doc chars = 21
+        assert m["top_2_gram_char_frac"] == pytest.approx(2 * 2 / 21)
 
         lines = _repetition_metrics("dup line\ndup line\nfresh one")
         assert lines["dup_line_frac"] == pytest.approx(1 / 3)
@@ -313,6 +314,24 @@ class TestGopherRepetitionRules:
 
         paras = _repetition_metrics("para one\n\npara one\n\nother")
         assert paras["dup_para_frac"] == pytest.approx(1 / 3)
+
+        # blank lines between paragraphs are NOT duplicate lines: a
+        # normal all-unique multi-paragraph doc passes every dup gate
+        multi = "\n\n".join(
+            f"paragraph {i} body sentence" for i in range(10)
+        )
+        clean = _repetition_metrics(multi)
+        assert clean["dup_line_frac"] == 0.0
+        assert clean["dup_para_frac"] == 0.0
+        assert clean["dup_line_char_frac"] == 0.0
+        # leading/trailing blank paragraphs are ignored too
+        padded = _repetition_metrics("\n\n" + multi + "\n\n")
+        assert padded["dup_para_frac"] == 0.0
+        assert padded["dup_line_frac"] == 0.0
+        # all-whitespace text: no units, zero fractions
+        ws = _repetition_metrics("\n\n \n")
+        assert ws["dup_line_frac"] == 0.0
+        assert ws["dup_para_frac"] == 0.0
 
         short = _repetition_metrics("a b")
         assert short["dup_10_gram_char_frac"] == 0.0

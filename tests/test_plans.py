@@ -461,3 +461,18 @@ def test_pq_adc_topk_rank_window_partial_limit(spark):
                              materialize=False)
     p2 = executed_plan(ann_ivfadc_topk(idx, queries, k=5, n_probe=2))
     assert "WindowGroupLimit" in p2 and "Partial" in p2
+
+
+def test_gopher_repetition_rules_single_stage_no_exchange(spark):
+    """The Table-A2 repetition battery is strictly doc-local: the whole
+    thirteen-metric pass plans as ONE Arrow-batched python stage over
+    the scan — zero exchanges, no per-gram rows materialize."""
+    from patito_spark.operators.heuristics import gopher_repetition_rules
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * 20) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = executed_plan(gopher_repetition_rules(docs))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
