@@ -358,11 +358,14 @@ def test_winnow_pairs_exchange_reuse(spark):
 
 def test_hamming_pairs_plan_sub_quadratic(spark):
     """hamming_pairs candidate generation: distinct-signature collapse
-    (one HashAggregate before the self-join), an equi-join on the
-    combination keys (never a cross product or nested loop), and the
-    bucket guard fused into the join's own exchange as a window count
-    over partitionBy(combo, key) — BOTH join sides must reuse that one
-    exchange (a count+semi-join guard costs two more)."""
+    (one HashAggregate before the pair stage), combination-keyed
+    buckets (never a cross product or nested loop — and since round 14
+    no self-join at all: pairs expand from ONE bucket aggregate), the
+    bucket guard fused into that stage's single exchange as a window
+    count over partitionBy(combo, key), and the canonical-combination
+    filter in place of a pair-distinct exchange."""
+    import re
+
     from patito_spark.operators.dedup import hamming_pairs
 
     sigs = spark.range(256).selectExpr(
@@ -376,41 +379,18 @@ def test_hamming_pairs_plan_sub_quadratic(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan        # bucket guard is wired in
     assert "posexplode" in plan    # combination keys, not raw sigs
-    # the self-join keys on (combo, masked key) — an equi-join
-    assert "Join" in plan
-    # At corpus size the self-join goes sort-merge — pin with broadcast
-    # off that the candidate stage pays at most TWO (combo, key)
-    # shuffles of the exploded stream (one per join side; the window
-    # guard rides them for free — the count+semi-join shape cost a
-    # third). Self-join disambiguation re-aliases the right subtree, so
-    # Spark does not collapse them into one ReusedExchange.
-    import re
-
-    conf = spark.conf
-    old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    old_aqe = conf.get(
-        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
-    )
-    try:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        plan2 = executed_plan(
-            hamming_pairs(sigs, id_col="doc_id", sig_col="sig",
-                          max_hamming=3, chunks=8)
-        )
-    finally:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        if old_aqe is not None:
-            conf.set(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
-            )
-        else:
-            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    # the near-pair stage pays exactly ONE (combo, key) shuffle of the
+    # exploded stream — the window guard, the bucket aggregate, and the
+    # pair expansion all ride it (the old self-join shape paid a second
+    # exchange or a full-stream broadcast for the probe side)
     combo_exchanges = re.findall(
-        r"Exchange hashpartitioning\(__combo", plan2
+        r"Exchange hashpartitioning\(__combo", plan
     )
-    assert 1 <= len(combo_exchanges) <= 2, plan2
-    assert "Window" in plan2
+    assert len(combo_exchanges) == 1, plan
+    # no distinct over the expanded pair stream: the canonical
+    # combination keeps each pair exactly once, so no aggregate keys on
+    # (sig_a, sig_b) anywhere in the plan
+    assert not re.search(r"HashAggregate\(keys=\[sig_a", plan), plan
 
 
 def test_hamming_pairs_star_no_member_fanout(spark):
