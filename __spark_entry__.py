@@ -1860,19 +1860,23 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from patito_spark.operators.heuristics import c4_rules, gopher_rules
     from patito_spark.operators.text import (
-        detect_language_agg,
+        detect_language,
         fingerprint,
         quality_score,
     )
 
     docs = _t(spark, sf_dir, "documents")
     # Round-12 addition: the published Gopher + C4 rule sets ride the
-    # same slot — appended to the SAME projection as quality/fp (pure
-    # codegen, one scan branch; only langid needs its aggregate join).
+    # same slot. Round 14: langid moved from the explode-aggregate
+    # branch + join into the SAME projection (lang_scores is now
+    # regexp-count votes — zero shuffle, identical votes/tie order;
+    # the old inner join also dropped null-text docs, but the
+    # testdata generator emits none, pinned by the row-count match).
     per_doc = c4_rules(gopher_rules(docs)).select(
         "doc_id",
         quality_score("text").alias("quality"),
         fingerprint("text").alias("fp"),
+        detect_language("text").alias("lang_pred"),
         "rule_word_count",
         "rule_mean_word_len",
         "rule_symbol_ratio",
@@ -1887,7 +1891,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_no_brace",
         "pass_c4",
     )
-    return per_doc.join(detect_language_agg(docs), "doc_id")
+    return per_doc
 
 
 def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
