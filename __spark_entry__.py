@@ -785,6 +785,64 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_INDEX_CACHE: dict = {}
 
 
+def _arpa_lm_for(spark: SparkSession, sf_dir: str):
+    """Deterministic synthetic .arpa artifact for the driver row —
+    build-once per session (the ANN-index convention; parse-once /
+    score-many is the operator's production steady state).
+
+    A Katz-backoff model whose GRAMS are real (the distinct 1/2/3-grams
+    of the ``doc_id % 23 == 0`` subcorpus, '<s>'-prefixed, so every
+    branch of the cascade gets genuine hits at every order) and whose
+    SCORES are engine-portable pseudo log-probs derived from the
+    portable 60-bit md5 hash of the gram — exactly replayable in
+    DuckDB, no file round-trip. <unk> unigram at -3.5."""
+    from patito_spark.functions.hashing import portable_hash64
+    from patito_spark.operators.arpa import UNK, ArpaLm
+    from patito_spark.operators.dedup import shingles
+
+    key = ("arpa", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        sub = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 23 == 0
+        )
+        seq = F.concat(F.lit("<s> "), F.col("text"))
+        tables, counts = {}, {}
+        for k in (1, 2, 3):
+            grams = (
+                sub.select(F.explode(shingles(seq, n=k)).alias("gram"))
+                # shingles emits one short gram for docs with < k
+                # tokens; a k-table holds exactly-k grams only
+                .filter(F.size(F.split(F.col("gram"), " ")) == k)
+                .filter(F.col("gram") != UNK)
+                .distinct()
+            )
+            h = portable_hash64(F.col("gram"))
+            bo = (
+                (-(h % 500)).cast("double") / F.lit(1000.0)
+                if k < 3
+                else F.lit(None).cast("double")
+            )
+            t = grams.select(
+                "gram",
+                (
+                    F.lit(-1.0) - (h % 1000).cast("double") / F.lit(1000.0)
+                ).alias("logp"),
+                bo.alias("bo"),
+            )
+            if k == 1:
+                t = t.unionByName(
+                    spark.createDataFrame(
+                        [(UNK, -3.5, None)],
+                        "gram string, logp double, bo double",
+                    )
+                )
+            t = t.persist()
+            tables[k] = t
+            counts[k] = t.count()
+        _ANN_INDEX_CACHE[key] = ArpaLm(tables, counts, -3.5)
+    return _ANN_INDEX_CACHE[key]
+
+
 def _lsh_index(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.similarity import build_lsh_index
 
@@ -2002,8 +2060,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document LM scores, three operators merged in one slot
-    (executed by the fused two-pass ``lm_quality_scores``):
+    """Per-document LM scores — the whole LM-gate family in one slot:
+    the self-trained stack (fused two-pass ``lm_quality_scores``) plus
+    the round-14 pretrained-.arpa branch (``operators/arpa.py``):
 
     - unigram_logloss self-LM (the corpus's own vocabulary, add-1
       smoothing): cross_entropy / perplexity;
@@ -2039,7 +2098,25 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two corpus passes) and appends trigram_ce/ppl to the one fused
     # score table (equivalence to the standalone trigram_logloss is
     # pinned in test_lm_quality_scores_trigram_matches_standalone).
+    # Round-14 addition: the PRETRAINED .arpa gate (the CCNet filter's
+    # actual production shape) earns its driver row here — an eighth
+    # score pair scored by operators/arpa.py's Katz backoff chain
+    # against the session-built deterministic artifact
+    # (_arpa_lm_for: real subcorpus grams, portable-hash pseudo
+    # log-probs). The model fits the broadcast gate, so this branch
+    # exercises the SHUFFLE-FREE direct path; the oracle replays the
+    # artifact construction AND the full longest-match cascade
+    # (logp_k + skipped-context backoffs) in SQL.
+    from patito_spark.operators.arpa import arpa_logloss
+
     s = lm_quality_scores(docs, target, kneser_ney=True, trigram=True)
+    a = arpa_logloss(
+        docs, _arpa_lm_for(spark, sf_dir), order=3, bos=True
+    ).select(
+        "doc_id",
+        F.round("arpa_ce", 4).alias("arpa_ce_r"),
+        F.round("arpa_ppl", 4).alias("arpa_ppl_r"),
+    )
     return s.select(
         "doc_id",
         "n_tokens",
@@ -2053,7 +2130,7 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("kn_ppl", 4).alias("kn_ppl_r"),
         F.round("trigram_ce", 4).alias("trigram_ce_r"),
         F.round("trigram_ppl", 4).alias("trigram_ppl_r"),
-    )
+    ).join(a, "doc_id")
 
 
 # ---------------------------------------------------------------------- #
@@ -3651,6 +3728,94 @@ def oracle_sql() -> dict[str, str]:
                        round(exp(avg(nll)), 4) AS trigram_ppl_r
                 FROM tri_nll GROUP BY doc_id
             )
+        """ + f"""
+            -- pretrained-.arpa replay (round 14): rebuild the
+            -- deterministic artifact (_arpa_lm_for — distinct
+            -- '<s>'-prefixed 1/2/3-grams of the doc_id%23 subcorpus,
+            -- portable-md5 pseudo log-probs, <unk> at -3.5), then the
+            -- full Katz longest-match cascade: logp_k plus the backoff
+            -- of every skipped longer context, natural-log CE per doc.
+            ,
+            arpa_sub AS (
+                SELECT string_split('<s> ' || text, ' ') AS t
+                FROM documents WHERE doc_id % 23 = 0
+            ),
+            arpa_v1 AS (
+                SELECT DISTINCT unnest(t) AS gram FROM arpa_sub
+            ),
+            arpa_g1 AS (
+                SELECT gram,
+                       -1.0 - ({_phash_sql("gram")} % 1000) / 1000.0
+                           AS logp,
+                       -({_phash_sql("gram")} % 500) / 1000.0 AS bo
+                FROM arpa_v1 WHERE gram != '<unk>'
+                UNION ALL SELECT '<unk>', -3.5, NULL::DOUBLE
+            ),
+            arpa_v2 AS (
+                SELECT DISTINCT t[u.i] || ' ' || t[u.i + 1] AS gram
+                FROM arpa_sub,
+                UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            ),
+            arpa_g2 AS (
+                SELECT gram,
+                       -1.0 - ({_phash_sql("gram")} % 1000) / 1000.0
+                           AS logp,
+                       -({_phash_sql("gram")} % 500) / 1000.0 AS bo
+                FROM arpa_v2
+            ),
+            arpa_v3 AS (
+                SELECT DISTINCT
+                       t[u.i] || ' ' || t[u.i + 1] || ' ' || t[u.i + 2]
+                           AS gram
+                FROM arpa_sub,
+                UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+            ),
+            arpa_g3 AS (
+                SELECT gram,
+                       -1.0 - ({_phash_sql("gram")} % 1000) / 1000.0
+                           AS logp
+                FROM arpa_v3
+            ),
+            arpa_toks AS (
+                SELECT doc_id, string_split('<s> ' || text, ' ') AS t
+                FROM documents
+            ),
+            arpa_pos AS (
+                SELECT doc_id,
+                       CASE WHEN u.i >= 3 THEN t[u.i - 2] END AS h2,
+                       t[u.i - 1] AS h1,
+                       t[u.i] AS w
+                FROM arpa_toks,
+                UNNEST(generate_series(2, len(t))) AS u(i)
+            ),
+            arpa_nll AS (
+                SELECT p.doc_id,
+                       -(CASE
+                           WHEN g3.logp IS NOT NULL THEN g3.logp
+                           WHEN g2.logp IS NOT NULL
+                             THEN g2.logp + coalesce(c2.bo, 0)
+                           WHEN g1.logp IS NOT NULL
+                             THEN g1.logp + coalesce(c2.bo, 0)
+                                  + coalesce(c1.bo, 0)
+                           ELSE -3.5 + coalesce(c2.bo, 0)
+                                + coalesce(c1.bo, 0)
+                         END) * ln(10) AS nll
+                FROM arpa_pos p
+                LEFT JOIN arpa_g3 g3
+                  ON p.h2 IS NOT NULL
+                 AND g3.gram = p.h2 || ' ' || p.h1 || ' ' || p.w
+                LEFT JOIN arpa_g2 g2 ON g2.gram = p.h1 || ' ' || p.w
+                LEFT JOIN arpa_g2 c2
+                  ON p.h2 IS NOT NULL
+                 AND c2.gram = p.h2 || ' ' || p.h1
+                LEFT JOIN arpa_g1 g1 ON g1.gram = p.w
+                LEFT JOIN arpa_g1 c1 ON c1.gram = p.h1
+            ),
+            arpa_scores AS (
+                SELECT doc_id, round(avg(nll), 4) AS arpa_ce_r,
+                       round(exp(avg(nll)), 4) AS arpa_ppl_r
+                FROM arpa_nll GROUP BY doc_id
+            )
             SELECT u.doc_id, u.n_tokens,
                    round(u.h_raw, 4) AS cross_entropy_r,
                    round(exp(u.h_raw), 4) AS perplexity_r,
@@ -3658,11 +3823,13 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(u.lr), 4) AS dsir_weight_r,
                    b.bigram_ce_r, b.bigram_ppl_r,
                    k.kn_ce_r, k.kn_ppl_r,
-                   t.trigram_ce_r, t.trigram_ppl_r
+                   t.trigram_ce_r, t.trigram_ppl_r,
+                   a.arpa_ce_r, a.arpa_ppl_r
             FROM uni_scores u
             JOIN bi_scores b USING (doc_id)
             JOIN kn_scores k USING (doc_id)
             JOIN tri_scores t USING (doc_id)
+            JOIN arpa_scores a USING (doc_id)
         """,
     }
     # ---- round-10 union-tagged slot merges (frees entries under the ----
