@@ -136,10 +136,24 @@ class BloomBits:
             if seen:
                 yield pd.DataFrame({"bits": [words.tobytes()]})
 
-        rows = src.mapInPandas(partials, schema).collect()
-        words = np.zeros(n_words, dtype=np.uint64)
-        for r in rows:
-            words |= np.frombuffer(r["bits"], dtype=np.uint64)
+        # Tree-reduce the per-partition bitsets EXECUTOR-SIDE (the
+        # fit_pca discipline): the driver receives ONE m-bit array at
+        # any partition count — the per-partition collect shipped
+        # partitions × up-to-256MB partials to the driver, the exact
+        # O(partitions × payload) shape fit_pca escaped in round 13.
+        # Depth scales with log₈(P) so no reduce task ORs more than ~8
+        # sibling bitsets at once.
+        import math as _math
+
+        partial_rdd = src.mapInPandas(partials, schema).rdd.map(
+            lambda r: np.frombuffer(r["bits"], dtype=np.uint64)
+        )
+        p_count = max(partial_rdd.getNumPartitions(), 2)
+        depth = max(2, int(_math.ceil(_math.log(p_count, 8))))
+        try:
+            words = partial_rdd.treeReduce(np.bitwise_or, depth=depth)
+        except ValueError:  # empty RDD: no input rows at all
+            words = np.zeros(n_words, dtype=np.uint64)
         return cls(words, m=m, k=k, n_items=n_items)
 
     def contains(self, hashes) -> np.ndarray:

@@ -71,6 +71,39 @@ def test_partition_partials_merge(spark):
     assert np.array_equal(many.words, one.words)
 
 
+def test_build_is_distributed_o1_to_driver(spark):
+    """BloomBits.build must not collect per-partition bitsets: the
+    driver receives ONE tree-reduced array. DataFrame.collect is the
+    per-partition-collect code path — patch it to explode; the
+    treeReduce path never touches it (n_items passed so the
+    cardinality count is skipped too)."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    df = spark.range(2_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    with mock.patch.object(
+        DataFrame,
+        "collect",
+        side_effect=AssertionError("BloomBits.build collected a DataFrame"),
+    ):
+        bits = BloomBits.build(
+            df.repartition(16), "h", n_items=2_000, fpp=0.02,
+            distinct=False,
+        )
+    assert bits.n_items == 2_000 and bits.words.any()
+
+
+def test_build_empty_input_zero_bitset(spark):
+    df = spark.range(0).select(
+        F.xxhash64(F.col("id").cast("string")).alias("h")
+    )
+    bits = BloomBits.build(df, "h", n_items=10, fpp=0.02)
+    assert not bits.words.any()
+
+
 @pytest.fixture()
 def corpus(spark):
     return spark.createDataFrame(
