@@ -11,6 +11,8 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from patito_spark.functions.cache import tracked_persist
+
 _BUCKETS = 1_000_000
 
 
@@ -384,6 +386,7 @@ def quantile_bins(
     relative_error: float = 0.001,
     breakpoints: Optional[Sequence[float]] = None,
     group_cols: Optional[Sequence[str]] = None,
+    max_broadcast_groups: int = 1_000_000,
 ) -> DataFrame:
     """Assign each row its quantile bin of ``score_col`` (0 .. n_bins-1).
 
@@ -412,10 +415,14 @@ def quantile_bins(
     quantiles (round 13 — the CCNet shape: perplexity terciles are per
     LANGUAGE, or a corpus-wide tercile would just rank languages).
     One grouped ``percentile_approx`` aggregate (mergeable sketch,
-    group-count rows), breakpoint arrays broadcast-joined back, and
-    the bin index unrolls to ``n_bins − 1`` static element
-    comparisons — still a codegen projection, no window, no shuffle of
-    the data stream. Groups whose scores are all null bin to null.
+    group-count rows), breakpoint arrays joined back (broadcast while
+    the group count is within ``max_broadcast_groups``, shuffle join
+    above it), and the bin index unrolls to ``n_bins − 1`` static
+    element comparisons — still a codegen projection, no window, no
+    shuffle of the data stream below the gate. The join is NULL-SAFE
+    on the group keys, so rows with a null group key bin against the
+    null group's own ladder (the group ``groupBy`` already
+    aggregates). Groups whose scores are all null bin to null.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")
@@ -434,8 +441,30 @@ def quantile_bins(
                     score_col, probs, F.lit(acc)
                 ).alias("__bps")
             )
+            # the join renames the breakpoint side's keys and matches
+            # null-safely, so a NULL group key bins against ITS OWN
+            # group's ladder (groupBy already aggregates null keys as
+            # one group) instead of silently falling out of an
+            # equi-join with a null bucket
+            .select(
+                *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+                "__bps",
+            )
         )
-        joined = df.join(F.broadcast(bps), on=list(group_cols), how="left")
+        # broadcast gated on the group count (the repo's
+        # max_broadcast_* convention): a key set wider than the gate
+        # falls back to a shuffle join rather than shipping an
+        # oversized table to every executor
+        bps = tracked_persist(bps)
+        if bps.count() <= max_broadcast_groups:
+            bps = F.broadcast(bps)
+        cond = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else cond & eq
+        joined = df.join(bps, cond, how="left").drop(
+            *[f"__g_{c}" for c in group_cols]
+        )
         score = F.col(score_col)
         bin_idx = sum(
             (

@@ -214,6 +214,13 @@ def winnow_pairs(
     ``min_shared`` > 1 suppresses single-gram coincidences; callers
     needing exact overlap extents verify survivors with
     ``..spans.dedup_spans`` on the candidate set.
+
+    PRECONDITION: ``id_col`` must be unique in ``df``. The fingerprint
+    rows are distinct by construction per (id, fp) — there is no
+    global re-dedup — so a duplicated id inflates bucket member
+    counts, ``shared_fps``, and the containment denominators.
+    Deduplicate ids upstream (``dedup_exact`` / ``dropDuplicates``)
+    before winnowing.
     """
     from pyspark.sql import Window
 
@@ -319,6 +326,11 @@ def winnow_against(
     runs on the REFERENCE buckets (a degenerate reference fingerprint
     — boilerplate instructions shared by thousands of items — would
     otherwise fan every matching corpus doc out across all of them).
+
+    PRECONDITION: ids must be unique on BOTH sides (the
+    :func:`winnow_pairs` contract): fingerprints are distinct per
+    (id, fp) with no global re-dedup, so duplicated ids inflate
+    ``shared_fps`` and the reference bucket counts the guard sees.
     """
     ref_text = ref_text_col or text_col
     ref_id = ref_id_col or id_col

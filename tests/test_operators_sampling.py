@@ -590,6 +590,45 @@ class TestGroupedQuantileBins:
                 breakpoints=[0.5],
             )
 
+    def test_null_group_key_bins_in_its_own_group(self, spark):
+        """Rows with a NULL group key form their own group (groupBy
+        semantics) and bin against that group's ladder — the join is
+        null-safe, so a valid score under a null key gets a real
+        bucket, not a silent null."""
+        from patito_spark.operators.sampling import quantile_bins
+
+        rows = [(i, "a", float(i)) for i in range(30)] + [
+            (100 + i, None, float(i)) for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, ppl double"
+        )
+        out = {r.doc_id: r.bin for r in quantile_bins(
+            df, "ppl", n_bins=3, group_cols=["lang"]
+        ).collect()}
+        assert out[100] == 0 and out[129] == 2
+        assert all(out[100 + i] is not None for i in range(30))
+
+    def test_grouped_broadcast_gate(self, spark):
+        """Above max_broadcast_groups the breakpoint join falls back to
+        a shuffle join instead of broadcasting; results are identical."""
+        from patito_spark.operators.sampling import quantile_bins
+        from patito_spark.plans import executed_plan
+
+        rows = [(i, f"g{i % 7}", float(i)) for i in range(140)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, ppl double"
+        )
+        small = quantile_bins(df, "ppl", n_bins=2, group_cols=["lang"])
+        big = quantile_bins(
+            df, "ppl", n_bins=2, group_cols=["lang"],
+            max_broadcast_groups=3,
+        )
+        assert "BroadcastHashJoin" in executed_plan(small)
+        a = {r.doc_id: r.bin for r in small.collect()}
+        b = {r.doc_id: r.bin for r in big.collect()}
+        assert a == b
+
     def test_ccnet_buckets_labels_and_plan(self, spark):
         from pyspark.sql import functions as F
 
