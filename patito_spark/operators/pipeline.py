@@ -51,6 +51,8 @@ def prepare_training_corpus(
     perplexity_order: int = 1,
     perplexity_bigram_lm: Optional[DataFrame] = None,
     perplexity_arpa=None,
+    ccnet_buckets: bool = False,
+    ccnet_group_cols: Sequence[str] = ("lang",),
     quality_model=None,
     min_model_prob: float = 0.5,
     dedup_threshold: Optional[float] = 0.7,
@@ -87,7 +89,11 @@ def prepare_training_corpus(
     * ``stages`` — dict of LAZY per-stage snapshots (one entry per
       stage that actually ran: ``repair_encoding``, ``boilerplate``,
       ``paragraph_dedup``, ``clean``, ``span_dedup``, ``gates``,
-      ``perplexity_gate``, ``quality_model_gate``, ``near_dedup``,
+      ``perplexity_gate``, ``ccnet_buckets`` (when ``ccnet_buckets=True``
+      — appends the Wenzek et al. 2020 per-language head/middle/tail
+      perplexity-tercile label ``ccnet_bucket`` from the same score
+      pass the gate uses; works with or without ``max_perplexity``),
+      ``quality_model_gate``, ``near_dedup``,
       ``image_dedup`` (when ``image_blob_col`` names a binary image
       column — pHash near-dup, one survivor per hamming component),
       ``semantic_dedup``, ``decontamination``, ``domain_cap``). Free
@@ -206,7 +212,7 @@ def prepare_training_corpus(
             ).filter("pass_repetition")
         gated = gated.select(*before)
         stages["rule_sets"] = gated
-    if max_perplexity is not None:
+    if max_perplexity is not None or ccnet_buckets:
         # Anti-join against the EXCEEDING docs (not semi-join against the
         # passing ones): documents that produce zero token rows are absent
         # from the scorer output entirely, and a semi-join would drop
@@ -276,12 +282,46 @@ def prepare_training_corpus(
             raise ValueError(
                 f"perplexity_order must be >= 1, got {perplexity_order}"
             )
-        reject = (
-            scored.filter(F.col("perplexity") > max_perplexity)
-            .select(id_col)
-        )
-        gated = gated.join(reject, on=id_col, how="left_anti")
-        stages["perplexity_gate"] = gated
+        if ccnet_buckets and max_perplexity is not None:
+            # both consumers read the scored table — persist it so the
+            # LM scoring pass runs once, not once per branch
+            from patito_spark.functions.cache import tracked_persist
+
+            scored = tracked_persist(scored)
+        if max_perplexity is not None:
+            reject = (
+                scored.filter(F.col("perplexity") > max_perplexity)
+                .select(id_col)
+            )
+            gated = gated.join(reject, on=id_col, how="left_anti")
+            stages["perplexity_gate"] = gated
+        if ccnet_buckets:
+            # Wenzek et al. 2020's actual selection shape: per-language
+            # head/middle/tail perplexity terciles from the SAME score
+            # pass (one grouped sketch aggregate over the scored table
+            # — zero extra corpus scans). Ladders are computed over the
+            # full scored population (the paper's percentiles are
+            # corpus-wide, not post-gate); the label lands on whatever
+            # the gate kept. Docs the scorer never saw (no tokens)
+            # carry a null bucket.
+            from patito_spark.operators.sampling import (
+                ccnet_buckets as _ccnet_buckets,
+            )
+
+            grp = list(ccnet_group_cols)
+            missing = [c for c in grp if c not in gated.columns]
+            if missing:
+                raise ValueError(
+                    f"ccnet_buckets groups on {missing} but the input "
+                    "has no such column(s); pass ccnet_group_cols=..."
+                )
+            labels = _ccnet_buckets(
+                scored.join(gated.select(id_col, *grp), on=id_col),
+                ppl_col="perplexity",
+                group_cols=grp,
+            ).select(id_col, "ccnet_bucket")
+            gated = gated.join(labels, on=id_col, how="left")
+            stages["ccnet_buckets"] = gated
     if quality_model is not None:
         # Learned quality gate (GPT-3/CCNet-style classifier): one
         # shuffle-free transform with broadcast coefficients; the score

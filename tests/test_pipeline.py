@@ -386,6 +386,75 @@ def test_prepare_arpa_perplexity_gate(spark, tmp_path):
         )
 
 
+def test_prepare_ccnet_buckets_stage(spark, tmp_path):
+    """ccnet_buckets=True appends the Wenzek head/middle/tail label
+    from the same perplexity pass: per-language terciles (30 docs per
+    lang split 10/10/10), composes with AND without the hard gate, and
+    raises clearly when the group column is missing."""
+    arpa = tmp_path / "tiny.arpa"
+    arpa.write_text(
+        "\\data\\\nngram 1=3\n\n"
+        "\\1-grams:\n-3.0\t<unk>\n-0.3\t<s>\t-0.2\n-0.4\tw\n\n"
+        "\\end\\\n"
+    )
+    rows = []
+    for lang in ("en", "de"):
+        for i in range(30):
+            # perplexity rises with i: i tokens of OOV gibberish
+            # appended to a fixed in-model prefix
+            text = " ".join(["w"] * 30 + [f"zz{j}" for j in range(i)])
+            rows.append((("en" == lang) * 1000 + i, lang, text))
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = prepare_training_corpus(
+        corpus,
+        perplexity_order=5,
+        perplexity_arpa=str(arpa),
+        ccnet_buckets=True,
+        min_tokens=2,
+        dedup_threshold=None,
+    )
+    docs = out["documents"].collect()
+    assert "ccnet_buckets" in out["stages"]
+    assert "perplexity_gate" not in out["stages"]  # no hard gate asked
+    counts = {}
+    for r in docs:
+        counts[(r.lang, r.ccnet_bucket)] = counts.get(
+            (r.lang, r.ccnet_bucket), 0
+        ) + 1
+    for lang in ("en", "de"):
+        for b in ("head", "middle", "tail"):
+            # ~equal thirds (sketch breakpoints land on discrete
+            # values, so exact 10/10/10 is not guaranteed)
+            assert 8 <= counts[(lang, b)] <= 12, counts
+    # head really is the low-perplexity third: the gibberish-free docs
+    by_id = {r.doc_id: r.ccnet_bucket for r in docs}
+    assert by_id[1000] == "head" and by_id[1029] == "tail"
+
+    # with the hard gate: label rides the survivors, ladder unchanged
+    gated = prepare_training_corpus(
+        corpus,
+        max_perplexity=1e9,
+        perplexity_order=5,
+        perplexity_arpa=str(arpa),
+        ccnet_buckets=True,
+        min_tokens=2,
+        dedup_threshold=None,
+    )
+    assert "perplexity_gate" in gated["stages"]
+    assert {r.ccnet_bucket for r in gated["documents"].collect()} == {
+        "head", "middle", "tail"
+    }
+
+    with pytest.raises(ValueError, match="ccnet_group_cols"):
+        prepare_training_corpus(
+            corpus.drop("lang"),
+            perplexity_order=5,
+            perplexity_arpa=str(arpa),
+            ccnet_buckets=True,
+            dedup_threshold=None,
+        )
+
+
 def test_prepare_domain_cap_stage(spark):
     # 30 docs in domain A (quality rises with id), 3 in domain B;
     # cap at 5 keeping best quality -> A's top-5 ids, B untouched.
