@@ -1852,24 +1852,102 @@ def q_asof_bidirectional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish token counts (two operators, one entry).
+def _tokenizer_artifacts_for(spark: SparkSession, sf_dir: str):
+    """Session-trained tokenizer artifacts for the driver row — the
+    ANN-index/arpa convention (train once, encode many).
 
-    The Spark side splits on Java-regex lookarounds for the BPE-ish
-    count; RE2 (DuckDB) has no lookarounds, so the oracle uses the
-    equivalent closed form ``#[A-Za-z0-9_]+ runs + #[^A-Za-z0-9_ ]
-    chars`` — an independent re-specification, which is a stronger check
-    than a replay.
+    Both trainers run their REAL distributed paths (the
+    bpe_word_frequencies corpus collapse; unigram's distributed EM
+    E-step) over a deterministic corpus derived from the document
+    vocabulary alone: each distinct word repeated 1 + (portable md5 %
+    97) times. Training is therefore a pure function of the WORD SET
+    (pinned deterministic across partitionings in
+    test_operators_unigram/tokenizer), so the oracle's committed
+    per-word segmentations stay valid as long as the testdata
+    generator's vocabulary does."""
+    from patito_spark.functions.hashing import portable_hash64
+    from patito_spark.operators.tokenizer import build_bpe_vocab, train_bpe
+    from patito_spark.operators.unigram import train_unigram
+
+    key = ("tok", spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        words = (
+            _t(spark, sf_dir, "documents")
+            .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .distinct()
+        )
+        n = (F.lit(1) + portable_hash64(F.col("w")) % 97).cast("int")
+        # vocabulary-sized by construction (31 rows) — one partition
+        # keeps each EM E-step job at one task instead of 32
+        corpus = words.select(
+            F.array_join(F.array_repeat(F.col("w"), n), " ").alias("text")
+        ).coalesce(1)
+        # short prune ladder (seed 150, shrink 0.5, one EM pass): the
+        # row gates trainer CORRECTNESS; the decade profiles cover the
+        # long-ladder scale shape
+        logp = train_unigram(
+            corpus, vocab_size=48, seed_size=150, em_iters=1,
+            shrink_factor=0.5,
+        )
+        merges = train_bpe(corpus, n_merges=24)
+        _ANN_INDEX_CACHE[key] = (logp, merges, build_bpe_vocab(merges))
+    return _ANN_INDEX_CACHE[key]
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-counting AND tokenizer-training family, union-tagged:
+
+    - ``mode='counts'``: whitespace + BPE-ish token counts. The Spark
+      side splits on Java-regex lookarounds for the BPE-ish count; RE2
+      (DuckDB) has no lookarounds, so the oracle uses the equivalent
+      closed form ``#[A-Za-z0-9_]+ runs + #[^A-Za-z0-9_ ] chars`` — an
+      independent re-specification, stronger than a replay.
+    - ``mode='unigram_ids'`` (round 14): every document's Viterbi piece
+      ids under a unigram-LM vocabulary TRAINED THIS SESSION by the
+      distributed trainer (operators/unigram.py — distributed EM over
+      the word-frequency collapse). The oracle replays the encoding
+      from the COMMITTED per-word segmentations of the deterministic
+      artifact (_UNIGRAM_SEG; the GPT-2 pretokenize + byte-alphabet +
+      Viterbi composition is precomputed per word — the vocabulary is
+      31 words — and the document encoding is their in-order
+      concatenation).
+    - ``mode='bpe_ids'`` (round 14): same for the BPE trainer
+      (operators/tokenizer.py train_bpe / with_bpe_token_ids) against
+      _BPE_SEG.
+
+    A changed EM/merge implementation, a changed pretokenizer, or a
+    non-deterministic training order all flip the committed ids and
+    fail the hash — this row is the trainers' driver gate.
     """
     from patito_spark.operators.text import bpe_ish_token_count, token_count
+    from patito_spark.operators.tokenizer import with_bpe_token_ids
+    from patito_spark.operators.unigram import with_unigram_token_ids
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    counts = docs.select(
+        F.lit("counts").alias("mode"),
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
         bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
-        "n_chars",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(None).cast("string").alias("token_ids"),
     )
+    logp, merges, vocab = _tokenizer_artifacts_for(spark, sf_dir)
+    base = docs.select("doc_id", "text")
+
+    def _ids(df: DataFrame, mode: str) -> DataFrame:
+        return df.select(
+            F.lit(mode).alias("mode"),
+            "doc_id",
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_bpe_tokens"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.array_join("token_ids", " ").alias("token_ids"),
+        )
+
+    uni = _ids(with_unigram_token_ids(base, logp), "unigram_ids")
+    bpe = _ids(with_bpe_token_ids(base, merges, vocab), "bpe_ids")
+    return counts.unionByName(uni).unionByName(bpe)
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2205,6 +2283,96 @@ _LANG_MARKER_SQL = {
     "es": "('el','y','data','row')",
     "zh": "('de5','shi4','join','batch')",
 }
+
+
+#: Committed per-word tokenizer segmentations (round 14): the output of
+#: the DETERMINISTIC session-trained artifacts (_tokenizer_artifacts_for
+#: — trainers are pure functions of the 31-word document vocabulary) for
+#: every word in both pretoken variants (document-initial bare form and
+#: the space-prefixed form; GPT-2 pretokenize + byte alphabet + Viterbi
+#: or BPE merges are folded into the ids). The oracle concatenates these
+#: in document order — any trainer/encoder change flips them and fails
+#: the hash. Regenerate with the recipe in docs/perf.md if the testdata
+#: generator's vocabulary ever changes.
+_UNIGRAM_SEG = {
+    'a': '2', ' a': '1 2',
+    'agg': '2 28 28', ' agg': '14',
+    'batch': '42', ' batch': '22',
+    'big': '40', ' big': '16',
+    'column': '23 35 7 21 18 9', ' column': '25',
+    'customer': '19', ' customer': '1 19',
+    'data': '10 2 3 2', ' data': '1 10 2 3 2',
+    'dup': '10 21 33', ' dup': '24',
+    'fast': '32 2 38 3', ' fast': '15',
+    'filter': '32 11 7 3 4', ' filter': '1 32 11 7 3 4',
+    'group': '28 29 35 21 33', ' group': '1 28 29 35 21 33',
+    'hash': '26', ' hash': '1 26',
+    'join': '27', ' join': '1 27',
+    'key': '37 5 30', ' key': '13',
+    'line': '7 11 9 5', ' line': '1 7 11 9 5',
+    'merge': '18 4 28 5', ' merge': '1 18 4 28 5',
+    'order': '8 10 4', ' order': '1 8 10 4',
+    'part': '33 2 29 3', ' part': '1 33 2 29 3',
+    'query': '31 21 4 30', ' query': '1 31 21 4 30',
+    'row': '29 35 36', ' row': '17',
+    'scan': '38 23 2 9', ' scan': '6 23 2 9',
+    'slow': '38 7 35 36', ' slow': '6 7 35 36',
+    'small': '38 18 2 7 7', ' small': '6 18 2 7 7',
+    'sort': '38 8 3', ' sort': '6 8 3',
+    'spark': '38 33 2 29 37', ' spark': '6 33 2 29 37',
+    'stream': '38 3 29 5 2 18', ' stream': '6 3 29 5 2 18',
+    'table': '41', ' table': '20',
+    'the': '39', ' the': '12',
+    'value': '34 2 7 21 5', ' value': '1 34 2 7 21 5',
+    'vector': '34 5 23 3 8', ' vector': '1 34 5 23 3 8',
+    'window': '36 11 9 10 35 36', ' window': '1 36 11 9 10 35 36',
+}
+
+_BPE_SEG = {
+    'a': '97', ' a': '260',
+    'agg': '97 274', ' agg': '275',
+    'batch': '98 266 99 104', ' batch': '259 266 99 104',
+    'big': '98 105 103', ' big': '259 105 103',
+    'column': '99 111 279 109 110', ' column': '261 111 279 109 110',
+    'customer': '99 117 257 111 263', ' customer': '261 117 257 111 263',
+    'data': '100 266 97', ' data': '268 266 97',
+    'dup': '100 117 112', ' dup': '268 117 112',
+    'fast': '102 277', ' fast': '278',
+    'filter': '102 105 108 116 256', ' filter': '267 105 108 116 256',
+    'group': '103 114 111 117 112', ' group': '32 103 114 111 117 112',
+    'hash': '104 97 115 104', ' hash': '32 104 97 115 104',
+    'join': '106 111 265', ' join': '32 106 111 265',
+    'key': '273', ' key': '276',
+    'line': '108 265 101', ' line': '32 108 265 101',
+    'merge': '263 103 101', ' merge': '32 263 103 101',
+    'order': '264 100 256', ' order': '32 264 100 256',
+    'part': '112 97 114 116', ' part': '32 112 97 114 116',
+    'query': '113 117 256 121', ' query': '32 113 117 256 121',
+    'row': '114 269', ' row': '32 114 269',
+    'scan': '115 99 97 110', ' scan': '262 99 97 110',
+    'slow': '115 108 269', ' slow': '262 108 269',
+    'small': '115 109 97 108 108', ' small': '262 109 97 108 108',
+    'sort': '115 264 116', ' sort': '262 264 116',
+    'spark': '115 112 97 114 107', ' spark': '262 112 97 114 107',
+    'stream': '257 114 101 97 109', ' stream': '32 257 114 101 97 109',
+    'table': '116 97 98 108 101', ' table': '258 97 98 108 101',
+    'the': '116 270', ' the': '271',
+    'value': '118 97 279 101', ' value': '32 118 97 279 101',
+    'vector': '118 101 99 116 264', ' vector': '32 118 101 99 116 264',
+    'window': '119 265 100 269', ' window': '32 119 265 100 269',
+}
+
+
+def _tok_seg_values_sql() -> str:
+    """VALUES list of the committed (mode, pretoken, ids) rows."""
+    rows = []
+    for mode, table in (
+        ("unigram_ids", _UNIGRAM_SEG),
+        ("bpe_ids", _BPE_SEG),
+    ):
+        for w, ids in table.items():
+            rows.append(f"('{mode}', '{w}', '{ids}')")
+    return ",\n                ".join(rows)
 
 
 def _lang_scores_sql() -> str:
@@ -3272,14 +3440,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cg.doc_id
             HAVING count(DISTINCT cg.h) >= 1
         """,
-        "text_token_counts": """
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
-                   + len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))
-                       AS n_bpe_tokens,
-                   n_chars
+        "text_token_counts": f"""
+            WITH tok_toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents
+            ),
+            -- GPT-2 pretokens of this corpus (space-separated simple
+            -- words): the document-initial word stays bare, every
+            -- later word carries its leading space
+            tok_pos AS (
+                SELECT doc_id, u.i,
+                       CASE WHEN u.i = 1 THEN t[u.i]
+                            ELSE ' ' || t[u.i] END AS w
+                FROM tok_toks,
+                UNNEST(generate_series(1, len(t))) AS u(i)
+            ),
+            tok_seg AS (
+                SELECT * FROM (VALUES
+                {_tok_seg_values_sql()}
+                ) s(mode, w, ids)
+            ),
+            tok_enc AS (
+                SELECT s.mode, p.doc_id,
+                       string_agg(s.ids, ' ' ORDER BY p.i) AS token_ids
+                FROM tok_pos p JOIN tok_seg s ON s.w = p.w
+                GROUP BY s.mode, p.doc_id
+            )
+            SELECT 'counts' AS mode, doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens,
+                   (len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                    + len(regexp_extract_all(text, '[^A-Za-z0-9_ ]'))
+                   )::BIGINT AS n_bpe_tokens,
+                   n_chars::BIGINT AS n_chars,
+                   NULL::VARCHAR AS token_ids
             FROM documents
+            UNION ALL
+            SELECT mode, doc_id, NULL::BIGINT, NULL::BIGINT,
+                   NULL::BIGINT, token_ids
+            FROM tok_enc
         """,
         # Replays chunk_documents(max_tokens=32, overlap=8): starts are
         # 0, 24, 48, ... capped so every chunk past the first adds at
