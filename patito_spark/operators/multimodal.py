@@ -372,6 +372,118 @@ def _phash_bits_from_gray(gray) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
+def _png_decode_gray(payload: bytes):
+    """Vendored baseline-PNG decode to float64 grayscale — public PNG
+    spec (RFC 2083) only: 8-bit, non-interlaced, color types 0/2/4/6,
+    all five scanline filters (None/Sub/Up/Average/Paeth), zlib IDAT.
+    Color converts with the ITU-R 601-2 luma weights. The real-codec
+    lane's fallback when Pillow is absent (this container); palette,
+    16-bit, interlaced, or non-PNG payloads raise with guidance."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "the vendored real-codec lane decodes baseline PNG only; "
+            "install Pillow for other formats"
+        )
+    pos, idat = 8, bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            (width, height, bit_depth, color_type, _c, _f, interlace
+             ) = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if width is None or channels is None or bit_depth != 8 or interlace:
+        raise NotImplementedError(
+            "vendored PNG decode handles 8-bit non-interlaced "
+            "gray/RGB(A) only; install Pillow for the rest"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rp = 0
+    for y in range(height):
+        ftype = raw[rp]
+        rp += 1
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=rp).copy()
+        rp += stride
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorized (uint8 add wraps mod 256)
+            line += prev
+        elif ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - channels]) if i >= channels else 0
+                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    px = out.reshape(height, width, channels).astype("float64")
+    if channels >= 3:
+        return (
+            px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+        ) / 1000.0
+    return px[:, :, 0]  # gray / gray+alpha: luma channel
+
+
+def _box_resize_32(gray):
+    """Box-average downsample to 32x32 (deterministic; the vendored
+    lane's resize — PIL's lane uses PIL's own resampler, so the two
+    real kernels are each internally consistent but not bit-equal on
+    non-32x32 inputs)."""
+    import numpy as np
+
+    h, w = gray.shape
+    if (h, w) == (32, 32):
+        return gray
+    if h % 32 == 0 and w % 32 == 0:
+        # integral ratio (the common power-of-two thumbnails):
+        # vectorized block mean, no per-cell Python loop
+        return gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    ys = np.arange(33) * h // 32
+    xs = np.arange(33) * w // 32
+    out = np.empty((32, 32), dtype="float64")
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+
+def _numpy_phash(payload: bytes) -> int:
+    """Real-decode pHash without Pillow: vendored baseline-PNG decode +
+    box resize + the SAME 32x32 DCT pipeline as the PIL kernel."""
+    return _phash_bits_from_gray(
+        _box_resize_32(_png_decode_gray(bytes(payload)))
+    )
+
+
 def _pil_phash(payload: bytes) -> int:
     import io
 
@@ -413,13 +525,21 @@ def image_phash(
     pHash survives re-encodes, resizes and mild edits (the transforms
     that defeat byte-level sha256 dedup of crawled images), so hamming
     distance on it is the standard image near-dup key. Real kernel
-    decodes with Pillow (import-gated); the default deterministic fake
-    exercises the identical schema, batch shape and DCT path without a
-    codec. One map-only Arrow stage.
+    decodes with Pillow when it is importable; without Pillow the
+    real lane falls back to the VENDORED baseline-PNG decoder
+    (:func:`_png_decode_gray` — full 8-bit non-interlaced PNG with all
+    five filters, box-average resize, same DCT), so ``use_real_codecs``
+    works on PNG corpora in codec-less containers and raises per
+    non-PNG payload with install guidance. The default deterministic
+    fake exercises the identical schema, batch shape and DCT path
+    without any decode. One map-only Arrow stage.
     """
     if use_real_codecs:
-        _require_pil()
-        kern = _pil_phash
+        try:
+            _require_pil()
+            kern = _pil_phash
+        except NotImplementedError:
+            kern = _numpy_phash  # vendored baseline-PNG real lane
     else:
         kern = _fake_phash
 

@@ -347,6 +347,120 @@ class TestRealCodecKernels:
         finally:
             release_caches()
 
+    def test_vendored_png_decode_roundtrip(self):
+        """The vendored baseline-PNG decoder recovers the exact pixels
+        a stdlib writer encoded — filter types 0 (as written), and
+        1/2/3/4 applied per the spec in-test."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from patito_spark.operators.multimodal import _png_decode_gray
+
+        rng = np.random.RandomState(7)
+        px = rng.randint(0, 256, size=(9, 11), dtype=np.uint8)
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        def png_gray(pixels, ftype):
+            h, w = pixels.shape
+            rows = bytearray()
+            prev = np.zeros(w, dtype=np.int32)
+            for y in range(h):
+                line = pixels[y].astype(np.int32)
+                if ftype == 0:
+                    filt = line
+                elif ftype == 1:  # Sub
+                    left = np.concatenate(([0], line[:-1]))
+                    filt = (line - left) % 256
+                elif ftype == 2:  # Up
+                    filt = (line - prev) % 256
+                elif ftype == 3:  # Average
+                    filt = np.empty(w, dtype=np.int32)
+                    for i in range(w):
+                        left = line[i - 1] if i else 0
+                        filt[i] = (line[i] - ((left + prev[i]) >> 1)) % 256
+                elif ftype == 4:  # Paeth
+                    filt = np.empty(w, dtype=np.int32)
+                    for i in range(w):
+                        a = line[i - 1] if i else 0
+                        b = prev[i]
+                        c = prev[i - 1] if i else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = (
+                            a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c)
+                        )
+                        filt[i] = (line[i] - pr) % 256
+                rows.append(ftype)
+                rows.extend(int(v) for v in filt)
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b"")
+            )
+
+        for ftype in (0, 1, 2, 3, 4):
+            got = _png_decode_gray(png_gray(px, ftype))
+            assert np.array_equal(got, px.astype("float64")), ftype
+
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="PNG"):
+            _png_decode_gray(b"\xff\xd8\xffjpeg-ish")
+
+    def test_real_lane_works_without_pil_on_png(self, spark):
+        """use_real_codecs=True in a Pillow-less container rides the
+        vendored PNG decoder: byte-identical PNGs collide at hamming 0,
+        a different image does not."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from patito_spark.functions.cache import release_caches
+        from patito_spark.operators.multimodal import image_dedup_pairs
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        def png(seed):
+            rng = np.random.RandomState(seed)
+            pxa = rng.randint(0, 256, size=(48, 48), dtype=np.uint8)
+            rows = bytearray()
+            for y in range(48):
+                rows.append(0)
+                rows.extend(int(v) for v in pxa[y])
+            ihdr = struct.pack(">IIBBBBB", 48, 48, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b"")
+            )
+
+        g = png(1)
+        df = spark.createDataFrame(
+            [(1, g), (2, g), (3, png(2))], "doc_id long, blob binary"
+        )
+        try:
+            pairs = image_dedup_pairs(df, max_hamming=0, use_real_codecs=True)
+            got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+            assert got == {(1, 2): 0}
+        finally:
+            release_caches()
+
     def test_fake_path_needs_no_codec(self, spark):
         # guard: the default path must keep working with NO Pillow
         from patito_spark.operators.multimodal import image_phash
