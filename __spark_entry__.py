@@ -3978,7 +3978,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, string_split('<s> ' || text, ' ') AS t
                 FROM documents
             ),
-            arpa_pos AS (
+            arpa_pos AS MATERIALIZED (
                 SELECT doc_id,
                        CASE WHEN u.i >= 3 THEN t[u.i - 2] END AS h2,
                        t[u.i - 1] AS h1,
@@ -3986,8 +3986,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM arpa_toks,
                 UNNEST(generate_series(2, len(t))) AS u(i)
             ),
-            arpa_nll AS (
-                SELECT p.doc_id,
+            -- score DISTINCT (h2, h1, w) tuples, then join back — the
+            -- operator's own corpus-scale fallback shape, and the
+            -- honest DuckDB formulation: scoring every position pushed
+            -- the 5-way lookup join into the full-query join graph,
+            -- where the optimizer picked a catastrophic order (366 s
+            -- at sf1 vs 15 s for this shape; MATERIALIZED isolates the
+            -- lookup subgraph)
+            arpa_tuples AS MATERIALIZED (
+                SELECT DISTINCT h2, h1, w FROM arpa_pos
+            ),
+            arpa_tuple_nll AS MATERIALIZED (
+                SELECT tu.h2, tu.h1, tu.w,
                        -(CASE
                            WHEN g3.logp IS NOT NULL THEN g3.logp
                            WHEN g2.logp IS NOT NULL
@@ -3998,21 +4008,30 @@ def oracle_sql() -> dict[str, str]:
                            ELSE -3.5 + coalesce(c2.bo, 0)
                                 + coalesce(c1.bo, 0)
                          END) * ln(10) AS nll
-                FROM arpa_pos p
+                FROM arpa_tuples tu
+                -- the arity guard lives INSIDE the key expression
+                -- (NULL key never matches), not as an extra join
+                -- conjunct: 'h2 IS NOT NULL AND expr = gram' reads as
+                -- a non-equi condition and planned as a blockwise NL
+                -- join (38.7 s at sf1 for 38k x 250k rows); the CASE
+                -- form is a plain hash join
                 LEFT JOIN arpa_g3 g3
-                  ON p.h2 IS NOT NULL
-                 AND g3.gram = p.h2 || ' ' || p.h1 || ' ' || p.w
-                LEFT JOIN arpa_g2 g2 ON g2.gram = p.h1 || ' ' || p.w
+                  ON g3.gram = (CASE WHEN tu.h2 IS NOT NULL
+                       THEN tu.h2 || ' ' || tu.h1 || ' ' || tu.w END)
+                LEFT JOIN arpa_g2 g2 ON g2.gram = tu.h1 || ' ' || tu.w
                 LEFT JOIN arpa_g2 c2
-                  ON p.h2 IS NOT NULL
-                 AND c2.gram = p.h2 || ' ' || p.h1
-                LEFT JOIN arpa_g1 g1 ON g1.gram = p.w
-                LEFT JOIN arpa_g1 c1 ON c1.gram = p.h1
+                  ON c2.gram = (CASE WHEN tu.h2 IS NOT NULL
+                       THEN tu.h2 || ' ' || tu.h1 END)
+                LEFT JOIN arpa_g1 g1 ON g1.gram = tu.w
+                LEFT JOIN arpa_g1 c1 ON c1.gram = tu.h1
             ),
-            arpa_scores AS (
-                SELECT doc_id, round(avg(nll), 4) AS arpa_ce_r,
-                       round(exp(avg(nll)), 4) AS arpa_ppl_r
-                FROM arpa_nll GROUP BY doc_id
+            arpa_scores AS MATERIALIZED (
+                SELECT p.doc_id, round(avg(s.nll), 4) AS arpa_ce_r,
+                       round(exp(avg(s.nll)), 4) AS arpa_ppl_r
+                FROM arpa_pos p JOIN arpa_tuple_nll s
+                  ON p.h1 = s.h1 AND p.w = s.w
+                 AND p.h2 IS NOT DISTINCT FROM s.h2
+                GROUP BY p.doc_id
             )
             SELECT u.doc_id, u.n_tokens,
                    round(u.h_raw, 4) AS cross_entropy_r,
