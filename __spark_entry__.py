@@ -1894,6 +1894,88 @@ def _tokenizer_artifacts_for(spark: SparkSession, sf_dir: str):
     return _ANN_INDEX_CACHE[key]
 
 
+def _fused_token_ids(base: DataFrame, logp, merges, vocab) -> DataFrame:
+    """One Arrow pass emitting BOTH tokenizers' encodings as
+    mode-tagged rows ('unigram_ids' / 'bpe_ids'; ids space-joined).
+    Shares the GPT-2 pretokenize + byte-alphabet mapping across the
+    two kernels and per-batch word memos for each."""
+    from pyspark.sql import types as T
+
+    from patito_spark.operators.tokenizer import (
+        _bpe_word,
+        _pretokenize,
+        bytes_to_unicode,
+    )
+    from patito_spark.operators.unigram import (
+        build_unigram_vocab,
+        viterbi_segment,
+    )
+
+    uni_ids = build_unigram_vocab(logp)
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast((dict(logp), uni_ids, dict(merges), dict(vocab)))
+    schema = T.StructType(
+        [
+            T.StructField("mode", T.StringType(), False),
+            T.StructField("doc_id", base.schema["doc_id"].dataType, True),
+            T.StructField("token_ids", T.StringType(), True),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        lp, u_ids, ranks, voc = bc.value
+        b2u = bytes_to_unicode()
+        memo_u: dict = {}
+        memo_b: dict = {}
+
+        def word_u(mapped: str) -> list:
+            got = memo_u.get(mapped)
+            if got is None:
+                pieces, _ = viterbi_segment(mapped, lp, 8)
+                got = [str(u_ids.get(p, 0)) for p in pieces]
+                memo_u[mapped] = got
+            return got
+
+        def word_b(mapped: str) -> list:
+            got = memo_b.get(mapped)
+            if got is None:
+                # out-of-vocab merge tokens are skipped, matching the
+                # standalone encode's array_join-over-null behavior
+                got = [
+                    str(voc[t])
+                    for t in _bpe_word(mapped, ranks)
+                    if t in voc
+                ]
+                memo_b[mapped] = got
+            return got
+
+        for pdf in batches:
+            modes, ids_col, out_ids = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    for m in ("unigram_ids", "bpe_ids"):
+                        modes.append(m)
+                        ids_col.append(doc_id)
+                        out_ids.append(None)
+                    continue
+                us: list = []
+                bs: list = []
+                for w in _pretokenize(text):
+                    mapped = "".join(b2u[c] for c in w.encode("utf-8"))
+                    us.extend(word_u(mapped))
+                    bs.extend(word_b(mapped))
+                modes.extend(("unigram_ids", "bpe_ids"))
+                ids_col.extend((doc_id, doc_id))
+                out_ids.extend((" ".join(us), " ".join(bs)))
+            yield pd.DataFrame(
+                {"mode": modes, "doc_id": ids_col, "token_ids": out_ids}
+            )
+
+    return base.mapInPandas(encode, schema=schema)
+
+
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-counting AND tokenizer-training family, union-tagged:
 
@@ -1920,8 +2002,6 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fail the hash — this row is the trainers' driver gate.
     """
     from patito_spark.operators.text import bpe_ish_token_count, token_count
-    from patito_spark.operators.tokenizer import with_bpe_token_ids
-    from patito_spark.operators.unigram import with_unigram_token_ids
 
     docs = _t(spark, sf_dir, "documents")
     counts = docs.select(
@@ -1935,19 +2015,22 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     logp, merges, vocab = _tokenizer_artifacts_for(spark, sf_dir)
     base = docs.select("doc_id", "text")
 
-    def _ids(df: DataFrame, mode: str) -> DataFrame:
-        return df.select(
-            F.lit(mode).alias("mode"),
-            "doc_id",
-            F.lit(None).cast("long").alias("n_tokens"),
-            F.lit(None).cast("long").alias("n_bpe_tokens"),
-            F.lit(None).cast("long").alias("n_chars"),
-            F.array_join("token_ids", " ").alias("token_ids"),
-        )
-
-    uni = _ids(with_unigram_token_ids(base, logp), "unigram_ids")
-    bpe = _ids(with_bpe_token_ids(base, merges, vocab), "bpe_ids")
-    return counts.unionByName(uni).unionByName(bpe)
+    # BOTH encoders in ONE Arrow stage over ONE scan (two mode-tagged
+    # rows per doc): the kernels share the pretokenize + byte-alphabet
+    # pass, and a second mapInPandas stage would re-pay the scan and
+    # the Python-stage constant. Values are pinned identical to the
+    # standalone with_unigram_token_ids / with_bpe_token_ids encodes
+    # (test_entry.py::test_text_token_counts_fused_encode).
+    ids_df = _fused_token_ids(base, logp, merges, vocab)
+    both = ids_df.select(
+        "mode",
+        "doc_id",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars"),
+        "token_ids",
+    )
+    return counts.unionByName(both)
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -151,3 +151,38 @@ def test_events_ts_normalizes_both_representations(spark, tmp_path):
         assert df.first()["ts"] == ns
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_text_token_counts_fused_encode(spark):
+    """The entry's one-stage dual encode is row-identical to composing
+    the standalone with_unigram_token_ids / with_bpe_token_ids
+    operators (same artifacts, array_join over the id arrays)."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.tokenizer import with_bpe_token_ids
+    from patito_spark.operators.unigram import with_unigram_token_ids
+
+    sf_dir = "/root/testdata/sf0.001"
+    logp, merges, vocab = entry_mod._tokenizer_artifacts_for(spark, sf_dir)
+    base = entry_mod._t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    fused = {
+        (r.mode, r.doc_id): r.token_ids
+        for r in entry_mod._fused_token_ids(
+            base, logp, merges, vocab
+        ).collect()
+    }
+    uni = {
+        ("unigram_ids", r.doc_id): r.ids
+        for r in with_unigram_token_ids(base, logp)
+        .select("doc_id", F.array_join("token_ids", " ").alias("ids"))
+        .collect()
+    }
+    bpe = {
+        ("bpe_ids", r.doc_id): r.ids
+        for r in with_bpe_token_ids(base, merges, vocab)
+        .select("doc_id", F.array_join("token_ids", " ").alias("ids"))
+        .collect()
+    }
+    assert fused == {**uni, **bpe}
