@@ -89,12 +89,20 @@ def gopher_rules(
         (F.length(F.col(text_col)) - (n_words - 1))
         / n_words.cast("double")
     )
-    # All counts below are regexp_count expressions, NOT higher-order-
-    # function lambdas — HOF lambdas evaluate interpreted per element
-    # and break whole-stage codegen (the rounds-9/10 purge); these stay
-    # inside the fused scan projection. '#' and '...' share no
-    # characters, so ONE alternation pass counts both exactly.
-    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
+    # Counts below are regexp_count expressions or plain char
+    # arithmetic, NOT higher-order-function lambdas — HOF lambdas
+    # evaluate interpreted per element and break whole-stage codegen
+    # (the rounds-9/10 purge); these stay inside the fused scan
+    # projection. '#' and '...' share no characters, so counting them
+    # independently equals the old one-pass '#|\.\.\.' alternation:
+    # '#' occurrences via a translate length delta, non-overlapping
+    # '...' runs via a replace length delta — two char-table passes,
+    # no regex engine.
+    t_ = F.col(text_col)
+    n_symbols = (
+        F.length(t_) - F.length(F.translate(t_, "#", ""))
+        + (F.length(t_) - F.length(F.replace(t_, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("int")
     bullet_lines = F.regexp_count(
         F.col(text_col), F.lit(r"(?m)^[ \t]*(?:[-*•]|\d+[.)])[ \t]")
     )
@@ -189,7 +197,9 @@ def c4_rules(
     n_lines = F.size(_lines(text_col))
     # regexp_count, not a per-line HOF lambda (codegen; see gopher_rules)
     term_lines = F.regexp_count(text, F.lit(r'(?m)[.!?"][ \t]*$'))
-    sentences = F.regexp_count(text, F.lit(r"[.!?]"))
+    # terminal-punct chars via a translate length delta — one char
+    # pass, no regex (identical to counting [.!?] matches)
+    sentences = F.length(text) - F.length(F.translate(text, ".!?", ""))
     lower = F.lower(text)
 
     rules = {
