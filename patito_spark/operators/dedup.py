@@ -403,45 +403,39 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         exploded, num_hashes=num_hashes, bands=bands, densify=densify
     )
-    # The skew guard runs BEFORE any member list materializes: a cheap
-    # map-side-combined count per (band, bucket) filters to
-    # 1 < n <= max_bucket_size, semi-joined back, and only the surviving
-    # buckets are collect_list'ed. A degenerate hot bucket (thousands of
+    # The skew guard runs BEFORE any member list materializes, fused
+    # into the bucket stage's ONE exchange (round 14, the
+    # hamming_pairs discipline): a window count over
+    # partitionBy(band, bucket) — WindowExec buffers spillably —
+    # filters to 1 < n <= max_bucket_size, and the collect_list
+    # aggregate rides the window's own partitioning and sort as a
+    # streaming sort-aggregate. A degenerate hot bucket (thousands of
     # empty/identical docs sharing a banded signature) is therefore
     # dropped by a counter, never buffered whole in one aggregation
-    # buffer (collect_list buffers cannot spill — round-10 advice).
-    # `banded` is persisted so the bin-min aggregate behind it runs once
-    # for the count branch and the collect branch (one row per
-    # (doc, band) — tiny next to the shingle stream). The pair expansion
-    # stays a map-side expression over the bucket rows: the nested
-    # transform is interpreted, but it runs per BUCKET (≤ max_bucket_size
-    # members, sorted so id_a < id_b by construction), not per pair-join
-    # probe. Round-9 A/B at sf1: see docs/scaling.md.
-    from patito_spark.functions.cache import tracked_persist
+    # buffer (collect_list buffers cannot spill — round-10 advice),
+    # and the guard bounds every collected array at max_bucket_size.
+    # The old count + semi-join spelling cost two extra exchanges and
+    # needed `banded` persisted for its two branches; this shape has
+    # one consumer and no cache. Pair expansion is a codegen double
+    # explode over the sorted arrays (a < b keeps each in-bucket pair
+    # once) — the interpreted transform/slice lambda it replaces ran
+    # per bucket element; the cross-band distinct stays (a pair shares
+    # up to `bands` buckets).
+    from pyspark.sql import Window
 
-    banded = tracked_persist(banded)
-    eligible = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("band", "bucket")
+    guarded = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(w))
         .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
-        .select("band", "bucket")
+        .drop("__n")
     )
-    buckets = (
-        banded.join(eligible, on=["band", "bucket"], how="left_semi")
-        .groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+    buckets = guarded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("__id")).alias("__ids")
     )
     pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ids, (x, i) -> "
-                    "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
-                    "y -> struct(x as id_a, y as id_b))))"
-                )
-            ).alias("__p")
-        )
-        .select("__p.id_a", "__p.id_b")
+        buckets.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
     )
     return pairs.distinct()
 
