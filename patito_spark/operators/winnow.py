@@ -231,14 +231,18 @@ def winnow_pairs(
         hash_mode=hash_mode, positions=False,
     ).select(F.col(id_col).alias("__id"), "fp")
     # rows are distinct by construction (doc-local dedup in the Arrow
-    # kernel) — no distinct exchange before the persist
-    fps = tracked_persist(fps)
-    # Bucket guard fused into the join's OWN exchange (the
-    # hamming_pairs round-12 shape): the member count is a window over
-    # partitionBy(fp) — the exact partitioning the self-join needs —
-    # so the guard adds ZERO exchanges; the earlier count + semi-join
-    # spelling paid an extra aggregate exchange plus a join before
-    # anything paired.
+    # kernel) — no distinct exchange. Persist only when the
+    # containment branch re-reads the unpruned table; the candidate
+    # path below is one linear pipeline.
+    if with_containment:
+        fps = tracked_persist(fps)
+    # Bucket guard fused into the pair stage's ONE exchange (the
+    # hamming_pairs round-14 shape): the member count is a window over
+    # partitionBy(fp) — the exact partitioning the bucket aggregate
+    # needs — so the guard adds ZERO exchanges AND bounds every
+    # collected array at max_bucket_size (WindowExec buffers
+    # spillably, so a pathological bucket dies at the filter without
+    # ever materializing as one aggregation buffer).
     survivors = (
         fps.withColumn(
             "__n", F.count(F.lit(1)).over(Window.partitionBy("fp"))
@@ -246,10 +250,17 @@ def winnow_pairs(
         .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket_size))
         .drop("__n")
     )
-    a = survivors.select("fp", F.col("__id").alias("id_a"))
-    b = survivors.select("fp", F.col("__id").alias("id_b"))
+    # In-bucket pair expansion WITHOUT a self-join: collect each
+    # guarded bucket (a streaming sort-aggregate riding the window's
+    # partitioning and sort) and double-explode the a < b pairs; the
+    # per-pair fp count then aggregates to shared_fps exactly as the
+    # fp-keyed self-join did.
+    buckets = survivors.groupBy("fp").agg(
+        F.collect_list("__id").alias("__ids")
+    )
     pairs = (
-        a.join(b, on="fp")
+        buckets.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))

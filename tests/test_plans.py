@@ -324,11 +324,11 @@ def test_lm_quality_trigram_mode_single_corpus_join(spark):
 
 
 def test_winnow_pairs_exchange_reuse(spark):
-    """winnow_pairs (round 13): the window bucket guard rides the
-    self-join's own fp partitioning — with broadcast off, the pairing
-    stage pays at most TWO fp exchanges of the fingerprint stream (one
-    per join side; the count+semi-join spelling cost an extra
-    aggregate exchange plus a join)."""
+    """winnow_pairs (round 14): the window bucket guard, the bucket
+    aggregate, and the in-bucket pair expansion all ride ONE fp
+    exchange of the fingerprint stream — no self-join anywhere in the
+    candidate stage (the round-13 join shape paid a second fp exchange
+    or a broadcast of the guarded stream)."""
     import re
 
     from patito_spark.operators.winnow import winnow_pairs
@@ -338,22 +338,11 @@ def test_winnow_pairs_exchange_reuse(spark):
          for i in range(64)],
         "doc_id long, text string",
     )
-    conf = spark.conf
-    old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    old_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
-    try:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        plan = executed_plan(winnow_pairs(df, min_shared=1))
-    finally:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        if old_aqe is not None:
-            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
-        else:
-            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    plan = executed_plan(winnow_pairs(df, min_shared=1))
     fp_exchanges = re.findall(r"Exchange hashpartitioning\(fp", plan)
-    assert 1 <= len(fp_exchanges) <= 2, plan
+    assert len(fp_exchanges) == 1, plan
     assert "Window" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_hamming_pairs_plan_sub_quadratic(spark):
