@@ -570,7 +570,7 @@ def image_dedup_pairs(
     id_col: str = "doc_id",
     blob_col: str = "blob",
     max_hamming: int = 6,
-    chunks: int = 8,
+    chunks: "int | str" = "auto",
     use_real_codecs: bool = False,
     max_bucket_size: Optional[int] = 100_000,
     expand: str = "full",
@@ -588,14 +588,17 @@ def image_dedup_pairs(
     :func:`..graph.connected_components` + an anti join for
     one-survivor-per-group dedup, exactly the text composition.
 
-    Scale note: the default ``max_hamming=6, chunks=8`` keys the join
-    on C(8,2)=28 16-bit combinations — fine into the hundreds of
+    Scale note: ``chunks="auto"`` (default) sizes the pigeonhole block
+    count from the distinct-hash count (see
+    :func:`..dedup.auto_chunk_count`; one eager count job on the
+    persisted hash table). At ``max_hamming=6`` the widest affordable
+    key is 24 bits (combination-table cap) — fine into the hundreds of
     millions of DISTINCT hashes thanks to the collapse + bucket guard,
     but a multi-billion-image corpus should lower ``max_hamming`` (3
-    gives 40-bit keys, the Manku web configuration) or pass
-    ``expand="star"`` and a tighter ``max_bucket_size``.
+    allows 40-bit keys) or pass ``expand="star"`` and a tighter
+    ``max_bucket_size``.
     """
-    if max_hamming >= chunks:
+    if isinstance(chunks, int) and max_hamming >= chunks:
         raise ValueError(
             f"pigeonhole needs max_hamming < chunks; got {max_hamming} "
             f">= {chunks}"

@@ -288,6 +288,9 @@ def prepare_training_corpus(
             from patito_spark.functions.cache import tracked_persist
 
             scored = tracked_persist(scored)
+        # the ladder population must be the FULL scored corpus, so grab
+        # the pre-gate frame before the anti-join reassigns `gated`
+        pre_gate = gated
         if max_perplexity is not None:
             reject = (
                 scored.filter(F.col("perplexity") > max_perplexity)
@@ -309,14 +312,19 @@ def prepare_training_corpus(
             )
 
             grp = list(ccnet_group_cols)
-            missing = [c for c in grp if c not in gated.columns]
+            missing = [c for c in grp if c not in pre_gate.columns]
             if missing:
                 raise ValueError(
                     f"ccnet_buckets groups on {missing} but the input "
                     "has no such column(s); pass ccnet_group_cols=..."
                 )
+            # join group columns from the PRE-gate frame: with
+            # max_perplexity set, `gated` is already the post-gate
+            # survivor set, and a ladder computed over survivors shifts
+            # the tercile boundaries (the paper's percentiles are
+            # corpus-wide — Wenzek 2020 §4.3)
             labels = _ccnet_buckets(
-                scored.join(gated.select(id_col, *grp), on=id_col),
+                scored.join(pre_gate.select(id_col, *grp), on=id_col),
                 ppl_col="perplexity",
                 group_cols=grp,
             ).select(id_col, "ccnet_bucket")

@@ -430,10 +430,26 @@ def test_prepare_ccnet_buckets_stage(spark, tmp_path):
     by_id = {r.doc_id: r.ccnet_bucket for r in docs}
     assert by_id[1000] == "head" and by_id[1029] == "tail"
 
-    # with the hard gate: label rides the survivors, ladder unchanged
+    # with a REAL hard gate (cuts the top-perplexity third): the label
+    # must ride the survivors but the ladder stays CORPUS-WIDE (Wenzek
+    # 2020 percentiles are over the full scored population, not the
+    # post-gate survivors) — survivor labels must equal the ungated
+    # run's labels for the same ids
+    from patito_spark.operators.arpa import arpa_logloss, load_arpa
+
+    lm = load_arpa(spark, str(arpa))
+    ppls = sorted(
+        r.arpa_ppl
+        for r in arpa_logloss(
+            corpus, lm, text_col="text", id_col="doc_id", order=5
+        ).collect()
+        if r.doc_id >= 1000  # the en half; texts (and ppls) mirror de
+    )
+    # threshold between the 20th and 21st doc: keeps i=0..19 per lang
+    cut = (ppls[19] + ppls[20]) / 2.0
     gated = prepare_training_corpus(
         corpus,
-        max_perplexity=1e9,
+        max_perplexity=cut,
         perplexity_order=5,
         perplexity_arpa=str(arpa),
         ccnet_buckets=True,
@@ -441,9 +457,16 @@ def test_prepare_ccnet_buckets_stage(spark, tmp_path):
         dedup_threshold=None,
     )
     assert "perplexity_gate" in gated["stages"]
-    assert {r.ccnet_bucket for r in gated["documents"].collect()} == {
-        "head", "middle", "tail"
-    }
+    gated_docs = gated["documents"].collect()
+    assert len(gated_docs) == 40  # 20 survivors per lang
+    # a post-gate ladder would re-split the survivors into thirds and
+    # relabel middle docs as tail; the corpus-wide ladder keeps labels
+    for r in gated_docs:
+        assert r.ccnet_bucket == by_id[r.doc_id], (
+            r.doc_id,
+            r.ccnet_bucket,
+            by_id[r.doc_id],
+        )
 
     with pytest.raises(ValueError, match="ccnet_group_cols"):
         prepare_training_corpus(
