@@ -602,9 +602,10 @@ def simhash_signatures(
     # one-sum-per-bit shape (measured ~25% off the signature stage at
     # sf1) and replaces the ±1 branch with straight-line bit
     # arithmetic. Bit i then votes positive iff ones_i > n/2, i.e.
-    # 2*ones_i > n — identical (ties included) to sum(±1) > 0. A lane
-    # overflows only past 2^32-1 tokens in ONE document, beyond
-    # Spark's 2 GiB string limit, so the packing is safe at any
+    # 2*ones_i > n — identical (ties included) to sum(±1) > 0. The
+    # binding overflow is the odd lane's (<<32) contributions saturating
+    # the signed int64 SUM at 2^31 tokens in ONE document — still far
+    # beyond Spark's 2 GiB string limit, so the packing is safe at any
     # reachable document size.
     n_acc = (bits + 1) // 2
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -642,6 +643,14 @@ def simhash_dedup_pairs(
     count from the corpus's distinct-signature count — Manku et al.'s
     (WWW 2007) fixed ``chunks=8`` is the multi-billion-document
     configuration; pass it explicitly at that scale.
+
+    ``max_bucket_size`` semantics (since the canonical-combination
+    dedup): a pair survives only if its CANONICAL combination's bucket
+    passes the guard — a pair whose canonical bucket is pruned is
+    dropped even when the pair co-occurs in another surviving bucket.
+    Recall is sacrificed only inside pathological (guard-dropped)
+    buckets, e.g. massively templated corpora; raise or disable the
+    guard (``None``) if those pairs matter.
     """
     sigs = simhash_signatures(
         df, id_col=id_col, text_col=text_col, hash_mode=hash_mode

@@ -166,24 +166,111 @@ def _av_keyframes(payload: bytes) -> list[tuple[int, Optional[int], str]]:
     return out
 
 
-def _require_soundfile():
-    """Import-try gate for the real audio codec path (soundfile)."""
+def _have_soundfile() -> bool:
+    """True when the full-codec audio library is importable."""
     try:
         import soundfile  # noqa: F401
 
-        return soundfile
-    except ImportError as exc:  # pragma: no cover - absent in CI env
+        return True
+    except ImportError:  # pragma: no cover - absent in CI env
+        return False
+
+
+def _wav_decode_mono(payload: bytes):
+    """Vendored RIFF/WAVE decoder (public WAV spec; stdlib struct +
+    numpy — the audio twin of the vendored PNG lane): PCM 8/16/24/32
+    bit and IEEE float32/64, any channel count (mono-mixed). Returns
+    float64 samples on [-1, 1] — the same contract as the soundfile
+    kernel, so the two real lanes are interchangeable for WAV bytes."""
+    import struct
+
+    import numpy as np
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
         raise NotImplementedError(
-            "use_real_codecs=True requires soundfile, which is not "
-            "installed in this environment. The deterministic fake kernel "
-            "(use_real_codecs=False) exercises the identical Spark "
-            "contract: schema, Arrow batching, windowing mechanics."
-        ) from exc
+            "vendored audio decode handles RIFF/WAVE (PCM or IEEE "
+            "float) only; install soundfile for other containers"
+        )
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError(
+            "vendored audio decode: WAV payload missing fmt/data chunk"
+        )
+    audio_format, n_ch, _rate, _byte_rate, _block, bits = fmt
+    if n_ch < 1:
+        raise NotImplementedError("vendored audio decode: zero channels")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:  # unsigned per spec
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                - 128.0
+            ) / 128.0
+        elif bits == 16:
+            samples = (
+                np.frombuffer(data, dtype="<i2").astype(np.float64)
+                / 32768.0
+            )
+        elif bits == 24:  # 3-byte little-endian two's complement
+            usable = len(data) - (len(data) % 3)
+            b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            raw = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+            samples = raw.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(
+                np.float64
+            ) / float(1 << 31)
+        else:
+            raise NotImplementedError(
+                f"vendored audio decode: {bits}-bit PCM unsupported"
+            )
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(
+                f"vendored audio decode: {bits}-bit float unsupported"
+            )
+    else:
+        raise NotImplementedError(
+            f"vendored audio decode: WAV format tag {audio_format} "
+            "unsupported (PCM=1 and IEEE float=3 only); install "
+            "soundfile for compressed/extensible WAV"
+        )
+    usable = len(samples) - (len(samples) % n_ch)
+    samples = samples[:usable]
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return np.ascontiguousarray(samples)
 
 
 def _sf_decode_mono(payload: bytes):
-    """Real audio kernel: decode with soundfile, mono-mix multi-channel
-    streams. Returns float64 samples in the decoder's [-1, 1] scale."""
+    """Real audio kernel: decode with soundfile when installed (any
+    libsndfile container), else the vendored RIFF/WAVE parser. Returns
+    float64 mono samples on the decoder's [-1, 1] scale either way."""
+    if not _have_soundfile():
+        return _wav_decode_mono(bytes(payload))
     import io
 
     import numpy as np
@@ -282,13 +369,15 @@ def sample_audio_windows(
     windows. Windows shorter than ``window_samples`` at the tail are
     emitted (flagged by ``n_samples``) so no audio is silently dropped.
 
-    ``use_real_codecs=True`` decodes with soundfile (import-gated at
-    plan build): samples are the decoded float stream (multi-channel
-    mono-mixed), RMS is on the decoder's [-1, 1] scale, and the window
-    hash covers the float64 sample bytes.
+    ``use_real_codecs=True`` decodes with soundfile when installed (any
+    libsndfile container) and otherwise falls back to a VENDORED
+    RIFF/WAVE parser (PCM 8/16/24/32-bit + IEEE float32/64, public WAV
+    spec — the audio twin of the vendored PNG image lane), so real WAV
+    decode works in codec-less containers; non-WAV payloads then raise
+    ``NotImplementedError`` naming soundfile. Samples are the decoded
+    float stream (multi-channel mono-mixed), RMS is on the decoder's
+    [-1, 1] scale, and the window hash covers the float64 sample bytes.
     """
-    if use_real_codecs:
-        _require_soundfile()  # fail fast on the driver, not per-task
     # `or` would turn an explicit hop_samples=0 into no-overlap windowing
     # instead of the ValueError below; only None means "default to window".
     hop = window_samples if hop_samples is None else hop_samples
@@ -423,22 +512,39 @@ def _png_decode_gray(payload: bytes):
             pass
         elif ftype == 2:  # Up — vectorized (uint8 add wraps mod 256)
             line += prev
-        elif ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
-        elif ftype == 3:  # Average
+        elif ftype == 1:  # Sub — vectorized: recon[x] = raw[x] +
+            # recon[x-bpp] is a running sum per channel lane, so the
+            # row is a per-lane cumsum mod 256 (uint64 accumulation
+            # cannot wrap below 2^56 pixels per row)
+            line = (
+                (line.reshape(width, channels)
+                     .cumsum(axis=0, dtype=np.uint64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ftype == 3:  # Average — left-sequential recurrence; run it
+            # on plain-int lists (numpy scalar indexing is ~10x slower
+            # than list ints in this loop)
+            ln = line.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                left = int(line[i - channels]) if i >= channels else 0
-                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                left = ln[i - channels] if i >= channels else 0
+                ln[i] = (ln[i] + ((left + pv[i]) >> 1)) & 0xFF
+            line = np.asarray(ln, dtype=np.uint8)
+        elif ftype == 4:  # Paeth — same list-loop treatment
+            ln = line.tolist()
+            pv = prev.tolist()
             for i in range(stride):
-                a = int(line[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
+                a = ln[i - channels] if i >= channels else 0
+                b = pv[i]
+                c = pv[i - channels] if i >= channels else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (int(line[i]) + pr) & 0xFF
+                ln[i] = (ln[i] + pr) & 0xFF
+            line = np.asarray(ln, dtype=np.uint8)
         else:
             raise NotImplementedError(f"PNG filter type {ftype}")
         out[y] = line

@@ -423,6 +423,13 @@ def quantile_bins(
     on the group keys, so rows with a null group key bin against the
     null group's own ladder (the group ``groupBy`` already
     aggregates). Groups whose scores are all null bin to null.
+
+    NOTE: both forms run an EAGER Spark job at call time — the global
+    form's ``approxQuantile`` collects breakpoints to the driver, and
+    the grouped form materializes + counts the per-group sketch table
+    to gate the broadcast. Callers composing plans speculatively should
+    pass precomputed ``breakpoints`` (fully lazy) or defer the call
+    until the plan will actually execute.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be at least 2")

@@ -59,9 +59,9 @@ def test_real_codecs_gate(blobs):
     if _missing("av"):
         with pytest.raises(NotImplementedError, match="PyAV"):
             multimodal.sample_video_frames(blobs, use_real_codecs=True)
-    if _missing("soundfile"):
-        with pytest.raises(NotImplementedError, match="soundfile"):
-            multimodal.sample_audio_windows(blobs, use_real_codecs=True)
+    # audio no longer gates at plan build: the vendored WAV lane decodes
+    # RIFF/WAVE without soundfile; non-WAV payloads raise per-task
+    # (TestAudioWindows covers both halves)
 
 
 def test_real_codec_gate_is_import_try(spark):
@@ -169,14 +169,75 @@ class TestAudioWindows:
         doc2 = [r for r in out.collect() if r["doc_id"] == 2]
         assert all(math.isclose(r["rms"], 1000.0) for r in doc2)
 
-    def test_real_codecs_gated(self, spark):
+    def test_real_lane_vendored_wav(self, spark):
+        """use_real_codecs=True decodes genuine RIFF/WAVE bytes in this
+        soundfile-less container via the vendored parser: PCM16 stereo
+        mono-mixes and scales to [-1, 1]; float32 passes through; RMS
+        matches a numpy reference to 1e-12."""
+        import math
+        import struct
+
+        import numpy as np
+
+        from patito_spark.operators.multimodal import sample_audio_windows
+
+        def wav(fmt_tag, bits, n_ch, frames: np.ndarray) -> bytes:
+            raw = frames.tobytes()
+            fmt = struct.pack(
+                "<HHIIHH", fmt_tag, n_ch, 8000,
+                8000 * n_ch * bits // 8, n_ch * bits // 8, bits,
+            )
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        # PCM16 stereo: L = 8192, R = -8192 -> mono-mix 0.0 exactly;
+        # then a second segment L = R = 16384 -> 0.5
+        seg1 = np.tile(
+            np.array([8192, -8192], dtype="<i2"), 64
+        )  # 64 frames
+        seg2 = np.tile(np.array([16384, 16384], dtype="<i2"), 64)
+        pcm = wav(1, 16, 2, np.concatenate([seg1, seg2]))
+        # float32 mono ramp
+        ramp = np.linspace(-1, 1, 128).astype("<f4")
+        flt = wav(3, 32, 1, ramp)
+        blobs = spark.createDataFrame(
+            [(1, bytearray(pcm)), (2, bytearray(flt))],
+            "doc_id long, blob binary",
+        )
+        out = sample_audio_windows(
+            blobs, window_samples=64, use_real_codecs=True
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        d1 = sorted(by_doc[1], key=lambda r: r.window_no)
+        assert [r.n_samples for r in d1] == [64, 64]
+        assert math.isclose(d1[0].rms, 0.0, abs_tol=1e-12)
+        assert math.isclose(d1[1].rms, 0.5, rel_tol=1e-12)
+        d2 = sorted(by_doc[2], key=lambda r: r.window_no)
+        assert [r.n_samples for r in d2] == [64, 64]
+        want = float(np.sqrt(np.mean(ramp.astype("f8")[:64] ** 2)))
+        assert math.isclose(d2[0].rms, want, rel_tol=1e-12)
+
+    def test_real_lane_non_wav_names_soundfile(self, spark):
+        """A non-RIFF payload through the real lane fails naming the
+        full-codec dependency (soundfile), not with a numpy error."""
         import pytest as _pytest
 
         from patito_spark.operators.multimodal import sample_audio_windows
 
-        if _missing("soundfile"):
-            with _pytest.raises(NotImplementedError, match="soundfile"):
-                sample_audio_windows(self._blobs(spark), use_real_codecs=True)
+        if not _missing("soundfile"):  # pragma: no cover - codec host
+            _pytest.skip("soundfile installed; vendored lane not used")
+        blobs = spark.createDataFrame(
+            [(1, bytearray(b"OggS-not-a-wav-payload"))],
+            "doc_id long, blob binary",
+        )
+        with _pytest.raises(Exception, match="soundfile"):
+            sample_audio_windows(blobs, use_real_codecs=True).collect()
 
     def test_explicit_zero_hop_rejected(self, spark):
         """hop_samples=0 must hit the ValueError, not silently become
@@ -417,6 +478,71 @@ class TestRealCodecKernels:
 
         with _pytest.raises(NotImplementedError, match="PNG"):
             _png_decode_gray(b"\xff\xd8\xffjpeg-ish")
+
+    def test_vendored_png_decode_rgb_filters(self):
+        """RGB rows exercise the channel-lane stride of every filter
+        (Sub/Average/Paeth reference the pixel `bpp` bytes back, not 1
+        byte back) — the vectorized Sub lane-cumsum in particular."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from patito_spark.operators.multimodal import _png_decode_gray
+
+        rng = np.random.RandomState(11)
+        h, w, ch = 7, 5, 3
+        px = rng.randint(0, 256, size=(h, w * ch), dtype=np.uint8)
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        def encode(ftype):
+            rows = bytearray()
+            prev = np.zeros(w * ch, dtype=np.int32)
+            for y in range(h):
+                line = px[y].astype(np.int32)
+                filt = np.empty(w * ch, dtype=np.int32)
+                for i in range(w * ch):
+                    a = line[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    if ftype == 0:
+                        pred = 0
+                    elif ftype == 1:
+                        pred = a
+                    elif ftype == 2:
+                        pred = b
+                    elif ftype == 3:
+                        pred = (a + b) >> 1
+                    else:  # Paeth
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c)
+                        )
+                    filt[i] = (line[i] - pred) % 256
+                rows.append(ftype)
+                rows.extend(int(v) for v in filt)
+                prev = line
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + chunk(b"IEND", b"")
+            )
+
+        rgb = px.reshape(h, w, ch).astype("float64")
+        want = (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587
+                + rgb[:, :, 2] * 114) / 1000.0
+        for ftype in (0, 1, 2, 3, 4):
+            got = _png_decode_gray(encode(ftype))
+            assert np.allclose(got, want), ftype
 
     def test_real_lane_works_without_pil_on_png(self, spark):
         """use_real_codecs=True in a Pillow-less container rides the
