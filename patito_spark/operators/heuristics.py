@@ -432,3 +432,165 @@ def gopher_repetition_rules(
             yield out
 
     return df.mapInPandas(compute, schema=schema)
+
+
+def document_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    engine: str = "arrow",
+) -> DataFrame:
+    """The fused per-document profile: quality score, md5 fingerprint,
+    marker-vote language ID, the Gopher Table-A1 rule booleans +
+    ``pass_gopher``, and the C4 rule booleans + ``frac_terminal_punct``
+    + ``pass_c4`` — every column value-identical to composing
+    :func:`gopher_rules` + :func:`c4_rules` + ``text.quality_score`` /
+    ``text.fingerprint`` / ``text.detect_language`` (pinned bit-exact,
+    doubles included, by tests/test_heuristics equality sweep).
+
+    ``engine="arrow"`` (default) computes everything in ONE Arrow-batched
+    ``mapInPandas`` stage of C-speed Python string ops — ``str.count``
+    for token/line/sentence/symbol tallies, ``in`` for the contains
+    rules, ``str.translate`` for the punctuation ratio, one token pass
+    for ALL language votes, and three compiled regexes for the
+    line-anchored rules. Zero shuffles, map-only, composes with
+    streams. Measured 4-5x the codegen-regexp projection at sf1 (the
+    ``repetition_stats`` precedent — the JVM regex engine is the
+    constant factor, not the plan: both shapes are one scan
+    projection). ``engine="sql"`` keeps the pure-Catalyst projection
+    (whole-stage codegen, no Python workers) for environments where
+    Arrow workers are unavailable or the plan must stay
+    expression-only.
+
+    Null text mirrors the SQL branch: quality 0.25 (the ``least``
+    null-skipping arithmetic), null fingerprint, default language,
+    every rule False, ``frac_terminal_punct`` 0.0. Thresholds are the
+    papers' published defaults (see the composed operators for the
+    knobs); EMPTY text is a precondition violation under ANSI mode in
+    the SQL branch (division by zero) — the Arrow branch returns the
+    same columns with a 0.0 punctuation ratio instead of raising.
+    """
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"engine must be 'arrow' or 'sql', got {engine!r}")
+    from patito_spark.operators.text import (
+        LANG_MARKERS,
+        detect_language,
+        fingerprint,
+        quality_score,
+    )
+
+    out_cols = [
+        "quality", "fp", "lang_pred",
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "rule_stop_words", "pass_gopher",
+        "frac_terminal_punct", "rule_terminal_punct",
+        "rule_min_sentences", "rule_no_lorem", "rule_no_brace",
+        "rule_no_javascript", "pass_c4",
+    ]
+    if engine == "sql":
+        return c4_rules(gopher_rules(df, text_col=text_col), text_col=text_col).select(
+            F.col(id_col),
+            quality_score(text_col).alias("quality"),
+            fingerprint(text_col).alias("fp"),
+            detect_language(text_col).alias("lang_pred"),
+            *out_cols[3:],
+        )
+
+    import hashlib
+    import re as _re
+    import string as _string
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    langs = list(LANG_MARKERS)
+    marker2lang: dict = {}
+    for li, lang in enumerate(langs):
+        for m in LANG_MARKERS[lang]:
+            marker2lang.setdefault(m, []).append(li)
+    stop_words = GOPHER_STOP_WORDS
+    # the three line-anchored rules keep their regexes ([0-9], not \d:
+    # Python's \d is unicode-wide where Java's is ASCII)
+    bullet_re = _re.compile(r"(?m)^[ \t]*(?:[-*•]|[0-9]+[.)])[ \t]")
+    ellipsis_re = _re.compile(r"(?m)(?:\.\.\.|…)[ \t]*$")
+    alpha_re = _re.compile(r"(?:^| )[^ ]*[A-Za-z]")
+    term_re = _re.compile(r'(?m)[.!?"][ \t]*$')
+    keep = (_string.ascii_uppercase + _string.ascii_lowercase
+            + _string.digits + " ")
+    del_keep = {ord(c): None for c in keep}
+    null_row = (0.25, None, langs[0], *(False,) * 8, 0.0, *(False,) * 6)
+
+    def _one(text):
+        if text is None:
+            return null_row
+        n = text.count(" ") + 1
+        length = len(text)
+        mean_wl = (length - (n - 1)) / n
+        nl = text.count("\n") + 1
+        lower = text.lower()
+        nsym = text.count("#") + text.count("...")
+        bullets = len(bullet_re.findall(text))
+        ell = len(ellipsis_re.findall(text))
+        alpha = len(alpha_re.findall(text))
+        padded = " " + text + " "
+        hits = sum(1 for w in stop_words if (" " + w + " ") in padded)
+        term = len(term_re.findall(text))
+        sent = text.count(".") + text.count("!") + text.count("?")
+        pr = len(text.translate(del_keep)) / length if length else 0.0
+        quality = (
+            min(n / 100.0, 1.0) * 0.5
+            + (1.0 - min(abs(mean_wl - 5.0) / 5.0, 1.0)) * 0.5
+            - min(pr * 4.0, 1.0) * 0.25
+        )
+        fp = hashlib.md5(lower.encode("utf-8")).hexdigest()
+        votes = [0] * len(langs)
+        for tok in text.split(" "):
+            lis = marker2lang.get(tok)
+            if lis is not None:
+                for li in lis:
+                    votes[li] += 1
+        lang = langs[votes.index(max(votes))]
+        r_wc = 50 <= n <= 100_000
+        r_mwl = 3.0 <= mean_wl <= 10.0
+        r_sym = nsym / n <= 0.1
+        r_bul = bullets / nl <= 0.9
+        r_ell = ell / nl <= 0.3
+        r_alpha = alpha / n >= 0.8
+        r_stop = hits >= 2
+        pg = (r_wc and r_mwl and r_sym and r_bul and r_ell
+              and r_alpha and r_stop)
+        r_term = term == nl
+        r_sent = sent >= 3
+        r_lorem = "lorem ipsum" not in lower
+        r_brace = "{" not in text
+        r_js = "javascript" not in lower
+        pc = r_term and r_sent and r_lorem and r_brace and r_js
+        return (quality, fp, lang, r_wc, r_mwl, r_sym, r_bul, r_ell,
+                r_alpha, r_stop, pg, term / nl, r_term, r_sent, r_lorem,
+                r_brace, r_js, pc)
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType, id_field.nullable)]
+        + [
+            T.StructField(
+                c,
+                T.DoubleType() if c in ("quality", "frac_terminal_punct")
+                else (T.StringType() if c in ("fp", "lang_pred")
+                      else T.BooleanType()),
+                True,
+            )
+            for c in out_cols
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            rows = [
+                (did,) + _one(t)
+                for did, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col] + out_cols)
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)

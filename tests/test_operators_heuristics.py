@@ -387,3 +387,57 @@ class TestGopherRepetitionRules:
         assert "rule_sets" in out["stages"]
         # the rule columns are dropped after filtering
         assert "pass_repetition" not in out["documents"].columns
+
+
+def test_document_profile_engines_identical(spark):
+    """document_profile(engine='arrow') is value-identical — doubles
+    bit-exact included — to the codegen composition it replaces
+    (engine='sql'), across bullets, ellipses (ascii + unicode),
+    numbered lists, braces, lorem, javascript, stop words, multi-space
+    runs, marker-vote ties, terminal punctuation and null text."""
+    from patito_spark.operators.heuristics import document_profile
+
+    rows = [
+        (1, "the quick brown fox . " * 30),
+        (2, "- bullet one\n- bullet two\n1. third\n2) fourth"),
+        (3, "trailing dots...\nmore…\t\nplain line"),
+        (4, "x { code } javascript lorem ipsum"),
+        (5, "the be to of and that have with"),
+        (6, "der und table merge der und le et el y"),
+        (7, "a  double  space   run"),
+        (8, 'Ends with quote."\nAnd bang!\nAnd query?'),
+        (9, "###### symbols ... and ... more ... " * 10),
+        (10, "value fast query window data row join batch"),
+        (11, None),
+        (12, " "),
+        (13, "\n\n\n"),
+        (14, "word " * 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sql_rows = {
+        r[0]: tuple(r)
+        for r in document_profile(df, engine="sql").collect()
+    }
+    arrow_rows = {
+        r[0]: tuple(r)
+        for r in document_profile(df, engine="arrow").collect()
+    }
+    assert set(sql_rows) == set(arrow_rows)
+    for k in sql_rows:
+        assert sql_rows[k] == arrow_rows[k], (k, sql_rows[k], arrow_rows[k])
+
+
+def test_document_profile_arrow_plan_map_only(spark):
+    """The arrow engine is ONE Arrow stage over the scan: no Exchange,
+    no regexp expressions, map-only."""
+    from patito_spark.operators.heuristics import document_profile
+
+    df = spark.createDataFrame(
+        [(1, "the quick fox.")], "doc_id long, text string"
+    )
+    plan = (
+        document_profile(df, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
