@@ -1789,12 +1789,56 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality metrics (duplicate / top bigram
-    fractions) — oracled value-exactly (integer-ratio doubles)."""
+    """Gopher-style repetition metrics, mode-tagged union (round 15):
+
+    - ``bigram``: repetition_stats' duplicate/top bigram fractions
+      (the round-12 rows, unchanged);
+    - ``a2:<metric>``: the FULL Table-A2 battery
+      (heuristics.gopher_repetition_rules) in long form — one row per
+      (doc, metric) carrying the metric double, its rule boolean (as
+      n_grams 0/1) and pass_repetition (as top_gram_frac 0.0/1.0).
+      The oracle replays all thirteen metrics in DuckDB SQL: unit
+      split + dedup counts for lines/paragraphs, list-slice gram
+      counting with the (count DESC, gram ASC) tie-break for the top
+      2-4-gram char fractions, and interval-union window sweeps over
+      duplicate 5-10-gram spans — value-exact (integer-ratio doubles).
+    """
+    from patito_spark.operators.heuristics import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_rules,
+    )
     from patito_spark.operators.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return repetition_stats(docs, ngram=2)
+    bi = repetition_stats(docs, ngram=2).select(
+        F.lit("bigram").alias("mode"),
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "dup_gram_frac",
+        "top_gram_frac",
+    )
+    metrics = list(GOPHER_REPETITION_THRESHOLDS)
+    a2 = gopher_repetition_rules(docs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(m).alias("v"),
+                F.col(f"rule_rep_{m}").alias("r"),
+            )
+            for m in metrics
+        ]
+    )
+    longd = a2.select(
+        "doc_id", "pass_repetition", F.explode(structs).alias("x")
+    ).select(
+        F.concat(F.lit("a2:"), F.col("x.m")).alias("mode"),
+        "doc_id",
+        F.col("x.r").cast("long").alias("n_grams"),
+        F.col("x.v").alias("dup_gram_frac"),
+        F.col("pass_repetition").cast("double").alias("top_gram_frac"),
+    )
+    return bi.unionByName(longd)
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2371,8 +2415,11 @@ _LANG_MARKER_SQL = {
 #: the space-prefixed form; GPT-2 pretokenize + byte alphabet + Viterbi
 #: or BPE merges are folded into the ids). The oracle concatenates these
 #: in document order — any trainer/encoder change flips them and fails
-#: the hash. Regenerate with the recipe in docs/perf.md if the testdata
-#: generator's vocabulary ever changes.
+#: the hash. PROVENANCE: generated once by the trainers themselves
+#: (round 14) via `tools/regen_tokenizer_oracle.py`, which also VERIFIES
+#: the committed tables against a fresh training run (both tables
+#: re-derive bit-identically as of round 15); rerun it with --print if
+#: the testdata generator's vocabulary ever changes.
 _UNIGRAM_SEG = {
     'a': '2', ' a': '1 2',
     'agg': '2 28 28', ' agg': '14',
@@ -2705,11 +2752,168 @@ def _shingle_sql(n: int = 3, source: str = "documents") -> str:
 _SHINGLE_SQL = _shingle_sql(3)
 
 
+def _a2_oracle_sql() -> str:
+    """DuckDB replay of the full Gopher Table-A2 battery in long form
+    (`a2:<metric>` rows of the text_repetition entry). Mirrors
+    heuristics._repetition_metrics' documented conventions exactly:
+    blank units excluded from line/paragraph stats, space-excluded
+    top-gram char sums with the (count DESC, gram ASC) list tie-break,
+    and duplicate-gram char coverage as an interval UNION (window
+    island sweep — overlapping spans never double-count)."""
+    from patito_spark.operators.heuristics import (
+        GOPHER_REPETITION_THRESHOLDS as THR,
+    )
+
+    strip = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    ctes = [
+        """a2base AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 1.0
+                        ELSE length(text)::DOUBLE END AS denom
+            FROM documents
+        )""",
+        """a2tokl AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        )""",
+        """a2tokpos AS (
+            SELECT doc_id, i,
+                   coalesce(sum(length(tok) + 1) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_start
+            FROM (SELECT doc_id, unnest(ts) AS tok,
+                         unnest(range(1, len(ts) + 1)) AS i
+                  FROM a2tokl)
+        )""",
+    ]
+    for unit, splitter in (
+        ("line", "string_split(text, chr(10))"),
+        ("para", r"regexp_split_to_array(text, '\n{2,}')"),
+    ):
+        ctes.append(f"""a2{unit}c AS (
+            SELECT doc_id, u, length(u) AS ln, count(*) AS n
+            FROM (SELECT doc_id, unnest({splitter}) AS u FROM documents)
+            WHERE trim(u, {strip}) <> ''
+            GROUP BY doc_id, u, ln
+        )""")
+        ctes.append(f"""a2{unit}st AS (
+            SELECT doc_id,
+                   (sum(n) - count(*))::DOUBLE / sum(n)::DOUBLE AS dup_frac,
+                   sum(CASE WHEN n > 1 THEN (n - 1) * ln ELSE 0 END
+                       )::DOUBLE AS dup_chars
+            FROM a2{unit}c GROUP BY doc_id
+        )""")
+    for n in (2, 3, 4):
+        ctes.append(f"""a2top{n} AS (
+            SELECT doc_id,
+                   cnt * length(array_to_string(gram, '')) AS chars
+            FROM (SELECT doc_id, gram, cnt, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC, gram ASC
+                  ) AS rn
+                  FROM (SELECT doc_id, gram, count(*) AS cnt
+                        FROM (SELECT doc_id,
+                                     unnest(list_transform(
+                                         range(1, len(ts) - {n} + 2),
+                                         i -> list_slice(ts, i, i + {n} - 1)
+                                     )) AS gram
+                              FROM a2tokl WHERE len(ts) >= {n})
+                        GROUP BY doc_id, gram))
+            WHERE rn = 1
+        )""")
+    for n in range(5, 11):
+        ctes.append(f"""a2d{n} AS (
+            SELECT doc_id, unnest(range(1, len(ts) - {n} + 2)) AS i,
+                   unnest(list_transform(
+                       range(1, len(ts) - {n} + 2),
+                       i -> array_to_string(list_slice(ts, i, i + {n} - 1), ' ')
+                   )) AS gram
+            FROM a2tokl WHERE len(ts) >= {n}
+        )""")
+        ctes.append(f"""a2d{n}sp AS (
+            SELECT s.doc_id, p.tok_start AS lo, p.tok_start + s.glen AS hi
+            FROM (SELECT o.doc_id, o.i, length(o.gram) AS glen
+                  FROM a2d{n} o
+                  JOIN (SELECT doc_id, gram FROM a2d{n}
+                        GROUP BY doc_id, gram HAVING count(*) > 1) r
+                  USING (doc_id, gram)) s
+            JOIN a2tokpos p ON s.doc_id = p.doc_id AND s.i = p.i
+        )""")
+        ctes.append(f"""a2d{n}isl AS (
+            SELECT doc_id, lo, hi, sum(nw) OVER (
+                PARTITION BY doc_id ORDER BY lo, hi
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS isl
+            FROM (SELECT doc_id, lo, hi,
+                         CASE WHEN lo >= coalesce(max(hi) OVER (
+                             PARTITION BY doc_id ORDER BY lo, hi
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING
+                         ), -1) THEN 1 ELSE 0 END AS nw
+                  FROM a2d{n}sp)
+        )""")
+        ctes.append(f"""a2d{n}cov AS (
+            SELECT doc_id, sum(mx - mn)::DOUBLE AS chars
+            FROM (SELECT doc_id, isl, max(hi) AS mx, min(lo) AS mn
+                  FROM a2d{n}isl GROUP BY doc_id, isl)
+            GROUP BY doc_id
+        )""")
+    vals = [
+        "SELECT b.doc_id, 'dup_line_frac' AS metric, "
+        "coalesce(l.dup_frac, 0.0) AS v "
+        "FROM a2base b LEFT JOIN a2linest l USING (doc_id)",
+        "SELECT b.doc_id, 'dup_line_char_frac', "
+        "coalesce(l.dup_chars, 0.0) / b.denom "
+        "FROM a2base b LEFT JOIN a2linest l USING (doc_id)",
+        "SELECT b.doc_id, 'dup_para_frac', coalesce(l.dup_frac, 0.0) "
+        "FROM a2base b LEFT JOIN a2parast l USING (doc_id)",
+        "SELECT b.doc_id, 'dup_para_char_frac', "
+        "coalesce(l.dup_chars, 0.0) / b.denom "
+        "FROM a2base b LEFT JOIN a2parast l USING (doc_id)",
+    ]
+    for n in (2, 3, 4):
+        vals.append(
+            f"SELECT b.doc_id, 'top_{n}_gram_char_frac', "
+            f"coalesce(t.chars, 0)::DOUBLE / b.denom "
+            f"FROM a2base b LEFT JOIN a2top{n} t USING (doc_id)"
+        )
+    for n in range(5, 11):
+        vals.append(
+            f"SELECT b.doc_id, 'dup_{n}_gram_char_frac', "
+            f"coalesce(d.chars, 0.0) / b.denom "
+            f"FROM a2base b LEFT JOIN a2d{n}cov d USING (doc_id)"
+        )
+    ctes.append("a2vals AS (" + " UNION ALL ".join(vals) + ")")
+    thr_rows = ", ".join(
+        f"('{m}', {t!r}::DOUBLE)" for m, t in THR.items()
+    )
+    ctes.append(f"a2thr(metric, t) AS (SELECT * FROM (VALUES {thr_rows}))")
+    ctes.append(
+        """a2j AS (
+            SELECT v.doc_id, v.metric, v.v, (v.v <= th.t) AS ok
+            FROM a2vals v JOIN a2thr th ON v.metric = th.metric
+        )"""
+    )
+    ctes.append(
+        """a2p AS (
+            SELECT doc_id, CAST(bool_and(ok) AS DOUBLE) AS pass
+            FROM a2j GROUP BY doc_id
+        )"""
+    )
+    select = (
+        "SELECT 'a2:' || a.metric AS mode, a.doc_id, "
+        "CAST(a.ok AS BIGINT) AS n_grams, a.v AS dup_gram_frac, "
+        "p.pass AS top_gram_frac "
+        "FROM a2j a JOIN a2p p USING (doc_id)"
+    )
+    return ",\n".join(ctes), select
+
+
 def oracle_sql() -> dict[str, str]:
     segment_case = " ".join(
         f"when '{seg}' then {code}" for seg, code in SEGMENT_CODES.items()
     )
     ivf_k = _ivf_cells_at_compare_sf()
+    _a2_ctes, _a2_select = _a2_oracle_sql()
     d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3478,7 +3682,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS distinct_est
             FROM kept WHERE rn <= 32 GROUP BY event_type
         """,
-        "text_repetition": """
+        "text_repetition": f"""
             WITH grams AS (
                 SELECT doc_id,
                        unnest(list_transform(range(1, len(t)),
@@ -3490,12 +3694,15 @@ def oracle_sql() -> dict[str, str]:
             per_gram AS (
                 SELECT doc_id, gram, count(*) AS n
                 FROM grams GROUP BY doc_id, gram
-            )
-            SELECT doc_id,
+            ),
+            {_a2_ctes}
+            SELECT 'bigram' AS mode, doc_id,
                    sum(n)::BIGINT AS n_grams,
                    1.0 - count(*)::DOUBLE / sum(n)::DOUBLE AS dup_gram_frac,
                    max(n)::DOUBLE / sum(n)::DOUBLE AS top_gram_frac
             FROM per_gram GROUP BY doc_id
+            UNION ALL
+            {_a2_select}
         """,
         "text_redact": f"""
             WITH injected AS (
