@@ -77,6 +77,61 @@ def test_simhash_pairs(docs):
     assert found[(1, 2)] == 0
 
 
+def test_simhash_arrow_sql_parity(spark):
+    # The round-15 map-only Arrow lane must be bit-identical to the
+    # codegen sql lane, including the tokenization edge cases: empty
+    # text (one empty token), null text (no output row), consecutive/
+    # trailing spaces (empty tokens kept, Java split(re, -1)), and
+    # non-ASCII (md5 over UTF-8 bytes).
+    df = spark.createDataFrame(
+        [
+            (1, "hello world hello spark"),
+            (2, ""),
+            (3, None),
+            (4, "a  b"),
+            (5, "héllo wörld ünïcode"),
+            (6, "x "),
+            (7, "the quick brown fox jumps over the lazy dog " * 50),
+        ],
+        schema="doc_id long, text string",
+    )
+    for bits in (64, 32):
+        arrow = {
+            r["__id"]: r["__sig"]
+            for r in dedup.simhash_signatures(
+                df, bits=bits, hash_mode="portable", engine="arrow"
+            ).collect()
+        }
+        sql = {
+            r["__id"]: r["__sig"]
+            for r in dedup.simhash_signatures(
+                df, bits=bits, hash_mode="portable", engine="sql"
+            ).collect()
+        }
+        assert arrow == sql
+        assert 3 not in arrow
+    with pytest.raises(ValueError, match="engine"):
+        dedup.simhash_signatures(df, engine="bogus")
+    with pytest.raises(ValueError, match="portable"):
+        dedup.simhash_signatures(df, hash_mode="xxhash64", engine="arrow")
+
+
+def test_simhash_arrow_plan_is_map_only(spark):
+    # engine='arrow' must add ZERO exchanges: the signature stage is a
+    # single mapInPandas over the scan.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], schema="doc_id long, text string"
+    )
+    plan = (
+        dedup.simhash_signatures(df, hash_mode="portable", engine="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_hamming_combination_masks_shape():
     # c=8, h=3: agree on 5 chunks -> C(8,5)=56 masks, each 40 bits wide
     masks = dedup.hamming_combination_masks(8, 3)
