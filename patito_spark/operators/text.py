@@ -803,6 +803,77 @@ def build_vocab(
 _TFIDF_VOCAB_CACHE: list = []
 
 
+def _doc_token_counts_arrow(
+    df: DataFrame, text_col: str, id_col: str, len_col: str
+) -> DataFrame:
+    """Per-document token counts as ONE map-only Arrow stage.
+
+    Emits exactly the rows of ``explode(tokens) + groupBy(id, token,
+    size)`` — one row per (doc, token) with the within-doc count and
+    the doc's token total — WITHOUT the explode or the aggregate's
+    exchange: a document's tokens live entirely in its own input row,
+    so the "aggregate" is doc-local and needs no shuffle (round 15;
+    the corpus-sized (doc, token) exchange was the tf_idf/BM25
+    pipelines' one non-output-sized shuffle). Tokenization parity with
+    ``tokens()``: split on a single space with empty strings kept,
+    null text yields no rows. Per batch: pd.factorize the flat token
+    stream, combine (doc, code) into one int64 key, np.unique with
+    counts — all C-speed.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("token", StringType()),
+            StructField(len_col, IntegerType()),
+            StructField("__n", LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        from itertools import chain
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            valid = texts.notna()
+            ids = pdf[id_col][valid].to_numpy()
+            if not len(ids):
+                continue
+            tok_lists = texts[valid].str.split(" ")
+            lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+            flat = np.asarray(
+                list(chain.from_iterable(tok_lists)), dtype=object
+            )
+            codes, uniques = pd.factorize(flat)
+            uniq_arr = np.asarray(uniques, dtype=object)
+            n_u = len(uniq_arr)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            keys = doc_idx * n_u + codes
+            uk, cnt = np.unique(keys, return_counts=True)
+            d = uk // n_u
+            yield pd.DataFrame(
+                {
+                    id_col: ids[d],
+                    "token": uniq_arr[uk % n_u],
+                    len_col: lens[d].astype(np.int32),
+                    "__n": cnt.astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",
@@ -810,6 +881,7 @@ def tf_idf(
     min_count: int = 1,
     n_docs: Optional[int] = None,
     max_broadcast_vocab: Optional[int] = 2_000_000,
+    engine: str = "auto",
 ) -> DataFrame:
     """Sparse TF-IDF document vectors.
 
@@ -853,15 +925,22 @@ def tf_idf(
     next call, or pass ``max_broadcast_vocab=None`` to opt out of the
     shared cache entirely.
     """
+    if engine not in ("auto", "sql", "arrow"):
+        raise ValueError(f"engine must be 'auto', 'sql' or 'arrow', got {engine!r}")
     n = n_docs if n_docs is not None else df.count()
-    pairs = df.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__total"),
-        F.explode(tokens(text_col)).alias("token"),
-    )
-    counts = pairs.groupBy(id_col, "token", "__total").agg(
-        F.count("*").alias("__n")
-    )
+    if engine == "sql":
+        pairs = df.select(
+            F.col(id_col),
+            F.size(tokens(text_col)).alias("__total"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        counts = pairs.groupBy(id_col, "token", "__total").agg(
+            F.count("*").alias("__n")
+        )
+    else:
+        # Map-only Arrow counts (round 15): the (doc, token) aggregate
+        # is doc-local, so the exchange it planned was pure overhead.
+        counts = _doc_token_counts_arrow(df, text_col, id_col, "__total")
     if max_broadcast_vocab is not None:
         # Persist BEFORE anything consumes counts: the vocab derivation
         # below, its probe count, and the final join are three branches
@@ -1013,12 +1092,14 @@ def bm25_scores(
 
 
 def _bm25_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """The BM25 corpus aggregate: one (doc, token, doc-length) count."""
-    return df.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("token"),
-    ).groupBy(id_col, "token", "__dl").agg(F.count("*").alias("__n"))
+    """The BM25 corpus aggregate: one (doc, token, doc-length) count.
+
+    Map-only Arrow stage since round 15 (`_doc_token_counts_arrow`) —
+    the counts are doc-local, so the old explode + groupBy exchange
+    was pure overhead. Reorders columns to the historical
+    (id, __dl, token riding groupBy) contract consumers index by name.
+    """
+    return _doc_token_counts_arrow(df, text_col, id_col, "__dl")
 
 
 def _bm25_rank(

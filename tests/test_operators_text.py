@@ -394,6 +394,47 @@ class TestTfIdf:
         assert got[(2, "c")] == (1 / 2, idf_c, (1 / 2) * idf_c)
         assert len(got) == 4
 
+    def test_arrow_sql_lane_parity(self, spark):
+        # The round-15 map-only Arrow counts stage must emit exactly
+        # the explode+groupBy rows, including empty-token and null-text
+        # edges; tf/idf are exact int ratios + the same JVM log, so the
+        # whole output must match bit-for-bit.
+        from patito_spark.operators.text import tf_idf
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a"),
+                (2, ""),
+                (3, None),
+                (4, "x  y"),
+                (5, "ü a ü ü"),
+            ],
+            "doc_id long, text string",
+        )
+        key = lambda r: (r["doc_id"], r["token"])
+        arrow = {key(r): (r["tf"], r["idf"], r["tf_idf"])
+                 for r in tf_idf(df, engine="arrow").collect()}
+        sql = {key(r): (r["tf"], r["idf"], r["tf_idf"])
+               for r in tf_idf(df, engine="sql").collect()}
+        assert arrow == sql
+        assert (2, "") in arrow and (4, "") in arrow
+        assert not any(d == 3 for d, _ in arrow)
+
+    def test_arrow_counts_stage_is_map_only(self, spark):
+        from patito_spark.operators.text import _doc_token_counts_arrow
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "c")], "doc_id long, text string"
+        )
+        plan = (
+            _doc_token_counts_arrow(df, "text", "doc_id", "__total")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+
     def test_min_count_prunes_vocab(self, spark):
         from patito_spark.operators.text import tf_idf
 
