@@ -263,6 +263,204 @@ def shingle_hash_rows(
     return out.distinct() if distinct else out
 
 
+def _minhash_doc_features_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    densify: bool,
+) -> DataFrame:
+    """Per-document MinHash features as ONE map-only Arrow stage.
+
+    Emits one row per non-null-text document: ``__id``, ``__jtokens``
+    (the sorted DISTINCT portable gram hashes — exactly
+    ``array_sort(collect_set(__h))`` of the zip-mode shingle rows) and
+    ``__bands`` (one ``{band, __key}`` struct per band, where
+    ``__key`` is the same ``'bin:min,bin:min'`` string
+    :func:`banded_signatures` builds — callers apply ``xxhash64`` to
+    it JVM-side so bucket values are bit-identical).
+
+    Round 15, the simhash/tf_idf precedent: every stage of the
+    signature build is doc-local — gram construction (zip semantics:
+    ``k = max(len - n + 1, 1)`` grams, short docs contribute their
+    whole text), the md5 gram hash (memoized per distinct gram per
+    batch via ``pd.factorize`` — the JVM lane pays md5-hex + base-16
+    ``conv`` per gram occurrence), the OPH bin mins, rotation
+    densification (Shrivastava & Li 2014: an empty bin borrows the
+    next occupied bin's value, circularly — ``np.searchsorted`` over
+    the occupied bins) and the band keys. The exploded gram stream,
+    its persist, and BOTH per-doc aggregates (bin-min + collect_set)
+    disappear; the only exchange left in the LSH pipeline is the
+    (band, bucket) stage, which is inherent. Rows are documents:
+    duplicate ids are the caller's contract, as with the groupBy lane.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("__id", id_type),
+            StructField("__jtokens", ArrayType(LongType())),
+            StructField(
+                "__bands",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("band", IntegerType()),
+                            StructField("__key", StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def kernel(batches):
+        import hashlib
+        from itertools import chain
+
+        import numpy as np
+        import pandas as pd
+
+        k = num_hashes
+        for pdf in batches:
+            texts = pdf[text_col]
+            valid = texts.notna()
+            ids = pdf[id_col][valid].to_numpy()
+            if not len(ids):
+                continue
+            tok_lists = texts[valid].str.split(" ")
+            lens = tok_lists.str.len().to_numpy(dtype=np.int64)
+            flat = np.asarray(
+                list(chain.from_iterable(tok_lists)), dtype=object
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            pos = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+            # zip-mode grams: docs with >= n tokens emit len-n+1 grams;
+            # shorter docs emit their whole text as the single gram
+            # (" ".join inverts the single-space split exactly).
+            long_start = (lens[doc_idx] >= n) & (pos <= lens[doc_idx] - n)
+            gidx = np.nonzero(long_start)[0]
+            if len(gidx):
+                grams = flat[gidx]
+                for j in range(1, n):
+                    grams = grams + " "
+                    grams = grams + flat[gidx + j]
+            else:
+                grams = np.empty(0, dtype=object)
+            gdoc = doc_idx[gidx]
+            short = np.nonzero(lens < n)[0]
+            if len(short):
+                grams = np.concatenate(
+                    [grams, texts[valid].to_numpy()[short]]
+                )
+                gdoc = np.concatenate([gdoc, short])
+            codes, uniques = pd.factorize(grams)
+            uh = np.empty(len(uniques), dtype=np.uint64)
+            for i, u in enumerate(np.asarray(uniques, dtype=object)):
+                uh[i] = (
+                    int.from_bytes(
+                        hashlib.md5(u.encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 4
+                )
+            h = uh[codes].astype(np.int64)
+            # distinct (doc, hash) pairs — the verify arrays AND the
+            # bin-min input in one sorted pass over (doc, code) keys
+            n_u = max(len(uniques), 1)
+            keys = gdoc * n_u + codes
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            first = np.ones(len(sk), dtype=bool)
+            first[1:] = sk[1:] != sk[:-1]
+            d = (sk[first] // n_u).astype(np.int64)
+            dh = h[order][first]
+            # per-doc sorted distinct hash lists (__jtokens): dh within
+            # a doc is sorted because keys encode (doc, code) and we
+            # need value-sorted — sort per doc by (doc, hash)
+            o2 = np.lexsort((dh, d))
+            d2, dh2 = d[o2], dh[o2]
+            doc_bounds = np.nonzero(
+                np.concatenate(([True], d2[1:] != d2[:-1]))
+            )[0]
+            jtok_lists = np.split(dh2, doc_bounds[1:])
+            jdocs = d2[doc_bounds]
+            # OPH bin mins over distinct hashes: group by (doc, bin),
+            # min = first of each group under (doc, bin, hash) sort
+            bins = dh2 % k
+            o3 = np.lexsort((dh2, bins, d2))
+            d3, b3, h3 = d2[o3], bins[o3], dh2[o3]
+            gfirst = np.ones(len(d3), dtype=bool)
+            gfirst[1:] = (d3[1:] != d3[:-1]) | (b3[1:] != b3[:-1])
+            gd, gb, gm = d3[gfirst], b3[gfirst], h3[gfirst]
+            gb_bounds = np.nonzero(
+                np.concatenate(([True], gd[1:] != gd[:-1]))
+            )[0]
+            occ_bins = np.split(gb, gb_bounds[1:])
+            occ_mins = np.split(gm, gb_bounds[1:])
+            occ_docs = gd[gb_bounds]
+            # assemble rows doc by doc (numpy per doc is <= k elements)
+            rows_id, rows_jt, rows_bands = [], [], []
+            jt_by_doc = dict(zip(jdocs.tolist(), jtok_lists))
+            for di, ob, om in zip(occ_docs.tolist(), occ_bins, occ_mins):
+                if densify:
+                    idx = np.searchsorted(ob, np.arange(k), side="left")
+                    idx[idx == len(ob)] = 0
+                    # searchsorted gives first occupied bin >= i; when
+                    # none remains above, wrap to the first occupied
+                    # (the scan seed in the SQL spelling)
+                    dense = om[idx % len(ob)]
+                    pairs = [
+                        f"{i}:{dense[i]}" for i in range(k)
+                    ]
+                    bands_list = [
+                        {
+                            "band": b,
+                            "__key": ",".join(pairs[b * r: (b + 1) * r]),
+                        }
+                        for b in range(bands)
+                    ]
+                else:
+                    bands_list = []
+                    bb = (ob // r).astype(np.int64)
+                    for b in np.unique(bb):
+                        sel = bb == b
+                        bands_list.append(
+                            {
+                                "band": int(b),
+                                "__key": ",".join(
+                                    f"{bi}:{mi}"
+                                    for bi, mi in zip(ob[sel], om[sel])
+                                ),
+                            }
+                        )
+                rows_id.append(di)
+                rows_jt.append(jt_by_doc[di])
+                rows_bands.append(bands_list)
+            yield pd.DataFrame(
+                {
+                    "__id": ids[np.asarray(rows_id, dtype=np.int64)],
+                    "__jtokens": rows_jt,
+                    "__bands": rows_bands,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def banded_signatures(
     shingle_rows: DataFrame,
     num_hashes: int = 64,
@@ -380,6 +578,7 @@ def minhash_lsh_candidates(
     shingle_rows: Optional[DataFrame] = None,
     hash_mode: str = "xxhash64",
     densify: bool = True,
+    banded_rows: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate duplicate pairs via banded MinHash LSH.
 
@@ -387,22 +586,28 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` drops degenerate buckets (e.g. empty documents) to
     bound the quadratic blow-up inside a single bucket at scale.
     ``shingle_rows`` lets callers reuse a precomputed
-    :func:`shingle_hash_rows` output (avoids re-shingling the corpus).
+    :func:`shingle_hash_rows` output (avoids re-shingling the corpus);
+    ``banded_rows`` a precomputed ``(__id, band, bucket)`` frame (the
+    round-15 Arrow feature path), which skips the signature build here
+    entirely.
     ``densify`` — see :func:`banded_signatures`; the default keeps the
     band collision probability on the designed j^r curve, which is what
     bounds candidate growth on gram-dense corpora.
     """
-    exploded = (
-        shingle_rows
-        if shingle_rows is not None
-        else shingle_hash_rows(
-            df, id_col=id_col, text_col=text_col, n=shingle_size,
-            hash_mode=hash_mode,
+    if banded_rows is not None:
+        banded = banded_rows
+    else:
+        exploded = (
+            shingle_rows
+            if shingle_rows is not None
+            else shingle_hash_rows(
+                df, id_col=id_col, text_col=text_col, n=shingle_size,
+                hash_mode=hash_mode,
+            )
         )
-    )
-    banded = banded_signatures(
-        exploded, num_hashes=num_hashes, bands=bands, densify=densify
-    )
+        banded = banded_signatures(
+            exploded, num_hashes=num_hashes, bands=bands, densify=densify
+        )
     # The skew guard runs BEFORE any member list materializes, fused
     # into the bucket stage's ONE exchange (round 14, the
     # hamming_pairs discipline): a window count over
@@ -458,9 +663,20 @@ def minhash_dedup_pairs(
     hash_mode: str = "xxhash64",
     materialize_shingles: bool = True,
     broadcast_verify_max_docs: Optional[int] = 100_000,
+    engine: str = "auto",
     **lsh_kwargs,
 ) -> DataFrame:
     """Verified duplicate pairs: LSH candidates filtered by true Jaccard.
+
+    ``engine="auto"`` (default) runs the per-document feature build —
+    shingles, gram hashes, OPH bin mins, densification, band keys AND
+    the verify gram-sets — as ONE map-only Arrow stage when
+    ``hash_mode="portable"`` (:func:`_minhash_doc_features_arrow`; the
+    JVM md5 + base-16 conv per gram occurrence was the pipeline's
+    dominant cost, and every one of those stages is doc-local). The
+    cached frame is then one row per document instead of the exploded
+    gram stream. ``engine="sql"`` keeps the codegen spelling;
+    xxhash64 mode always uses it (no numpy xxhash64).
 
     Verification uses the SAME shingle space as the signatures (so the
     threshold means what the MinHash collision probability estimates), and
@@ -485,28 +701,62 @@ def minhash_dedup_pairs(
     persisted array table so the aggregate is not paid twice. Pass
     ``broadcast_verify_max_docs=None`` to force the shuffle shape.
     """
-    # gram_mode="zip" + distinct=False (round 10): the zero-exchange
-    # codegen gram build. Every consumer is duplicate-insensitive — the
-    # bin-min signature aggregate is idempotent under repeats, and the
-    # verify arrays below use collect_set — so the dedup exchange the
-    # distinct would cost is skipped entirely.
-    shingle_rows = shingle_hash_rows(
-        df, id_col=id_col, text_col=text_col, n=shingle_size,
-        hash_mode=hash_mode, distinct=False, gram_mode="zip",
-    )
-    if materialize_shingles:
-        shingle_rows = tracked_persist(shingle_rows)
-    candidates = minhash_lsh_candidates(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_size=shingle_size,
-        shingle_rows=shingle_rows,
-        **lsh_kwargs,
-    )
-    toks = shingle_rows.groupBy(F.col("__id").alias("__jid")).agg(
-        F.array_sort(F.collect_set("__h")).alias("__jtokens")
-    )
+    if engine not in ("auto", "sql", "arrow"):
+        raise ValueError(f"engine must be 'auto', 'sql' or 'arrow', got {engine!r}")
+    if engine == "auto":
+        engine = "arrow" if hash_mode == "portable" else "sql"
+    if engine == "arrow":
+        if hash_mode != "portable":
+            raise ValueError(
+                "engine='arrow' requires hash_mode='portable' (xxhash64 "
+                "has no numpy equivalent; the JVM lane is already fast)"
+            )
+        feats = _minhash_doc_features_arrow(
+            df, id_col, text_col, n=shingle_size,
+            num_hashes=lsh_kwargs.get("num_hashes", 64),
+            bands=lsh_kwargs.get("bands", 16),
+            densify=lsh_kwargs.get("densify", True),
+        )
+        if materialize_shingles:
+            feats = tracked_persist(feats)
+        banded = (
+            feats.select("__id", F.explode("__bands").alias("__b"))
+            .select(
+                "__id",
+                F.col("__b.band").alias("band"),
+                F.xxhash64(F.col("__b.__key")).alias("bucket"),
+            )
+        )
+        candidates = minhash_lsh_candidates(
+            df, id_col=id_col, text_col=text_col,
+            shingle_size=shingle_size, banded_rows=banded, **lsh_kwargs,
+        )
+        toks = feats.select(
+            F.col("__id").alias("__jid"), "__jtokens"
+        )
+    else:
+        # gram_mode="zip" + distinct=False (round 10): the zero-exchange
+        # codegen gram build. Every consumer is duplicate-insensitive —
+        # the bin-min signature aggregate is idempotent under repeats,
+        # and the verify arrays below use collect_set — so the dedup
+        # exchange the distinct would cost is skipped entirely.
+        shingle_rows = shingle_hash_rows(
+            df, id_col=id_col, text_col=text_col, n=shingle_size,
+            hash_mode=hash_mode, distinct=False, gram_mode="zip",
+        )
+        if materialize_shingles:
+            shingle_rows = tracked_persist(shingle_rows)
+        candidates = minhash_lsh_candidates(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_size=shingle_size,
+            shingle_rows=shingle_rows,
+            **lsh_kwargs,
+        )
+        toks = shingle_rows.groupBy(F.col("__id").alias("__jid")).agg(
+            F.array_sort(F.collect_set("__h")).alias("__jtokens")
+        )
     if broadcast_verify_max_docs is not None:
         toks = tracked_persist(toks)
         if toks.count() <= broadcast_verify_max_docs:
