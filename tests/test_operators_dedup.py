@@ -77,6 +77,43 @@ def test_simhash_pairs(docs):
     assert found[(1, 2)] == 0
 
 
+def test_minhash_arrow_sql_parity(spark):
+    # The round-15 per-doc Arrow feature build (shingles + md5 + OPH
+    # bins + densification + band keys + verify gram-sets in one
+    # map-only stage) must produce the identical verified pair set as
+    # the codegen lane, for both densify variants, across short docs,
+    # empty/null text and unicode.
+    import random
+
+    rnd = random.Random(7)
+    words = [f"w{i}" for i in range(30)] + ["ü", ""]
+    rows = []
+    for d in range(120):
+        base = [words[rnd.randrange(len(words))] for _ in range(rnd.randrange(1, 20))]
+        rows.append((d, " ".join(base)))
+        if d % 5 == 0:
+            twin = list(base)
+            if len(twin) > 3:
+                twin[1] = "w0"
+            rows.append((1000 + d, " ".join(twin)))
+    rows += [(5000, ""), (5001, None), (5002, "a"), (5003, "ü ü")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for densify in (True, False):
+        got = {}
+        for engine in ("arrow", "sql"):
+            out = dedup.minhash_dedup_pairs(
+                df, threshold=0.5, hash_mode="portable",
+                engine=engine, densify=densify,
+            ).collect()
+            got[engine] = {
+                (r.id_a, r.id_b): round(r.jaccard, 12) for r in out
+            }
+        assert got["arrow"] == got["sql"]
+        assert got["arrow"]  # the twins guarantee a non-empty pair set
+    with pytest.raises(ValueError, match="portable"):
+        dedup.minhash_dedup_pairs(df, hash_mode="xxhash64", engine="arrow")
+
+
 def test_simhash_arrow_sql_parity(spark):
     # The round-15 map-only Arrow lane must be bit-identical to the
     # codegen sql lane, including the tokenization edge cases: empty
