@@ -834,3 +834,29 @@ def test_gopher_repetition_rules_200k_docs(spark):
     assert agg["n"] == 200_000
     # the 10% stuffed docs fail, the fresh ones pass
     assert 175_000 <= agg["passed"] <= 185_000
+
+
+def test_arrow_portable_lanes_1m_docs(spark):
+    """The round-15 map-only Arrow lanes stay memory-bounded and
+    map-only at 1M docs: per-batch state is bounded by Arrow batch
+    size regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.range(1_000_000).selectExpr(
+        "id as doc_id",
+        "if(id % 1000 = 0, 'alpha beta gamma delta epsilon zeta', "
+        "concat('w', id % 5000, ' x', id % 7000, ' y', id + 2)) as text",
+    )
+    sigs = simhash_signatures(docs, hash_mode="portable", engine="arrow")
+    assert sigs.count() == 1_000_000
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.9, hash_mode="portable", engine="arrow",
+        num_hashes=32, bands=8, max_bucket_size=2000,
+        broadcast_verify_max_docs=2_000_000,
+    )
+    assert pairs.limit(1).count() == 1
