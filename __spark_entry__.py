@@ -2114,12 +2114,16 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text profile: quality score + fingerprint + language ID.
+    """Per-document text profile: quality score + fingerprint +
+    language ID + the Gopher A1 and C4 rule columns.
 
-    One entry exercising three operators (quality_score, fingerprint,
-    detect_language_agg) — merged so the whole suite fits the driver's
-    50-entry correctness budget with every operator still value-oracled.
-    The projection branch and the langid hash-agg branch join on doc_id.
+    One entry exercising the whole fused profile
+    (heuristics.document_profile: quality_score, fingerprint,
+    detect_language marker votes, 13 rule booleans + both pass
+    conjunctions + frac_terminal_punct) — merged so the suite fits the
+    driver's 50-entry correctness budget with every column still
+    value-oracled. Since round 15 it is ONE map-only Arrow stage; no
+    join, no aggregate branch.
     """
     from patito_spark.operators.heuristics import document_profile
 
@@ -2752,7 +2756,7 @@ def _shingle_sql(n: int = 3, source: str = "documents") -> str:
 _SHINGLE_SQL = _shingle_sql(3)
 
 
-def _a2_oracle_sql() -> str:
+def _a2_oracle_sql() -> tuple:
     """DuckDB replay of the full Gopher Table-A2 battery in long form
     (`a2:<metric>` rows of the text_repetition entry). Mirrors
     heuristics._repetition_metrics' documented conventions exactly:
@@ -2764,7 +2768,15 @@ def _a2_oracle_sql() -> str:
         GOPHER_REPETITION_THRESHOLDS as THR,
     )
 
-    strip = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    # Python str.strip()'s FULL unicode whitespace set (the operator's
+    # blank-unit test is `u.strip()`), not just the ASCII six — a
+    # narrower oracle set would count unicode-whitespace-only units
+    # (NBSP, U+2028, ideographic space, ...) as units the operator
+    # excludes (round-15 review finding; bites the moment the testdata
+    # generator emits any such character).
+    strip = " || ".join(
+        f"chr({c})" for c in range(0x10000) if chr(c).isspace()
+    )
     ctes = [
         """a2base AS (
             SELECT doc_id,

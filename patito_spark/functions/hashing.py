@@ -47,3 +47,24 @@ def hash64(col: Union[str, Column], mode: HashMode = "xxhash64") -> Column:
 def portable_hash64_sql(expr: str) -> str:
     """DuckDB SQL fragment computing :func:`portable_hash64` of ``expr``."""
     return f"('0x' || substring(md5({expr}), 1, {PORTABLE_HEX_CHARS}))::BIGINT"
+
+
+def portable_hash64_np(strings):
+    """numpy int64 array of :func:`portable_hash64` over a sequence of
+    strings — the Arrow-kernel twin of the Column/SQL spellings
+    (``md5(utf8)[:8]`` big-endian ``>> 4`` == first 15 hex chars as
+    int). The round-15 Arrow lanes (simhash signatures, MinHash
+    features) call this on each batch's DISTINCT tokens/grams; all
+    three spellings must stay bit-identical forever — change one,
+    change all, and the oracle parity tests will catch a miss."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty(len(strings), dtype=np.int64)
+    for i, u in enumerate(strings):
+        out[i] = (
+            int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+            >> 4
+        )
+    return out

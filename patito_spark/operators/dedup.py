@@ -327,11 +327,12 @@ def _minhash_doc_features_arrow(
     )
 
     def kernel(batches):
-        import hashlib
         from itertools import chain
 
         import numpy as np
         import pandas as pd
+
+        from patito_spark.functions.hashing import portable_hash64_np
 
         k = num_hashes
         for pdf in batches:
@@ -369,15 +370,7 @@ def _minhash_doc_features_arrow(
                 )
                 gdoc = np.concatenate([gdoc, short])
             codes, uniques = pd.factorize(grams)
-            uh = np.empty(len(uniques), dtype=np.uint64)
-            for i, u in enumerate(np.asarray(uniques, dtype=object)):
-                uh[i] = (
-                    int.from_bytes(
-                        hashlib.md5(u.encode("utf-8")).digest()[:8], "big"
-                    )
-                    >> 4
-                )
-            h = uh[codes].astype(np.int64)
+            h = portable_hash64_np(np.asarray(uniques, dtype=object))[codes]
             # distinct (doc, hash) pairs — the verify arrays AND the
             # bin-min input in one sorted pass over (doc, code) keys
             n_u = max(len(uniques), 1)
@@ -843,11 +836,12 @@ def _simhash_signatures_arrow(
     n_bits = min(bits, 60)
 
     def kernel(batches):
-        import hashlib
         from itertools import chain
 
         import numpy as np
         import pandas as pd
+
+        from patito_spark.functions.hashing import portable_hash64_np
 
         for pdf in batches:
             texts = pdf[text_col]
@@ -861,15 +855,9 @@ def _simhash_signatures_arrow(
                 list(chain.from_iterable(tok_lists)), dtype=object
             )
             codes, uniques = pd.factorize(flat)
-            uh = np.empty(len(uniques), dtype=np.uint64)
-            for i, u in enumerate(uniques):
-                uh[i] = (
-                    int.from_bytes(
-                        hashlib.md5(u.encode("utf-8")).digest()[:8], "big"
-                    )
-                    >> 4
-                )
-            h = uh[codes]
+            h = portable_hash64_np(
+                np.asarray(uniques, dtype=object)
+            ).view(np.uint64)[codes]
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             sig = np.zeros(len(lens), dtype=np.uint64)
@@ -991,7 +979,11 @@ def simhash_dedup_pairs(
     ``bit_count(a XOR b)``. ``chunks="auto"`` (default) sizes the block
     count from the corpus's distinct-signature count — Manku et al.'s
     (WWW 2007) fixed ``chunks=8`` is the multi-billion-document
-    configuration; pass it explicitly at that scale.
+    configuration; pass it explicitly at that scale. NOTE auto mode is
+    EAGER: it runs one count job on the (persisted) signature table at
+    plan-build time; callers composing plans speculatively should pass
+    an int ``chunks`` to stay fully lazy (the quantile_bins
+    convention).
 
     ``max_bucket_size`` semantics (since the canonical-combination
     dedup): a pair survives only if its CANONICAL combination's bucket
@@ -1106,14 +1098,6 @@ def hamming_pairs(
        time (member count upper-bounds the distinct-signature count —
        oversizing only widens keys, never loses recall); pass an int
        to keep plan construction fully lazy.
-    5. **Broadcast expansion joins (auto mode only).** The near-pair
-       edges rejoin the member table twice to recover doc ids; when the
-       member count (known from the same eager step) is at most
-       ``broadcast_members_max`` (default 1M rows ~ 16 MB), the member
-       side is broadcast so the edge stream never shuffles. Above the
-       bound — web-corpus doc counts — the joins shuffle on the
-       signature, the only shape that scales. With explicit ``chunks``
-       no count runs and AQE decides.
     3. **Bucket pre-prune.** A cheap map-side-combined count per
        (combination, key) keeps only ``1 < n <= max_bucket_size``
        buckets (same backstop as the MinHash LSH path): a pathological
@@ -1125,6 +1109,14 @@ def hamming_pairs(
        ~C(|agreeing|, agree)-fold redundant candidate stream never
        shuffles into a distinct. Under the guard this means a pair
        needs its canonical bucket (not any bucket) to survive.
+    5. **Broadcast expansion joins (auto mode only).** The near-pair
+       edges rejoin the member table twice to recover doc ids; when the
+       member count (known from the same eager step) is at most
+       ``broadcast_members_max`` (default 1M rows ~ 16 MB), the member
+       side is broadcast so the edge stream never shuffles. Above the
+       bound — web-corpus doc counts — the joins shuffle on the
+       signature, the only shape that scales. With explicit ``chunks``
+       no count runs and AQE decides.
 
     ``expand`` controls the output contract:
 

@@ -510,12 +510,21 @@ def document_profile(
         for m in LANG_MARKERS[lang]:
             marker2lang.setdefault(m, []).append(li)
     stop_words = GOPHER_STOP_WORDS
-    # the three line-anchored rules keep their regexes ([0-9], not \d:
-    # Python's \d is unicode-wide where Java's is ASCII)
-    bullet_re = _re.compile(r"(?m)^[ \t]*(?:[-*•]|[0-9]+[.)])[ \t]")
-    ellipsis_re = _re.compile(r"(?m)(?:\.\.\.|…)[ \t]*$")
+    # The three line-anchored rules keep their regexes ([0-9], not \d:
+    # Python's \d is unicode-wide where Java's is ASCII) — but NOT
+    # Python's (?m): Java's multiline anchors recognize \r\n (as one
+    # terminator), \r, \x85, U+2028 and U+2029 where Python's only
+    # recognize \n, so a CRLF document would count line-end rules
+    # differently per engine. The lookarounds below spell Java's
+    # boundary set exactly: $ = before \r\n / any single terminator /
+    # end of input; ^ = start / after a terminator (after the \n of
+    # \r\n, and after a \r only when no \n follows).
+    _EOL = "(?=\\r\\n|[\\n\\r\\x85\u2028\u2029]|\\Z)"
+    _BOL = "(?:\\A|(?<=[\\n\\x85\u2028\u2029])|(?<=\\r)(?!\\n))"
+    bullet_re = _re.compile(_BOL + r"[ \t]*(?:[-*•]|[0-9]+[.)])[ \t]")
+    ellipsis_re = _re.compile(r"(?:\.\.\.|…)[ \t]*" + _EOL)
     alpha_re = _re.compile(r"(?:^| )[^ ]*[A-Za-z]")
-    term_re = _re.compile(r'(?m)[.!?"][ \t]*$')
+    term_re = _re.compile(r'[.!?"][ \t]*' + _EOL)
     keep = (_string.ascii_uppercase + _string.ascii_lowercase
             + _string.digits + " ")
     del_keep = {ord(c): None for c in keep}

@@ -412,6 +412,14 @@ def test_document_profile_engines_identical(spark):
         (12, " "),
         (13, "\n\n\n"),
         (14, "word " * 200),
+        # Java's (?m) anchors recognize \r\n, \r, \x85, U+2028/U+2029;
+        # the arrow lane replicates them with lookarounds (round-15
+        # review finding — CRLF docs counted line-end rules differently)
+        (15, "Done...\r\nNext line."),
+        (16, "- item\r\n- item two\r\nplain."),
+        (17, "ends here.\ralpha...\x85tail."),
+        (18, "a.\r\rb. c... - d e"),
+        (19, "\r\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     sql_rows = {
