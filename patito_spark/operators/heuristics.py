@@ -324,38 +324,58 @@ def _repetition_metrics(text: str) -> dict:
         starts.append(pos)
         pos += len(t) + 1
 
+    # A duplicated (n+1)-gram implies its prefix n-gram is duplicated at
+    # the same two positions, so once some n has NO duplicate gram, no
+    # larger n can either — every later metric is exactly 0.0 (top_cnt
+    # 1 for the top-gram fractions). `all_unique` carries that fact
+    # forward; on natural (non-boilerplate) text it short-circuits most
+    # of the battery, and repetitive documents still take the full path.
+    all_unique = False
     for n in (2, 3, 4):
         key = f"top_{n}_gram_char_frac"
         if n_toks < n:
             out[key] = 0.0
             continue
-        ctr = Counter(
-            tuple(toks[i : i + n]) for i in range(n_toks - n + 1)
-        )
-        top_gram, top_cnt = min(
-            ctr.items(), key=lambda kv: (-kv[1], kv[0])
-        )
+        if all_unique:
+            # every n-gram occurs once: the tie-break alone decides
+            top_cnt = 1
+            top_gram = min(zip(*(toks[i:] for i in range(n))))
+        else:
+            ctr = Counter(zip(*(toks[i:] for i in range(n))))
+            top_cnt = max(ctr.values())
+            if top_cnt == 1:
+                all_unique = True
+                top_gram = min(ctr)
+            else:
+                top_gram = min(g for g, c in ctr.items() if c == top_cnt)
         gram_chars = sum(len(t) for t in top_gram)
         out[key] = (top_cnt * gram_chars) / denom_chars
 
     for n in range(5, 11):
         key = f"dup_{n}_gram_char_frac"
-        if n_toks < n:
+        if n_toks < n or all_unique:
             out[key] = 0.0
             continue
-        ctr = Counter(
-            tuple(toks[i : i + n]) for i in range(n_toks - n + 1)
-        )
-        marked = bytearray(n_chars)
-        for i in range(n_toks - n + 1):
-            gram = tuple(toks[i : i + n])
+        grams = list(zip(*(toks[i:] for i in range(n))))
+        ctr = Counter(grams)
+        if len(ctr) == len(grams):
+            out[key] = 0.0
+            all_unique = True
+            continue
+        # Interval-union sweep: gram start offsets are strictly
+        # increasing in i, so one running high-water mark computes the
+        # union coverage without per-character marking.
+        covered = 0
+        cur_hi = 0
+        for i, gram in enumerate(grams):
             if ctr[gram] < 2:
                 continue
             lo = starts[i]
             hi = starts[i + n - 1] + len(toks[i + n - 1])
-            for j in range(lo, hi):
-                marked[j] = 1
-        out[key] = sum(marked) / denom_chars
+            if hi > cur_hi:
+                covered += hi - (lo if lo > cur_hi else cur_hi)
+                cur_hi = hi
+        out[key] = covered / denom_chars
     return out
 
 
