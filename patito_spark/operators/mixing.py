@@ -126,23 +126,33 @@ def mix_corpora(
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
 
-    plan = []
-    parts = []
-    for name, df in corpora.items():
-        share = weights[name] / total_w
-        target = share * token_budget
-        # One blocking aggregate per domain: token total, plus (on the
-        # weighted path) the weight-x-tokens mass in the same scan.
+    # ONE blocking action for every domain's totals (round 15): the
+    # per-domain 1-row aggregates crossJoin into a single job, so the N
+    # domain scans run as parallel stages instead of N serial driver
+    # round trips (the old per-domain .first() ladder was the entry's
+    # dominant fixed cost at bench scale).
+    agg_frames = []
+    for i, (name, df) in enumerate(corpora.items()):
         tc = _token_count_col(token_count_mode, text_col)
-        aggs = [F.sum(tc).alias("t")]
+        aggs = [F.sum(tc).alias(f"__t{i}")]
         if doc_weight_col is not None:
             w = F.col(doc_weight_col).cast("double")
             aggs.append(
-                F.sum(F.when(w > 0, w * tc).otherwise(0.0)).alias("wt")
+                F.sum(F.when(w > 0, w * tc).otherwise(0.0)).alias(f"__wt{i}")
             )
-        stats = df.agg(*aggs).first()
-        total_tokens = stats["t"] or 0
-        wt_sum = stats["wt"] if doc_weight_col is not None else None
+        agg_frames.append(df.agg(*aggs))
+    fused = agg_frames[0]
+    for frame in agg_frames[1:]:
+        fused = fused.crossJoin(frame)
+    totals = fused.first()
+
+    plan = []
+    parts = []
+    for i, (name, df) in enumerate(corpora.items()):
+        share = weights[name] / total_w
+        target = share * token_budget
+        total_tokens = totals[f"__t{i}"] or 0
+        wt_sum = totals[f"__wt{i}"] if doc_weight_col is not None else None
         if total_tokens == 0:
             ratio = 0.0
         else:

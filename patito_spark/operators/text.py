@@ -927,7 +927,7 @@ def tf_idf(
     """
     if engine not in ("auto", "sql", "arrow"):
         raise ValueError(f"engine must be 'auto', 'sql' or 'arrow', got {engine!r}")
-    n = n_docs if n_docs is not None else df.count()
+    n = n_docs
     if engine == "sql":
         pairs = df.select(
             F.col(id_col),
@@ -966,7 +966,25 @@ def tf_idf(
     if min_count > 1:
         vocab = vocab.filter(F.col("__cnt") >= min_count)
     vocab = vocab.drop("__cnt")
-    if max_broadcast_vocab is None or vocab.count() <= max_broadcast_vocab:
+    # ONE driver action serves both scalars (round 15): the corpus doc
+    # count and the broadcast-gate probe ride a single 1-row x 1-row
+    # crossJoin job — the doc-count stage runs in parallel with the
+    # (cache-materializing) vocab aggregate instead of as a separate
+    # serial round trip. Callers passing n_docs skip the doc count;
+    # max_broadcast_vocab=None skips the probe.
+    vocab_rows: Optional[int] = None
+    if max_broadcast_vocab is not None and n is None:
+        probe = (
+            vocab.agg(F.count("*").alias("__nv"))
+            .crossJoin(df.agg(F.count("*").alias("__nd")))
+            .first()
+        )
+        vocab_rows, n = probe["__nv"], probe["__nd"]
+    elif max_broadcast_vocab is not None:
+        vocab_rows = vocab.count()
+    elif n is None:
+        n = df.count()
+    if max_broadcast_vocab is None or vocab_rows <= max_broadcast_vocab:
         vocab = F.broadcast(vocab)
     idf = F.log((F.lit(float(n)) + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0
     return (
@@ -1927,6 +1945,21 @@ def lm_quality_scores(
     # materialization. Driver actions are serial round trips — at sf1
     # each costs ~0.3 s of scheduling regardless of data size, so an
     # action ladder would be pure latency.
+    # The target LM's totals ride the SAME stats action (a 1-row x 1-row
+    # crossJoin of the two aggregates): one fewer serial driver round
+    # trip, and the target vocab build runs as a parallel stage of the
+    # same job instead of a third sequential one (round-15 measurement:
+    # the action ladder was the larger half of this operator's time).
+    t_lm = t_agg = None
+    if target is not None:
+        t_lm = tracked_persist(
+            build_vocab(target, text_col=text_col, id_col=id_col).select(
+                "token", F.col("count").alias("__cnt_t")
+            )
+        )
+        t_agg = t_lm.agg(
+            F.sum("__cnt_t").alias("__tt"), F.count("*").alias("__tv")
+        )
     if trigram:
         triple_counts = tracked_persist(
             positioned.groupBy("__p2", "__w_prev", "__w").agg(
@@ -1955,11 +1988,14 @@ def lm_quality_scores(
         # Action 2 (derived pair table — vocabulary²-bounded, far
         # smaller): vocab size + the pair-side gate counts; doubles as
         # the pair cache materialization every later side reads.
-        stats = pair_counts.agg(
+        stats_df = pair_counts.agg(
             F.lit(tstats["t"]).alias("t"),
             F.count_distinct("__w").alias("v"),
             F.count("*").alias("np"),
             F.count("__w_prev").alias("nb"),
+        )
+        stats = (
+            stats_df.crossJoin(t_agg) if t_agg is not None else stats_df
         ).first()
     else:
         pair_counts = tracked_persist(
@@ -1967,11 +2003,14 @@ def lm_quality_scores(
                 F.count("*").alias("__pair_n")
             )
         )
-        stats = pair_counts.agg(
+        stats_df = pair_counts.agg(
             F.sum("__pair_n").alias("t"),
             F.count_distinct("__w").alias("v"),
             F.count("*").alias("np"),
             F.count("__w_prev").alias("nb"),
+        )
+        stats = (
+            stats_df.crossJoin(t_agg) if t_agg is not None else stats_df
         ).first()
     uni = tracked_persist(
         pair_counts.groupBy("__w")
@@ -2069,15 +2108,9 @@ def lm_quality_scores(
             _side(kn_cont, v), on="__w", how="left"
         )
     if target is not None:
-        t_lm = tracked_persist(
-            build_vocab(target, text_col=text_col, id_col=id_col).select(
-                "token", F.col("count").alias("__cnt_t")
-            )
-        )
-        t_totals = t_lm.agg(
-            F.sum("__cnt_t").alias("t"), F.count("*").alias("v")
-        ).first()
-        t_total, t_v = t_totals["t"] or 0, t_totals["v"]
+        # t_lm was built (and its totals computed) up with the stats
+        # action — one job, not two.
+        t_total, t_v = stats["__tt"] or 0, stats["__tv"]
         t_denom = float(t_total) + smoothing_k * (t_v + 1)
         tbl = tbl.join(
             _side(t_lm.select(F.col("token").alias("__w"), "__cnt_t"), t_v),

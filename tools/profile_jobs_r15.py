@@ -59,14 +59,15 @@ def main() -> None:
     rows = []
     for name, fn in queries.items():
         ids_before = set(tracker().getJobIdsForGroup(None) or [])
-        # job ids are global-monotonic; snapshot the max instead of group ids
-        all_before = sc._jsc.sc().dagScheduler().nextJobId().get()
+        # job ids are global-monotonic; snapshot the counter (py4j
+        # returns the AtomicInteger as a plain int)
+        all_before = int(sc._jsc.sc().dagScheduler().nextJobId())
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         t_build = time.perf_counter() - start
         df.write.format("noop").mode("overwrite").save()
         t_total = time.perf_counter() - start
-        all_after = sc._jsc.sc().dagScheduler().nextJobId().get()
+        all_after = sc._jsc.sc().dagScheduler().nextJobId()
         release_caches()
         rows.append(
             {
