@@ -91,9 +91,19 @@ def canonicalize_url(
     )
 
     # Strip tracking parameters from the query string, then collapse
-    # separator debris ("a=1&&b=2", leading "&").
-    for name in tracking_params:
-        query = F.regexp_replace(query, rf"(^|&){name}=[^&]*", "$1")
+    # separator debris ("a=1&&b=2", leading "&"). ONE alternation pass
+    # instead of one regexp_replace per parameter (round 15): every
+    # pattern is an anchored delete `(^|&)name=[^&]*` -> `$1`, and such
+    # deletions can neither create nor destroy other anchored
+    # occurrences (a replacement re-emits its anchor, and values cannot
+    # contain `&`), so the fused pass is value-identical to the
+    # sequential chain — equality-swept over the driver corpus plus
+    # adversarial URLs. Parameter-name regexes must stay free of
+    # capture groups (both spellings rely on `$1` being the anchor).
+    alternation = "|".join(f"(?:{name})" for name in tracking_params)
+    query = F.regexp_replace(
+        query, rf"(^|&)(?:{alternation})=[^&]*", "$1"
+    )
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"^&|&$", "")
     if sort_query:
