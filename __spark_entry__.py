@@ -636,13 +636,25 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.dedup import ngram_jaccard_pairs
     from patito_spark.operators.winnow import winnow_pairs
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = _t(spark, sf_dir, "documents")
-    jac = ngram_jaccard_pairs(
-        docs,
-        threshold=0.82,
-        ngram=1,
-        scope=F.col("doc_id") < 150,
-    ).select(
+    # The two branches are independent until the union; overlap their
+    # construction-phase driver actions (guide §2.6 — the ann_search
+    # precedent). Plan unchanged; interleaved 7-pass race median
+    # 1.243 -> 1.127 s at sf0.1 (tools/ab_branch_threads.py).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fj = pool.submit(
+            ngram_jaccard_pairs, docs,
+            threshold=0.82, ngram=1, scope=F.col("doc_id") < 150,
+        )
+        fw = pool.submit(
+            winnow_pairs, docs.filter(F.col("doc_id") < 2000),
+            k=5, w=4, min_shared=2, with_containment=True,
+            hash_mode="portable",
+        )
+        jac_raw, win_raw = fj.result(), fw.result()
+    jac = jac_raw.select(
         F.lit("jaccard").alias("mode"),
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
@@ -650,14 +662,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("shared_fps"),
         F.lit(None).cast("double").alias("containment"),
     )
-    win = winnow_pairs(
-        docs.filter(F.col("doc_id") < 2000),
-        k=5,
-        w=4,
-        min_shared=2,
-        with_containment=True,
-        hash_mode="portable",
-    ).select(
+    win = win_raw.select(
         F.lit("winnow").alias("mode"),
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
@@ -1725,10 +1730,19 @@ def ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (scoped brute-force) and LSH-bucketed embedding near-dup
     pairs union-tagged in one slot (round-10 merge)."""
-    exact = dedup_embedding(spark, sf_dir).select(
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Overlap the two branches' construction actions (guide §2.6, the
+    # ann_search precedent): interleaved 7-pass race median
+    # 0.573 -> 0.498 s at sf0.1 (tools/ab_branch_threads.py).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(dedup_embedding, spark, sf_dir)
+        fl = pool.submit(dedup_embedding_lsh, spark, sf_dir)
+        exact_raw, lsh_raw = fe.result(), fl.result()
+    exact = exact_raw.select(
         F.lit("exact").alias("mode"), "id_a", "id_b", "cosine"
     )
-    lsh = dedup_embedding_lsh(spark, sf_dir).select(
+    lsh = lsh_raw.select(
         F.lit("lsh").alias("mode"), "id_a", "id_b", "cosine"
     )
     return exact.unionByName(lsh)
@@ -2324,12 +2338,26 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises the SHUFFLE-FREE direct path; the oracle replays the
     # artifact construction AND the full longest-match cascade
     # (logp_k + skipped-context backoffs) in SQL.
+    from concurrent.futures import ThreadPoolExecutor
+
     from patito_spark.operators.arpa import arpa_logloss
 
-    s = lm_quality_scores(docs, target, kneser_ney=True, trigram=True)
-    a = arpa_logloss(
-        docs, _arpa_lm_for(spark, sf_dir), order=3, bos=True
-    ).select(
+    # The fused-stack branch and the .arpa branch are independent until
+    # the final join; overlap their construction-phase driver actions
+    # (the arpa broadcast-gate count rides under lm_quality_scores'
+    # stats aggregates — guide §2.6, the ann_search precedent). Plan
+    # unchanged; interleaved 7-pass race median 4.097 -> 3.634 s at
+    # sf0.1 (tools/ab_branch_threads.py). The artifact lookup stays on
+    # the caller thread: build-once mutation of _ANN_INDEX_CACHE
+    # belongs to one thread.
+    lm = _arpa_lm_for(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(
+            lm_quality_scores, docs, target, kneser_ney=True, trigram=True
+        )
+        fa = pool.submit(arpa_logloss, docs, lm, order=3, bos=True)
+        s, a_raw = fs.result(), fa.result()
+    a = a_raw.select(
         "doc_id",
         F.round("arpa_ce", 4).alias("arpa_ce_r"),
         F.round("arpa_ppl", 4).alias("arpa_ppl_r"),
