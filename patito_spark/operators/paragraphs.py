@@ -11,9 +11,13 @@ this engine adds (SURVEY.md §2 [O]).
 Scale design (100 TB / 1000 executors):
 
 * ``split_paragraphs`` is map-only: ``posexplode(split(...))`` plus
-  codegen normalization — no shuffle, no Python. Reassembly extracts the
-  ordered paragraphs with ``array_sort(collect_list(struct)).getField``
-  — no interpreted higher-order-function lambda anywhere.
+  codegen normalization — no shuffle, no Python. The standalone
+  operators reassemble with ``array_sort(collect_list(struct))
+  .getField`` — no interpreted higher-order-function lambda.
+  ``paragraph_passes`` (round 15) instead shuffles only surviving
+  ``para_idx`` integers and rebuilds from one ``split()`` per doc with
+  a positional array ``filter`` — the text never rides an aggregation
+  exchange at all.
 * ``dedup_paragraphs(scope="corpus")`` costs exactly two shuffles on the
   exploded paragraph table (occurrence ranking on the paragraph key,
   then doc reassembly) plus one co-keyed join back to the input. The
@@ -242,45 +246,63 @@ def paragraph_passes(
 
     The use case is the side-by-side attrition report (what would each
     policy do to this corpus?) where running the operators separately
-    pays the paragraph machinery twice. Here:
+    pays the paragraph machinery twice. Here (round 15: decide with
+    small rows, move the text once):
 
-    * ONE per-key stats pass serves both verdicts, as two stacked
-      MERGEABLE aggregates: ``(para_key, id)`` first (a web-ubiquitous
+    * the DECISION pass shuffles only ``(para_key, id, para_idx)`` —
+      never the paragraph payload — as two stacked MERGEABLE
+      hash aggregates: ``(para_key, id)`` first (a web-ubiquitous
       paragraph splits across docs in this exchange, so no hot single
-      key), then ``para_key`` — yielding the keep-first winner
-      (``min(struct(id, para_idx, paragraph))``, the
-      :func:`dedup_paragraphs` rule) AND the exact distinct-doc count
-      (level-1 collapsed (key, id) to one row, so level-2 ``count(*)``
-      IS ``count_distinct(id)``) with no Expand and no unsplittable
-      window.
+      key), then ``para_key``. All aggregate buffers are primitive
+      (``min``/``min_by``/``count``), so both levels plan as
+      HashAggregate — no sort of a text-keyed stream anywhere.
+      ``min_by(para_idx, id)`` + ``min(id)`` IS the keep-first winner
+      (level-1 collapsed (key, id) to one row, so id is unique at
+      level 2 and the ``paragraph`` tie-break of the composed
+      operators can never fire), and level-2 ``count(*)`` IS the
+      exact ``count_distinct(id)`` — no Expand, no window.
     * the dedup survivors are a projection of the stats (no join); the
-      boilerplate survivors anti-join the paragraph stream against the
+      boilerplate survivors anti-join the key stream against the
       ``n_docs >= min_docs`` keys (sized by the boilerplate count —
       broadcastable in the common case);
-    * both survivor streams union (free) into ONE reassembly aggregate
-      keyed ``(mode, id)`` — a single shuffle rebuilds both corpora.
+    * both survivor streams union (free) into ONE ``(mode, id)``
+      aggregate of surviving ``para_idx`` lists (integers), and the
+      paragraph TEXT crosses exactly one exchange: the survivor lists
+      join back onto ``df``, where a positional ``filter`` over ONE
+      ``split()`` evaluation per row rebuilds the document (original
+      paragraph text, original order — the split array is a HOF
+      argument, so the regex runs once per doc, not per element).
+
+    ``id_col`` values are assumed non-null (they identify documents);
+    the keep-first race skips null ids where the composed operators'
+    ``min(struct(id, ...))`` would rank a null id first.
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    paras = (
-        paragraph_rows
-        if paragraph_rows is not None
-        else split_paragraphs(
-            df, id_col, text_col, sep_pattern, min_chars, normalize
+    if paragraph_rows is not None:
+        keys = paragraph_rows.select(id_col, "para_idx", "para_key")
+    else:
+        keys = (
+            df.select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+                    "para_idx", "paragraph"
+                ),
+            )
+            .select(
+                id_col,
+                "para_idx",
+                _norm_key(F.col("paragraph"), normalize).alias("para_key"),
+            )
+            .filter(F.length("para_key") >= max(min_chars, 1))
         )
-    )
 
-    per_doc = paras.groupBy("para_key", id_col).agg(
-        F.min(F.struct("para_idx", "paragraph")).alias("__d")
+    per_doc = keys.groupBy("para_key", id_col).agg(
+        F.min("para_idx").alias("__pidx")
     )
     stats = per_doc.groupBy("para_key").agg(
-        F.min(
-            F.struct(
-                F.col(id_col),
-                F.col("__d.para_idx").alias("para_idx"),
-                F.col("__d.paragraph").alias("paragraph"),
-            )
-        ).alias("__f"),
+        F.min(id_col).alias("__wid"),
+        F.min_by("__pidx", F.col(id_col)).alias("__widx"),
         F.count(F.lit(1)).alias("__n_docs"),
     )
     from patito_spark.functions.cache import tracked_persist
@@ -288,26 +310,51 @@ def paragraph_passes(
     stats = tracked_persist(stats)
 
     dedup_kept = stats.select(
-        F.col(f"__f.{id_col}").alias(id_col),
-        F.col("__f.para_idx").alias("para_idx"),
-        F.col("__f.paragraph").alias("paragraph"),
+        F.col("__wid").alias(id_col), F.col("__widx").alias("para_idx")
     ).withColumn("__mode", F.lit("dedup"))
     common = stats.filter(F.col("__n_docs") >= min_docs).select("para_key")
     boiler_kept = (
-        paras.join(common, on="para_key", how="left_anti")
-        .select(id_col, "para_idx", "paragraph")
+        keys.join(common, on="para_key", how="left_anti")
+        .select(id_col, "para_idx")
         .withColumn("__mode", F.lit("boiler"))
     )
     kept = dedup_kept.unionByName(boiler_kept)
 
-    rebuilt = kept.groupBy("__mode", id_col).agg(
-        F.concat_ws(
-            join_sep,
-            F.array_sort(
-                F.collect_list(F.struct("para_idx", "paragraph"))
-            ).getField("paragraph"),
-        ).alias("__rebuilt")
-    )
+    if paragraph_rows is not None:
+        # Caller-provided paragraph stream: the text may not be
+        # re-derivable from df, so fetch the survivors' paragraphs from
+        # the provided rows and reassemble by sorted position.
+        kept_txt = kept.join(
+            paragraph_rows.select(id_col, "para_idx", "paragraph"),
+            on=[id_col, "para_idx"],
+        )
+        rebuilt = kept_txt.groupBy("__mode", id_col).agg(
+            F.concat_ws(
+                join_sep,
+                F.array_sort(
+                    F.collect_list(F.struct("para_idx", "paragraph"))
+                ).getField("paragraph"),
+            ).alias("__rebuilt")
+        )
+    else:
+        surv = kept.groupBy("__mode", id_col).agg(
+            F.collect_list("para_idx").alias("__idxs")
+        )
+        rebuilt = (
+            df.select(id_col, text_col)
+            .join(surv, on=id_col, how="inner")
+            .select(
+                "__mode",
+                F.col(id_col),
+                F.concat_ws(
+                    join_sep,
+                    F.filter(
+                        F.split(F.col(text_col), sep_pattern),
+                        lambda x, i: F.array_contains(F.col("__idxs"), i),
+                    ),
+                ).alias("__rebuilt"),
+            )
+        )
     if drop_empty and set(df.columns) == {id_col, text_col}:
         out = rebuilt.select(
             F.col("__mode").alias(mode_col),
