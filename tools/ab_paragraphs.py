@@ -11,6 +11,11 @@ from one split() evaluation per row.
 Cross-checks exact (mode, id) -> text equality on the entry-shaped
 sf corpus before timing.
 
+NOTE: the keys-only design WON (sf1 race 2.912 -> 2.678 median) and is
+now the committed `paragraph_passes` implementation; `build_old` below
+preserves the former struct-carrying build verbatim so this race stays
+reproducible.
+
 Usage: python tools/ab_paragraphs.py [--runs 7] [--sf-dir DIR] [--phase]
 """
 
@@ -23,6 +28,58 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_old(df, min_docs=3, join_sep="\n\n", id_col="doc_id",
+              text_col="text", mode_col="mode"):
+    """The pre-redesign paragraph_passes body (struct-carrying stats:
+    min(struct(.., paragraph)) SortAggregates, text on every
+    exchange), preserved for the committed race."""
+    from pyspark.sql import functions as F
+
+    from patito_spark.functions.cache import tracked_persist
+    from patito_spark.operators.paragraphs import split_paragraphs
+
+    paras = split_paragraphs(df, id_col, text_col)
+    per_doc = paras.groupBy("para_key", id_col).agg(
+        F.min(F.struct("para_idx", "paragraph")).alias("__d")
+    )
+    stats = per_doc.groupBy("para_key").agg(
+        F.min(
+            F.struct(
+                F.col(id_col),
+                F.col("__d.para_idx").alias("para_idx"),
+                F.col("__d.paragraph").alias("paragraph"),
+            )
+        ).alias("__f"),
+        F.count(F.lit(1)).alias("__n_docs"),
+    )
+    stats = tracked_persist(stats)
+    dedup_kept = stats.select(
+        F.col(f"__f.{id_col}").alias(id_col),
+        F.col("__f.para_idx").alias("para_idx"),
+        F.col("__f.paragraph").alias("paragraph"),
+    ).withColumn("__mode", F.lit("dedup"))
+    common = stats.filter(F.col("__n_docs") >= min_docs).select("para_key")
+    boiler_kept = (
+        paras.join(common, on="para_key", how="left_anti")
+        .select(id_col, "para_idx", "paragraph")
+        .withColumn("__mode", F.lit("boiler"))
+    )
+    kept = dedup_kept.unionByName(boiler_kept)
+    rebuilt = kept.groupBy("__mode", id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "paragraph"))
+            ).getField("paragraph"),
+        ).alias("__rebuilt")
+    )
+    return rebuilt.select(
+        F.col("__mode").alias(mode_col),
+        F.col(id_col),
+        F.col("__rebuilt").alias(text_col),
+    )
 
 
 def build_new(df, min_docs=3, sep_pattern=r"\n{2,}", join_sep="\n\n",
@@ -135,12 +192,13 @@ def main() -> None:
         )
 
     def old_fn():
+        return build_old(docs_df(), min_docs=3)
+
+    def new_fn():
+        # the committed implementation (identical to build_new)
         return paragraph_passes(docs_df(), min_docs=3).select(
             "mode", "doc_id", "text"
         )
-
-    def new_fn():
-        return build_new(docs_df(), min_docs=3)
 
     # ---- exact equality first ----
     a = {(r["mode"], r["doc_id"]): r["text"] for r in old_fn().collect()}
