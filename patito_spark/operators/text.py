@@ -754,6 +754,7 @@ def build_vocab(
     id_col: str = "doc_id",
     top_n: Optional[int] = None,
     min_count: int = 1,
+    engine: str = "auto",
 ) -> DataFrame:
     """Corpus token vocabulary: term counts, document frequencies, ranks.
 
@@ -761,25 +762,39 @@ def build_vocab(
     given) — the input to tokenizer-vocab construction and IDF weighting
     in a training-data pipeline.
 
-    Scale shape: one (token, doc) partial aggregate with map-side combine
-    collapses each partition to its distinct (token, doc) counts before
-    the shuffle, then a second map-side-combined aggregate reduces to one
-    row per token — the same two-stage cascade a 100 TB word count uses.
-    No Python stages, no distinct-expand. ``rank`` (dense by ``count``
-    desc, ``token`` asc — deterministic across engines) is only computed
+    Scale shape: a document's tokens live entirely in its own input
+    row, so the (token, doc) aggregate is doc-local — ``engine="arrow"``
+    (what ``"auto"`` resolves to, the round-15 tf_idf/BM25 kernel
+    ``_doc_token_counts_arrow``) computes the per-doc counts as ONE
+    map-only Arrow stage with no exchange, then a single
+    map-side-combined aggregate reduces to one row per token. The
+    ``"sql"`` lane keeps the explode + two-stage hash-aggregate cascade
+    (no Python stages; its first exchange moves per-partition-distinct
+    (token, doc) rows — sf1 interleaved race: arrow 0.665 s vs sql
+    0.894 s median, wash at sf0.1). ``rank`` (dense by ``count`` desc,
+    ``token`` asc — deterministic across engines) is only computed
     under ``top_n``, where the surviving vocabulary is small enough for
     the single-partition window it requires; an unbounded ranked vocab
     would serialize the sort.
     """
     from pyspark.sql import Window
 
-    pairs = df.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(tokens(text_col)).alias("token"),
-    )
-    per_doc = pairs.groupBy("token", "__doc").agg(
-        F.count("*").alias("__n")
-    )
+    if engine not in ("auto", "sql", "arrow"):
+        raise ValueError(
+            f"engine must be 'auto', 'sql' or 'arrow', got {engine!r}"
+        )
+    if engine == "sql":
+        pairs = df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        per_doc = pairs.groupBy("token", "__doc").agg(
+            F.count("*").alias("__n")
+        )
+    else:
+        per_doc = _doc_token_counts_arrow(
+            df, text_col, id_col, "__dl"
+        ).select(F.col(id_col).alias("__doc"), "token", "__n")
     vocab = per_doc.groupBy("token").agg(
         F.sum("__n").alias("count"),
         F.count("*").alias("doc_freq"),
