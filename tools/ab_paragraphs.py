@@ -128,7 +128,7 @@ def build_new(df, min_docs=3, sep_pattern=r"\n{2,}", join_sep="\n\n",
     )
     rebuilt = (
         df.select(id_col, text_col)
-        .join(surv, on=id_col, how="inner")
+        .join(surv.hint("shuffle_hash"), on=id_col, how="inner")
         .select(
             F.col("__mode").alias(mode_col),
             F.col(id_col),
@@ -150,6 +150,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--phase", action="store_true",
                     help="also time the split/stats sub-phases of old")
+    ap.add_argument("--three", action="store_true",
+                    help="race old vs committed vs keys+shuffle_hash hint")
+    ap.add_argument("--lanes", default="",
+                    help="comma list from old,new,hint (overrides --three)")
+    ap.add_argument("--skip-eq", action="store_true",
+                    help="skip the equality cross-check (already proven)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -195,16 +201,29 @@ def main() -> None:
         return build_old(docs_df(), min_docs=3)
 
     def new_fn():
-        # the committed implementation (identical to build_new)
+        if os.environ.get("AB_PARA_INLINE"):
+            return build_new(docs_df(), min_docs=3)
+        # the committed implementation
         return paragraph_passes(docs_df(), min_docs=3).select(
             "mode", "doc_id", "text"
         )
 
+    def hint_fn():
+        # keys-only build with the survivors join pinned to shuffled-hash
+        # (build_new carries the hint inline)
+        return build_new(docs_df(), min_docs=3)
+
     # ---- exact equality first ----
-    a = {(r["mode"], r["doc_id"]): r["text"] for r in old_fn().collect()}
+    if args.skip_eq:
+        a = {}
+    else:
+        a = {(r["mode"], r["doc_id"]): r["text"] for r in old_fn().collect()}
     release_caches()
-    b = {(r["mode"], r["doc_id"]): r["text"] for r in new_fn().collect()}
-    release_caches()
+    if args.skip_eq:
+        b = {}
+    else:
+        b = {(r["mode"], r["doc_id"]): r["text"] for r in new_fn().collect()}
+        release_caches()
     if a != b:
         only_a = set(a) - set(b)
         only_b = set(b) - set(a)
@@ -235,17 +254,24 @@ def main() -> None:
             print(f"phase {label}: {[round(t, 3) for t in ts]}")
 
     # ---- interleaved race ----
-    for fn in (old_fn, new_fn):  # warm
+    all_lanes = {"old": old_fn, "new": new_fn, "hint": hint_fn}
+    if args.lanes:
+        lanes = [(n, all_lanes[n]) for n in args.lanes.split(",")]
+    elif args.three:
+        lanes = [("old", old_fn), ("new", new_fn), ("hint", hint_fn)]
+    else:
+        lanes = [("old", old_fn), ("new", new_fn)]
+    for _, fn in lanes:  # warm
         fn().write.format("noop").mode("overwrite").save()
         release_caches()
-    times = {"old": [], "new": []}
+    times = {label: [] for label, _ in lanes}
     for i in range(args.runs):
-        for label, fn in (("old", old_fn), ("new", new_fn)):
+        for label, fn in lanes:
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             times[label].append(time.perf_counter() - t0)
             release_caches()
-    for label in ("old", "new"):
+    for label, _ in lanes:
         ts = times[label]
         print(f"{label}: median {statistics.median(ts):.3f} "
               f"min {min(ts):.3f} all {[round(t, 3) for t in ts]}")
