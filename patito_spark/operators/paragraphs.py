@@ -340,9 +340,16 @@ def paragraph_passes(
         surv = kept.groupBy("__mode", id_col).agg(
             F.collect_list("para_idx").alias("__idxs")
         )
+        # Pin the survivors join to a shuffled-hash build: the survivor
+        # lists sit near AQE's broadcast threshold at mid scales, and the
+        # sort-merge fallback would SORT the full document text — the one
+        # thing this design exists to avoid. A shuffled-hash build never
+        # sorts either side, and at corpus scale the survivor side is not
+        # broadcastable anyway. (Measured: the unhinted lane is bimodal at
+        # sf1 — 2.4 vs 3.4 s — the hinted lane is stable at 2.5-2.6 s.)
         rebuilt = (
             df.select(id_col, text_col)
-            .join(surv, on=id_col, how="inner")
+            .join(surv.hint("shuffle_hash"), on=id_col, how="inner")
             .select(
                 "__mode",
                 F.col(id_col),
