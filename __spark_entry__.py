@@ -24,6 +24,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import sys
+import threading
 from collections.abc import Callable
 from typing import Literal, Optional
 
@@ -707,11 +708,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     key = ("lsh-auto", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = build_lsh_index(emb, n_planes=None)
-    return embedding_dedup_pairs_lsh(
-        emb, threshold=0.35, index=_ANN_INDEX_CACHE[key]
+    index = _cache_get_or_build(
+        key, lambda: build_lsh_index(emb, n_planes=None)
     )
+    return embedding_dedup_pairs_lsh(emb, threshold=0.35, index=index)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +788,27 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is just the materialized corpus side), so the oracle replay is
 #: unaffected.
 _ANN_INDEX_CACHE: dict = {}
+_ANN_CACHE_LOCK = threading.Lock()
+_ANN_KEY_LOCKS: dict = {}
+
+
+def _cache_get_or_build(key, build):
+    """Build-once guard for ``_ANN_INDEX_CACHE`` that holds under any
+    threading (several entries now construct branches from a driver
+    thread pool): one module lock arbitrates the per-key lock table,
+    then a per-key lock serializes builders of the SAME key while
+    different keys still build concurrently — the branch-overlap
+    threading depends on that."""
+    with _ANN_CACHE_LOCK:
+        if key in _ANN_INDEX_CACHE:
+            return _ANN_INDEX_CACHE[key]
+        lock = _ANN_KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key not in _ANN_INDEX_CACHE:
+            value = build()
+            with _ANN_CACHE_LOCK:
+                _ANN_INDEX_CACHE[key] = value
+    return _ANN_INDEX_CACHE[key]
 
 
 def _arpa_lm_for(spark: SparkSession, sf_dir: str):
@@ -806,7 +827,8 @@ def _arpa_lm_for(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.dedup import shingles
 
     key = ("arpa", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
+
+    def _build():
         sub = _t(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 23 == 0
         )
@@ -844,8 +866,9 @@ def _arpa_lm_for(spark: SparkSession, sf_dir: str):
             t = t.persist()
             tables[k] = t
             counts[k] = t.count()
-        _ANN_INDEX_CACHE[key] = ArpaLm(tables, counts, -3.5)
-    return _ANN_INDEX_CACHE[key]
+        return ArpaLm(tables, counts, -3.5)
+
+    return _cache_get_or_build(key, _build)
 
 
 def _lsh_index(spark: SparkSession, sf_dir: str):
@@ -854,10 +877,12 @@ def _lsh_index(spark: SparkSession, sf_dir: str):
     # applicationId in the key: a cached index holds DataFrames of ONE
     # session — a restarted session must rebuild, not hit stale handles.
     key = ("lsh", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        emb = _t(spark, sf_dir, "embeddings")
-        _ANN_INDEX_CACHE[key] = build_lsh_index(emb, n_planes=6)
-    return _ANN_INDEX_CACHE[key]
+    return _cache_get_or_build(
+        key,
+        lambda: build_lsh_index(
+            _t(spark, sf_dir, "embeddings"), n_planes=6
+        ),
+    )
 
 
 def _ivf_cells_for(sf_dir: str) -> int:
@@ -890,14 +915,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.similarity import build_ivf_index
 
     key = ("ivf", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
+
+    def _build():
         emb = _t(spark, sf_dir, "embeddings")
-        _ANN_INDEX_CACHE[key] = build_ivf_index(
+        return build_ivf_index(
             emb,
             centroids_df=emb.filter(F.col("vec_id") < _ivf_cells_for(sf_dir)),
             assign_metric="cosine",
         )
-    return _ANN_INDEX_CACHE[key]
+
+    return _cache_get_or_build(key, _build)
 
 
 def _sq8_params(spark: SparkSession, sf_dir: str):
@@ -906,11 +933,10 @@ def _sq8_params(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.quantize import fit_scalar_quantizer
 
     key = ("sq8", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = fit_scalar_quantizer(
-            _t(spark, sf_dir, "embeddings")
-        )
-    return _ANN_INDEX_CACHE[key]
+    return _cache_get_or_build(
+        key,
+        lambda: fit_scalar_quantizer(_t(spark, sf_dir, "embeddings")),
+    )
 
 
 def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,11 +971,9 @@ def _pca_params(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.projection import fit_pca
 
     key = ("pca", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = fit_pca(
-            _t(spark, sf_dir, "embeddings"), k=16
-        )
-    return _ANN_INDEX_CACHE[key]
+    return _cache_get_or_build(
+        key, lambda: fit_pca(_t(spark, sf_dir, "embeddings"), k=16)
+    )
 
 
 def _pca_reduced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,14 +984,16 @@ def _pca_reduced_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.projection import pca_project
 
     key = ("pca_reduced", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
+
+    def _build():
         emb = _t(spark, sf_dir, "embeddings")
-        _ANN_INDEX_CACHE[key] = pca_project(
+        return pca_project(
             emb.select("vec_id", "embedding"),
             _pca_params(spark, sf_dir),
             out_col="embedding",
         ).persist()
-    return _ANN_INDEX_CACHE[key]
+
+    return _cache_get_or_build(key, _build)
 
 
 def ann_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1940,7 +1966,8 @@ def _tokenizer_artifacts_for(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.unigram import train_unigram
 
     key = ("tok", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
+
+    def _build():
         words = (
             _t(spark, sf_dir, "documents")
             .select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -1960,8 +1987,9 @@ def _tokenizer_artifacts_for(spark: SparkSession, sf_dir: str):
             shrink_factor=0.5,
         )
         merges = train_bpe(corpus, n_merges=24)
-        _ANN_INDEX_CACHE[key] = (logp, merges, build_bpe_vocab(merges))
-    return _ANN_INDEX_CACHE[key]
+        return (logp, merges, build_bpe_vocab(merges))
+
+    return _cache_get_or_build(key, _build)
 
 
 def _fused_token_ids(base: DataFrame, logp, merges, vocab) -> DataFrame:
@@ -2204,11 +2232,9 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
     from patito_spark.operators.text import build_bm25_index
 
     key = ("bm25", spark.sparkContext.applicationId, sf_dir)
-    if key not in _ANN_INDEX_CACHE:
-        _ANN_INDEX_CACHE[key] = build_bm25_index(
-            _t(spark, sf_dir, "documents")
-        )
-    return _ANN_INDEX_CACHE[key]
+    return _cache_get_or_build(
+        key, lambda: build_bm25_index(_t(spark, sf_dir, "documents"))
+    )
 
 
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

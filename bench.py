@@ -124,12 +124,19 @@ def main() -> None:
     if os.path.exists(floor_path):
         with open(floor_path) as fh:
             floor_doc = json.load(fh)
-        # Floors are per scale factor: comparing an sf1 run against sf0.1
-        # floors flags every data-proportional entry as a phantom
-        # regression. No floors committed at this SF -> no guard.
+        # Floors are per (scale factor, core count): comparing an sf1 run
+        # against sf0.1 floors flags every data-proportional entry, and an
+        # 8-core floor is unreachable at 32 cores for the suite's
+        # anti-scaling entries (several entries run ~0.7x at 8 cores at
+        # this SF because per-task/stage setup scales with core count) —
+        # round-15 min-merged an 8-core run into the floor file and the
+        # driver's 32-core bench then flagged round-over-round-flat
+        # entries as "reproduced" regressions. No floors committed at
+        # this (sf, cpus) -> no guard.
         floors = (
             floor_doc.get("queries", {})
             if floor_doc.get("sf") == sf
+            and floor_doc.get("cpus") in (None, int(cpus))
             else {}
         )
         ratios = sorted(
@@ -174,12 +181,12 @@ def main() -> None:
             info["race_ratio"] = round(race_best / adj, 2)
             if race_best <= adj * 1.3 or race_best - adj <= 0.2:
                 info["verdict"] = "cleared-by-race"
-                # the race is the better estimate of the entry's steady
-                # state; report it so floors ratchet from real numbers
-                timings[name] = min(timings[name], info["race_best"])
             else:
                 info["verdict"] = "reproduced"
-        total = round(sum(timings.values()), 3)
+        # The race verdict is reported alongside the raw suite timings;
+        # the suite timing itself is never rewritten (a substitution
+        # could only LOWER flagged entries — a one-sided estimator,
+        # round-15 verdict item 2).
 
     print(
         json.dumps(
@@ -189,6 +196,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpus": int(cpus),
                 "host_drift": round(drift, 3),
                 "regressions": regressions,
             }

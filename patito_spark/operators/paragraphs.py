@@ -14,10 +14,13 @@ Scale design (100 TB / 1000 executors):
   codegen normalization — no shuffle, no Python. The standalone
   operators reassemble with ``array_sort(collect_list(struct))
   .getField`` — no interpreted higher-order-function lambda.
-  ``paragraph_passes`` (round 15) instead shuffles only surviving
-  ``para_idx`` integers and rebuilds from one ``split()`` per doc with
-  a positional array ``filter`` — the text never rides an aggregation
-  exchange at all.
+  ``paragraph_passes`` defaults to the same struct lane (one split per
+  document, measured fastest at every locally measurable scale); its
+  ``engine="keys"`` lane instead shuffles only surviving ``para_idx``
+  integers and rebuilds from one ``split()`` per output row with a
+  positional array ``filter`` — text never rides an aggregation
+  exchange — for deployments where network shuffle bytes dominate
+  regex CPU.
 * ``dedup_paragraphs(scope="corpus")`` costs exactly two shuffles on the
   exploded paragraph table (occurrence ranking on the paragraph key,
   then doc reassembly) plus one co-keyed join back to the input. The
@@ -237,6 +240,7 @@ def paragraph_passes(
     drop_empty: bool = True,
     paragraph_rows: Optional[DataFrame] = None,
     mode_col: str = "mode",
+    engine: str = "struct",
 ) -> DataFrame:
     """Both INDEPENDENT paragraph views of a corpus in one fused plan:
     ``mode='dedup'`` rows are :func:`dedup_paragraphs` (corpus scope)
@@ -246,39 +250,55 @@ def paragraph_passes(
 
     The use case is the side-by-side attrition report (what would each
     policy do to this corpus?) where running the operators separately
-    pays the paragraph machinery twice. Here (round 15: decide with
-    small rows, move the text once):
+    pays the paragraph machinery twice.
 
-    * the DECISION pass shuffles only ``(para_key, id, para_idx)`` —
-      never the paragraph payload — as two stacked MERGEABLE
-      hash aggregates: ``(para_key, id)`` first (a web-ubiquitous
-      paragraph splits across docs in this exchange, so no hot single
-      key), then ``para_key``. All aggregate buffers are primitive
-      (``min``/``min_by``/``count``), so both levels plan as
-      HashAggregate — no sort of a text-keyed stream anywhere.
-      ``min_by(para_idx, id)`` + ``min(id)`` IS the keep-first winner
-      (level-1 collapsed (key, id) to one row, so id is unique at
-      level 2 and the ``paragraph`` tie-break of the composed
-      operators can never fire), and level-2 ``count(*)`` IS the
-      exact ``count_distinct(id)`` — no Expand, no window.
-    * the dedup survivors are a projection of the stats (no join); the
-      boilerplate survivors anti-join the key stream against the
-      ``n_docs >= min_docs`` keys (sized by the boilerplate count —
-      broadcastable in the common case);
-    * both survivor streams union (free) into ONE ``(mode, id)``
-      aggregate of surviving ``para_idx`` lists (integers), and the
-      paragraph TEXT crosses exactly one exchange: the survivor lists
-      join back onto ``df``, where a positional ``filter`` over ONE
-      ``split()`` evaluation per row rebuilds the document (original
-      paragraph text, original order — the split array is a HOF
-      argument, so the regex runs once per doc, not per element).
+    ``engine`` picks the physical lane (identical rows either way for
+    non-null ids):
 
-    ``id_col`` values are assumed non-null (they identify documents);
-    the keep-first race skips null ids where the composed operators'
-    ``min(struct(id, ...))`` would rank a null id first.
+    * ``"struct"`` (default): one ``split``+explode of the documents,
+      two stacked MERGEABLE aggregates — ``(para_key, id)`` first (a
+      web-ubiquitous paragraph splits across docs in this exchange, so
+      no hot single key), then ``para_key`` — carrying the paragraph
+      text in the aggregation structs, and ONE shared ``(mode, id)``
+      reassembly shuffle. The winner rule is the composed operators'
+      ``min(struct(id, para_idx, paragraph))`` exactly (null ids rank
+      first, identical to :func:`dedup_paragraphs`). This lane splits
+      each document ONCE and is the measured winner at every locally
+      measurable scale (sf0.1 and sf1, round 15/16 races) — per-task
+      regex CPU, not shuffle bytes, dominates there.
+    * ``"keys"``: the round-15 "decide with small rows" lane — the
+      decision pass shuffles only ``(para_key, id, para_idx)`` ints
+      (``min``/``min_by``/``count`` primitive buffers, both levels
+      HashAggregate), survivors union into one ``(mode, id)`` list
+      aggregate, and the paragraph TEXT crosses exactly one exchange:
+      the survivor lists join back onto ``df`` and a positional
+      ``filter`` over one ``split()`` per output row rebuilds the
+      document. The price is re-splitting each surviving document per
+      mode (~3 regex passes total); the win is that text rides one
+      exchange instead of three. Choose it when network shuffle bytes
+      dominate regex CPU (large clusters, slow interconnects).
+      Caveat: ``min_by(para_idx, id)`` skips null ids where the
+      composed operators' ``min(struct(id, ...))`` ranks a null id
+      first — ids are assumed non-null on this lane.
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if engine not in ("struct", "keys"):
+        raise ValueError(f"engine must be 'struct' or 'keys', got {engine!r}")
+    if engine == "struct":
+        return _paragraph_passes_struct(
+            df,
+            id_col,
+            text_col,
+            sep_pattern,
+            join_sep,
+            min_docs,
+            min_chars,
+            normalize,
+            drop_empty,
+            paragraph_rows,
+            mode_col,
+        )
     if paragraph_rows is not None:
         keys = paragraph_rows.select(id_col, "para_idx", "para_key")
     else:
@@ -362,6 +382,93 @@ def paragraph_passes(
                 ).alias("__rebuilt"),
             )
         )
+    if drop_empty and set(df.columns) == {id_col, text_col}:
+        out = rebuilt.select(
+            F.col("__mode").alias(mode_col),
+            F.col(id_col),
+            F.col("__rebuilt").alias(text_col),
+        )
+        return out.select(mode_col, *df.columns)
+    how = "inner" if drop_empty else "left"
+    modes = df.sparkSession.createDataFrame(
+        [("dedup",), ("boiler",)], f"{mode_col} string"
+    )
+    out = (
+        df.drop(text_col)
+        .crossJoin(F.broadcast(modes))
+        .join(
+            rebuilt.withColumnRenamed("__mode", mode_col),
+            on=[mode_col, id_col],
+            how=how,
+        )
+        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
+        .drop("__rebuilt")
+    )
+    return out.select(mode_col, *df.columns)
+
+
+def _paragraph_passes_struct(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep_pattern: str,
+    join_sep: str,
+    min_docs: int,
+    min_chars: int,
+    normalize: bool,
+    drop_empty: bool,
+    paragraph_rows: Optional[DataFrame],
+    mode_col: str,
+) -> DataFrame:
+    """The ``engine="struct"`` lane of :func:`paragraph_passes`: one
+    split/explode, stats aggregates carrying the paragraph text in their
+    buffers, one shared ``(mode, id)`` reassembly shuffle."""
+    paras = (
+        paragraph_rows
+        if paragraph_rows is not None
+        else split_paragraphs(
+            df, id_col, text_col, sep_pattern, min_chars, normalize
+        )
+    )
+
+    per_doc = paras.groupBy("para_key", id_col).agg(
+        F.min(F.struct("para_idx", "paragraph")).alias("__d")
+    )
+    stats = per_doc.groupBy("para_key").agg(
+        F.min(
+            F.struct(
+                F.col(id_col),
+                F.col("__d.para_idx").alias("para_idx"),
+                F.col("__d.paragraph").alias("paragraph"),
+            )
+        ).alias("__f"),
+        F.count(F.lit(1)).alias("__n_docs"),
+    )
+    from patito_spark.functions.cache import tracked_persist
+
+    stats = tracked_persist(stats)
+
+    dedup_kept = stats.select(
+        F.col(f"__f.{id_col}").alias(id_col),
+        F.col("__f.para_idx").alias("para_idx"),
+        F.col("__f.paragraph").alias("paragraph"),
+    ).withColumn("__mode", F.lit("dedup"))
+    common = stats.filter(F.col("__n_docs") >= min_docs).select("para_key")
+    boiler_kept = (
+        paras.join(common, on="para_key", how="left_anti")
+        .select(id_col, "para_idx", "paragraph")
+        .withColumn("__mode", F.lit("boiler"))
+    )
+    kept = dedup_kept.unionByName(boiler_kept)
+
+    rebuilt = kept.groupBy("__mode", id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "paragraph"))
+            ).getField("paragraph"),
+        ).alias("__rebuilt")
+    )
     if drop_empty and set(df.columns) == {id_col, text_col}:
         out = rebuilt.select(
             F.col("__mode").alias(mode_col),

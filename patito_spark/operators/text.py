@@ -776,6 +776,11 @@ def build_vocab(
     under ``top_n``, where the surviving vocabulary is small enough for
     the single-partition window it requires; an unbounded ranked vocab
     would serialize the sort.
+
+    ``id_col`` must be unique per row (it identifies documents — the
+    ``_doc_token_counts_arrow`` contract): the arrow lane counts per
+    INPUT ROW, so duplicate ids would each contribute to ``doc_freq``,
+    where the sql lane would merge them globally into one document.
     """
     from pyspark.sql import Window
 

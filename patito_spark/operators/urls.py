@@ -100,10 +100,15 @@ def canonicalize_url(
     # sequential chain — equality-swept over the driver corpus plus
     # adversarial URLs. Parameter-name regexes must stay free of
     # capture groups (both spellings rely on `$1` being the anchor).
-    alternation = "|".join(f"(?:{name})" for name in tracking_params)
-    query = F.regexp_replace(
-        query, rf"(^|&)(?:{alternation})=[^&]*", "$1"
-    )
+    # Empty tracking_params disables stripping entirely: the fused
+    # alternation would otherwise degenerate to `(^|&)(?:)=[^&]*`,
+    # which strips empty-NAMED params ('?=x') the per-name loop never
+    # touched.
+    if tracking_params:
+        alternation = "|".join(f"(?:{name})" for name in tracking_params)
+        query = F.regexp_replace(
+            query, rf"(^|&)(?:{alternation})=[^&]*", "$1"
+        )
     query = F.regexp_replace(query, r"&&+", "&")
     query = F.regexp_replace(query, r"^&|&$", "")
     if sort_query:

@@ -210,3 +210,15 @@ def test_dedup_urls_reuses_precomputed_canonical_column(spark):
     # the plan canonicalizes once: no second regexp chain above the agg
     plan = executed_plan(dedup_urls(pre, keep="min_id", canonical_col="canon"))
     assert plan.count("try_parse_url") <= 8  # one projection's worth
+
+
+def test_empty_tracking_params_disables_stripping(spark):
+    """tracking_params=() must be a no-op for param removal: the fused
+    alternation would otherwise degenerate to (^|&)(?:)=[^&]* and strip
+    empty-NAMED query params ('?=x')."""
+    raw = "https://example.com/a?=x&a=1&utm_source=t"
+    assert canon(spark, raw, tracking_params=()) == (
+        "https://example.com/a?=x&a=1&utm_source=t"
+    )
+    # default list still strips utm_source but keeps the odd '=x' param
+    assert canon(spark, raw) == "https://example.com/a?=x&a=1"

@@ -11,10 +11,13 @@ from one split() evaluation per row.
 Cross-checks exact (mode, id) -> text equality on the entry-shaped
 sf corpus before timing.
 
-NOTE: the keys-only design WON (sf1 race 2.912 -> 2.678 median) and is
-now the committed `paragraph_passes` implementation; `build_old` below
-preserves the former struct-carrying build verbatim so this race stays
-reproducible.
+NOTE (round 16): the keys-only design won its round-15 sf1 race
+(2.912 -> 2.678 median) but the DRIVER's bench reproduced a 1.35x
+floor breach at sf0.1 and the round-15 end-of-round gated sf1 race had
+the struct lane winning 6/6 — the committed `paragraph_passes` default
+is the STRUCT lane again, with the keys-only design available as
+`engine="keys"`. `build_old` below is the struct lane ("old"),
+`build_new`/"hint" the keys lane; "new" times the committed default.
 
 Usage: python tools/ab_paragraphs.py [--runs 7] [--sf-dir DIR] [--phase]
 """
