@@ -616,8 +616,13 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patito_spark.operators.spans import duplicate_span_intervals
 
     docs = _t(spark, sf_dir, "documents")
+    # first_mode="packed": doc_id is a non-negative sequence well under
+    # 2^31 at every SF, so min((id<<32)|pos) == min(struct(id,pos)) and
+    # the stats aggregate stays HashAggregate (no gram-stream sorts) —
+    # results identical, equivalence property-tested
+    # (test_operators_spans.py::test_first_mode_packed_equals_struct).
     return duplicate_span_intervals(
-        docs, span_tokens=4, hash_mode="portable"
+        docs, span_tokens=4, hash_mode="portable", first_mode="packed"
     ).select(
         "doc_id",
         F.col("span_start").cast("long"),

@@ -75,6 +75,12 @@ def main() -> None:
         keep = set(only.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
 
+    # Session-lived _ANN_INDEX_CACHE artifacts are built in this warm
+    # pass and PROBED by the timed passes; their one-time build costs
+    # are published in BASELINE.md's "Session-lived artifact exemption
+    # table" (tools/artifact_build_costs.py) — read vs-oracle ratios
+    # for the artifact-backed entries together with that table.
+    #
     # Operator-internal intermediates (tracked persists) are released
     # after every run: without this, run N's persisted shingles/signatures
     # satisfy run N+1's structurally identical plan from cache, and the

@@ -55,6 +55,36 @@ def _token_count_col(mode, text_col: str):
     return F.col(mode)
 
 
+def _domain_totals(
+    corpora: Mapping[str, DataFrame],
+    token_count_mode,
+    text_col: str,
+    doc_weight_col: Optional[str],
+) -> DataFrame:
+    """ONE blocking action for every domain's totals (round 15): the
+    per-domain 1-row aggregates crossJoin into a single 1-row frame, so
+    the N domain scans run as parallel stages of one job instead of N
+    serial driver round trips (the old per-domain ``.first()`` ladder
+    was the entry's dominant fixed cost at bench scale). Each side is a
+    1-row aggregate, so the folds plan as BroadcastNestedLoopJoin —
+    never a sort-merge join — pinned by
+    tests/test_plans.py::test_scalar_crossjoin_assemblies_plan_bnlj."""
+    agg_frames = []
+    for i, (name, df) in enumerate(corpora.items()):
+        tc = _token_count_col(token_count_mode, text_col)
+        aggs = [F.sum(tc).alias(f"__t{i}")]
+        if doc_weight_col is not None:
+            w = F.col(doc_weight_col).cast("double")
+            aggs.append(
+                F.sum(F.when(w > 0, w * tc).otherwise(0.0)).alias(f"__wt{i}")
+            )
+        agg_frames.append(df.agg(*aggs))
+    fused = agg_frames[0]
+    for frame in agg_frames[1:]:
+        fused = fused.crossJoin(frame)
+    return fused
+
+
 def mix_corpora(
     corpora: Mapping[str, DataFrame],
     weights: Mapping[str, float],
@@ -126,25 +156,9 @@ def mix_corpora(
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
 
-    # ONE blocking action for every domain's totals (round 15): the
-    # per-domain 1-row aggregates crossJoin into a single job, so the N
-    # domain scans run as parallel stages instead of N serial driver
-    # round trips (the old per-domain .first() ladder was the entry's
-    # dominant fixed cost at bench scale).
-    agg_frames = []
-    for i, (name, df) in enumerate(corpora.items()):
-        tc = _token_count_col(token_count_mode, text_col)
-        aggs = [F.sum(tc).alias(f"__t{i}")]
-        if doc_weight_col is not None:
-            w = F.col(doc_weight_col).cast("double")
-            aggs.append(
-                F.sum(F.when(w > 0, w * tc).otherwise(0.0)).alias(f"__wt{i}")
-            )
-        agg_frames.append(df.agg(*aggs))
-    fused = agg_frames[0]
-    for frame in agg_frames[1:]:
-        fused = fused.crossJoin(frame)
-    totals = fused.first()
+    totals = _domain_totals(
+        corpora, token_count_mode, text_col, doc_weight_col
+    ).first()
 
     plan = []
     parts = []

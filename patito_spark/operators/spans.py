@@ -146,6 +146,7 @@ def duplicate_span_intervals(
     hash_mode: str = "xxhash64",
     gram_mode: str = "zip",
     materialize_grams: bool = True,
+    first_mode: str = "struct",
 ) -> DataFrame:
     """Merged duplicated-run intervals per document.
 
@@ -174,7 +175,20 @@ def duplicate_span_intervals(
     ``materialize_shingles`` pattern) persists it so the build runs
     once (~tokens x 16 bytes, memory-and-disk). Disable at extreme
     scale to trade a second gram build for zero cache footprint.
+
+    ``first_mode="packed"`` (round 16) tracks the first occurrence as
+    ``min((id << 32) | pos)`` instead of ``min(struct(id, pos))`` —
+    identical results whenever ``0 <= id < 2^31`` (the caller's
+    precondition; ``pos`` is a token index and always fits), and the
+    stats aggregate becomes HashAggregate-eligible instead of paying a
+    SortAggregate's full sort of the gram stream on both sides of the
+    exchange. The default stays ``"struct"``, which is exact for ANY
+    id values.
     """
+    if first_mode not in ("struct", "packed"):
+        raise ValueError(
+            f"first_mode must be 'struct' or 'packed', got {first_mode!r}"
+        )
     grams = _gram_hash_positions(
         df, id_col, text_col, span_tokens, hash_mode, gram_mode=gram_mode
     )
@@ -182,19 +196,39 @@ def duplicate_span_intervals(
         from patito_spark.functions.cache import tracked_persist
 
         grams = tracked_persist(grams)
-    stats = grams.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"),
-    )
-    dup_stats = stats.filter(F.col("__cnt") >= min_count).select(
-        "__h", "__first"
-    )
-    removable = grams.join(dup_stats, on="__h", how="inner")
-    if keep_first:
-        removable = removable.filter(
-            (F.col("__id") != F.col("__first.__id"))
-            | (F.col("__pos") != F.col("__first.__pos"))
+    if first_mode == "packed":
+        # (id << 32) | pos orders exactly like struct(id, pos) when
+        # 0 <= id < 2^31 and 0 <= pos < 2^32 (pos is a token index, so
+        # only the id bound is a real precondition — the CALLER asserts
+        # it). The payoff: min() over a BIGINT keeps the whole stats
+        # aggregate HashAggregate-eligible, where min(struct(...))
+        # plans as SortAggregate and pays a full sort of the gram
+        # stream on BOTH sides of the exchange (guide §2.4).
+        packed = F.shiftleft(F.col("__id"), 32) + F.col("__pos")
+        stats = grams.groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(packed).alias("__first_pk"),
         )
+        dup_stats = stats.filter(F.col("__cnt") >= min_count).select(
+            "__h", "__first_pk"
+        )
+        removable = grams.join(dup_stats, on="__h", how="inner")
+        if keep_first:
+            removable = removable.filter(packed != F.col("__first_pk"))
+    else:
+        stats = grams.groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias("__first"),
+        )
+        dup_stats = stats.filter(F.col("__cnt") >= min_count).select(
+            "__h", "__first"
+        )
+        removable = grams.join(dup_stats, on="__h", how="inner")
+        if keep_first:
+            removable = removable.filter(
+                (F.col("__id") != F.col("__first.__id"))
+                | (F.col("__pos") != F.col("__first.__pos"))
+            )
     return _merge_islands(removable.select("__id", "__pos"), span_tokens, id_col)
 
 

@@ -2032,29 +2032,91 @@ def lm_quality_scores(
         stats = (
             stats_df.crossJoin(t_agg) if t_agg is not None else stats_df
         ).first()
-    uni = tracked_persist(
-        pair_counts.groupBy("__w")
-        .agg(F.sum("__pair_n").alias("count"))
-        .select(F.col("__w").alias("token"), "count")
-    )
     total, v = stats["t"] or 0, stats["v"]
     n_pairs, n_bi = stats["np"], stats["nb"]
     b_types = n_bi  # uncapped bigram type count — KN's B
     denom = float(total) + smoothing_k * (v + 1)
-
-    bi = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
-        F.col("__w_prev"), F.col("__w"), F.col("__pair_n").alias("__bi_n")
-    )
-    if max_bigrams is not None and n_bi > max_bigrams:
-        bi = bi.orderBy(
-            F.col("__bi_n").desc(),
-            F.col("__w_prev").asc(),
-            F.col("__w").asc(),
-        ).limit(max_bigrams)
-        n_bi = max_bigrams
+    bi_capped = max_bigrams is not None and n_bi > max_bigrams
 
     def _side(frame: DataFrame, rows: int) -> DataFrame:
         return F.broadcast(frame) if rows <= max_broadcast_vocab else frame
+
+    # ---- fused word-level stats table --------------------------------
+    # Five of the score-table lookup sides are keyed by a SINGLE token:
+    # the unigram count (joined once as w, once as prev), both KN
+    # histogram sides, and the target LM count. Round 16 (guide §3.3):
+    # build them as ONE per-token table — a union of role-tagged slices
+    # of the persisted pair table plus the target LM, collapsed by one
+    # mergeable aggregate — and join it TWICE (as __w and as __w_prev)
+    # instead of five times. NULL parity with the former left joins:
+    # every per-role stat is sum(when(role, ...)), which is NULL when
+    # the token has no rows of that role, exactly like the failed join
+    # it replaces (and every token that occurs as a prev also occurs as
+    # some pair's w, so the __w_prev-side lookup can only miss when
+    # __w_prev is NULL — as before).
+    is_w = F.col("__role") == "w"
+    is_p = F.col("__role") == "p"
+    branches = pair_counts.select(
+        F.col("__w").alias("__tok"),
+        F.col("__pair_n").alias("__n"),
+        F.lit("w").alias("__role"),
+        F.col("__w_prev").isNotNull().alias("__hp"),
+    )
+    word_rows = v
+    need_prev_stats = kneser_ney
+    if need_prev_stats:
+        branches = branches.unionByName(
+            pair_counts.filter(F.col("__w_prev").isNotNull()).select(
+                F.col("__w_prev").alias("__tok"),
+                F.col("__pair_n").alias("__n"),
+                F.lit("p").alias("__role"),
+                F.lit(False).alias("__hp"),
+            )
+        )
+    if target is not None:
+        t_total, t_v = stats["__tt"] or 0, stats["__tv"]
+        branches = branches.unionByName(
+            t_lm.select(
+                F.col("token").alias("__tok"),
+                F.col("__cnt_t").alias("__n"),
+                F.lit("t").alias("__role"),
+                F.lit(False).alias("__hp"),
+            )
+        )
+        word_rows = v + t_v  # conservative: target-only tokens add rows
+    word_aggs = [
+        F.sum(F.when(is_w, F.col("__n"))).alias("__uni_n"),
+    ]
+    if kneser_ney:
+        word_aggs += [
+            F.sum(F.when(is_p, F.col("__n"))).alias("__kn_c_prev"),
+            F.sum(F.when(is_p, F.lit(1))).alias("__kn_n1p_prev"),
+            F.sum(F.when(is_w & F.col("__hp"), F.lit(1))).alias(
+                "__kn_n1p_cont"
+            ),
+        ]
+    if target is not None:
+        word_aggs.append(
+            F.sum(F.when(F.col("__role") == "t", F.col("__n"))).alias(
+                "__cnt_t"
+            )
+        )
+    word_stats = tracked_persist(
+        branches.groupBy("__tok").agg(*word_aggs)
+    )
+    ws_w_cols = [F.col("__tok").alias("__w"), F.col("__uni_n")]
+    if kneser_ney:
+        ws_w_cols.append(F.col("__kn_n1p_cont"))
+    if target is not None:
+        ws_w_cols.append(F.col("__cnt_t"))
+    ws_w = word_stats.select(*ws_w_cols)
+    ws_prev_cols = [
+        F.col("__tok").alias("__w_prev"),
+        F.col("__uni_n").alias("__prev_n"),
+    ]
+    if kneser_ney:
+        ws_prev_cols += [F.col("__kn_c_prev"), F.col("__kn_n1p_prev")]
+    ws_prev = word_stats.select(*ws_prev_cols)
 
     # ---- pair-level score table --------------------------------------
     # Every lookup the scoring pass needs (bigram count, both unigram
@@ -2066,39 +2128,85 @@ def lm_quality_scores(
     # join against the fused table instead of three (four with a
     # target). Per-row doubles are bit-identical to the unfused form:
     # the same expressions on the same inputs, hoisted from per-token
-    # to per-pair.
-    uni_w = uni.select(
-        F.col("token").alias("__w"), F.col("count").alias("__uni_n")
-    )
-    uni_prev = uni.select(
-        F.col("token").alias("__w_prev"), F.col("count").alias("__prev_n")
-    )
+    # to per-pair. Round 16: the assembly itself is fused too —
+    # single-token lookups come from `word_stats` (two joins), and the
+    # bigram/trigram LM slices are LOCAL expressions of the base row
+    # whenever their cap did not fire (the LM is then exactly the
+    # non-null-context slice of the table the row already carries), so
+    # the 8-join trigram+KN+target assembly plans as 4 joins.
+    if kneser_ney and not 0 < kn_discount < 1:
+        raise ValueError(
+            f"kn_discount must be in (0, 1), got {kn_discount}"
+        )
     if trigram:
         # base = the triple table; the pair count each pair-level score
         # reads joins on as a side (every (prev, w) of a triple exists
         # in the derived pair table by construction)
-        base = triple_counts.select("__p2", "__w_prev", "__w").join(
+        base = triple_counts.select(
+            "__p2", "__w_prev", "__w", "__tri_n"
+        ).join(
             _side(pair_counts, n_pairs), on=["__w_prev", "__w"], how="left"
         )
     else:
         base = pair_counts.select("__w_prev", "__w", "__pair_n")
-    tbl = (
-        base.join(_side(bi, n_bi), on=["__w_prev", "__w"], how="left")
-        .join(_side(uni_w, v), on="__w", how="left")
-        .join(_side(uni_prev, v), on="__w_prev", how="left")
+    tbl = base.join(_side(ws_w, word_rows), on="__w", how="left").join(
+        _side(ws_prev, word_rows), on="__w_prev", how="left"
     )
-    if trigram:
-        tri_lm = triple_counts.filter(F.col("__p2").isNotNull()).select(
-            "__p2", "__w_prev", "__w", F.col("__tri_n").alias("__lm_tri_n")
-        )
-        if max_trigrams is not None and n_tri_lm > max_trigrams:
-            tri_lm = tri_lm.orderBy(
-                F.col("__lm_tri_n").desc(),
-                F.col("__p2").asc(),
+    if bi_capped:
+        bi = (
+            pair_counts.filter(F.col("__w_prev").isNotNull())
+            .select(
+                F.col("__w_prev"),
+                F.col("__w"),
+                F.col("__pair_n").alias("__bi_n"),
+            )
+            .orderBy(
+                F.col("__bi_n").desc(),
                 F.col("__w_prev").asc(),
                 F.col("__w").asc(),
-            ).limit(max_trigrams)
+            )
+            .limit(max_bigrams)
+        )
+        n_bi = max_bigrams
+        tbl = tbl.join(_side(bi, n_bi), on=["__w_prev", "__w"], how="left")
+    else:
+        # uncapped: the stupid-backoff bigram LM is exactly the
+        # non-null-prev slice of the pair count this row carries
+        tbl = tbl.withColumn(
+            "__bi_n",
+            F.when(F.col("__w_prev").isNotNull(), F.col("__pair_n")),
+        )
+    if trigram:
+        if max_trigrams is not None and n_tri_lm > max_trigrams:
+            tri_lm = (
+                triple_counts.filter(F.col("__p2").isNotNull())
+                .select(
+                    "__p2",
+                    "__w_prev",
+                    "__w",
+                    F.col("__tri_n").alias("__lm_tri_n"),
+                )
+                .orderBy(
+                    F.col("__lm_tri_n").desc(),
+                    F.col("__p2").asc(),
+                    F.col("__w_prev").asc(),
+                    F.col("__w").asc(),
+                )
+                .limit(max_trigrams)
+            )
             n_tri_lm = max_trigrams
+            tbl = tbl.join(
+                _side(tri_lm, n_tri_lm),
+                on=["__p2", "__w_prev", "__w"],
+                how="left",
+            )
+        else:
+            # uncapped: the trigram LM is the non-null-p2 slice of the
+            # triple count this row carries
+            tbl = tbl.withColumn(
+                "__lm_tri_n",
+                F.when(F.col("__p2").isNotNull(), F.col("__tri_n")),
+            )
         # trigram context counts c(p2, p1) are the derived pair table
         # re-keyed one slot left
         ctx = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
@@ -2106,37 +2214,11 @@ def lm_quality_scores(
             F.col("__w").alias("__w_prev"),
             F.col("__pair_n").alias("__ctx_n"),
         )
-        tbl = tbl.join(
-            _side(tri_lm, n_tri_lm),
-            on=["__p2", "__w_prev", "__w"],
-            how="left",
-        ).join(_side(ctx, n_bi), on=["__p2", "__w_prev"], how="left")
-    if kneser_ney:
-        if not 0 < kn_discount < 1:
-            raise ValueError(
-                f"kn_discount must be in (0, 1), got {kn_discount}"
-            )
-        kn_src = pair_counts.filter(F.col("__w_prev").isNotNull())
-        kn_hist = kn_src.groupBy("__w_prev").agg(
-            F.sum("__pair_n").alias("__kn_c_prev"),
-            F.count("*").alias("__kn_n1p_prev"),
-        )
-        kn_cont = kn_src.groupBy("__w").agg(
-            F.count("*").alias("__kn_n1p_cont")
-        )
-        tbl = tbl.join(_side(kn_hist, v), on="__w_prev", how="left").join(
-            _side(kn_cont, v), on="__w", how="left"
-        )
+        tbl = tbl.join(_side(ctx, n_bi), on=["__p2", "__w_prev"], how="left")
     if target is not None:
         # t_lm was built (and its totals computed) up with the stats
-        # action — one job, not two.
-        t_total, t_v = stats["__tt"] or 0, stats["__tv"]
+        # action — one job, not two; its counts ride word_stats.
         t_denom = float(t_total) + smoothing_k * (t_v + 1)
-        tbl = tbl.join(
-            _side(t_lm.select(F.col("token").alias("__w"), "__cnt_t"), t_v),
-            on="__w",
-            how="left",
-        )
 
     uni_nll = -F.log(
         (F.coalesce(F.col("__uni_n"), F.lit(0)) + F.lit(smoothing_k))

@@ -299,3 +299,57 @@ class TestScrubSpans:
         # Benchmark shorter than span_tokens -> no reference grams -> no cut.
         out = scrub_spans(docs, bench, span_tokens=3).collect()
         assert out[0]["text"] == "one two three four"
+
+
+def test_first_mode_packed_equals_struct(spark):
+    """first_mode='packed' (min over (id<<32)|pos, HashAggregate) must
+    produce exactly the intervals of first_mode='struct' for
+    non-negative ids — including duplicate grams within one doc, ties
+    across docs, and keep_first=False."""
+    import random
+
+    from patito_spark.operators.spans import duplicate_span_intervals
+
+    rng = random.Random(416)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for d in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for keep_first in (True, False):
+        a = sorted(
+            tuple(r)
+            for r in duplicate_span_intervals(
+                df, span_tokens=3, keep_first=keep_first
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in duplicate_span_intervals(
+                df,
+                span_tokens=3,
+                keep_first=keep_first,
+                first_mode="packed",
+            ).collect()
+        )
+        assert a == b and a
+
+
+def test_first_mode_packed_plans_hash_aggregate(spark):
+    """The packed lane's stats aggregate must plan as HashAggregate —
+    no SortAggregate anywhere in the intervals plan (the whole point
+    of the packing)."""
+    from patito_spark.operators.spans import duplicate_span_intervals
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d e x y z")],
+        "doc_id long, text string",
+    )
+    plan = (
+        duplicate_span_intervals(df, span_tokens=3, first_mode="packed")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan

@@ -1003,11 +1003,13 @@ def test_lm_quality_scores_bigram_cap_matches_capped_oracle(spark):
 
 
 def test_lm_quality_bigram_gate_counts_pairs_not_vocab(spark):
-    """The bigram broadcast gate must use the ACTUAL pair-table row
-    count: the unigram vocab size is not a safe proxy (bi can hold up
-    to max_bigrams rows — 2x the default broadcast cap). With the cap
-    between v and n_bi, only the two unigram sides may carry a
-    broadcast hint; values must match the fully-broadcast plan."""
+    """The broadcast gates must use ACTUAL row counts: the unigram
+    vocab size is not a safe proxy for the score table (which holds
+    one row per distinct pair). With the cap between v and n_pairs,
+    only the two word-stats sides may carry a broadcast hint; values
+    must match the fully-broadcast plan. (Round 16: the bigram LM side
+    is a local expression of the pair row — no bi join, so the fully
+    broadcast assembly carries 3 hints, not the old 4.)"""
     rows = [
         (d, " ".join("abcd"[(d * 7 + i * i * 3) % 4] for i in range(12)))
         for d in range(8)
@@ -1020,12 +1022,12 @@ def test_lm_quality_bigram_gate_counts_pairs_not_vocab(spark):
         )
 
     # v = 4 unique tokens; distinct ordered pairs (and the fused pair
-    # score table) > 4. Cap at 4: the two unigram sides broadcast, the
-    # bigram side and the score table must not.
+    # score table) > 4. Cap at 4: the two word-stats sides broadcast,
+    # the score table must not.
     gated = ops.lm_quality_scores(docs, max_broadcast_vocab=4)
     assert n_hints(gated) == 2
     full = ops.lm_quality_scores(docs, max_broadcast_vocab=1_000)
-    assert n_hints(full) == 4
+    assert n_hints(full) == 3
 
     g = {r.doc_id: r for r in gated.collect()}
     f = {r.doc_id: r for r in full.collect()}

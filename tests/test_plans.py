@@ -445,3 +445,27 @@ def test_gopher_repetition_rules_single_stage_no_exchange(spark):
     plan = executed_plan(gopher_repetition_rules(docs))
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+
+
+def test_scalar_crossjoin_assemblies_plan_bnlj(spark):
+    """The 1-row scalar-assembly crossJoins (mix_corpora domain totals,
+    lm_quality_scores stats+target fusion) must plan as
+    BroadcastNestedLoopJoin over the 1-row aggregate sides with no
+    sort-merge join anywhere — an SMJ here would shuffle to join single
+    rows and serialize the domain scans the fusion exists to overlap."""
+    from patito_spark.operators.mixing import _domain_totals
+
+    corpora = {
+        f"d{i}": spark.range(50 + i).selectExpr(
+            "id as doc_id", "concat('w x y z ', cast(id as string)) as text"
+        )
+        for i in range(3)
+    }
+    plan = executed_plan(
+        _domain_totals(corpora, "whitespace", "text", None)
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    # every domain aggregate is map-side partial + single-partition
+    # final: no shuffle exchange anywhere in the assembly
+    assert "Exchange hashpartitioning" not in plan
