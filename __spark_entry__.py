@@ -1373,17 +1373,32 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = streaming_apply_changes(changes, key_cols=["user_id"], seq_col="ts")
     name = f"pt_cdc_{uuid.uuid4().hex[:8]}"
-    # State stores = shuffle.partitions at query start. With the
-    # vectorized state merge (one argmax per Arrow batch) the remaining
-    # cost is per-KEY Python invocation overhead, which parallelizes:
-    # full core count wins at every measured SF (sf1: 2.8 s at 32 vs
-    # 5.1 s at 8; sf0.1: parity — the old 8-partition choice was tuned
-    # around the per-row loop the merge no longer has).
+    # State stores = shuffle.partitions at query start — SCALE-ADAPTIVE
+    # (round 16, verdict item 6): each state partition pays a fixed
+    # per-batch cost (state store instance + one Python worker round
+    # trip) regardless of how few rows it holds, so the count derives
+    # from the stream's row volume (parquet footer, no scan) at ~6k
+    # events per partition, capped at defaultParallelism once the
+    # volume saturates the cores. Quiet-window races
+    # (tools/ab_cdc_partitions.py): sf0.1 (100k events) — 16 parts
+    # 1.504 s vs 32 parts 2.023 s vs 8 parts 1.706 s; sf1 (1M events)
+    # — 32 parts 2.892 s vs 16 parts 3.526 s; the formula lands on the
+    # measured winner at both SFs and on full parallelism at cluster
+    # volumes. Results are partition-count-independent (the state
+    # merge is per-key).
+    try:
+        import pyarrow.parquet as pq
+
+        n_events = pq.ParquetFile(
+            os.path.join(sf_dir, "events.parquet")
+        ).metadata.num_rows
+        state_parts = min(
+            spark.sparkContext.defaultParallelism, max(8, n_events // 6250)
+        )
+    except (ImportError, OSError):
+        state_parts = spark.sparkContext.defaultParallelism
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     try:
         query = (
             merged.writeStream.format("memory")
