@@ -138,11 +138,13 @@ def main() -> None:
         # round-15 min-merged an 8-core run into the floor file and the
         # driver's 32-core bench then flagged round-over-round-flat
         # entries as "reproduced" regressions. No floors committed at
-        # this (sf, cpus) -> no guard.
+        # this (sf, cpus) -> no guard. A floor file with no 'cpus'
+        # field is of unknown core-count provenance — treated like an
+        # SF mismatch (no guard), never applied.
         floors = (
             floor_doc.get("queries", {})
             if floor_doc.get("sf") == sf
-            and floor_doc.get("cpus") in (None, int(cpus))
+            and floor_doc.get("cpus") == int(cpus)
             else {}
         )
         ratios = sorted(

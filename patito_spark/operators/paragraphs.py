@@ -246,7 +246,13 @@ def paragraph_passes(
     ``mode='dedup'`` rows are :func:`dedup_paragraphs` (corpus scope)
     output, ``mode='boiler'`` rows are
     :func:`drop_boilerplate_paragraphs` output — row-identical to
-    composing the two operators, tagged by ``mode_col``.
+    composing the two operators FOR NON-NULL ``id_col`` VALUES, tagged
+    by ``mode_col``. Null ids (they identify documents) are a
+    precondition on BOTH lanes: the fused stats count a null-id group
+    where the composed ``drop_boilerplate_paragraphs`` uses
+    ``count_distinct`` (which skips nulls), and the keys lane's
+    ``min_by`` winner additionally skips null ids where the composed
+    ``min(struct(id, ...))`` ranks one first.
 
     The use case is the side-by-side attrition report (what would each
     policy do to this corpus?) where running the operators separately
@@ -382,6 +388,22 @@ def paragraph_passes(
                 ).alias("__rebuilt"),
             )
         )
+    return _emit_tagged(df, rebuilt, id_col, text_col, mode_col, drop_empty)
+
+
+def _emit_tagged(
+    df: DataFrame,
+    rebuilt: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode_col: str,
+    drop_empty: bool,
+) -> DataFrame:
+    """Shared tail of both :func:`paragraph_passes` lanes: emit the
+    rebuilt ``(__mode, id, __rebuilt)`` rows directly when the frame
+    carries nothing beyond (id, text), else graft them back onto
+    ``df``'s other columns through the per-mode crossJoin (the
+    mode-tagged analogue of :func:`_rebuild_docs`)."""
     if drop_empty and set(df.columns) == {id_col, text_col}:
         out = rebuilt.select(
             F.col("__mode").alias(mode_col),
@@ -405,7 +427,6 @@ def paragraph_passes(
         .drop("__rebuilt")
     )
     return out.select(mode_col, *df.columns)
-
 
 def _paragraph_passes_struct(
     df: DataFrame,
@@ -469,26 +490,4 @@ def _paragraph_passes_struct(
             ).getField("paragraph"),
         ).alias("__rebuilt")
     )
-    if drop_empty and set(df.columns) == {id_col, text_col}:
-        out = rebuilt.select(
-            F.col("__mode").alias(mode_col),
-            F.col(id_col),
-            F.col("__rebuilt").alias(text_col),
-        )
-        return out.select(mode_col, *df.columns)
-    how = "inner" if drop_empty else "left"
-    modes = df.sparkSession.createDataFrame(
-        [("dedup",), ("boiler",)], f"{mode_col} string"
-    )
-    out = (
-        df.drop(text_col)
-        .crossJoin(F.broadcast(modes))
-        .join(
-            rebuilt.withColumnRenamed("__mode", mode_col),
-            on=[mode_col, id_col],
-            how=how,
-        )
-        .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
-        .drop("__rebuilt")
-    )
-    return out.select(mode_col, *df.columns)
+    return _emit_tagged(df, rebuilt, id_col, text_col, mode_col, drop_empty)

@@ -204,7 +204,12 @@ def duplicate_span_intervals(
         # aggregate HashAggregate-eligible, where min(struct(...))
         # plans as SortAggregate and pays a full sort of the gram
         # stream on BOTH sides of the exchange (guide §2.4).
-        packed = F.shiftleft(F.col("__id"), 32) + F.col("__pos")
+        # The cast to long is LOAD-BEARING: shiftleft on an IntegerType
+        # id is a Java int shift (distance masked mod 32 — a silent
+        # no-op) and packed keys would collide.
+        packed = F.shiftleft(F.col("__id").cast("long"), 32) + F.col(
+            "__pos"
+        )
         stats = grams.groupBy("__h").agg(
             F.count(F.lit(1)).alias("__cnt"),
             F.min(packed).alias("__first_pk"),

@@ -2208,13 +2208,19 @@ def lm_quality_scores(
                 F.when(F.col("__p2").isNotNull(), F.col("__tri_n")),
             )
         # trigram context counts c(p2, p1) are the derived pair table
-        # re-keyed one slot left
+        # re-keyed one slot left. Gate on b_types (the UNCAPPED
+        # non-null-prev pair count): ctx is never capped, and n_bi may
+        # have been reassigned to max_bigrams above — gating the 3M-row
+        # ctx frame on a 1M cap value could broadcast-hint a frame past
+        # the configured limit (round-16 review finding).
         ctx = pair_counts.filter(F.col("__w_prev").isNotNull()).select(
             F.col("__w_prev").alias("__p2"),
             F.col("__w").alias("__w_prev"),
             F.col("__pair_n").alias("__ctx_n"),
         )
-        tbl = tbl.join(_side(ctx, n_bi), on=["__p2", "__w_prev"], how="left")
+        tbl = tbl.join(
+            _side(ctx, b_types), on=["__p2", "__w_prev"], how="left"
+        )
     if target is not None:
         # t_lm was built (and its totals computed) up with the stats
         # action — one job, not two; its counts ride word_stats.

@@ -316,24 +316,29 @@ def test_first_mode_packed_equals_struct(spark):
         (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
         for d in range(60)
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    for keep_first in (True, False):
-        a = sorted(
-            tuple(r)
-            for r in duplicate_span_intervals(
-                df, span_tokens=3, keep_first=keep_first
-            ).collect()
-        )
-        b = sorted(
-            tuple(r)
-            for r in duplicate_span_intervals(
-                df,
-                span_tokens=3,
-                keep_first=keep_first,
-                first_mode="packed",
-            ).collect()
-        )
-        assert a == b and a
+    # BOTH id types: an IntegerType id exercises the load-bearing
+    # cast-to-long in the packed expression (shiftleft on an int column
+    # is a Java int shift — distance masked mod 32, a silent no-op —
+    # and packed keys would collide).
+    for schema in ("doc_id long, text string", "doc_id int, text string"):
+        df = spark.createDataFrame(rows, schema)
+        for keep_first in (True, False):
+            a = sorted(
+                tuple(r)
+                for r in duplicate_span_intervals(
+                    df, span_tokens=3, keep_first=keep_first
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in duplicate_span_intervals(
+                    df,
+                    span_tokens=3,
+                    keep_first=keep_first,
+                    first_mode="packed",
+                ).collect()
+            )
+            assert a == b and a
 
 
 def test_first_mode_packed_plans_hash_aggregate(spark):

@@ -71,6 +71,18 @@ def main(argv: list[str]) -> None:
             )
             continue
         if floor.get("cpus") is None:
+            if floor["queries"]:
+                # A legacy floor file with floors of unknown core-count
+                # provenance must not be min-merged (it would re-create
+                # the cross-core poisoning this field exists to stop):
+                # rebuild it from scratch instead.
+                print(
+                    f"skip {path}: floor file has queries but no 'cpus' "
+                    "field — delete BENCH_FLOOR.json and rebuild from "
+                    "runs of one core count",
+                    file=sys.stderr,
+                )
+                continue
             floor["cpus"] = run_cpus
         elif run_cpus != floor["cpus"]:
             print(
